@@ -1,0 +1,238 @@
+"""Deduplication operators (SURVEY.md §2.12 L1/L2): exact, MinHash-LSH,
+SimHash. Tier C — the LLM-training-data extensions mandated by
+BASELINE.json:6; the reference's own dedup is file-level idempotency
+(``ON CONFLICT DO NOTHING``, sudo_code.txt:90), re-expressed at row level.
+
+Cross-engine determinism: all hashing is md5-over-strings (identical in Spark
+and DuckDB), never engine-native hash functions. The portable expressions are
+generated once in Python and used verbatim on both sides.
+
+Scale notes:
+- Exact dedup groups on md5(text) — the shuffle key is 32 bytes regardless of
+  document size, and the full text never moves unless it's the keeper.
+- MinHash-LSH is the standard shingle → k-minhash → band-bucket pipeline: the
+  only shuffle of the wide explode is the per-doc signature aggregation;
+  candidate generation joins on (band, band_hash) buckets, never all-pairs.
+- SimHash emits one 16-bit signature per doc; near-dup lookup is then a
+  cheap self-join on signature (optionally with rotations for hamming>0).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datalakejson_spark.registry import register
+from datalakejson_spark.sources.tables import load_table
+
+NUM_HASHES = 8  # minhash permutations
+BAND_ROWS = 2  # rows per LSH band → NUM_HASHES/BAND_ROWS = 4 bands
+NUM_BANDS = NUM_HASHES // BAND_ROWS
+SHINGLE = 3  # 3-word shingles
+SIMHASH_BITS = 16
+
+
+def _hex4_to_int(expr: str) -> str:
+    """Portable SQL: first 4 hex chars of md5 ``expr`` -> int in [0, 65535).
+    Same text parses in Spark SQL and DuckDB (instr/substr are shared)."""
+    digits = []
+    for i in range(1, 5):
+        digits.append(
+            f"(instr('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)"
+        )
+    return (
+        f"((({digits[0]}) * 4096) + (({digits[1]}) * 256) "
+        f"+ (({digits[2]}) * 16) + ({digits[3]}))"
+    )
+
+
+# --------------------------------------------------------------------------
+# L1: exact dedup via content hash
+# --------------------------------------------------------------------------
+@register(
+    "l1_exact_dedup",
+    survey="L1,G2",
+    sql="""
+    SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id. Hash-first
+    so the shuffle key is fixed-width — at 100 TB the text column is pruned
+    from the exchange entirely."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_id")
+    )
+
+
+def keep_first_distinct(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Library form of L1: return the deduplicated corpus (keeper rows only)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(text_col)).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# L2: MinHash signatures + LSH band candidate pairs
+# --------------------------------------------------------------------------
+
+# Shingle expression (3-word shingles over the space-tokenized text).
+_SPARK_SHINGLES = (
+    f"transform(sequence(1, greatest(size(split(text, ' ')) - {SHINGLE - 1}, 1)), "
+    f"i -> concat_ws(' ', slice(split(text, ' '), i, {SHINGLE})))"
+)
+_DUCK_SHINGLES = (
+    f"[array_to_string(w[i:i+{SHINGLE - 1}], ' ') "
+    f"for i in range(1, greatest(len(w) - {SHINGLE - 2}, 2))]"
+)
+
+_MINHASH_AGGS = ",\n           ".join(
+    f"min(md5(concat('{seed}:', shingle))) AS mh{seed}" for seed in range(NUM_HASHES)
+)
+_BAND_EXPRS = [
+    (
+        band,
+        "md5(concat("
+        + ", ".join(f"mh{band * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        + "))",
+    )
+    for band in range(NUM_BANDS)
+]
+_DUCK_BANDS_UNION = "\n        UNION ALL\n        ".join(
+    f"SELECT doc_id, {band} AS band, {expr} AS band_hash FROM sigs"
+    for band, expr in _BAND_EXPRS
+)
+
+_L2_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+        FROM tok
+    ),
+    sigs AS (
+        SELECT doc_id,
+           {_MINHASH_AGGS}
+        FROM (SELECT DISTINCT doc_id, shingle FROM shingled)
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {_DUCK_BANDS_UNION}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mhK) MinHash signature table. One explode + one groupBy."""
+    shingles = F.expr(_SPARK_SHINGLES.replace("text", text_col))
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles).alias("shingle")
+    ).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
+        for seed in range(NUM_HASHES)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and emit candidate near-dup pairs (id_a < id_b).
+
+    The join key is (band, band_hash): docs only meet if a whole band of
+    minhashes agrees — the LSH guarantee that keeps this O(collisions), not
+    O(n²), at scale.
+    """
+    bands = None
+    for band, expr in _BAND_EXPRS:
+        b = sigs.select(
+            F.col(id_col),
+            F.lit(band).alias("band"),
+            F.expr(expr).alias("band_hash"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register("l2_minhash_lsh_pairs", survey="L2", sql=_L2_SQL)
+def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs: 3-word shingles → 8 md5-minhashes → 4 LSH
+    bands of 2 → bucket join. Both engines run the byte-identical md5
+    pipeline, so the candidate set matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+# --------------------------------------------------------------------------
+# L2b: SimHash signatures
+# --------------------------------------------------------------------------
+_WORD_HASH = _hex4_to_int("word")
+_SIMHASH_VOTES = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+)
+
+_L2B_SQL = f"""
+    WITH words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {_WORD_HASH} AS h FROM words
+    ),
+    votes AS (
+        SELECT doc_id,
+           {_SIMHASH_VOTES}
+        FROM hashed
+        GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@register("l2b_simhash_signatures", survey="L2", sql=_L2B_SQL)
+def l2b_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from md5 word hashes: per-bit ±1 votes,
+    sign-combined. Near-dup docs land on nearby signatures; pairing is then a
+    signature self-join (tested in tests/test_tierc.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    hashed = words.select("doc_id", F.expr(_WORD_HASH).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    return votes.select(
+        "doc_id", F.expr(_SIMHASH_COMBINE).cast("bigint").alias("simhash")
+    )

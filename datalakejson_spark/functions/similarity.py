@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12 L3).
+
+Baseline: exact brute-force cosine top-k — a broadcast join of the (small)
+query set against all candidates, dot products computed JVM-side with
+higher-order array functions (zip_with + aggregate), ranked per query.
+
+Scale path: random-hyperplane LSH bucketing (``lsh_bucket_topk``) — candidates
+are pre-bucketed by sign-pattern so each query probes one bucket (plus
+neighbors), turning O(n·q) into O(n/2^planes · q). Bucketing is deterministic
+(md5-derived hyperplanes), so results are reproducible; recall is tested
+against the exact baseline in tests/test_tierc.py.
+
+Floating-point determinism: every element is cast float→double *before*
+arithmetic and both engines fold the array left-to-right, so dot products are
+bit-identical; ranking keys round to 6 dp with an id tie-break.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datalakejson_spark.registry import register
+from datalakejson_spark.sources.tables import load_table
+
+N_QUERIES = 8
+TOP_K = 5
+N_PLANES = 4  # LSH hyperplanes → 16 buckets
+
+
+def cosine_expr(a: str, b: str):
+    """dot(a,b)/(|a||b|) as a JVM-side column expression (no UDF)."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(x):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(x, lambda p: p.cast("double") * p.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    return dot(F.col(a), F.col(b)) / (norm(F.col(a)) * norm(F.col(b)))
+
+
+_DUCK_DOT = (
+    "list_aggregate([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) "
+    "for i in range(1, len(q.embedding) + 1)], 'sum')"
+)
+_DUCK_NORM_Q = (
+    "sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) "
+    "for x in q.embedding], 'sum'))"
+)
+_DUCK_NORM_C = (
+    "sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) "
+    "for x in c.embedding], 'sum'))"
+)
+
+_L3_SQL = f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_DUCK_DOT} / ({_DUCK_NORM_Q} * {_DUCK_NORM_C}), 6) AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {TOP_K}
+"""
+
+
+def brute_force_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every candidate.
+    Output: (query_id, neighbor_id, cosine, rn)."""
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    c = candidates.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        q.join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb"), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+@register("l3_cosine_topk", survey="L3,J8,W5,F5", sql=_L3_SQL)
+def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 8 vectors — the
+    oracle-checked baseline for similarity search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+
+
+# --------------------------------------------------------------------------
+# Scale path: deterministic random-hyperplane LSH
+# --------------------------------------------------------------------------
+def _plane_sign(plane: int, dim_col):
+    """Deterministic pseudo-random ±1 weight for (plane, dimension): parity of
+    the first hex digit of md5('p<plane>:<dim>')."""
+    h = F.md5(F.concat(F.lit(f"p{plane}:"), dim_col.cast("string")))
+    digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    return F.when(digit % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Add a ``bucket`` column: sign pattern of n_planes random-hyperplane
+    projections. Same-bucket vectors are cosine-close with high probability."""
+    out = df
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(F.col("embedding"), lambda _, i: _plane_sign(p, i)),
+                lambda v, s: v.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out.withColumn(f"_b{p}", (proj > 0).cast("int"))
+    bucket = sum(F.col(f"_b{p}") * (1 << p) for p in range(n_planes))
+    return out.withColumn("bucket", bucket).drop(*[f"_b{p}" for p in range(n_planes)])
+
+
+@register("l3b_ann_lsh_topk", survey="L3", sql=None)
+def l3b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: queries only score candidates in their own LSH
+    bucket. Rows-only driver check (approximation is not SQL-oracle-
+    expressible); recall vs. the exact baseline is asserted in
+    tests/test_tierc.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = lsh_bucket(emb)
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            cands,
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb"), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)

@@ -1,0 +1,246 @@
+"""Aggregation operators (SURVEY.md §2.4), including the flagship query.
+
+Spark executes every groupBy as a two-phase hash aggregate (partial map-side
+combine, then final after the shuffle) — the property that makes these plans
+scale: the shuffle carries one row per (partition, group), not per input row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datalakejson_spark.operators.deterministic import da, davg_sql, ds, dsum_sql
+from datalakejson_spark.registry import register
+from datalakejson_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-style pricing summary (entry() runs this)
+# --------------------------------------------------------------------------
+FLAGSHIP_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("g3_flagship_pricing_summary", survey="G3,P11,O2,S8", sql=FLAGSHIP_SQL)
+def g3_flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship consumption query (SURVEY.md §7.1): scan → pushed-down date
+    filter → 8-way aggregate over a 6-group key. Exercises the "Ad-hoc SQL /
+    DataFrame over curated Parquet" surface (diagram_1.txt:98-107). The scan
+    reads only the 7 referenced columns; the shuffle carries ≤ (partitions ×
+    6 groups) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            ds("l_quantity").alias("sum_qty"),
+            ds("l_extendedprice").alias("sum_base_price"),
+            ds(disc_price).alias("sum_disc_price"),
+            ds(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            da("l_quantity").alias("avg_qty"),
+            da("l_extendedprice").alias("avg_price"),
+            da("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# G1: gating counts (conditional count in one pass)
+# --------------------------------------------------------------------------
+@register(
+    "g1_gating_counts",
+    survey="G1,E1",
+    sql="""
+    SELECT count(*) AS n_total,
+           count_if(event_type = 'error') AS n_corrupt,
+           count_if(event_type <> 'error') AS n_good
+    FROM events
+    """,
+)
+def g1_gating_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference counts corrupt and good rows to gate its branches
+    (sudo_code.txt:164,173) — and rescans the input for each count
+    (SURVEY.md §3.1 perf note). Our form computes both in ONE pass with
+    conditional counts: no cache, no second scan."""
+    events = load_table(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    return events.agg(
+        F.count("*").alias("n_total"),
+        F.count_if(is_err).alias("n_corrupt"),
+        F.count_if(~is_err).alias("n_good"),
+    )
+
+
+# --------------------------------------------------------------------------
+# G3: grouped aggregate (sum/avg/min/max/count)
+# --------------------------------------------------------------------------
+@register(
+    "g3_grouped_agg_orders",
+    survey="G3",
+    sql=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS sum_price,
+           {davg_sql('o_totalprice')} AS avg_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def g3_grouped_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core grouped aggregate of the consumption surface (diagram_1.txt:99,105)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        ds("o_totalprice").alias("sum_price"),
+        da("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# G4: exact count distinct
+# --------------------------------------------------------------------------
+@register(
+    "g4_count_distinct_users",
+    survey="G4",
+    sql="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def g4_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (e.g. distinct users/day,
+    diagram_1.txt:105). Spark plans the expand + two-phase aggregate itself."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# G5: approximate count distinct (HLL++) — rows-only check
+# --------------------------------------------------------------------------
+@register("g5_approx_count_distinct", survey="G5", sql=None)
+def g5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ cardinality sketch — the 100 TB substitute for G4 (BASELINE.json:6
+    scale mandate). Estimates are sketch-implementation-defined, so there is no
+    cross-engine oracle: the driver records a rows-only check (allowed per
+    contract). tests/test_operators.py asserts the estimate is within rsd of
+    the exact count."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# G6: rollup / cube (multi-granularity reporting)
+# --------------------------------------------------------------------------
+@register(
+    "g6_rollup_time_hierarchy",
+    survey="G6",
+    sql=f"""
+    SELECT year(l_shipdate) AS year, month(l_shipdate) AS month,
+           {dsum_sql('l_extendedprice')} AS gross, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (year(l_shipdate), month(l_shipdate))
+    """,
+)
+def g6_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the curated lake's partition hierarchy year→month
+    (diagram3:108 partition layout + SQL surface diagram_1.txt:99):
+    per-month, per-year, and grand-total rows in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("year", F.year("l_shipdate"))
+        .withColumn("month", F.month("l_shipdate"))
+        .rollup("year", "month")
+        .agg(ds("l_extendedprice").alias("gross"), F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "g6_cube_flag_status",
+    survey="G6",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus, {dsum_sql('l_quantity')} AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def g6_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations of (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        ds("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+# --------------------------------------------------------------------------
+# G7: exact percentile / median
+# --------------------------------------------------------------------------
+@register(
+    "g7_percentile_median",
+    survey="G7",
+    sql="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def g7_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-distribution percentiles (diagram_1.txt:105). Exact linear-
+    interpolation percentile (matches quantile_cont); the 100 TB path swaps in
+    percentile_approx (t-digest) — same API shape, bounded memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# G8: per-source audit aggregate
+# --------------------------------------------------------------------------
+@register(
+    "g8_per_source_audit",
+    survey="G8",
+    sql="""
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def g8_per_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-contributed-per-source-file audit — the purpose of the lineage
+    column (sudo_code.txt:250 "Helps trace back rows", diagram3:109)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

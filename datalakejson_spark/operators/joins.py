@@ -1,0 +1,294 @@
+"""Join operators (SURVEY.md §2.3).
+
+The ingest plane's two semantic joins (anti-join idempotent registration,
+semi-join path classification; sudo_code.txt:90,205) plus the full join family
+implied by the Athena/Presto SQL consumption surface (diagram_1.txt:99) and
+Spark feature engineering (diagram_1.txt:105).
+
+Scale posture: dimension tables (region/nation/supplier/part at TPC-H ratios)
+are broadcast — no shuffle of the fact side; fact-fact joins shuffle on the
+join key and rely on AQE for skew splitting. Non-equi joins are kept bounded
+(banded) so they broadcast-nested-loop over a small side only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datalakejson_spark.operators.deterministic import ds, dsum_sql
+from datalakejson_spark.registry import register
+from datalakejson_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# J1: left anti join — idempotent registration
+# --------------------------------------------------------------------------
+@register(
+    "j1_anti_join_registration",
+    survey="J1,S11",
+    sql="""
+    SELECT c_custkey, c_name
+    FROM customer
+    ANTI JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def j1_anti_join_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ON CONFLICT (s3_key) DO NOTHING`` as a relational op: keep only keys
+    not already present (sudo_code.txt:90, psuedo_code.txt:116). Here:
+    customers with no orders. The already-registered side is aggregated to
+    keys only, so Spark can broadcast it."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# J2 + J6: left semi join — set membership
+# --------------------------------------------------------------------------
+@register(
+    "j2_semi_join_membership",
+    survey="J2,J6",
+    sql="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    SEMI JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def j2_semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-set membership test ("If S3_KEY_FULL_PATH is in GOOD_RECORDS_S3_KEYS",
+    sudo_code.txt:205,216) — a semi join against a broadcastable key set."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# J3 + J4: star-schema join with broadcast dimensions
+# --------------------------------------------------------------------------
+@register(
+    "j3_star_join_revenue",
+    survey="J3,J4,G3",
+    sql=f"""
+    SELECT r_name AS region, year(o_orderdate) AS order_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def j3_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H-style star join behind "data selection + feature engineering"
+    (diagram_1.txt:99,105). lineitem⋈orders shuffles on the order key; the
+    customer→nation→region dimension chain is broadcast (J4), so the fact
+    table is shuffled exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = F.broadcast(
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            ds(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J5: outer joins
+# --------------------------------------------------------------------------
+@register(
+    "j5_left_outer_join",
+    survey="J5,G3,F7",
+    sql=f"""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           coalesce({dsum_sql('o_totalprice')}, 0.0) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def j5_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER (SQL surface, diagram_1.txt:99): order count per customer
+    including zero-order customers; COALESCE fills the null aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(ds("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J7: theta / non-equi join (banded)
+# --------------------------------------------------------------------------
+@register(
+    "j7_theta_band_join",
+    survey="J7",
+    sql="""
+    SELECT b.band_name AS band, count(*) AS n_parts, min(p_retailprice) AS min_price,
+           max(p_retailprice) AS max_price
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 900.0),
+                 ('mid', 900.0, 1100.0),
+                 ('premium', 1100.0, 100000.0)) AS b(band_name, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY 1
+    """,
+)
+def j7_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality-predicate join (price banding) from the SQL surface
+    (diagram_1.txt:99). The band side is tiny → broadcast nested loop; at
+    scale, banded joins should be rewritten to equi-joins on a precomputed
+    band key (SURVEY.md §2.3 J9 note) — this query keeps the theta form to
+    exercise the operator."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 900.0), ("mid", 900.0, 1100.0), ("premium", 1100.0, 100000.0)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy(F.col("band_name").alias("band"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J8: cross join (bounded)
+# --------------------------------------------------------------------------
+@register(
+    "j8_cross_join",
+    survey="J8",
+    sql="""
+    SELECT r_name AS region, seg.c_mktsegment AS segment
+    FROM region
+    CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+    """,
+)
+def j8_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Cartesian product (dimension grid scaffolding for dense
+    reporting). Cross joins of two large inputs are forbidden at scale; both
+    sides here are tiny and broadcastable."""
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    segs = customer.select("c_mktsegment").distinct()
+    return region.crossJoin(segs).select(
+        F.col("r_name").alias("region"), F.col("c_mktsegment").alias("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# J9: range join — event-to-interval assignment
+# --------------------------------------------------------------------------
+@register(
+    "j9_range_join_intervals",
+    survey="J9",
+    sql=f"""
+    SELECT w.win_id AS win_id, count(*) AS n_events, {dsum_sql('value')} AS sum_value
+    FROM events e
+    JOIN (VALUES (0, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
+                 (1, TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+                 (2, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00'),
+                 (3, TIMESTAMP '2024-01-22 00:00:00', TIMESTAMP '2024-03-01 00:00:00'))
+         AS w(win_id, lo, hi)
+      ON e.ts >= w.lo AND e.ts < w.hi
+    GROUP BY 1
+    """,
+)
+def j9_range_join_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign timestamped events to arbitrary intervals (feature-engineering
+    shape, diagram_1.txt:105). Interval side is broadcast. At 100 TB the scale
+    path pre-buckets both sides by a coarse time grain so the range join
+    becomes an equi-join on the bucket plus a residual predicate."""
+    events = load_table(spark, sf_dir, "events")
+    wins = spark.createDataFrame(
+        [
+            (0, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+            (1, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+            (2, "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+            (3, "2024-01-22 00:00:00", "2024-03-01 00:00:00"),
+        ],
+        "win_id int, lo_s string, hi_s string",
+    ).select(
+        "win_id",
+        F.col("lo_s").cast("timestamp_ntz").alias("lo"),
+        F.col("hi_s").cast("timestamp_ntz").alias("hi"),
+    )
+    return (
+        events.join(F.broadcast(wins), (events.ts >= wins.lo) & (events.ts < wins.hi))
+        .groupBy("win_id")
+        .agg(F.count("*").alias("n_events"), ds("value").alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J10: as-of join — latest state at event time
+# --------------------------------------------------------------------------
+@register(
+    "j10_asof_last_click",
+    survey="J10,W2",
+    sql="""
+    SELECT event_id, user_id, ts, last_click_ts FROM (
+        SELECT event_id, user_id, event_type,
+               date_trunc('microseconds', ts) AS ts,
+               max(CASE WHEN event_type = 'click'
+                        THEN date_trunc('microseconds', ts) END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY date_trunc('microseconds', ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click_ts
+        FROM events
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def j10_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest strictly-earlier click by the
+    same user. Implemented as the union-scan + running-max window (SURVEY.md
+    §2.3 J10 mapping) — one shuffle on user_id, no per-row probe; this is the
+    scalable as-of pattern (vs. a per-row range lookup)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        events.withColumn("last_click_ts", F.max(click_ts).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )

@@ -1,0 +1,201 @@
+"""Window functions (SURVEY.md §2.5) — Tier B, justified by the "Complex
+feature engineering / Direct DataFrame manipulation" consumption surface
+(diagram_1.txt:105-106) and the ANSI SQL surface (diagram_1.txt:99).
+
+Determinism contract: every ORDER BY inside a window ends with a unique key
+(event_id / orderkey+linenumber) so ranking and frame results are identical
+across engines regardless of physical row order.
+
+Scale: each window is one shuffle on its partition key; consecutive windows
+share the same partitioning where possible so Spark reuses the exchange.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datalakejson_spark.operators.deterministic import dwin_sum, dwin_sum_sql
+from datalakejson_spark.registry import register
+from datalakejson_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# W1: ranking functions
+# --------------------------------------------------------------------------
+@register(
+    "w1_ranking",
+    survey="W1",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per priority class."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W2: lag / lead / first / last
+# --------------------------------------------------------------------------
+@register(
+    "w2_lag_lead",
+    survey="W2",
+    sql="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_value,
+           value - coalesce(lag(value) OVER w, value) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
+    """,
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence features: previous/next/first value and delta."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_v = F.lag("value").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        lag_v.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        (F.col("value") - F.coalesce(lag_v, F.col("value"))).alias("delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3: running aggregate with explicit row frame
+# --------------------------------------------------------------------------
+@register(
+    "w3_running_sum",
+    survey="W3",
+    sql=f"""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           {dwin_sum_sql('o_totalprice', '''(
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')}
+               AS lifetime_spend,
+           count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+    FROM orders
+    """,
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-spend running total — classic training-label feature.
+    The cumulative sum goes through a DECIMAL accumulator: windowed double
+    sums are association-order-dependent (DuckDB uses segment trees) and
+    would drift in the last ULP otherwise."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        dwin_sum("o_totalprice", w).alias("lifetime_spend"),
+        F.count("*").over(w).alias("order_seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W4: time-based range frame (sliding 1h feature)
+# --------------------------------------------------------------------------
+@register(
+    "w4_time_range_frame",
+    survey="W4",
+    sql=f"""
+    SELECT event_id, user_id,
+           {dwin_sum_sql('value', '''(
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)''')} AS sum_1h,
+           count(*) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+    FROM events
+    """,
+)
+def w4_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour activity per user via a RANGE frame over epoch seconds
+    (SURVEY §2.5 W4 mapping). Range frames aggregate ties together, so the
+    epoch-seconds tie handling matches across engines without a unique key."""
+    events = load_table(spark, sf_dir, "events")
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        dwin_sum("value", w).alias("sum_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W5: top-N per group
+# --------------------------------------------------------------------------
+@register(
+    "w5_topn_per_group",
+    survey="W5,W1",
+    sql="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rn <= 3
+    """,
+)
+def w5_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment: rank + filter. Spark pushes the rn<=3
+    filter into the window sort (WindowGroupLimit) so each partition keeps
+    only 3 rows — the scalable top-N-per-key pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

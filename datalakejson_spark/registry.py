@@ -1,0 +1,68 @@
+"""Query registry: the bridge between the operator library and the driver
+contract in ``__spark_entry__.py``.
+
+Every SQL-expressible operator from SURVEY.md §2 registers one named query
+(a ``(spark, sf_dir) -> DataFrame`` callable) plus, where the semantics are
+ANSI-SQL-expressible, an equivalent DuckDB oracle SQL string. The driver runs
+both at sf0.01 and compares row count + schema + order-insensitive value hash,
+so every computed column is aliased identically on both sides.
+
+Queries without ``sql`` get the driver's weaker rows-only check (allowed for
+non-SQL-expressible ops, e.g. HLL sketches whose estimates are
+implementation-defined).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    survey: str = ""  # SURVEY.md §2 operator ids this query covers
+    doc: str = ""
+
+
+def register(name: str, sql: str | None = None, survey: str = "", doc: str = ""):
+    """Decorator: register ``fn`` as an oracle-checked query."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, sql=sql, survey=survey, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Import all operator modules (populating the registry) and return it."""
+    # Imports are deferred so `import datalakejson_spark` stays cheap and
+    # circular imports (modules use @register) are impossible.
+    from datalakejson_spark.operators import (  # noqa: F401
+        relational,
+        joins,
+        aggregates,
+        windows,
+        scalar_functions,
+    )
+    from datalakejson_spark.functions import (  # noqa: F401
+        dedup,
+        similarity,
+        text,
+    )
+    from datalakejson_spark.streaming import windows as stream_windows  # noqa: F401
+
+    return dict(_REGISTRY)

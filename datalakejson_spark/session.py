@@ -1,0 +1,67 @@
+"""SparkSession factory and runtime configuration.
+
+The reference delegates execution to Glue-managed Spark (sudo_code.txt:64-69);
+our engine owns the session. Defaults follow the 100 TB posture of SURVEY.md
+§7.0: AQE on (runtime re-planning, skew-join handling), explicit UTC session
+timezone (ledger columns are ``TIMESTAMP WITH TIME ZONE`` UTC,
+sudo_code.txt:33), and Arrow enabled for the pandas-UDF surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and necessary) to set on an already-running session.
+# ``nanosAsLong`` lets Spark read parquet TIMESTAMP(NANOS) columns (the
+# ``events`` fixture) — the loader converts them back to timestamps.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a session we did not create (e.g. the driver's)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-settable on this session build; keep going — each conf is
+            # an optimization or compat shim, not a correctness requirement
+            # for sessions that already read the data fine.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "datalakejson-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or get) a local session sized for the test harness.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle partitions
+    default to the core count: at local scale a 200-partition shuffle is pure
+    scheduling overhead; on a real cluster this knob (or AQE coalescing)
+    should track total executor cores instead.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return configure_runtime(builder.getOrCreate())
