@@ -84,18 +84,23 @@ def keep_first_distinct(df: DataFrame, text_col: str = "text", id_col: str = "do
 # L2: MinHash signatures + LSH band candidate pairs
 # --------------------------------------------------------------------------
 
-# Shingle expression (3-word shingles over the space-tokenized text).
+# Shingle expression (3-word shingles) over a pre-split words column ``w``.
+# Referencing a column (not split(text) inline) matters: an inline split would
+# be re-evaluated per lambda element, turning shingling O(words) → O(words²).
 _SPARK_SHINGLES = (
-    f"transform(sequence(1, greatest(size(split(text, ' ')) - {SHINGLE - 1}, 1)), "
-    f"i -> concat_ws(' ', slice(split(text, ' '), i, {SHINGLE})))"
+    f"transform(sequence(1, greatest(size(w) - {SHINGLE - 1}, 1)), "
+    f"i -> concat_ws(' ', slice(w, i, {SHINGLE})))"
 )
 _DUCK_SHINGLES = (
     f"[array_to_string(w[i:i+{SHINGLE - 1}], ' ') "
     f"for i in range(1, greatest(len(w) - {SHINGLE - 2}, 2))]"
 )
 
+# One md5 per shingle; the 8 minhash lanes are its disjoint 4-hex-char chunks
+# (one-permutation-hashing flavor: 8× cheaper than 8 salted hashes, and min
+# over fixed-width lowercase hex is the same as numeric min).
 _MINHASH_AGGS = ",\n           ".join(
-    f"min(md5(concat('{seed}:', shingle))) AS mh{seed}" for seed in range(NUM_HASHES)
+    f"min(substr(h, {1 + 4 * lane}, 4)) AS mh{lane}" for lane in range(NUM_HASHES)
 )
 _BAND_EXPRS = [
     (
@@ -116,13 +121,16 @@ _L2_SQL = f"""
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
     shingled AS (
-        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+        SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
         FROM tok
+    ),
+    hashed AS (
+        SELECT doc_id, md5(shingle) AS h FROM shingled
     ),
     sigs AS (
         SELECT doc_id,
            {_MINHASH_AGGS}
-        FROM (SELECT DISTINCT doc_id, shingle FROM shingled)
+        FROM hashed
         GROUP BY doc_id
     ),
     bands AS (
@@ -135,16 +143,21 @@ _L2_SQL = f"""
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, mh0..mhK) MinHash signature table. One explode + one groupBy."""
-    shingles = F.expr(_SPARK_SHINGLES.replace("text", text_col))
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles).alias("shingle")
-    ).distinct()
+    """(id, mh0..mhK) MinHash signature table. One explode + one groupBy.
+
+    Shingles are deduped per-doc with ``array_distinct`` BEFORE the explode —
+    map-side, no extra shuffle (a post-explode ``distinct()`` would shuffle
+    the full (doc, shingle) expansion)."""
+    tok = df.select(F.col(id_col), F.split(text_col, " ").alias("w"))
+    hashed = tok.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle"),
+    ).select(F.col(id_col), F.md5("shingle").alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
-        for seed in range(NUM_HASHES)
+        F.min(F.substring("h", 1 + 4 * lane, 4)).alias(f"mh{lane}")
+        for lane in range(NUM_HASHES)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -199,7 +212,7 @@ _SIMHASH_COMBINE = " + ".join(
 
 _L2B_SQL = f"""
     WITH words AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
         FROM documents
     ),
     hashed AS (
@@ -222,8 +235,8 @@ def l2b_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature self-join (tested in tests/test_tierc.py)."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).distinct()
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
     hashed = words.select("doc_id", F.expr(_WORD_HASH).alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
