@@ -1,0 +1,357 @@
+"""Batch ingest plane: discovery → claim → PERMISSIVE read → corrupt split →
+transform → partitioned curated append → archive → ledger commit.
+
+Reference parity (operator-by-operator):
+- discovery & registration: ``FileListerAndDbPopulator``
+  (/root/reference/sudo_code.txt:71-103, psuedo_code.txt:66-137)
+- batch ELT: ``JsonToParquetBatchProcessor``
+  (sudo_code.txt:118-238, psuedo_code.txt:143-265), 6-step decomposition
+  diagram3.mmd:25-35
+- transform: ``Apply_Transformations`` (psuedo_code.txt:268-299,
+  sudo_code.txt:240-256)
+- DLQ: sudo_code.txt:169, psuedo_code.txt:203
+- archive move: sudo_code.txt:196-215, psuedo_code.txt:232-248
+- crash recovery: whole-batch FAILED on error (sudo_code.txt:189-194)
+- lost-file reconciliation: sudo_code.txt:219-224
+
+Deliberate improvements over the pseudocode (SURVEY.md §7.0/§7.3):
+- the raw batch is read ONCE and cached; the reference re-scans up to 4×
+  (two filters × (count + write), psuedo_code.txt:185-225). Corrupt/good
+  counts come from one cached pass.
+- ``mergeSchema`` is applied at READ time (it is a no-op on OSS Parquet
+  writes, §1.3 fidelity note); appends rely on Parquet schema union.
+- the ``col("*") + explicit columns`` duplication bug in the reference's
+  transform (psuedo_code.txt:273-290 selects named columns AND ``col("*")``)
+  is implemented as intended: start from ``*``, add/rename derived columns.
+- corrupt-record capture is pinned with an explicit schema: Spark only
+  materializes ``_corrupt_record`` when it is declared, and an all-corrupt
+  file would otherwise fail inference entirely.
+
+100 TB posture: no data rows ever reach the driver — only the claimed path
+list (bounded by batch_size, the reference's own design: sudo_code.txt:128)
+and per-file path sets for archive moves (same bound). The curated write is
+shuffle-free (task-per-input-split, hive-partitioned by derived columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datalakejson_spark.plans.ledger import Ledger, LedgerStatus
+from datalakejson_spark.session import configure_runtime
+
+CORRUPT_COL = "_corrupt_record"
+PARTITION_COLS = ("year", "month", "day", "mode")
+
+
+@dataclass
+class IngestConfig:
+    """Paths + knobs of one ingest deployment (mirrors the Glue job params,
+    diagram3:44: RAW_BUCKET, PROCESSED_BUCKET, DLQ_PATH, BATCH_SIZE...)."""
+
+    landing_dir: str
+    curated_dir: str
+    dlq_dir: str
+    archive_dir: str
+    ledger_dir: str
+    batch_size: int = 10_000  # sudo_code.txt:128
+    # Explicit schema for the landing JSON (100 TB posture: skip per-batch
+    # inference). None → infer per batch (the reference's behavior).
+    schema: T.StructType | None = None
+    mode_default: str = "unknown"
+
+
+@dataclass
+class IngestResult:
+    run_id: str
+    claimed: int = 0
+    good_rows: int = 0
+    corrupt_rows: int = 0
+    succeeded_files: list[str] = field(default_factory=list)
+    quarantined_files: list[str] = field(default_factory=list)
+    lost_files: list[str] = field(default_factory=list)
+
+
+# --------------------------------------------------------------------------
+# Discovery (S4 + S11 + J1)
+# --------------------------------------------------------------------------
+def discover(spark: SparkSession, conf: IngestConfig) -> int:
+    """Recursively list the landing zone and register new files as PENDING.
+
+    The reference enumerates historical + ``YYYY/weekXX`` prefixes via
+    paginated S3 listing (psuedo_code.txt:80-98) and head_objects for size
+    (psuedo_code.txt:107-110); locally that is one os.walk. At 10^7+ files,
+    swap the walk for a parallelized listing (RDD of prefixes) — the ledger
+    anti-join path is unchanged. Returns newly registered file count."""
+    configure_runtime(spark)
+    rows = []
+    for base, _dirs, files in os.walk(conf.landing_dir):
+        for name in files:
+            if name.endswith(".json"):
+                p = Path(base) / name
+                rows.append((str(p), p.stat().st_size))
+    if not rows:
+        return 0
+    discovered = spark.createDataFrame(rows, "s3_key string, file_size_bytes long")
+    return Ledger(spark, conf.ledger_dir).register(discovered)
+
+
+# --------------------------------------------------------------------------
+# Transform (Apply_Transformations, psuedo_code.txt:268-299)
+# --------------------------------------------------------------------------
+def apply_transformations(df: DataFrame, mode_default: str = "unknown") -> DataFrame:
+    """Cast/flatten/derive per the reference's transform:
+
+    - ``id → record_id`` cast string (psuedo_code.txt:274)
+    - ``event_timestamp → event_time_utc`` cast timestamp (psuedo_code.txt:275)
+    - ``MODE → ml_mode`` cast string (psuedo_code.txt:276); also retained as
+      lowercase partition column ``mode`` (sudo_code.txt:180)
+    - flatten ``metadata.app_version``/``metadata.user_agent``
+      (psuedo_code.txt:279-280)
+    - flatten ``payload.transaction_id``; keep ``payload.items`` complex as
+      ``transaction_items`` (psuedo_code.txt:283-284)
+    - keep every other inferred top-level key (psuedo_code.txt:287) — done by
+      starting from ``*`` instead of duplicating columns
+    - partition keys year/month/day from EVENT time (psuedo_code.txt:294-296),
+      so late files land in old partitions — the reference's late-data
+      semantics (SURVEY.md §2.10)
+    """
+    cols = set(df.columns)
+
+    def has(c: str) -> bool:
+        return c in cols
+
+    def nested(parent: str, child: str):
+        if has(parent) and isinstance(df.schema[parent].dataType, T.StructType):
+            if child in df.schema[parent].dataType.fieldNames():
+                return F.col(f"{parent}.{child}")
+        return F.lit(None).cast("string")
+
+    out = df
+    if has("id"):
+        out = out.withColumn("record_id", F.col("id").cast("string")).drop("id")
+    else:
+        out = out.withColumn("record_id", F.lit(None).cast("string"))
+    ts = F.col("event_timestamp").cast("timestamp") if has("event_timestamp") else F.lit(None).cast("timestamp")
+    out = out.withColumn("event_time_utc", ts)
+    if has("event_timestamp"):
+        out = out.drop("event_timestamp")
+    mode = F.col("MODE").cast("string") if has("MODE") else F.lit(None).cast("string")
+    out = out.withColumn("ml_mode", mode)
+    if has("MODE"):
+        out = out.drop("MODE")
+
+    out = (
+        out.withColumn("app_version", nested("metadata", "app_version"))
+        .withColumn("user_agent", nested("metadata", "user_agent"))
+        .withColumn("transaction_id", nested("payload", "transaction_id"))
+    )
+    if has("payload") and isinstance(df.schema["payload"].dataType, T.StructType) and \
+            "items" in df.schema["payload"].dataType.fieldNames():
+        out = out.withColumn("transaction_items", F.col("payload.items"))
+    out = out.drop("metadata", "payload")
+
+    return (
+        out.withColumn("year", F.year("event_time_utc"))
+        .withColumn("month", F.month("event_time_utc"))
+        .withColumn("day", F.dayofmonth("event_time_utc"))
+        .withColumn(
+            "mode", F.lower(F.coalesce(F.col("ml_mode"), F.lit(mode_default)))
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch processor (JsonToParquetBatchProcessor)
+# --------------------------------------------------------------------------
+def _archive_path(src: str, landing_dir: str, archive_dir: str) -> str:
+    """P12: landing prefix → archive prefix, substructure preserved
+    (sudo_code.txt:200)."""
+    rel = os.path.relpath(src, landing_dir)
+    return os.path.join(archive_dir, rel)
+
+
+def _move_idempotent(src: str, dst: str) -> None:
+    """Copy-then-delete, safe under re-run after crash (SURVEY.md §7.3):
+    already-moved files are a no-op, half-moved files finish the delete."""
+    if os.path.exists(dst) and not os.path.exists(src):
+        return  # previous run completed the move
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if not os.path.exists(dst):
+        shutil.copy2(src, dst)
+    if os.path.exists(src):
+        os.remove(src)
+
+
+def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
+    """One claim→process→commit cycle. Graceful no-work exit when nothing is
+    claimable (sudo_code.txt:136-139)."""
+    configure_runtime(spark)
+    run_id = f"run-{time.strftime('%Y%m%d-%H%M%S')}-{uuid.uuid4().hex[:8]}"
+    ledger = Ledger(spark, conf.ledger_dir)
+    result = IngestResult(run_id=run_id)
+
+    paths = ledger.claim_batch(conf.batch_size, run_id)
+    result.claimed = len(paths)
+    if not paths:
+        return result
+    # Files may have been archived by a crashed-after-write run; treat the
+    # already-moved ones as their archive copies were... they are SUCCEEDED
+    # work whose ledger commit was lost. Re-check existence defensively.
+    live_paths = [p for p in paths if os.path.exists(p)]
+
+    try:
+        if conf.schema is not None:
+            schema = conf.schema
+        else:
+            # Infer from the batch (diagram_1.txt:44), then pin the corrupt
+            # column: without an explicit schema Spark drops _corrupt_record
+            # support for files that are 100% malformed (SURVEY.md §7.3).
+            schema = spark.read.json(live_paths).schema if live_paths else None
+        if not live_paths:
+            raw = None
+        else:
+            if CORRUPT_COL not in [f.name for f in schema.fields]:
+                schema = schema.add(CORRUPT_COL, T.StringType())
+            raw = (
+                spark.read.schema(schema)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", CORRUPT_COL)
+                .json(live_paths)
+                .withColumn("source_s3_path", F.input_file_name())
+            )
+            # Single read, both branches (fixes the reference's 4× rescan).
+            raw = raw.persist()
+
+        good_paths: set[str] = set()
+        corrupt_paths: set[str] = set()
+        if raw is not None:
+            corrupt = raw.filter(F.col(CORRUPT_COL).isNotNull())
+            good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+            result.corrupt_rows = corrupt.count()
+            if result.corrupt_rows:
+                # DLQ: corrupt rows + lineage, bucketed by run id
+                # (sudo_code.txt:169).
+                corrupt.select(CORRUPT_COL, "source_s3_path").write.mode(
+                    "append"
+                ).json(os.path.join(conf.dlq_dir, run_id))
+                corrupt_paths = {
+                    _norm(r[0])
+                    for r in corrupt.select("source_s3_path").distinct().collect()
+                }
+
+            result.good_rows = good.count()
+            if result.good_rows:
+                curated = apply_transformations(good, conf.mode_default)
+                curated.write.mode("append").partitionBy(*PARTITION_COLS).parquet(
+                    conf.curated_dir
+                )
+                good_paths = {
+                    _norm(r[0])
+                    for r in good.select("source_s3_path").distinct().collect()
+                }
+            raw.unpersist()
+
+        # Per-file outcome classification (sudo_code.txt:202-224). A file with
+        # any corrupt row is quarantined even if some rows parsed — its good
+        # rows were still written (the reference does the same: the DLQ and
+        # curated branches are independent).
+        for p in paths:
+            if p not in live_paths:
+                # claimed but vanished from landing: either archived by a
+                # crashed run (treat as succeeded) or genuinely lost.
+                if os.path.exists(_archive_path(p, conf.landing_dir, conf.archive_dir)):
+                    result.succeeded_files.append(p)
+                else:
+                    result.lost_files.append(p)
+            elif p in corrupt_paths:
+                result.quarantined_files.append(p)
+            elif p in good_paths:
+                result.succeeded_files.append(p)
+            else:
+                # empty file / no rows either way — lost-file reconciliation
+                # (sudo_code.txt:219-224)
+                result.lost_files.append(p)
+
+        # Archive good files (copy+delete, sudo_code.txt:196-215), then commit
+        # ledger states.
+        for p in result.succeeded_files:
+            if os.path.exists(p):
+                _move_idempotent(p, _archive_path(p, conf.landing_dir, conf.archive_dir))
+        if result.succeeded_files:
+            ledger.set_status(result.succeeded_files, LedgerStatus.SUCCEEDED, run_id=run_id)
+        if result.quarantined_files:
+            ledger.set_status(
+                result.quarantined_files,
+                LedgerStatus.QUARANTINED,
+                error_message="corrupt records routed to DLQ",
+                run_id=run_id,
+            )
+        if result.lost_files:
+            ledger.set_status(
+                result.lost_files,
+                LedgerStatus.FAILED,
+                error_message="claimed but produced no rows (lost/empty)",
+                run_id=run_id,
+            )
+        return result
+    except Exception as exc:  # noqa: BLE001
+        # Crash recovery: whole in-flight batch → FAILED for the next run
+        # (sudo_code.txt:189-194, psuedo_code.txt:252-259).
+        ledger.set_status(
+            paths, LedgerStatus.FAILED, error_message=f"batch error: {exc}", run_id=run_id
+        )
+        raise
+
+
+def _norm(file_uri: str) -> str:
+    """input_file_name() yields a file: URI; ledger keys are plain paths."""
+    return file_uri.removeprefix("file://").removeprefix("file:")
+
+
+def run_until_drained(
+    spark: SparkSession, conf: IngestConfig, max_runs: int = 100
+) -> list[IngestResult]:
+    """The scheduler loop: fire batches until no claimable work remains
+    (cron trigger sudo_code.txt:107 + graceful exit sudo_code.txt:136-139).
+    FAILED files would be re-claimed forever (unbounded retries,
+    sudo_code.txt:132); max_runs bounds the harness."""
+    results = []
+    for _ in range(max_runs):
+        res = ingest_batch(spark, conf)
+        if res.claimed == 0:
+            break
+        results.append(res)
+        # Files that failed this run stay FAILED; stop if ONLY failures remain
+        # and nothing new can succeed (avoids infinite retry of poison files).
+        if not res.succeeded_files and not res.quarantined_files:
+            break
+    return results
+
+
+# --------------------------------------------------------------------------
+# Curated-lake read (S8 + X3) and evolving append (U1)
+# --------------------------------------------------------------------------
+def read_curated(spark: SparkSession, curated_dir: str) -> DataFrame:
+    """Schema-evolving read: union of all written schemas, NULL-backfilled
+    (diagram3:110). mergeSchema belongs on the READ (SURVEY.md §1.3)."""
+    configure_runtime(spark)
+    return spark.read.option("mergeSchema", "true").parquet(curated_dir)
+
+
+def write_dlq_summary(spark: SparkSession, conf: IngestConfig) -> DataFrame:
+    """DLQ audit: corrupt rows per run per source file (monitoring surface,
+    sudo_code.txt:272 'Alarm if DLQ is being actively used')."""
+    df = spark.read.json(os.path.join(conf.dlq_dir, "*"))
+    return df.groupBy("source_s3_path").agg(F.count("*").alias("n_corrupt_rows"))

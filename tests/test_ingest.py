@@ -1,0 +1,171 @@
+"""Ingest-plane e2e tests (SURVEY.md §5.2 step 2): discover → ingest → verify
+curated layout, DLQ, ledger states, archive moves, rerun idempotency,
+schema evolution (E1-E5, S4, S6-S7, S10-S11, U1)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalakejson_spark.plans.ingest import (
+    IngestConfig,
+    apply_transformations,
+    discover,
+    ingest_batch,
+    read_curated,
+    run_until_drained,
+)
+from datalakejson_spark.plans.ledger import Ledger, LedgerStatus
+from tests.conftest import good_record, write_ndjson
+
+
+def test_discover_registers_pending_idempotently(spark, ingest_conf):
+    n1 = discover(spark, ingest_conf)
+    assert n1 == 4  # good_a, good_b, corrupt_mixed, late_week1
+    ledger = Ledger(spark, ingest_conf.ledger_dir)
+    assert ledger.counts() == {LedgerStatus.PENDING: 4}
+    # idempotent re-run: ON CONFLICT DO NOTHING (sudo_code.txt:90)
+    assert discover(spark, ingest_conf) == 0
+    assert ledger.counts() == {LedgerStatus.PENDING: 4}
+
+
+def test_ingest_end_to_end(spark, ingest_conf):
+    discover(spark, ingest_conf)
+    res = ingest_batch(spark, ingest_conf)
+
+    assert res.claimed == 4
+    assert res.good_rows == 20  # 10 + 5 + 2 (from mixed) + 3 late
+    assert res.corrupt_rows == 2
+    assert len(res.succeeded_files) == 3
+    assert len(res.quarantined_files) == 1
+    assert res.lost_files == []
+
+    # curated lake: hive partition layout year=/month=/day=/mode=
+    # (sudo_code.txt:180), partition values from EVENT time
+    curated_root = Path(ingest_conf.curated_dir)
+    parts = {
+        str(p.relative_to(curated_root))
+        for p in curated_root.glob("year=*/month=*/day=*/mode=*")
+    }
+    assert "year=2024/month=1/day=31/mode=train" in parts
+    assert "year=2024/month=2/day=1/mode=eval" in parts
+    # late file landed in its (old) event-time partition (SURVEY §2.10)
+    assert "year=2024/month=1/day=5/mode=train" in parts
+
+    curated = read_curated(spark, ingest_conf.curated_dir)
+    assert curated.count() == 20
+    for col in (
+        "record_id",
+        "event_time_utc",
+        "ml_mode",
+        "app_version",
+        "user_agent",
+        "transaction_id",
+        "transaction_items",
+        "extra_key",  # star passthrough (psuedo_code.txt:287)
+        "source_s3_path",
+    ):
+        assert col in curated.columns, col
+    # nested array<struct> preserved (psuedo_code.txt:284)
+    assert curated.select(F.col("transaction_items")[0]["qty"]).first()[0] is not None
+
+    # DLQ: 2 corrupt rows under the run id (sudo_code.txt:169)
+    dlq = spark.read.json(os.path.join(ingest_conf.dlq_dir, res.run_id))
+    assert dlq.count() == 2
+    assert {r[0] for r in dlq.select("source_s3_path").collect()} != set()
+
+    # archive: good files moved, substructure preserved, originals gone
+    # (sudo_code.txt:196-215); quarantined file stays in landing
+    assert (Path(ingest_conf.archive_dir) / "all_historical_files" / "good_a.json").exists()
+    assert not (Path(ingest_conf.landing_dir) / "all_historical_files" / "good_a.json").exists()
+    assert (Path(ingest_conf.landing_dir) / "2024" / "week05" / "corrupt_mixed.json").exists()
+
+    # ledger states (sudo_code.txt:35 enum)
+    counts = Ledger(spark, ingest_conf.ledger_dir).counts()
+    assert counts == {LedgerStatus.SUCCEEDED: 3, LedgerStatus.QUARANTINED: 1}
+
+    # retry_count incremented once by the claim (sudo_code.txt:141)
+    rc = Ledger(spark, ingest_conf.ledger_dir).read().select("retry_count").distinct().collect()
+    assert {r[0] for r in rc} == {1}
+
+
+def test_rerun_is_noop(spark, ingest_conf):
+    discover(spark, ingest_conf)
+    ingest_batch(spark, ingest_conf)
+    before = read_curated(spark, ingest_conf.curated_dir).count()
+    res2 = ingest_batch(spark, ingest_conf)
+    # QUARANTINED/SUCCEEDED are terminal → nothing claimable
+    assert res2.claimed == 0
+    assert read_curated(spark, ingest_conf.curated_dir).count() == before
+
+
+def test_failed_files_are_reclaimed_with_retry(spark, ingest_conf, tmp_path):
+    discover(spark, ingest_conf)
+    ingest_batch(spark, ingest_conf)
+    ledger = Ledger(spark, ingest_conf.ledger_dir)
+    # simulate a transient failure: flip one terminal file back to FAILED
+    victim = ledger.read().filter(F.col("status") == LedgerStatus.SUCCEEDED).first().s3_key
+    ledger.set_status([victim], LedgerStatus.FAILED, error_message="simulated")
+    res = ingest_batch(spark, ingest_conf)
+    assert res.claimed == 1
+    # file was archived already → crash-recovery path marks it SUCCEEDED again
+    assert res.succeeded_files == [victim]
+    row = ledger.read().filter(F.col("s3_key") == victim).first()
+    assert row.status == LedgerStatus.SUCCEEDED
+    assert row.retry_count == 2  # claimed twice
+
+
+def test_schema_evolution_union(spark, ingest_conf):
+    """New top-level key in a later drop → union-of-schemas read with NULL
+    backfill for old rows (diagram3:110, psuedo_code.txt:356-358)."""
+    discover(spark, ingest_conf)
+    ingest_batch(spark, ingest_conf)
+    # second drop with a brand-new column
+    write_ndjson(
+        Path(ingest_conf.landing_dir) / "2024" / "week06" / "drift_newcol.json",
+        [good_record(400 + i, ts="2024-02-08T09:00:00Z", brand_new_col="v") for i in range(4)],
+    )
+    discover(spark, ingest_conf)
+    ingest_batch(spark, ingest_conf)
+
+    curated = read_curated(spark, ingest_conf.curated_dir)
+    assert curated.count() == 24
+    assert "brand_new_col" in curated.columns
+    nulls = curated.filter(F.col("brand_new_col").isNull()).count()
+    assert nulls == 20  # old rows NULL-backfilled
+
+
+def test_crash_recovery_marks_batch_failed(spark, ingest_conf, monkeypatch):
+    """Any uncaught error mid-batch → whole batch FAILED for the next run
+    (sudo_code.txt:189-194)."""
+    discover(spark, ingest_conf)
+    import datalakejson_spark.plans.ingest as ing
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated write failure")
+
+    monkeypatch.setattr(ing, "apply_transformations", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        ingest_batch(spark, ingest_conf)
+    counts = Ledger(spark, ingest_conf.ledger_dir).counts()
+    assert counts == {LedgerStatus.FAILED: 4}
+    monkeypatch.undo()
+    # next run re-claims and succeeds
+    res = run_until_drained(spark, ingest_conf)
+    assert sum(len(r.succeeded_files) for r in res) == 3
+
+
+def test_transform_handles_missing_fields(spark):
+    """Apply_Transformations on records missing optional nested fields —
+    flattened columns become NULL, not errors."""
+    df = spark.createDataFrame(
+        [("1", "2024-01-01T00:00:00Z")], "id string, event_timestamp string"
+    )
+    out = apply_transformations(df)
+    row = out.first()
+    assert row.record_id == "1"
+    assert row.app_version is None
+    assert row.year == 2024 and row.mode == "unknown"
