@@ -1,0 +1,111 @@
+"""Incremental ingest via Structured Streaming (SURVEY.md §2.10 T1-T3).
+
+The reference's incremental loop is a cron trigger every 15 min + ledger
+claim until drained (sudo_code.txt:107,136-139). The idiomatic Spark
+replacement is a streaming file source with ``Trigger.AvailableNow``: the
+checkpoint's file index plays the ledger's claim role (each file processed
+exactly once), and one invocation drains all available work then stops —
+exactly the cron semantics without external state.
+
+Inside each micro-batch, ``foreachBatch`` runs the same corrupt-split +
+transform + partitioned-append composition as the batch plane (E1/T3), so
+batch and streaming share one code path (``apply_transformations``).
+
+Exactly-once notes (T2): the file-source checkpoint guarantees each input
+file enters exactly one micro-batch; the parquet append inside foreachBatch
+is at-least-once under crash-between-write-and-checkpoint — the batch id is
+stamped on every row so downstream readers (or a compaction pass) can
+deduplicate replays, the standard idempotent-foreachBatch pattern.
+
+The audit ledger remains available: ``ledger_view`` derives per-file row
+counts from the curated lake's lineage column instead of a mutable table —
+at 100 TB an aggregation beats a transactional sidecar.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datalakejson_spark.plans.ingest import (
+    CORRUPT_COL,
+    PARTITION_COLS,
+    apply_transformations,
+)
+from datalakejson_spark.session import configure_runtime
+
+
+def streaming_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    curated_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    mode_default: str = "unknown",
+    max_files_per_trigger: int | None = None,
+):
+    """Drain the landing zone once (AvailableNow) into the curated lake.
+
+    ``schema`` is required: streaming JSON sources cannot infer (and at scale
+    you never want per-batch inference anyway — SURVEY.md §2.1 S2). The
+    corrupt column is pinned into it (E1 contract).
+    Returns the StreamingQuery; call ``.awaitTermination()``.
+    """
+    configure_runtime(spark)
+    if CORRUPT_COL not in [f.name for f in schema.fields]:
+        schema = schema.add(CORRUPT_COL, T.StringType())
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if max_files_per_trigger:
+        # batch-size analogue of BATCH_SIZE_FILES (sudo_code.txt:128)
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(landing_dir).withColumn(
+        "source_s3_path", F.input_file_name()
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            corrupt = batch_df.filter(F.col(CORRUPT_COL).isNotNull())
+            good = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+            if corrupt.limit(1).count():
+                corrupt.select(CORRUPT_COL, "source_s3_path").withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.mode("append").json(os.path.join(dlq_dir, f"batch-{batch_id}"))
+            if good.limit(1).count():
+                apply_transformations(good, mode_default).withColumn(
+                    "ingest_batch_id", F.lit(batch_id)
+                ).write.mode("append").partitionBy(*PARTITION_COLS).parquet(curated_dir)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ledger_view(spark: SparkSession, curated_dir: str) -> DataFrame:
+    """Audit-trail view (diagram3.mmd:22-23): rows contributed per source
+    file, derived from lineage instead of a mutable status table."""
+    configure_runtime(spark)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(curated_dir)
+        .groupBy("source_s3_path")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_time_utc").alias("min_event_time"),
+            F.max("event_time_utc").alias("max_event_time"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Streaming-plane tests (T1-T3): AvailableNow drain of a landing zone with
+checkpointed exactly-once file intake, DLQ inside micro-batches, and the
+lineage-derived audit view."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from datalakejson_spark.streaming.ingest_stream import ledger_view, streaming_ingest
+from tests.conftest import good_record, write_ndjson
+
+LANDING_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("event_timestamp", T.StringType()),
+        T.StructField("MODE", T.StringType()),
+        T.StructField(
+            "metadata",
+            T.StructType(
+                [
+                    T.StructField("app_version", T.StringType()),
+                    T.StructField("user_agent", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField("transaction_id", T.StringType()),
+                    T.StructField(
+                        "items",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("sku", T.StringType()),
+                                    T.StructField("qty", T.LongType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        T.StructField("extra_key", T.StringType()),
+    ]
+)
+
+
+def test_streaming_ingest_available_now(spark, tmp_path: Path):
+    landing = tmp_path / "landing"
+    write_ndjson(landing / "a.json", [good_record(i) for i in range(6)])
+    write_ndjson(
+        landing / "b.json",
+        [good_record(10, ts="2024-02-02T10:00:00Z"), "{broken", good_record(11)],
+    )
+    curated = str(tmp_path / "curated")
+    dlq = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = streaming_ingest(spark, str(landing), curated, dlq, ckpt, LANDING_SCHEMA)
+    q.awaitTermination(120)
+
+    out = spark.read.option("mergeSchema", "true").parquet(curated)
+    assert out.count() == 8
+    assert "ingest_batch_id" in out.columns
+    # event-time partitioning held in streaming too
+    assert (Path(curated) / "year=2024" / "month=1" / "day=31" / "mode=train").exists()
+
+    dlq_df = spark.read.json(f"{dlq}/*")
+    assert dlq_df.count() == 1
+
+    # T1 exactly-once: new file arrives, old files are NOT reprocessed
+    write_ndjson(landing / "c.json", [good_record(20, ts="2024-03-01T00:00:00Z")])
+    q2 = streaming_ingest(spark, str(landing), curated, dlq, ckpt, LANDING_SCHEMA)
+    q2.awaitTermination(120)
+    assert spark.read.option("mergeSchema", "true").parquet(curated).count() == 9
+
+    audit = ledger_view(spark, curated)
+    assert audit.count() == 3  # one row per source file
+    assert audit.agg(F.sum("n_rows")).first()[0] == 9
+
+
+def test_session_window_semantics(spark):
+    """T6 session windows: gap-merged per-user sessions on a constructed
+    stream of events (validates the rows-only registry query's operator)."""
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),  # same session (<30m gap)
+        (1, "2024-01-01 01:00:00"),  # new session (50m gap)
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    sess = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "n")
+        .orderBy("user_id", "n")
+        .collect()
+    )
+    assert [(r.user_id, r.n) for r in sess] == [(1, 1), (1, 2), (2, 1)]

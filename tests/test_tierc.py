@@ -1,0 +1,85 @@
+"""Tier C behavior tests beyond the oracle: LSH recall vs. exact baseline,
+MinHash finds planted near-dups, SimHash locality, approx-count accuracy,
+language-ID heuristic sanity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datalakejson_spark.functions.dedup import (
+    keep_first_distinct,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from datalakejson_spark.functions.similarity import brute_force_topk, lsh_bucket
+from datalakejson_spark.functions.text import predict_lang
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_minhash_detects_planted_near_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    # plant: copy of doc 0 with one word changed (≈identical shingle set)
+    base = docs.filter(F.col("doc_id") == 0).first()
+    mutated = base.text.split(" ")
+    mutated[len(mutated) // 2] = "MUTATED"
+    planted = spark.createDataFrame(
+        [(100000, " ".join(mutated), base.lang, base.source, base.n_chars)],
+        docs.schema,
+    )
+    corpus = docs.unionByName(planted)
+    pairs = lsh_candidate_pairs(minhash_signatures(corpus)).collect()
+    assert any({p.doc_a, p.doc_b} == {0, 100000} for p in pairs)
+
+
+def test_exact_dedup_keeps_one_copy(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    )
+    kept = keep_first_distinct(doubled)
+    assert kept.count() == 20
+    # lowest id wins
+    assert kept.agg(F.max("doc_id")).first()[0] < 1000
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = brute_force_topk(emb.filter(F.col("vec_id") < 8), emb, k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    bucketed = lsh_bucket(emb)
+    q = bucketed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    c = bucketed.select(F.col("vec_id").alias("neighbor_id"), "table", "bucket")
+    cand_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in q.join(c, ["table", "bucket"]).collect()
+    }
+    # Multi-table LSH (4 tables × 3 planes) must recover a solid share of the
+    # true top-5 even for near-orthogonal random vectors.
+    recall = len(exact_pairs & cand_pairs) / len(exact_pairs)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = ev.select(F.count_distinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id", 0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_langid_separates_scripts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "这是一个中文测试文档 内容全部是中文字符"),
+            (3, "Это русский текст для проверки определения языка"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in predict_lang(df).collect()}
+    assert out[1] == "en-like"
+    assert out[2] == "zh"
+    assert out[3] == "ru"
