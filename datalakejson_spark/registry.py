@@ -57,6 +57,7 @@ def all_specs() -> dict[str, QuerySpec]:
         aggregates,
         windows,
         scalar_functions,
+        subqueries,
     )
     from datalakejson_spark.functions import (  # noqa: F401
         dedup,

@@ -78,15 +78,44 @@ def t5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t6_session_window", survey="T6", sql=None)
+_T6_SQL = f"""
+    WITH e AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess
+        FROM e
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+"""
+
+
+@register("t6_session_window", survey="T6", sql=_T6_SQL)
 def t6_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap — Spark's
-    native session_window (rows-only check; session merge semantics are not
-    cleanly ANSI-SQL-expressible; validated by construction in tests)."""
+    native session_window. The oracle expresses the same merge semantics via
+    the gaps-and-islands pattern: a session break is a gap >= the 30-minute
+    timeout (session_window's [ts, ts+gap) intervals are end-exclusive, so
+    a gap of exactly 30:00 starts a new session); session end = last event
+    + gap, matching session_window.end."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), ds("value").alias("sum_value"))
         .select(
             F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
             F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
