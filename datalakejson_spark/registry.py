@@ -58,11 +58,13 @@ def all_specs() -> dict[str, QuerySpec]:
         windows,
         scalar_functions,
         subqueries,
+        coverage_extra,
     )
     from datalakejson_spark.functions import (  # noqa: F401
         dedup,
         similarity,
         text,
+        text_extra,
     )
     from datalakejson_spark.streaming import windows as stream_windows  # noqa: F401
 
