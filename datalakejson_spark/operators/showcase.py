@@ -1,0 +1,104 @@
+"""Showcase consumption queries: the multi-operator shapes a user of the
+reference actually runs against the curated lake (diagram_1.txt:98-107),
+in TPC-H idiom over the fixture star schema. Each composes 4+ operator
+families in one plan — join order, broadcast choice, agg placement, and
+top-k all decided by Catalyst/AQE.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datalakejson_spark.operators.deterministic import ds, dsum_sql
+from datalakejson_spark.registry import register
+from datalakejson_spark.sources.tables import load_table
+
+
+_Q3_SQL = f"""
+    SELECT l_orderkey,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", survey="J3,J4,G3,O1,P10,P11", sql=_Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 shape: selective dimension filter → star join → grouped
+    revenue → top-10. The customer filter prunes before the join; the final
+    top-10 is TakeOrderedAndProject, not a global sort."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cutoff),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(ds(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+    )
+
+
+_Q10_SQL = f"""
+    SELECT c_custkey, c_name, n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           count(*) AS n_return_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@register("q10_returned_items", survey="J3,J4,G3,O1,P10", sql=_Q10_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape: lost-revenue report over returned lineitems — fact
+    filter pushed to scan, nation broadcast, top-20 customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            ds(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_return_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -1,0 +1,175 @@
+"""Statistical aggregates and reshaping (G-family extensions): stddev /
+variance / correlation via engine-portable exact moment sums, pivot via
+conditional aggregation, GROUPING SETS with grouping_id.
+
+Portability note: native stddev/corr implementations differ across engines
+(Welford vs. sum-of-squares accumulation) and across partition orders, so the
+moments are accumulated exactly — values scaled to integer cents (exact for
+the 2-dp fixtures), squares summed in DECIMAL(38,0) (int→decimal casts are
+exact, unlike double→decimal) — and the final formula is evaluated in double
+from identical exact inputs on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datalakejson_spark.registry import register
+from datalakejson_spark.sources.tables import load_table
+
+
+def _moments_sql(x: str, cents: int = 100) -> dict[str, str]:
+    c = f"CAST(round(({x}) * {cents}.0) AS BIGINT)"
+    return {
+        "n": f"count({x})",
+        "s1": f"sum({c})",  # exact integer sum of cents
+        "s2": f"sum(CAST({c} AS DECIMAL(38,0)) * {c})",  # exact sum of squares
+    }
+
+
+def _spark_moments(x, cents: int = 100):
+    c = F.round(x * float(cents)).cast("bigint")
+    return (
+        F.count(x),
+        F.sum(c),
+        F.sum(c.cast("decimal(38,0)") * c),
+    )
+
+
+_M = _moments_sql("o_totalprice")
+_G10_SQL = f"""
+    SELECT o_orderpriority,
+           {_M['n']} AS n,
+           CAST({_M['s1']} AS DOUBLE) / 100.0 / {_M['n']} AS mean_price,
+           sqrt(greatest(
+               (CAST({_M['s2']} AS DOUBLE) - CAST({_M['s1']} AS DOUBLE)
+                    * CAST({_M['s1']} AS DOUBLE) / {_M['n']})
+               / ({_M['n']} - 1), 0.0)) / 100.0 AS stddev_price
+    FROM orders
+    GROUP BY 1
+"""
+
+
+@register("g10_exact_moment_stats", survey="G3,G7,F4", sql=_G10_SQL)
+def g10_exact_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev from exact integer moments: deterministic under any
+    partitioning on both engines, unlike native stddev accumulators."""
+    orders = load_table(spark, sf_dir, "orders")
+    n, s1, s2 = _spark_moments(F.col("o_totalprice"))
+    nd = n.cast("double")
+    s1d = s1.cast("double")
+    s2d = s2.cast("double")
+    stddev = F.sqrt(F.greatest((s2d - s1d * s1d / nd) / (nd - 1), F.lit(0.0))) / 100.0
+    return orders.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        (s1d / 100.0 / nd).alias("mean_price"),
+        stddev.alias("stddev_price"),
+    )
+
+
+_MX = _moments_sql("l_quantity")
+_MY = _moments_sql("l_extendedprice")
+_SXY = (
+    "sum(CAST(CAST(round(l_quantity * 100.0) AS BIGINT) AS DECIMAL(38,0)) "
+    "* CAST(round(l_extendedprice * 100.0) AS BIGINT))"
+)
+_G11_SQL = f"""
+    SELECT l_returnflag,
+           {_MX['n']} AS n,
+           (CAST({_SXY} AS DOUBLE) - CAST({_MX['s1']} AS DOUBLE)
+                * CAST({_MY['s1']} AS DOUBLE) / {_MX['n']})
+           / sqrt((CAST({_MX['s2']} AS DOUBLE) - CAST({_MX['s1']} AS DOUBLE)
+                       * CAST({_MX['s1']} AS DOUBLE) / {_MX['n']})
+                  * (CAST({_MY['s2']} AS DOUBLE) - CAST({_MY['s1']} AS DOUBLE)
+                       * CAST({_MY['s1']} AS DOUBLE) / {_MY['n']}))
+               AS corr_qty_price
+    FROM lineitem
+    GROUP BY 1
+"""
+
+
+@register("g11_exact_correlation", survey="G3,F4", sql=_G11_SQL)
+def g11_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact cross-moments (same portability
+    rationale as g10)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cx = F.round(F.col("l_quantity") * 100.0).cast("bigint")
+    cy = F.round(F.col("l_extendedprice") * 100.0).cast("bigint")
+    n = F.count("l_quantity")
+    sx, sy = F.sum(cx), F.sum(cy)
+    sxx = F.sum(cx.cast("decimal(38,0)") * cx)
+    syy = F.sum(cy.cast("decimal(38,0)") * cy)
+    sxy = F.sum(cx.cast("decimal(38,0)") * cy)
+    nd = n.cast("double")
+    cov = sxy.cast("double") - sx.cast("double") * sy.cast("double") / nd
+    vx = sxx.cast("double") - sx.cast("double") * sx.cast("double") / nd
+    vy = syy.cast("double") - sy.cast("double") * sy.cast("double") / nd
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"), (cov / F.sqrt(vx * vy)).alias("corr_qty_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# G9: pivot (conditional aggregation on both sides for portability)
+# --------------------------------------------------------------------------
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_G9_CASES = ",\n           ".join(
+    f"count(CASE WHEN c_mktsegment = '{s}' THEN 1 END) AS n_{s.lower()}"
+    for s in _SEGMENTS
+)
+_G9_SQL = f"""
+    SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+           {_G9_CASES}
+    FROM customer
+    GROUP BY 1
+"""
+
+
+@register("g9_pivot_segments", survey="G3,G6", sql=_G9_SQL)
+def g9_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot market segments to columns via Spark's pivot API (which plans
+    exactly the conditional aggregation the oracle spells out — one pass,
+    no per-segment scans)."""
+    customer = load_table(spark, sf_dir, "customer")
+    pivoted = (
+        customer.groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .pivot("c_mktsegment", _SEGMENTS)
+        .count()
+    )
+    renamed = pivoted.select(
+        "nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in _SEGMENTS],
+    )
+    return renamed
+
+
+# --------------------------------------------------------------------------
+# G6c: explicit GROUPING SETS + grouping_id
+# --------------------------------------------------------------------------
+@register(
+    "g6c_grouping_sets",
+    survey="G6",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def g6c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets with grouping_id disambiguation (the general
+    form behind rollup/cube)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )

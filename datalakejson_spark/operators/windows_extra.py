@@ -1,0 +1,98 @@
+"""Window-function completions (W-family): percent_rank, cume_dist,
+nth_value, and array/higher-order completions (F5): sort, flatten, zip,
+posexplode, sequence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datalakejson_spark.registry import register
+from datalakejson_spark.sources.tables import load_table
+
+
+@register(
+    "w6_distribution_functions",
+    survey="W1,W2",
+    sql="""
+    SELECT s_suppkey, s_acctbal,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume,
+           nth_value(s_suppkey, 2) OVER (PARTITION BY CAST(s_nationkey AS INTEGER) % 5
+                                         ORDER BY s_acctbal DESC, s_suppkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING)
+               AS second_richest
+    FROM supplier
+    WINDOW w AS (PARTITION BY CAST(s_nationkey AS INTEGER) % 5
+                 ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def w6_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value. Ratios rounded to 9 dp: they're
+    exact binary fractions only when group sizes are powers of two."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    grp = (F.col("s_nationkey").cast("int") % 5).alias("g")
+    w = Window.partitionBy(grp).orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return supplier.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.nth_value("s_suppkey", 2).over(w_full).alias("second_richest"),
+    )
+
+
+@register(
+    "f5c_array_construction",
+    survey="F5",
+    sql="""
+    SELECT n_nationkey,
+           list_sort(string_split(n_name, '')) AS sorted_chars,
+           len(flatten([string_split(n_name, ''), ['|'],
+                        string_split(upper(n_name), '')])) AS flat_len,
+           [x * CAST(n_nationkey AS BIGINT) for x in range(1, 4)] AS key_multiples
+    FROM nation
+    """,
+)
+def f5c_array_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction surface: sort_array, flatten, sequence+transform.
+    (Portability: DuckDB string_split with '' splits to chars like Spark
+    split with the empty pattern... pinned by the oracle.)"""
+    nation = load_table(spark, sf_dir, "nation")
+    chars = F.split("n_name", "")
+    return nation.select(
+        "n_nationkey",
+        F.sort_array(chars).alias("sorted_chars"),
+        F.size(
+            F.flatten(
+                F.array(chars, F.array(F.lit("|")), F.split(F.upper("n_name"), ""))
+            )
+        ).alias("flat_len"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(3)),
+            lambda x: x.cast("bigint") * F.col("n_nationkey").cast("bigint"),
+        ).alias("key_multiples"),
+    )
+
+
+@register(
+    "f5d_posexplode",
+    survey="F5,D5",
+    sql="""
+    SELECT doc_id, pos - 1 AS pos, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+        WHERE doc_id < 20
+    )
+    """,
+)
+def f5d_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: UDTF-style expansion with element positions (0-based in
+    Spark; the oracle shifts DuckDB's 1-based subscripts)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

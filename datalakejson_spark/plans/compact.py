@@ -1,0 +1,86 @@
+"""Curated-lake compaction (the standard companion to high-fan-out
+partitioned appends; SCALE.md ingest notes).
+
+Micro-batch appends to ``year=/month=/day=/mode=`` create one file per task
+per batch; over months that's thousands of small files per partition, and at
+100 TB the scan cost becomes dominated by file-open overhead. Compaction
+rewrites the affected partitions into target-size files. Guarantees:
+
+- per-partition atomic: each partition is rewritten to a staging directory
+  and swapped in with two renames, so readers see old-or-new, never partial;
+- idempotent: re-running compaction on an already-compacted partition is a
+  no-op rewrite;
+- bounded: caller selects the partitions (typically "closed" ones — older
+  than the late-data horizon).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # parquet sweet spot
+
+
+def list_partition_dirs(curated_dir: str) -> list[str]:
+    """All leaf hive-partition directories under the curated root."""
+    leaves = []
+    for base, dirs, files in os.walk(curated_dir):
+        if any(f.endswith(".parquet") for f in files) and "=" in os.path.basename(base):
+            leaves.append(base)
+    return sorted(leaves)
+
+
+def partition_file_stats(partition_dir: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of data files in one partition."""
+    files = [
+        p for p in Path(partition_dir).iterdir()
+        if p.name.endswith(".parquet") and not p.name.startswith(("_", "."))
+    ]
+    return len(files), sum(p.stat().st_size for p in files)
+
+
+def compact_partition(
+    spark: SparkSession,
+    partition_dir: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    min_files: int = 2,
+) -> bool:
+    """Rewrite one partition into ceil(bytes/target) files. Returns True if
+    a rewrite happened."""
+    n_files, total_bytes = partition_file_stats(partition_dir)
+    if n_files < min_files:
+        return False
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    if n_out >= n_files:
+        return False  # already at or below target granularity
+
+    df = spark.read.parquet(partition_dir)
+    staging = f"{partition_dir}.__compact_{time.time_ns()}"
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+
+    retired = f"{partition_dir}.__retired_{time.time_ns()}"
+    os.rename(partition_dir, retired)  # swap 1: move old out of the way
+    os.rename(staging, partition_dir)  # swap 2: move new into place
+    shutil.rmtree(retired, ignore_errors=True)
+    return True
+
+
+def compact(
+    spark: SparkSession,
+    curated_dir: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    partition_filter=None,
+) -> dict[str, bool]:
+    """Compact every (selected) partition; returns {partition: rewritten?}."""
+    out = {}
+    for part in list_partition_dirs(curated_dir):
+        if partition_filter and not partition_filter(part):
+            continue
+        out[part] = compact_partition(spark, part, target_file_bytes)
+    return out

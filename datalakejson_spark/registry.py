@@ -59,6 +59,9 @@ def all_specs() -> dict[str, QuerySpec]:
         scalar_functions,
         subqueries,
         coverage_extra,
+        statistics,
+        showcase,
+        windows_extra,
     )
     from datalakejson_spark.functions import (  # noqa: F401
         dedup,

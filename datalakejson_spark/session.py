@@ -10,6 +10,7 @@ sudo_code.txt:33), and Arrow enabled for the pandas-UDF surface.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -61,6 +62,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep managed-table state out of the repo/CWD and isolated per run
+        .config(
+            "spark.sql.warehouse.dir",
+            tempfile.mkdtemp(prefix="spark-warehouse-"),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

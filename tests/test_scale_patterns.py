@@ -1,0 +1,95 @@
+"""Scale-pattern tests: bucketed co-located joins (shuffle elimination),
+compaction (small-file management), streaming dedup with watermark (T8)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datalakejson_spark.plans.compact import compact, partition_file_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key lets the sort-merge join run
+    without any Exchange — the co-located join strategy for repeated
+    fact-fact joins at scale (SURVEY.md §2.3 / SCALE.md)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdb")
+    spark.sql("DROP TABLE IF EXISTS bucketdb.li_b")
+    spark.sql("DROP TABLE IF EXISTS bucketdb.ord_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("bucketdb.li_b")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        "bucketdb.ord_b"
+    )
+    joined = spark.table("bucketdb.li_b").join(
+        spark.table("bucketdb.ord_b").hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    assert joined.count() == li.count()
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    # simulate many micro-batch appends into one partition
+    curated = str(tmp_path / "curated")
+    for batch in range(6):
+        df = spark.range(batch * 10, batch * 10 + 10).select(
+            F.col("id").alias("record_id"),
+            F.lit(2024).alias("year"),
+            F.lit(1).alias("month"),
+            F.lit(1).alias("day"),
+            F.lit("train").alias("mode"),
+        )
+        df.repartition(4).write.mode("append").partitionBy(
+            "year", "month", "day", "mode"
+        ).parquet(curated)
+
+    part = f"{curated}/year=2024/month=1/day=1/mode=train"
+    n_before, _ = partition_file_stats(part)
+    assert n_before >= 20  # 6 batches × 4 tasks
+
+    before_rows = spark.read.parquet(curated).count()
+    result = compact(spark, curated)
+    assert result[part] is True
+    n_after, _ = partition_file_stats(part)
+    assert n_after == 1
+    # data intact, partition columns still derivable from layout
+    after = spark.read.parquet(curated)
+    assert after.count() == before_rows
+    assert after.filter(F.col("year") == 2024).count() == before_rows
+    # idempotent: second run is a no-op
+    assert compact(spark, curated)[part] is False
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """T8: dropDuplicates over a keyed stream — the row-level analogue of the
+    ledger's ON CONFLICT DO NOTHING, with a watermark bounding state."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"id": 1, "ts": "2024-01-01T00:00:00Z", "v": 10}\n'
+        '{"id": 1, "ts": "2024-01-01T00:00:01Z", "v": 11}\n'  # dup id
+        '{"id": 2, "ts": "2024-01-01T00:01:00Z", "v": 20}\n'
+    )
+    schema = "id long, ts string, v long"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT id FROM dedup_sink ORDER BY id").collect()
+    assert [r.id for r in out] == [1, 2]
