@@ -62,6 +62,7 @@ def all_specs() -> dict[str, QuerySpec]:
         statistics,
         showcase,
         windows_extra,
+        json_extra,
     )
     from datalakejson_spark.functions import (  # noqa: F401
         dedup,

@@ -84,6 +84,57 @@ def test_streaming_ingest_available_now(spark, tmp_path: Path):
     assert audit.agg(F.sum("n_rows")).first()[0] == 9
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T7: a watermarked windowed aggregate finalizes windows once the
+    watermark passes; rows arriving later than the lateness bound are
+    dropped instead of reopening closed windows. (The reference has no
+    watermarks — late files land in old partitions — so this is the Tier C
+    streaming-correct alternative, SURVEY.md §2.10.)"""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_late")
+    out = str(tmp_path / "late_out")
+
+    def run_batch():
+        stream = (
+            spark.readStream.schema("id long, ts string")
+            .json(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("w"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: events up to 01:00 -> watermark advances to ~00:50
+    (src / "a.json").write_text(
+        '{"id": 1, "ts": "2024-01-01T00:00:01Z"}\n'
+        '{"id": 2, "ts": "2024-01-01T00:00:02Z"}\n'
+        '{"id": 3, "ts": "2024-01-01T01:00:00Z"}\n'
+    )
+    run_batch()
+    # batch 2: a row 1h older than the watermark -> dropped
+    (src / "b.json").write_text('{"id": 4, "ts": "2024-01-01T00:00:03Z"}\n')
+    run_batch()
+    # batch 3: advance watermark far so remaining windows emit
+    (src / "c.json").write_text('{"id": 5, "ts": "2024-01-01T03:00:00Z"}\n')
+    run_batch()
+
+    counts = {r.w: r.n for r in spark.read.parquet(out).collect()}
+    first_window = [v for k, v in counts.items() if k.minute == 0 and k.hour == 0]
+    # the late id=4 row must NOT be counted into the closed 00:00 window
+    assert first_window == [2]
+
+
 def test_session_window_semantics(spark):
     """T6 session windows: gap-merged per-user sessions on a constructed
     stream of events (validates the rows-only registry query's operator)."""

@@ -81,6 +81,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
+    import os
+
     from datalakejson_spark.registry import all_specs
     from datalakejson_spark.session import get_spark
 
@@ -89,7 +91,20 @@ def main() -> int:
     if filters:
         specs = {k: v for k, v in specs.items() if any(f in k for f in filters)}
 
-    spark = get_spark("verify-oracle")
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        # Driver-simulation mode: a deliberately unconfigured session (default
+        # 200 shuffle partitions, none of our runtime confs pre-set) — queries
+        # must self-configure via load_table/configure_runtime.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .appName("verify-plain")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify-oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
