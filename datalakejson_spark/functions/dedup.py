@@ -143,21 +143,27 @@ _L2_SQL = f"""
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, mh0..mhK) MinHash signature table. One explode + one groupBy.
+    """(id, mh0..mhK) MinHash signature table — entirely map-side.
 
-    Shingles are deduped per-doc with ``array_distinct`` BEFORE the explode —
-    map-side, no extra shuffle (a post-explode ``distinct()`` would shuffle
-    the full (doc, shingle) expansion)."""
+    Instead of explode → groupBy-min (which shuffles the full (doc, shingle)
+    expansion), the per-doc minimum is taken with ``array_min`` over the
+    in-row shingle-hash array: shingle → md5 once per shingle (``transform``),
+    then one ``array_min`` per lane over 4-char substrings. Zero shuffles;
+    the signature stage scales with input partitions only."""
     tok = df.select(F.col(id_col), F.split(text_col, " ").alias("w"))
     hashed = tok.select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle"),
-    ).select(F.col(id_col), F.md5("shingle").alias("h"))
-    aggs = [
-        F.min(F.substring("h", 1 + 4 * lane, 4)).alias(f"mh{lane}")
+        F.transform(
+            F.array_distinct(F.expr(_SPARK_SHINGLES)), lambda s: F.md5(s)
+        ).alias("hs"),
+    )
+    lanes = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: h.substr(1 + 4 * lane, 4))
+        ).alias(f"mh{lane}")
         for lane in range(NUM_HASHES)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return hashed.select(F.col(id_col), *lanes)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
