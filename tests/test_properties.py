@@ -1,0 +1,65 @@
+"""Property-style checks (SURVEY.md §5.2 step 3): conservation and
+schema-union invariants of the ingest plane, plus F8 misc functions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datalakejson_spark.plans.ingest import discover, ingest_batch, read_curated
+from datalakejson_spark.plans.ledger import Ledger
+
+
+def test_row_conservation(spark, ingest_conf):
+    """corrupt_rows + good_rows == total parseable input lines (E1 invariant:
+    PERMISSIVE never drops a line — every line is good or corrupt)."""
+    import json as _json
+    from pathlib import Path
+
+    total_lines = sum(
+        1
+        for p in Path(ingest_conf.landing_dir).rglob("*.json")
+        for _line in open(p)
+    )
+    discover(spark, ingest_conf)
+    res = ingest_batch(spark, ingest_conf)
+    assert res.good_rows + res.corrupt_rows == total_lines
+
+
+def test_curated_schema_is_union_of_file_schemas(spark, ingest_conf, tmp_path):
+    """union-of-schemas property (diagram3:110): the merged curated schema
+    contains every top-level key any input file introduced."""
+    from tests.conftest import good_record, write_ndjson
+    from pathlib import Path
+
+    write_ndjson(
+        Path(ingest_conf.landing_dir) / "2024" / "week07" / "extra_cols.json",
+        [good_record(900, ts="2024-02-15T00:00:00Z", colA=1),
+         good_record(901, ts="2024-02-15T00:00:00Z", colB="x")],
+    )
+    discover(spark, ingest_conf)
+    ingest_batch(spark, ingest_conf)
+    cols = set(read_curated(spark, ingest_conf.curated_dir).columns)
+    # keys from the standard files AND both drift files
+    assert {"record_id", "extra_key", "colA", "colB"} <= cols
+
+
+def test_ledger_is_exhaustive_and_exclusive(spark, ingest_conf):
+    """Every discovered file ends in exactly one terminal state; ledger row
+    count equals discovered file count (audit-trail completeness,
+    diagram3.mmd:22-23)."""
+    n = discover(spark, ingest_conf)
+    ingest_batch(spark, ingest_conf)
+    ledger = Ledger(spark, ingest_conf.ledger_dir).read()
+    assert ledger.count() == n
+    assert ledger.groupBy("s3_key").count().filter(F.col("count") > 1).count() == 0
+    states = {r[0] for r in ledger.select("status").distinct().collect()}
+    assert states <= {"SUCCEEDED", "QUARANTINED", "FAILED"}
+
+
+def test_f8_monotonic_id_unique(spark):
+    """F8: monotonically_increasing_id yields unique surrogate keys across
+    partitions (ledger SERIAL analogue, sudo_code.txt:27)."""
+    df = spark.range(0, 10000).repartition(8).withColumn(
+        "sid", F.monotonically_increasing_id()
+    )
+    assert df.select("sid").distinct().count() == 10000
