@@ -48,6 +48,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from datalakejson_spark.plans.ledger import Ledger, LedgerStatus
+from datalakejson_spark.plans.schema_evolution import (
+    RawSchemaRegistry,
+    merge_schemas,
+    split_compatible_files,
+)
 from datalakejson_spark.session import configure_runtime
 
 CORRUPT_COL = "_corrupt_record"
@@ -80,6 +85,9 @@ class IngestResult:
     succeeded_files: list[str] = field(default_factory=list)
     quarantined_files: list[str] = field(default_factory=list)
     lost_files: list[str] = field(default_factory=list)
+    # files rejected by the schema-drift gate (incompatible type change,
+    # psuedo_code.txt:362 / SURVEY §7.3) — a subset of quarantined_files
+    drifted_files: dict[str, list] = field(default_factory=dict)
 
 
 # --------------------------------------------------------------------------
@@ -211,13 +219,31 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
     live_paths = [p for p in paths if os.path.exists(p)]
 
     try:
+        drift_quarantined: list[str] = []
         if conf.schema is not None:
             schema = conf.schema
         else:
-            # Infer from the batch (diagram_1.txt:44), then pin the corrupt
-            # column: without an explicit schema Spark drops _corrupt_record
-            # support for files that are 100% malformed (SURVEY.md §7.3).
+            # Schema-drift gate (SURVEY §7.3): files whose shape is
+            # incompatible with the landing contract (e.g. STRING→STRUCT,
+            # psuedo_code.txt:362) are quarantined BEFORE the batch read, so
+            # they can't poison the inferred schema or the curated table.
+            registry = RawSchemaRegistry(conf.ledger_dir)
+            contract = registry.load()
+            if live_paths and contract is not None:
+                live_paths, drifted = split_compatible_files(
+                    spark, live_paths, contract
+                )
+                result.drifted_files = drifted
+                drift_quarantined = list(drifted)
+            # Infer from the (compatible) batch (diagram_1.txt:44), merge into
+            # the contract, then pin the corrupt column: without an explicit
+            # schema Spark drops _corrupt_record support for files that are
+            # 100% malformed (SURVEY.md §7.3).
             schema = spark.read.json(live_paths).schema if live_paths else None
+            if schema is not None:
+                merged = merge_schemas(contract, schema) if contract else schema
+                registry.save(merged)
+                schema = merged
         if not live_paths:
             raw = None
         else:
@@ -268,7 +294,9 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
         # rows were still written (the reference does the same: the DLQ and
         # curated branches are independent).
         for p in paths:
-            if p not in live_paths:
+            if p in drift_quarantined:
+                result.quarantined_files.append(p)
+            elif p not in live_paths:
                 # claimed but vanished from landing: either archived by a
                 # crashed run (treat as succeeded) or genuinely lost.
                 if os.path.exists(_archive_path(p, conf.landing_dir, conf.archive_dir)):
@@ -291,11 +319,25 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                 _move_idempotent(p, _archive_path(p, conf.landing_dir, conf.archive_dir))
         if result.succeeded_files:
             ledger.set_status(result.succeeded_files, LedgerStatus.SUCCEEDED, run_id=run_id)
-        if result.quarantined_files:
+        drift_set = set(drift_quarantined)
+        corrupt_quarantine = [p for p in result.quarantined_files if p not in drift_set]
+        if corrupt_quarantine:
             ledger.set_status(
-                result.quarantined_files,
+                corrupt_quarantine,
                 LedgerStatus.QUARANTINED,
                 error_message="corrupt records routed to DLQ",
+                run_id=run_id,
+            )
+        if drift_quarantined:
+            ledger.set_status(
+                drift_quarantined,
+                LedgerStatus.QUARANTINED,
+                error_message=(
+                    "incompatible schema drift: "
+                    + "; ".join(
+                        f"{p}: {result.drifted_files[p]}" for p in drift_quarantined
+                    )[:500]
+                ),
                 run_id=run_id,
             )
         if result.lost_files:
@@ -345,9 +387,19 @@ def run_until_drained(
 # --------------------------------------------------------------------------
 def read_curated(spark: SparkSession, curated_dir: str) -> DataFrame:
     """Schema-evolving read: union of all written schemas, NULL-backfilled
-    (diagram3:110). mergeSchema belongs on the READ (SURVEY.md §1.3)."""
+    (diagram3:110). mergeSchema belongs on the READ (SURVEY.md §1.3); when a
+    numeric column widened across batches (psuedo_code.txt:360) parquet
+    mergeSchema cannot reconcile the physical types, so we fall back to the
+    grouped evolving reader."""
     configure_runtime(spark)
-    return spark.read.option("mergeSchema", "true").parquet(curated_dir)
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(curated_dir)
+        df.schema  # force schema resolution (merge failures surface here)
+        return df
+    except Exception:  # noqa: BLE001 — widened physical types
+        from datalakejson_spark.plans.schema_evolution import read_evolving_parquet
+
+        return read_evolving_parquet(spark, curated_dir)
 
 
 def write_dlq_summary(spark: SparkSession, conf: IngestConfig) -> DataFrame:
