@@ -230,16 +230,18 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
             registry = RawSchemaRegistry(conf.ledger_dir)
             contract = registry.load()
             if live_paths and contract is not None:
-                live_paths, drifted = split_compatible_files(
+                # drift gate + batch inference in ONE data pass
+                live_paths, drifted, schema = split_compatible_files(
                     spark, live_paths, contract
                 )
                 result.drifted_files = drifted
                 drift_quarantined = list(drifted)
-            # Infer from the (compatible) batch (diagram_1.txt:44), merge into
-            # the contract, then pin the corrupt column: without an explicit
-            # schema Spark drops _corrupt_record support for files that are
-            # 100% malformed (SURVEY.md §7.3).
-            schema = spark.read.json(live_paths).schema if live_paths else None
+            else:
+                # first batch: infer the initial contract (diagram_1.txt:44)
+                schema = spark.read.json(live_paths).schema if live_paths else None
+            # Merge into the contract, then pin the corrupt column: without an
+            # explicit schema Spark drops _corrupt_record support for files
+            # that are 100% malformed (SURVEY.md §7.3).
             if schema is not None:
                 merged = merge_schemas(contract, schema) if contract else schema
                 registry.save(merged)
@@ -317,36 +319,28 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
         for p in result.succeeded_files:
             if os.path.exists(p):
                 _move_idempotent(p, _archive_path(p, conf.landing_dir, conf.archive_dir))
-        if result.succeeded_files:
-            ledger.set_status(result.succeeded_files, LedgerStatus.SUCCEEDED, run_id=run_id)
         drift_set = set(drift_quarantined)
         corrupt_quarantine = [p for p in result.quarantined_files if p not in drift_set]
-        if corrupt_quarantine:
-            ledger.set_status(
-                corrupt_quarantine,
-                LedgerStatus.QUARANTINED,
-                error_message="corrupt records routed to DLQ",
-                run_id=run_id,
-            )
-        if drift_quarantined:
-            ledger.set_status(
-                drift_quarantined,
-                LedgerStatus.QUARANTINED,
-                error_message=(
-                    "incompatible schema drift: "
-                    + "; ".join(
-                        f"{p}: {result.drifted_files[p]}" for p in drift_quarantined
-                    )[:500]
-                ),
-                run_id=run_id,
-            )
-        if result.lost_files:
-            ledger.set_status(
-                result.lost_files,
-                LedgerStatus.FAILED,
-                error_message="claimed but produced no rows (lost/empty)",
-                run_id=run_id,
-            )
+        drift_msg = (
+            "incompatible schema drift: "
+            + "; ".join(
+                f"{p}: {result.drifted_files[p]}" for p in drift_quarantined
+            )[:500]
+            if drift_quarantined
+            else None
+        )
+        # One snapshot write for the whole batch outcome (not one per state).
+        ledger.apply_outcomes(
+            [
+                (result.succeeded_files, LedgerStatus.SUCCEEDED, None),
+                (corrupt_quarantine, LedgerStatus.QUARANTINED,
+                 "corrupt records routed to DLQ"),
+                (drift_quarantined, LedgerStatus.QUARANTINED, drift_msg),
+                (result.lost_files, LedgerStatus.FAILED,
+                 "claimed but produced no rows (lost/empty)"),
+            ],
+            run_id=run_id,
+        )
         return result
     except Exception as exc:  # noqa: BLE001
         # Crash recovery: whole in-flight batch → FAILED for the next run

@@ -200,6 +200,45 @@ class Ledger:
         )
         self.overwrite(updated)
 
+    def apply_outcomes(
+        self, outcomes: list[tuple[list[str], str, str | None]], run_id: str
+    ) -> None:
+        """Apply several status transitions in ONE snapshot write:
+        ``outcomes`` is [(paths, status, error_message), ...]. A batch's
+        commit touches the ledger once instead of once per status group —
+        the ledger write amplification is O(1) per batch, not O(states)."""
+        rows = [
+            (p, status, msg)
+            for paths, status, msg in outcomes
+            for p in paths
+        ]
+        if not rows:
+            return
+        updates = self.spark.createDataFrame(
+            rows, "s3_key string, new_status string, new_error string"
+        ).dropDuplicates(["s3_key"])
+        current = self.read()
+        hit = F.col("new_status").isNotNull()
+        merged = (
+            current.join(F.broadcast(updates), "s3_key", "left")
+            .withColumn(
+                "status", F.when(hit, F.col("new_status")).otherwise(F.col("status"))
+            )
+            .withColumn(
+                "error_message",
+                F.when(hit, F.col("new_error")).otherwise(F.col("error_message")),
+            )
+            .withColumn(
+                "last_updated_at",
+                F.when(hit, F.current_timestamp()).otherwise(F.col("last_updated_at")),
+            )
+            .withColumn(
+                "run_id", F.when(hit, F.lit(run_id)).otherwise(F.col("run_id"))
+            )
+            .drop("new_status", "new_error")
+        )
+        self.overwrite(merged)
+
     def counts(self) -> dict[str, int]:
         return {
             r["status"]: r["n"]

@@ -78,16 +78,18 @@ def split_compatible_files(
     spark: SparkSession,
     paths: list[str],
     curated: T.StructType,
-) -> tuple[list[str], dict[str, list[tuple[str, str, str]]]]:
-    """Partition ``paths`` into (compatible, {path: conflicts}).
+) -> tuple[list[str], dict[str, list[tuple[str, str, str]]], T.StructType | None]:
+    """Partition ``paths`` into (compatible, {path: conflicts}, schema_of_good).
 
-    Fast path: one batch-level inference; if it is compatible, every file is.
-    Slow path (a conflict exists): per-file inference to attribute it —
-    acceptable because conflicts are rare and the batch is bounded
+    Fast path: one batch-level inference; if it is compatible, every file is,
+    and the inferred schema is returned for reuse (the caller must not infer
+    again — inference is a full data scan). Slow path (a conflict exists):
+    per-file inference to attribute it, then re-infer over the compatible
+    subset — acceptable because conflicts are rare and the batch is bounded
     (batch_size files, sudo_code.txt:128)."""
     batch_schema = spark.read.json(paths).schema
     if not incompatible_columns(curated, batch_schema):
-        return paths, {}
+        return paths, {}, batch_schema
     good, bad = [], {}
     for p in paths:
         conflicts = incompatible_columns(curated, spark.read.json(p).schema)
@@ -95,7 +97,8 @@ def split_compatible_files(
             bad[p] = conflicts
         else:
             good.append(p)
-    return good, bad
+    good_schema = spark.read.json(good).schema if good else None
+    return good, bad, good_schema
 
 
 def curated_schema(spark: SparkSession, curated_dir: str) -> T.StructType | None:
