@@ -69,6 +69,7 @@ def all_specs() -> dict[str, QuerySpec]:
         similarity,
         text,
         text_extra,
+        ivf,
     )
     from datalakejson_spark.streaming import windows as stream_windows  # noqa: F401
 

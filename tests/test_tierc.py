@@ -63,6 +63,20 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert recall >= 0.4, f"LSH recall too low: {recall}"
 
 
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF with 16 cells / 4 probes must recover most of the true top-5 —
+    probing 1/4 of the space."""
+    from datalakejson_spark.functions.ivf import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = brute_force_topk(emb.filter(F.col("vec_id") < 8), emb, k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
 def test_approx_count_distinct_within_rsd(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     exact = ev.select(F.count_distinct("user_id")).first()[0]
