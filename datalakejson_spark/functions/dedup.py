@@ -143,27 +143,27 @@ _L2_SQL = f"""
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, mh0..mhK) MinHash signature table — entirely map-side.
+    """(id, mh0..mhK) MinHash signature table.
 
-    Instead of explode → groupBy-min (which shuffles the full (doc, shingle)
-    expansion), the per-doc minimum is taken with ``array_min`` over the
-    in-row shingle-hash array: shingle → md5 once per shingle (``transform``),
-    then one ``array_min`` per lane over 4-char substrings. Zero shuffles;
-    the signature stage scales with input partitions only."""
+    Shape: explode deduped shingles (``array_distinct`` BEFORE the explode —
+    map-side) → md5 once per shingle → 8 min-aggregates. The groupBy looks
+    like avoidable work next to a pure map-side ``array_min`` formulation,
+    but it is deliberately kept: downstream LSH banding references the
+    signature table 8× (4 bands × 2 self-join sides), and the aggregate's
+    shuffle is an Exchange that Spark's ReuseExchange deduplicates — the
+    expensive shingle+md5 computation runs once. A shuffle-free plan would be
+    recomputed per reference (measured 3× slower end-to-end); equivalently,
+    callers could persist, but an exchange needs no cache management."""
     tok = df.select(F.col(id_col), F.split(text_col, " ").alias("w"))
     hashed = tok.select(
         F.col(id_col),
-        F.transform(
-            F.array_distinct(F.expr(_SPARK_SHINGLES)), lambda s: F.md5(s)
-        ).alias("hs"),
-    )
-    lanes = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda h: h.substr(1 + 4 * lane, 4))
-        ).alias(f"mh{lane}")
+        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle"),
+    ).select(F.col(id_col), F.md5("shingle").alias("h"))
+    aggs = [
+        F.min(F.substring("h", 1 + 4 * lane, 4)).alias(f"mh{lane}")
         for lane in range(NUM_HASHES)
     ]
-    return hashed.select(F.col(id_col), *lanes)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
