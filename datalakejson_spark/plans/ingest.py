@@ -282,6 +282,11 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
             result.good_rows = good.count()
             if result.good_rows:
                 curated = apply_transformations(good, conf.mode_default)
+                # Run stamp: if a crash lands between this append and the
+                # ledger commit, the re-claimed batch re-appends the same
+                # source rows under a NEW run id — deduplicate_replays()
+                # resolves such replays downstream (T2 idempotency).
+                curated = curated.withColumn("ingest_run_id", F.lit(run_id))
                 curated.write.mode("append").partitionBy(*PARTITION_COLS).parquet(
                     conf.curated_dir
                 )
@@ -352,8 +357,11 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
 
 
 def _norm(file_uri: str) -> str:
-    """input_file_name() yields a file: URI; ledger keys are plain paths."""
-    return file_uri.removeprefix("file://").removeprefix("file:")
+    """input_file_name() yields a URL-encoded file: URI; ledger keys are
+    plain paths (spaces etc. must round-trip)."""
+    from urllib.parse import unquote
+
+    return unquote(file_uri.removeprefix("file://").removeprefix("file:"))
 
 
 def run_until_drained(
@@ -379,6 +387,18 @@ def run_until_drained(
 # --------------------------------------------------------------------------
 # Curated-lake read (S8 + X3) and evolving append (U1)
 # --------------------------------------------------------------------------
+def deduplicate_replays(df: DataFrame) -> DataFrame:
+    """Resolve crash-replay duplicates: if a source file's rows were appended
+    by more than one run (crash between parquet append and ledger commit,
+    then re-claim), keep only the latest run's rows per file. Run ids are
+    timestamp-prefixed, so max = latest; the semi join keeps the plan
+    shuffle-light (keys only)."""
+    latest = df.groupBy("source_s3_path").agg(
+        F.max("ingest_run_id").alias("ingest_run_id")
+    )
+    return df.join(latest, ["source_s3_path", "ingest_run_id"], "left_semi")
+
+
 def read_curated(spark: SparkSession, curated_dir: str) -> DataFrame:
     """Schema-evolving read: union of all written schemas, NULL-backfilled
     (diagram3:110). mergeSchema belongs on the READ (SURVEY.md §1.3); when a

@@ -158,6 +158,40 @@ def test_crash_recovery_marks_batch_failed(spark, ingest_conf, monkeypatch):
     assert sum(len(r.succeeded_files) for r in res) == 3
 
 
+def test_replay_after_partial_crash_is_deduplicable(spark, ingest_conf, monkeypatch):
+    """Crash AFTER the curated append but BEFORE archive/ledger commit →
+    next run re-appends the same source rows under a new run id;
+    deduplicate_replays() restores exactly-once semantics (T2)."""
+    from datalakejson_spark.plans.ingest import deduplicate_replays
+    import datalakejson_spark.plans.ingest as ing
+
+    discover(spark, ingest_conf)
+
+    real_move = ing._move_idempotent
+    calls = {"n": 0}
+
+    def crash_on_first_move(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after curated append")
+        return real_move(src, dst)
+
+    monkeypatch.setattr(ing, "_move_idempotent", crash_on_first_move)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ingest_batch(spark, ingest_conf)
+    monkeypatch.undo()
+
+    # batch marked FAILED; re-run re-processes, duplicating the good rows
+    res2 = ingest_batch(spark, ingest_conf)
+    assert res2.claimed == 4
+    curated = read_curated(spark, ingest_conf.curated_dir)
+    assert curated.count() == 40  # 20 rows x 2 runs: replay happened
+    deduped = deduplicate_replays(curated)
+    assert deduped.count() == 20
+    # every surviving row carries the latest run id per source file
+    assert deduped.select("ingest_run_id").distinct().count() == 1
+
+
 def test_transform_handles_missing_fields(spark):
     """Apply_Transformations on records missing optional nested fields —
     flattened columns become NULL, not errors."""
