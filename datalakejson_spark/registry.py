@@ -59,6 +59,7 @@ def all_specs() -> dict[str, QuerySpec]:
         scalar_functions,
         subqueries,
         coverage_extra,
+        coverage_extra2,
         statistics,
         showcase,
         windows_extra,
