@@ -61,10 +61,16 @@ def compact_partition(
         return False  # already at or below target granularity
 
     df = spark.read.parquet(partition_dir)
-    staging = f"{partition_dir}.__compact_{time.time_ns()}"
+    # staging/retired names are '.'-prefixed siblings: Spark's partition
+    # discovery ignores dot/underscore-prefixed paths, so a crash that leaves
+    # them behind (or a reader racing the swap) can never surface a duplicate
+    # 'mode=train.__compact' partition. The instant between the two renames
+    # is the only window (partition briefly absent, never doubled).
+    parent, leaf = os.path.split(partition_dir.rstrip("/"))
+    staging = os.path.join(parent, f".__compact_{time.time_ns()}_{leaf}")
     df.repartition(n_out).write.mode("overwrite").parquet(staging)
 
-    retired = f"{partition_dir}.__retired_{time.time_ns()}"
+    retired = os.path.join(parent, f".__retired_{time.time_ns()}_{leaf}")
     os.rename(partition_dir, retired)  # swap 1: move old out of the way
     os.rename(staging, partition_dir)  # swap 2: move new into place
     shutil.rmtree(retired, ignore_errors=True)

@@ -190,13 +190,18 @@ def _archive_path(src: str, landing_dir: str, archive_dir: str) -> str:
 
 
 def _move_idempotent(src: str, dst: str) -> None:
-    """Copy-then-delete, safe under re-run after crash (SURVEY.md §7.3):
-    already-moved files are a no-op, half-moved files finish the delete."""
+    """Copy-then-delete, safe under re-run after ANY crash point
+    (SURVEY.md §7.3): the copy goes to a temp name and is os.replace()d into
+    place, so ``dst`` existing implies a COMPLETE copy — a crash mid-copy
+    leaves only the temp file, and the re-run redoes the copy instead of
+    deleting the sole good copy. Already-moved files are a no-op."""
     if os.path.exists(dst) and not os.path.exists(src):
         return  # previous run completed the move
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     if not os.path.exists(dst):
-        shutil.copy2(src, dst)
+        tmp = f"{dst}.__inflight_{uuid.uuid4().hex[:8]}"
+        shutil.copy2(src, tmp)
+        os.replace(tmp, dst)  # atomic: dst is all-or-nothing
     if os.path.exists(src):
         os.remove(src)
 
@@ -205,7 +210,10 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
     """One claim→process→commit cycle. Graceful no-work exit when nothing is
     claimable (sudo_code.txt:136-139)."""
     configure_runtime(spark)
-    run_id = f"run-{time.strftime('%Y%m%d-%H%M%S')}-{uuid.uuid4().hex[:8]}"
+    # Monotonic lexicographic run ids: deduplicate_replays keeps the MAX run
+    # per file, so ids must order by attempt time even for same-second
+    # retries — zero-padded nanoseconds, uuid only as a collision suffix.
+    run_id = f"run-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
     ledger = Ledger(spark, conf.ledger_dir)
     result = IngestResult(run_id=run_id)
 
@@ -250,7 +258,11 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
             raw = None
         else:
             if CORRUPT_COL not in [f.name for f in schema.fields]:
-                schema = schema.add(CORRUPT_COL, T.StringType())
+                # copy — StructType.add mutates in place and the schema may be
+                # caller-owned (conf.schema) or the shared contract object
+                schema = T.StructType(
+                    list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+                )
             raw = (
                 spark.read.schema(schema)
                 .option("mode", "PERMISSIVE")
@@ -418,6 +430,14 @@ def read_curated(spark: SparkSession, curated_dir: str) -> DataFrame:
 
 def write_dlq_summary(spark: SparkSession, conf: IngestConfig) -> DataFrame:
     """DLQ audit: corrupt rows per run per source file (monitoring surface,
-    sudo_code.txt:272 'Alarm if DLQ is being actively used')."""
-    df = spark.read.json(os.path.join(conf.dlq_dir, "*"))
+    sudo_code.txt:272 'Alarm if DLQ is being actively used'). An empty or
+    absent DLQ — the healthy case — returns an empty frame, not an error."""
+    try:
+        df = spark.read.json(os.path.join(conf.dlq_dir, "*"))
+        if "source_s3_path" not in df.columns:
+            raise FileNotFoundError(conf.dlq_dir)
+    except Exception:  # noqa: BLE001 — no DLQ activity yet
+        return spark.createDataFrame(
+            [], "source_s3_path string, n_corrupt_rows long"
+        )
     return df.groupBy("source_s3_path").agg(F.count("*").alias("n_corrupt_rows"))

@@ -123,9 +123,13 @@ class Ledger:
             .withColumn("last_updated_at", now)
             .withColumn("run_id", F.lit(None).cast("string"))
         )
-        n_new = fresh.count()
-        if n_new:
-            self.overwrite(current.unionByName(fresh))
+        fresh = fresh.persist()  # count + overwrite: one anti-join execution
+        try:
+            n_new = fresh.count()
+            if n_new:
+                self.overwrite(current.unionByName(fresh))
+        finally:
+            fresh.unpersist()
         return n_new
 
     def claim_batch(self, batch_size: int, run_id: str) -> list[str]:

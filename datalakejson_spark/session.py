@@ -52,6 +52,11 @@ def get_spark(
     scheduling overhead; on a real cluster this knob (or AQE coalescing)
     should track total executor cores instead.
     """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # getOrCreate would silently ignore every builder config below;
+        # reuse the session explicitly (runtime confs still apply).
+        return configure_runtime(active)
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:

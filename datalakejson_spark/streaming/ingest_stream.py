@@ -13,9 +13,12 @@ batch and streaming share one code path (``apply_transformations``).
 
 Exactly-once notes (T2): the file-source checkpoint guarantees each input
 file enters exactly one micro-batch; the parquet append inside foreachBatch
-is at-least-once under crash-between-write-and-checkpoint — the batch id is
-stamped on every row so downstream readers (or a compaction pass) can
-deduplicate replays, the standard idempotent-foreachBatch pattern.
+is at-least-once under crash-between-write-and-checkpoint. Every row is
+stamped with a per-ATTEMPT run id (nanosecond-ordered, so a replay of the
+same batch id gets a strictly larger stamp) — the batch plane's
+``deduplicate_replays`` then keeps only the newest attempt per source file,
+the standard idempotent-foreachBatch pattern done in a way replays can
+actually be told apart.
 
 The audit ledger remains available: ``ledger_view`` derives per-file row
 counts from the curated lake's lineage column instead of a mutable table —
@@ -57,7 +60,10 @@ def streaming_ingest(
     """
     configure_runtime(spark)
     if CORRUPT_COL not in [f.name for f in schema.fields]:
-        schema = schema.add(CORRUPT_COL, T.StringType())
+        # copy — StructType.add mutates the caller's schema in place
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
 
     reader = (
         spark.readStream.schema(schema)
@@ -72,6 +78,12 @@ def streaming_ingest(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        # per-ATTEMPT id: a crash-replay of the same batch_id re-enters here
+        # and gets a strictly larger stamp, making the replay deduplicable
+        # (plain batch_id would stamp both attempts identically).
+        run_id = f"stream-{time.time_ns():020d}-b{batch_id}"
         batch_df = batch_df.persist()
         try:
             corrupt = batch_df.filter(F.col(CORRUPT_COL).isNotNull())
@@ -83,7 +95,9 @@ def streaming_ingest(
             if good.limit(1).count():
                 apply_transformations(good, mode_default).withColumn(
                     "ingest_batch_id", F.lit(batch_id)
-                ).write.mode("append").partitionBy(*PARTITION_COLS).parquet(curated_dir)
+                ).withColumn("ingest_run_id", F.lit(run_id)).write.mode(
+                    "append"
+                ).partitionBy(*PARTITION_COLS).parquet(curated_dir)
         finally:
             batch_df.unpersist()
 

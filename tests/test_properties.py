@@ -56,6 +56,61 @@ def test_ledger_is_exhaustive_and_exclusive(spark, ingest_conf):
     assert states <= {"SUCCEEDED", "QUARANTINED", "FAILED"}
 
 
+def test_move_survives_mid_copy_crash(tmp_path, monkeypatch):
+    """A crash DURING the archive copy must not let the re-run delete the
+    only complete copy: dst existing implies a complete copy (temp+replace)."""
+    import shutil as _shutil
+
+    import datalakejson_spark.plans.ingest as ing
+
+    src = tmp_path / "landing" / "f.json"
+    dst = tmp_path / "archive" / "f.json"
+    src.parent.mkdir()
+    src.write_text("x" * 1000)
+
+    real_copy = _shutil.copy2
+
+    def truncating_copy(s, d, **kw):
+        real_copy(s, d, **kw)
+        with open(d, "w") as f:
+            f.write("TRUNC")  # simulate partial flush...
+        raise OSError("simulated crash mid-copy")
+
+    monkeypatch.setattr(ing.shutil, "copy2", truncating_copy)
+    try:
+        ing._move_idempotent(str(src), str(dst))
+    except OSError:
+        pass
+    monkeypatch.undo()
+    # crash left no dst (only a temp); src intact; re-run completes the move
+    assert src.exists() and not dst.exists()
+    ing._move_idempotent(str(src), str(dst))
+    assert dst.read_text() == "x" * 1000 and not src.exists()
+    # and a further re-run is a no-op
+    ing._move_idempotent(str(src), str(dst))
+    assert dst.read_text() == "x" * 1000
+
+
+def test_ingest_does_not_mutate_caller_schema(spark, ingest_conf):
+    """conf.schema must come back untouched (StructType.add mutates in
+    place; ingest must copy before pinning _corrupt_record)."""
+    from pyspark.sql import types as T
+
+    user_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("event_timestamp", T.StringType()),
+            T.StructField("MODE", T.StringType()),
+            T.StructField("extra_key", T.StringType()),
+        ]
+    )
+    n_fields_before = len(user_schema.fields)
+    ingest_conf.schema = user_schema
+    discover(spark, ingest_conf)
+    ingest_batch(spark, ingest_conf)
+    assert len(user_schema.fields) == n_fields_before
+
+
 def test_f8_monotonic_id_unique(spark):
     """F8: monotonically_increasing_id yields unique surrogate keys across
     partitions (ledger SERIAL analogue, sudo_code.txt:27)."""
