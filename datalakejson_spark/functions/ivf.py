@@ -33,7 +33,9 @@ def build_ivf_index(emb: DataFrame, k: int = N_CELLS, seed: int = 42):
     from pyspark.ml.functions import array_to_vector
 
     vecs = emb.withColumn("features", array_to_vector("embedding"))
-    model = KMeans(k=k, seed=seed, featuresCol="features").fit(vecs)
+    # maxIter=5: a coarse quantizer needs rough cells, not converged ones —
+    # recall is governed by nprobe, and fit time is the index build cost
+    model = KMeans(k=k, seed=seed, maxIter=5, featuresCol="features").fit(vecs)
     assigned = model.transform(vecs).withColumnRenamed("prediction", "cell").drop(
         "features"
     )

@@ -326,9 +326,13 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                 result.quarantined_files.append(p)
             elif p in good_paths:
                 result.succeeded_files.append(p)
+            elif os.path.getsize(p) == 0:
+                # zero-byte file: produces no rows ever — quarantining (vs the
+                # reference's FAILED) stops it from poison-retrying forever
+                result.quarantined_files.append(p)
             else:
-                # empty file / no rows either way — lost-file reconciliation
-                # (sudo_code.txt:219-224)
+                # non-empty but produced no rows — lost-file reconciliation
+                # (sudo_code.txt:219-224), FAILED so the retry loop reclaims
                 result.lost_files.append(p)
 
         # Archive good files (copy+delete, sudo_code.txt:196-215), then commit

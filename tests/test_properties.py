@@ -111,6 +111,82 @@ def test_ingest_does_not_mutate_caller_schema(spark, ingest_conf):
     assert len(user_schema.fields) == n_fields_before
 
 
+def test_empty_file_quarantined_not_retried(spark, ingest_conf):
+    """Zero-byte files terminal-quarantine instead of FAILED-looping."""
+    from pathlib import Path
+
+    empty = Path(ingest_conf.landing_dir) / "all_historical_files" / "empty.json"
+    empty.write_text("")
+    discover(spark, ingest_conf)
+    ingest_batch(spark, ingest_conf)
+    ledger = Ledger(spark, ingest_conf.ledger_dir).read()
+    row = ledger.filter(F.col("s3_key") == str(empty)).first()
+    assert row.status == "QUARANTINED"
+    # second run claims nothing new for it
+    res2 = ingest_batch(spark, ingest_conf)
+    assert str(empty) not in [p for p in res2.lost_files + res2.quarantined_files]
+
+
+def test_fuzzed_records_conserved(spark, tmp_path):
+    """Seeded fuzz: random nested records with hostile keys/values plus
+    garbage lines — ingest must conserve every line into good or corrupt and
+    never throw."""
+    import json as _json
+    import random
+
+    from datalakejson_spark.plans.ingest import IngestConfig
+    from tests.conftest import write_ndjson
+
+    rng = random.Random(7)
+    weird_keys = ["key with space", "UPPER", "ключ", "键", "dot.key", "0num"]
+
+    def rand_value(depth=0):
+        kind = rng.randint(0, 6 if depth < 2 else 4)
+        if kind == 0:
+            return rng.randint(-(10**12), 10**12)
+        if kind == 1:
+            return rng.random() * 1e6
+        if kind == 2:
+            return rng.choice(["", "x", "多语言", "line\nbreak", "\"quoted\""])
+        if kind == 3:
+            return None
+        if kind == 4:
+            return rng.random() < 0.5
+        if kind == 5:
+            return [rand_value(depth + 1) for _ in range(rng.randint(0, 3))]
+        return {rng.choice(weird_keys): rand_value(depth + 1)}
+
+    lines, n_lines = [], 0
+    for i in range(120):
+        if rng.random() < 0.15:
+            lines.append(rng.choice(['{"broken": ', "not json", "[1,2", "}"]))
+        else:
+            rec = {
+                "id": f"f-{i}",
+                "event_timestamp": "2024-03-01T00:00:00Z",
+                "MODE": rng.choice(["train", None]),
+                rng.choice(weird_keys): rand_value(),
+            }
+            lines.append(_json.dumps(rec, ensure_ascii=False))
+        n_lines += 1
+
+    landing = tmp_path / "fuzz_landing"
+    write_ndjson(landing / "fuzz_a.json", lines[:60])
+    write_ndjson(landing / "fuzz_b.json", lines[60:])
+    conf = IngestConfig(
+        landing_dir=str(landing),
+        curated_dir=str(tmp_path / "fc"),
+        dlq_dir=str(tmp_path / "fd"),
+        archive_dir=str(tmp_path / "fa"),
+        ledger_dir=str(tmp_path / "fl"),
+    )
+    discover(spark, conf)
+    res = ingest_batch(spark, conf)
+    assert res.good_rows + res.corrupt_rows == n_lines
+    if res.good_rows:
+        assert read_curated(spark, conf.curated_dir).count() == res.good_rows
+
+
 def test_f8_monotonic_id_unique(spark):
     """F8: monotonically_increasing_id yields unique surrogate keys across
     partitions (ledger SERIAL analogue, sudo_code.txt:27)."""
