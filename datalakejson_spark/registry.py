@@ -62,6 +62,7 @@ def all_specs() -> dict[str, QuerySpec]:
         coverage_extra2,
         statistics,
         showcase,
+        showcase2,
         windows_extra,
         json_extra,
     )

@@ -135,6 +135,57 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert first_window == [2]
 
 
+def test_stateful_user_profile_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user running profile must accumulate
+    ACROSS micro-batches (state survives restarts via the checkpoint)."""
+    from datalakejson_spark.streaming.stateful import user_profile_stream
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "state_ckpt")
+    out_dir = str(tmp_path / "state_out")
+
+    def run_batch():
+        stream = (
+            spark.readStream.schema("user_id long, ts string, value double")
+            .json(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            user_profile_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "a.json").write_text(
+        '{"user_id": 1, "ts": "2024-01-01T00:00:00Z", "value": 10.0}\n'
+        '{"user_id": 1, "ts": "2024-01-01T00:05:00Z", "value": 5.0}\n'
+        '{"user_id": 2, "ts": "2024-01-01T00:01:00Z", "value": 7.0}\n'
+    )
+    run_batch()
+    (src / "b.json").write_text(
+        '{"user_id": 1, "ts": "2024-01-01T01:00:00Z", "value": 1.0}\n'
+    )
+    run_batch()
+
+    out = spark.read.parquet(out_dir)
+    # latest emission per user carries the cross-batch accumulated state
+    latest_u1 = (
+        out.filter(F.col("user_id") == 1)
+        .orderBy(F.col("n_events").desc())
+        .first()
+    )
+    assert latest_u1.n_events == 3 and latest_u1.sum_value == 16.0
+    assert latest_u1.last_ts.hour == 1
+    latest_u2 = out.filter(F.col("user_id") == 2).orderBy(F.col("n_events").desc()).first()
+    assert latest_u2.n_events == 1 and latest_u2.sum_value == 7.0
+
+
 def test_session_window_semantics(spark):
     """T6 session windows: gap-merged per-user sessions on a constructed
     stream of events (validates the rows-only registry query's operator)."""
