@@ -63,6 +63,7 @@ def all_specs() -> dict[str, QuerySpec]:
         statistics,
         showcase,
         showcase2,
+        showcase3,
         windows_extra,
         json_extra,
     )
