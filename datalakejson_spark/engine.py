@@ -1,0 +1,98 @@
+"""DataLakeEngine — the one-object facade over both planes.
+
+A user of the reference system interacts with: file drops → scheduled ingest
+→ a catalog table → SQL/DataFrame queries → ML exports (diagram_1.txt,
+diagram3). This facade packages that workflow:
+
+    engine = DataLakeEngine(spark, IngestConfig(...))
+    engine.discover()                      # register new landing files
+    engine.ingest_until_drained()          # ledger-driven micro-batches
+    engine.register_catalog()              # curated table + partitions
+    engine.sql("SELECT ... FROM curated_records WHERE year=2024")
+    engine.curated()                       # schema-evolved DataFrame
+    engine.dedup_report(text_col=...)      # Tier C: near-dup candidates
+    engine.dlq_summary()                   # monitoring surface
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datalakejson_spark.plans.ingest import (
+    IngestConfig,
+    IngestResult,
+    deduplicate_replays,
+    discover,
+    ingest_batch,
+    read_curated,
+    run_until_drained,
+    write_dlq_summary,
+)
+from datalakejson_spark.plans.ledger import Ledger
+from datalakejson_spark.session import configure_runtime
+from datalakejson_spark.sources.catalog import register_curated_table
+
+
+class DataLakeEngine:
+    def __init__(self, spark: SparkSession, conf: IngestConfig, table: str = "curated_records"):
+        self.spark = configure_runtime(spark)
+        self.conf = conf
+        self.table = table
+        self._fq_table: str | None = None
+
+    # -- ingest plane -------------------------------------------------------
+    def discover(self) -> int:
+        return discover(self.spark, self.conf)
+
+    def ingest_once(self) -> IngestResult:
+        return ingest_batch(self.spark, self.conf)
+
+    def ingest_until_drained(self, max_runs: int = 100) -> list[IngestResult]:
+        return run_until_drained(self.spark, self.conf, max_runs=max_runs)
+
+    def ledger(self) -> Ledger:
+        return Ledger(self.spark, self.conf.ledger_dir)
+
+    def dlq_summary(self) -> DataFrame:
+        return write_dlq_summary(self.spark, self.conf)
+
+    # -- consumption plane --------------------------------------------------
+    def curated(self, resolve_replays: bool = False) -> DataFrame:
+        df = read_curated(self.spark, self.conf.curated_dir)
+        return deduplicate_replays(df) if resolve_replays else df
+
+    def register_catalog(self, database: str = "datalake") -> str:
+        self._fq_table = register_curated_table(
+            self.spark, self.conf.curated_dir, table=self.table, database=database
+        )
+        return self._fq_table
+
+    def sql(self, query: str) -> DataFrame:
+        """Ad-hoc SQL over the curated lake (the Athena role,
+        diagram_1.txt:98-101). Registers the catalog table on first use."""
+        if self._fq_table is None:
+            self.register_catalog()
+        # let users reference the short table name
+        return self.spark.sql(
+            query.replace(f" {self.table} ", f" {self._fq_table} ")
+            if f" {self.table} " in query
+            else query
+        )
+
+    # -- Tier C -------------------------------------------------------------
+    def dedup_report(self, df: DataFrame | None = None, text_col: str = "record_id",
+                     id_col: str = "record_id") -> DataFrame:
+        """MinHash near-dup candidate pairs over a curated column."""
+        import pyspark.sql.functions as F
+
+        from datalakejson_spark.functions.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        src = df if df is not None else self.curated()
+        docs = src.select(
+            F.abs(F.hash(id_col)).cast("long").alias("doc_id"),
+            F.col(text_col).cast("string").alias("text"),
+        )
+        return lsh_candidate_pairs(minhash_signatures(docs))

@@ -70,10 +70,14 @@ class IngestConfig:
     archive_dir: str
     ledger_dir: str
     batch_size: int = 10_000  # sudo_code.txt:128
-    # Explicit schema for the landing JSON (100 TB posture: skip per-batch
+    # Explicit schema for the landing files (100 TB posture: skip per-batch
     # inference). None → infer per batch (the reference's behavior).
     schema: T.StructType | None = None
     mode_default: str = "unknown"
+    # Landing format: "json" (reference parity) or "csv" (same PERMISSIVE
+    # corrupt-record contract; requires ``schema`` — CSV inference is not
+    # trustworthy at scale and the drift gate is JSON-specific).
+    landing_format: str = "json"
 
 
 @dataclass
@@ -102,10 +106,11 @@ def discover(spark: SparkSession, conf: IngestConfig) -> int:
     swap the walk for a parallelized listing (RDD of prefixes) — the ledger
     anti-join path is unchanged. Returns newly registered file count."""
     configure_runtime(spark)
+    suffix = f".{conf.landing_format}"
     rows = []
     for base, _dirs, files in os.walk(conf.landing_dir):
         for name in files:
-            if name.endswith(".json"):
+            if name.endswith(suffix):
                 p = Path(base) / name
                 rows.append((str(p), p.stat().st_size))
     if not rows:
@@ -150,7 +155,14 @@ def apply_transformations(df: DataFrame, mode_default: str = "unknown") -> DataF
         out = out.withColumn("record_id", F.col("id").cast("string")).drop("id")
     else:
         out = out.withColumn("record_id", F.lit(None).cast("string"))
-    ts = F.col("event_timestamp").cast("timestamp") if has("event_timestamp") else F.lit(None).cast("timestamp")
+    # try_cast: ANSI mode (Spark 4 default) turns malformed casts into
+    # errors; the reference's semantics are tolerant (bad timestamp → NULL →
+    # row lands in the null partition, not a failed batch)
+    ts = (
+        F.expr("try_cast(event_timestamp AS TIMESTAMP)")
+        if has("event_timestamp")
+        else F.lit(None).cast("timestamp")
+    )
     out = out.withColumn("event_time_utc", ts)
     if has("event_timestamp"):
         out = out.drop("event_timestamp")
@@ -228,6 +240,8 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
 
     try:
         drift_quarantined: list[str] = []
+        if conf.landing_format == "csv" and conf.schema is None:
+            raise ValueError("CSV landing zones require an explicit schema")
         if conf.schema is not None:
             schema = conf.schema
         else:
@@ -263,13 +277,16 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                 schema = T.StructType(
                     list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
                 )
-            raw = (
+            reader = (
                 spark.read.schema(schema)
                 .option("mode", "PERMISSIVE")
                 .option("columnNameOfCorruptRecord", CORRUPT_COL)
-                .json(live_paths)
-                .withColumn("source_s3_path", F.input_file_name())
             )
+            if conf.landing_format == "csv":
+                raw = reader.option("header", "true").csv(live_paths)
+            else:
+                raw = reader.json(live_paths)
+            raw = raw.withColumn("source_s3_path", F.input_file_name())
             # Single read, both branches (fixes the reference's 4× rescan).
             raw = raw.persist()
 

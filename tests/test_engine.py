@@ -1,0 +1,72 @@
+"""Facade + CSV-landing tests: the full user workflow through DataLakeEngine,
+and the ingest plane running on a CSV landing zone."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from datalakejson_spark.engine import DataLakeEngine
+from datalakejson_spark.plans.ingest import IngestConfig, discover, ingest_batch, read_curated
+
+
+def test_engine_full_workflow(spark, ingest_conf):
+    engine = DataLakeEngine(spark, ingest_conf, table="t_engine")
+    assert engine.discover() == 4
+    results = engine.ingest_until_drained()
+    assert sum(len(r.succeeded_files) for r in results) == 3
+
+    curated = engine.curated(resolve_replays=True)
+    assert curated.count() == 20
+
+    fq = engine.register_catalog()
+    out = engine.sql(
+        f"SELECT mode, count(*) AS n FROM {fq} GROUP BY mode ORDER BY mode"
+    ).collect()
+    assert {r["mode"] for r in out} == {"train", "eval"}
+
+    dlq = engine.dlq_summary()
+    assert dlq.count() == 1  # the corrupt_mixed.json file
+
+    counts = engine.ledger().counts()
+    assert counts["SUCCEEDED"] == 3 and counts["QUARANTINED"] == 1
+
+
+def test_csv_landing_ingest(spark, tmp_path: Path):
+    landing = tmp_path / "csv_landing"
+    (landing / "2024" / "week01").mkdir(parents=True)
+    f = landing / "2024" / "week01" / "drop1.csv"
+    f.write_text(
+        "id,event_timestamp,MODE,extra_key\n"
+        "a1,2024-01-10T00:00:00Z,train,k1\n"
+        "a2,2024-01-10T01:00:00Z,eval,k2\n"
+        "a3,not-a-timestamp-but-string-ok,train,k3\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("event_timestamp", T.StringType()),
+            T.StructField("MODE", T.StringType()),
+            T.StructField("extra_key", T.StringType()),
+        ]
+    )
+    conf = IngestConfig(
+        landing_dir=str(landing),
+        curated_dir=str(tmp_path / "cc"),
+        dlq_dir=str(tmp_path / "cd"),
+        archive_dir=str(tmp_path / "ca"),
+        ledger_dir=str(tmp_path / "cl"),
+        schema=schema,
+        landing_format="csv",
+    )
+    assert discover(spark, conf) == 1
+    res = ingest_batch(spark, conf)
+    assert res.good_rows == 3
+    curated = read_curated(spark, conf.curated_dir)
+    assert curated.count() == 3
+    # the unparseable timestamp string casts to NULL event time → mode
+    # partitioning still applies; row lands in the null-year partition
+    assert curated.filter(F.col("record_id") == "a3").first().year is None
+    assert curated.filter(F.col("extra_key") == "k1").first().mode == "train"
