@@ -45,10 +45,14 @@ class DataLakeEngine:
         return discover(self.spark, self.conf)
 
     def ingest_once(self) -> IngestResult:
-        return ingest_batch(self.spark, self.conf)
+        result = ingest_batch(self.spark, self.conf)
+        self._fq_table = None  # new partitions/schema → re-register on next sql()
+        return result
 
     def ingest_until_drained(self, max_runs: int = 100) -> list[IngestResult]:
-        return run_until_drained(self.spark, self.conf, max_runs=max_runs)
+        results = run_until_drained(self.spark, self.conf, max_runs=max_runs)
+        self._fq_table = None  # new partitions/schema → re-register on next sql()
+        return results
 
     def ledger(self) -> Ledger:
         return Ledger(self.spark, self.conf.ledger_dir)
@@ -65,24 +69,27 @@ class DataLakeEngine:
         self._fq_table = register_curated_table(
             self.spark, self.conf.curated_dir, table=self.table, database=database
         )
+        # a temp view under the short name makes BOTH spellings resolve in
+        # any query shape (no string rewriting of user SQL)
+        self.spark.table(self._fq_table).createOrReplaceTempView(self.table)
         return self._fq_table
 
     def sql(self, query: str) -> DataFrame:
         """Ad-hoc SQL over the curated lake (the Athena role,
-        diagram_1.txt:98-101). Registers the catalog table on first use."""
+        diagram_1.txt:98-101). (Re-)registers the catalog table when curated
+        data has changed since the last registration, so new partitions and
+        evolved columns are always visible."""
         if self._fq_table is None:
             self.register_catalog()
-        # let users reference the short table name
-        return self.spark.sql(
-            query.replace(f" {self.table} ", f" {self._fq_table} ")
-            if f" {self.table} " in query
-            else query
-        )
+        return self.spark.sql(query)
 
     # -- Tier C -------------------------------------------------------------
-    def dedup_report(self, df: DataFrame | None = None, text_col: str = "record_id",
+    def dedup_report(self, text_col: str, df: DataFrame | None = None,
                      id_col: str = "record_id") -> DataFrame:
-        """MinHash near-dup candidate pairs over a curated column."""
+        """MinHash near-dup candidate pairs over a curated text column.
+        ``text_col`` is required — there is no sensible default text field.
+        Ids map through xxhash64 (64-bit: collision-safe far beyond the
+        32-bit hash() whose birthday bound bites at ~10^5 rows)."""
         import pyspark.sql.functions as F
 
         from datalakejson_spark.functions.dedup import (
@@ -92,7 +99,7 @@ class DataLakeEngine:
 
         src = df if df is not None else self.curated()
         docs = src.select(
-            F.abs(F.hash(id_col)).cast("long").alias("doc_id"),
+            F.xxhash64(id_col).alias("doc_id"),
             F.col(text_col).cast("string").alias("text"),
         )
         return lsh_candidate_pairs(minhash_signatures(docs))

@@ -58,7 +58,7 @@ _Q18_SQL = f"""
 """
 
 
-@register("q18_large_volume_customers", survey="J3,J6,G3,O1", sql=_Q18_SQL)
+@register("q18_large_volume_customers", survey="J3,J6,G3", sql=_Q18_SQL)
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18 shape: IN-subquery over a grouped HAVING — planned as an
     aggregate + semi join, then the main star join re-aggregates."""
@@ -68,9 +68,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q19_PRED = """
-    (p_brand = 'brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
-    OR (p_brand = 'brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
-    OR (p_brand = 'brand#34' AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 40)
+    (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 40)
 """
 
 _Q19_SQL = f"""
@@ -78,7 +78,7 @@ _Q19_SQL = f"""
            count(*) AS n_lines
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
-    WHERE {_Q19_PRED.replace("brand#", "Brand#")}
+    WHERE {_Q19_PRED}
 """
 
 

@@ -277,16 +277,18 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                 schema = T.StructType(
                     list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
                 )
-            reader = (
-                spark.read.schema(schema)
-                .option("mode", "PERMISSIVE")
-                .option("columnNameOfCorruptRecord", CORRUPT_COL)
-            )
             if conf.landing_format == "csv":
-                raw = reader.option("header", "true").csv(live_paths)
+                from datalakejson_spark.sources.formats import read_csv_permissive
+
+                raw = read_csv_permissive(spark, live_paths, schema)
             else:
-                raw = reader.json(live_paths)
-            raw = raw.withColumn("source_s3_path", F.input_file_name())
+                raw = (
+                    spark.read.schema(schema)
+                    .option("mode", "PERMISSIVE")
+                    .option("columnNameOfCorruptRecord", CORRUPT_COL)
+                    .json(live_paths)
+                    .withColumn("source_s3_path", F.input_file_name())
+                )
             # Single read, both branches (fixes the reference's 4× rescan).
             raw = raw.persist()
 
@@ -343,13 +345,14 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                 result.quarantined_files.append(p)
             elif p in good_paths:
                 result.succeeded_files.append(p)
-            elif os.path.getsize(p) == 0:
+            elif os.path.exists(p) and os.path.getsize(p) == 0:
                 # zero-byte file: produces no rows ever — quarantining (vs the
                 # reference's FAILED) stops it from poison-retrying forever
                 result.quarantined_files.append(p)
             else:
-                # non-empty but produced no rows — lost-file reconciliation
-                # (sudo_code.txt:219-224), FAILED so the retry loop reclaims
+                # non-empty (or deleted mid-batch) but produced no rows —
+                # lost-file reconciliation (sudo_code.txt:219-224), FAILED so
+                # the retry loop reclaims
                 result.lost_files.append(p)
 
         # Archive good files (copy+delete, sudo_code.txt:196-215), then commit

@@ -33,6 +33,24 @@ def test_engine_full_workflow(spark, ingest_conf):
     counts = engine.ledger().counts()
     assert counts["SUCCEEDED"] == 3 and counts["QUARANTINED"] == 1
 
+    # short name resolves in any query shape (no string rewriting)
+    n = engine.sql("SELECT count(*) AS n FROM t_engine").first().n
+    assert n == 20
+
+    # later ingest → catalog refresh: new partitions must be visible
+    from tests.conftest import good_record, write_ndjson
+
+    write_ndjson(
+        Path(ingest_conf.landing_dir) / "2024" / "week10" / "late_drop.json",
+        [good_record(700, ts="2024-03-05T00:00:00Z")],
+    )
+    engine.discover()
+    engine.ingest_until_drained()
+    fresh = engine.sql(
+        "SELECT count(*) AS n FROM t_engine WHERE year = 2024 AND month = 3"
+    ).first().n
+    assert fresh == 1
+
 
 def test_csv_landing_ingest(spark, tmp_path: Path):
     landing = tmp_path / "csv_landing"
