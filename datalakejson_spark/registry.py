@@ -66,6 +66,7 @@ def all_specs() -> dict[str, QuerySpec]:
         showcase3,
         windows_extra,
         json_extra,
+        strings_extra,
     )
     from datalakejson_spark.functions import (  # noqa: F401
         dedup,
