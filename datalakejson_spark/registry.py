@@ -67,6 +67,7 @@ def all_specs() -> dict[str, QuerySpec]:
         windows_extra,
         json_extra,
         strings_extra,
+        math_extra,
     )
     from datalakejson_spark.functions import (  # noqa: F401
         dedup,
