@@ -23,7 +23,7 @@ _REPO_ROOT = str(Path(__file__).resolve().parent)
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from datalakejson_spark.registry import all_specs  # noqa: E402
+from datalakejson_spark.registry import driver_specs  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -35,8 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in sorted(all_specs().items())}
+    """The curated driver tier: ≤50 queries (the driver verifies only the
+    first 50 alphabetically) in which every SURVEY.md §2 operator family
+    appears at least once. The redundant long-tail variants (TPC-H showcase
+    queries, extra per-function demos) live in the *extended* tier —
+    registry.all_specs() — and are oracle-verified locally by
+    tools/verify_oracle.py and the test suite."""
+    return {name: spec.fn for name, spec in sorted(driver_specs().items())}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -44,5 +49,5 @@ def oracle_sql() -> dict[str, str]:
     queries (sketches, approximations, engine-defined heuristics) are
     intentionally absent per the driver contract."""
     return {
-        name: spec.sql for name, spec in sorted(all_specs().items()) if spec.sql
+        name: spec.sql for name, spec in sorted(driver_specs().items()) if spec.sql
     }

@@ -148,12 +148,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     Shape: explode deduped shingles (``array_distinct`` BEFORE the explode —
     map-side) → md5 once per shingle → 8 min-aggregates. The groupBy looks
     like avoidable work next to a pure map-side ``array_min`` formulation,
-    but it is deliberately kept: downstream LSH banding references the
-    signature table 8× (4 bands × 2 self-join sides), and the aggregate's
-    shuffle is an Exchange that Spark's ReuseExchange deduplicates — the
-    expensive shingle+md5 computation runs once. A shuffle-free plan would be
-    recomputed per reference (measured 3× slower end-to-end); equivalently,
-    callers could persist, but an exchange needs no cache management."""
+    but it is deliberately kept: downstream LSH banding self-joins the
+    signature table, and the aggregate's shuffle is an Exchange that Spark's
+    ReuseExchange deduplicates across the two join sides — provided both
+    sides reference ALL signature columns identically (see
+    lsh_candidate_pairs: a per-band union would let column pruning
+    specialize each branch's aggregate and defeat the reuse, which is
+    exactly the 8×-recompute bug round 1 shipped)."""
     tok = df.select(F.col(id_col), F.split(text_col, " ").alias("w"))
     hashed = tok.select(
         F.col(id_col),
@@ -172,16 +173,38 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     The join key is (band, band_hash): docs only meet if a whole band of
     minhashes agrees — the LSH guarantee that keeps this O(collisions), not
     O(n²), at scale.
+
+    Plan shape (the round-1 lesson): all bands come from ONE
+    explode(array(struct(band, band_hash)...)) over the signature table, so
+    the expensive shingle→md5→aggregate pipeline appears exactly once per
+    self-join side — and because both sides then reference identical columns,
+    the aggregate's Exchange is deduplicated by ReuseExchange and the
+    pipeline executes ONCE per run. (Round 1 built bands as a 4-way union of
+    per-band selects; column pruning specialized each branch's partial
+    aggregate to its 2 mh lanes, the 8 Exchanges stopped being equal, and the
+    scan+shingle+aggregate ran 8×. Verified fixed via executedPlan:
+    tests/test_plans.py asserts a single documents scan and a ReusedExchange
+    in the executed l2 plan.)
     """
-    bands = None
-    for band, expr in _BAND_EXPRS:
-        b = sigs.select(
-            F.col(id_col),
-            F.lit(band).alias("band"),
-            F.expr(expr).alias("band_hash"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    a = bands.alias("a")
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(band).alias("band"), F.expr(expr).alias("band_hash"))
+            for band, expr in _BAND_EXPRS
+        ]
+    )
+    bands = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col),
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+    # hint("merge"): without it Spark broadcasts one side (bands is small at
+    # test sf), and a BroadcastExchange can never reuse the other side's
+    # shuffle Exchange → the pipeline would run twice. With a sort-merge join
+    # both sides need the same hashpartitioning(band, band_hash) Exchange,
+    # ReuseExchange deduplicates them, and the pipeline runs ONCE. At 100 TB
+    # broadcast would be wrong anyway: the band table is 4× the corpus row
+    # count.
+    a = bands.alias("a").hint("merge")
     b = bands.alias("b")
     return (
         a.join(

@@ -6,15 +6,24 @@ cells; each vector is assigned to its nearest centroid (the "inverted
 list"). A query probes only the ``nprobe`` cells whose centroids are closest,
 then exact-reranks. Search cost drops from O(n) to O(n · nprobe / k).
 
-Spark mapping: the quantizer is ``pyspark.ml.clustering.KMeans`` (seeded →
-reproducible); cell assignment is its transform; the probe is a broadcast
-join query×top-nprobe-cells → candidates co-partitioned by cell id. The
-index (centroids + assignments) is a DataFrame that persists like any table —
-rebuilding is one ML fit, incremental inserts are one transform.
+Spark mapping, designed for the 100 TB shape:
+
+- The coarse quantizer is a driver-side seeded numpy Lloyd's over a bounded
+  deterministic sample (a coarse quantizer needs rough cells, not a converged
+  clustering — FAISS trains IVF quantizers on samples too). This replaced a
+  pyspark.ml KMeans fit that cost ~10 s of JVM/ML overhead per index build at
+  sf0.01 while producing equivalent cells.
+- Cell assignment is a pure JVM-side expression: argmin over the k centroid
+  literals via array_min of (distance, cell) structs — embarrassingly
+  parallel, NO shuffle, no Python in the executor path. At 16 cells × 64 dims
+  this stays inside whole-stage codegen.
+- The probe is a broadcast of (query × nprobe cells); candidates are joined
+  on cell id, then exact-reranked within the probed cells only.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -24,22 +33,66 @@ from datalakejson_spark.sources.tables import load_table
 
 N_CELLS = 16
 N_PROBE = 4
+_SAMPLE_CAP = 4096  # quantizer training sample (driver-side, bounded)
 
 
-def build_ivf_index(emb: DataFrame, k: int = N_CELLS, seed: int = 42):
-    """Fit the coarse quantizer and assign every vector to a cell.
-    Returns (assigned_df with ``cell`` column, fitted KMeansModel)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+def train_quantizer(
+    emb: DataFrame, k: int = N_CELLS, seed: int = 42, iters: int = 10
+) -> list[list[float]]:
+    """Seeded Lloyd's k-means on a bounded deterministic sample, driver-side.
 
-    vecs = emb.withColumn("features", array_to_vector("embedding"))
-    # maxIter=5: a coarse quantizer needs rough cells, not converged ones —
-    # recall is governed by nprobe, and fit time is the index build cost
-    model = KMeans(k=k, seed=seed, maxIter=5, featuresCol="features").fit(vecs)
-    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell").drop(
-        "features"
+    The sample is the md5-prefix trick (engine-portable determinism, same as
+    o3_deterministic_sample) capped at ``_SAMPLE_CAP`` rows — at any data
+    scale this collects a few thousand small vectors, never the table.
+    """
+    frac_col = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+    sample = (
+        emb.select("vec_id", "embedding", frac_col.cast("long").alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_SAMPLE_CAP)
+        .select("embedding")
+        .collect()
     )
-    return assigned, model
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        # assign: (n, k) squared distances via ||x||^2 - 2 x.c + ||c||^2
+        d2 = ((x**2).sum(1)[:, None] - 2 * x @ cents.T + (cents**2).sum(1)[None, :])
+        labels = d2.argmin(1)
+        for j in range(len(cents)):
+            members = x[labels == j]
+            if len(members):
+                cents[j] = members.mean(0)
+    return [[float(v) for v in c] for c in cents]
+
+
+def _dist2_to_literal(centroid: list[float]):
+    """Squared euclidean distance from the ``embedding`` column to a centroid
+    literal — JVM-side zip_with/aggregate, no UDF."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(
+            "embedding", lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add the ``cell`` column: argmin over centroid distances, computed as
+    array_min over (distance, cell) structs. Pure map-side expression — the
+    inverted-list build shuffles nothing."""
+    cell = F.array_min(
+        F.array(
+            *[
+                F.struct(_dist2_to_literal(c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["cell"]
+    return emb.withColumn("cell", cell)
 
 
 def ivf_topk(
@@ -54,11 +107,11 @@ def ivf_topk(
     ``queries`` must be a subset of ``emb`` rows (vec_id, embedding).
     Output: (query_id, neighbor_id, cosine, rn).
     """
-    assigned, model = build_ivf_index(emb, k=n_cells)
     spark = emb.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
+    centroids = train_quantizer(emb, k=n_cells)
+    assigned = assign_cells(emb, centroids)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     )
     # per-query nprobe nearest cells (euclidean to centroid); centroid set is
     # tiny → broadcast, one row per (query, probed cell)
@@ -74,7 +127,7 @@ def ivf_topk(
     )
     probe_w = Window.partitionBy("query_id").orderBy("cell_dist", "cell")
     probes = (
-        q.crossJoin(F.broadcast(centroids))
+        q.crossJoin(F.broadcast(cent_df))
         .withColumn("cell_dist", dist2)
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
@@ -94,9 +147,27 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
-@register("l3c_ann_ivf_topk", survey="L3", sql=None)
+@register(
+    "l3c_ann_ivf_topk",
+    survey="L3",
+    sql="""
+    -- The ANN result set is approximation-defined, so the checkable contract
+    -- is RECALL: the Spark side joins the IVF top-k against the exact
+    -- brute-force top-k and emits, per query, whether the index recovered at
+    -- least one true nearest neighbor; the oracle asserts that holds for
+    -- every query. (Overall recall >= 0.4 is separately asserted in
+    -- tests/test_tierc.py.)
+    SELECT CAST(vec_id AS BIGINT) AS query_id, true AS found_true_neighbor
+    FROM embeddings
+    WHERE vec_id < 8
+    """,
+)
 def l3c_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k for the first 8 query vectors (rows-only check;
-    recall vs. the exact baseline asserted in tests/test_tierc.py)."""
+    """IVF ANN for the first 8 query vectors, verified against the exact
+    baseline inside the query: emits (query_id, found_true_neighbor) so the
+    index's recall contract is oracle-checkable."""
+    from datalakejson_spark.functions.similarity import ann_recall_check
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8))
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_recall_check(ivf_topk(emb, queries), emb, queries)

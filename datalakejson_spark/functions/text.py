@@ -19,6 +19,7 @@ from datalakejson_spark.sources.tables import load_table
 @register(
     "l4_token_stats",
     survey="L4,F5",
+    extended=True,  # L4/F5 covered in the driver tier by l4/l4c/l6
     sql="""
     SELECT doc_id, lang,
            len(string_split(text, ' ')) AS n_tokens,
@@ -144,7 +145,7 @@ def predict_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@register("l4b_langid_heuristic", survey="L4", sql=None)
+@register("l4b_langid_heuristic", survey="L4", extended=True, sql=None)
 def l4b_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-class language-ID features + prediction (rows-only check;
     the heuristic itself is engine-defined, asserted in tests)."""

@@ -110,7 +110,7 @@ _L4D_SQL = f"""
 """
 
 
-@register("l4d_regex_tokens", survey="L4,F2", sql=_L4D_SQL)
+@register("l4d_regex_tokens", survey="L4,F2", extended=True, sql=_L4D_SQL)
 def l4d_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace and a BPE-ish regex (lowercase
     runs, capitalized pieces, digit runs, punctuation singletons) — the
@@ -149,7 +149,7 @@ _L6B_SQL = f"""
 """
 
 
-@register("l6b_quality_score", survey="L6,L4", sql=_L6B_SQL)
+@register("l6b_quality_score", survey="L6,L4", extended=True, sql=_L6B_SQL)
 def l6b_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features per document: token count, stopword ratio over the
     vocabulary, type-token ratio (lexical diversity), and the length gate —

@@ -66,9 +66,11 @@ def g3_flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g1_gating_counts",
     survey="G1,E1",
     sql="""
+    -- count_if returns HUGEINT in DuckDB (→ float64 via fetchdf); Spark's
+    -- count_if is BIGINT. Cast so the driver's dtype-sensitive hash matches.
     SELECT count(*) AS n_total,
-           count_if(event_type = 'error') AS n_corrupt,
-           count_if(event_type <> 'error') AS n_good
+           CAST(count_if(event_type = 'error') AS BIGINT) AS n_corrupt,
+           CAST(count_if(event_type <> 'error') AS BIGINT) AS n_good
     FROM events
     """,
 )
@@ -92,6 +94,7 @@ def g1_gating_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g3_grouped_agg_orders",
     survey="G3",
+    extended=True,  # G3 covered in the driver tier by g3_flagship + j3 + g6
     sql=f"""
     SELECT o_orderpriority,
            count(*) AS n_orders,
@@ -137,18 +140,38 @@ def g4_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# G5: approximate count distinct (HLL++) — rows-only check
+# G5: approximate count distinct (HLL++)
 # --------------------------------------------------------------------------
-@register("g5_approx_count_distinct", survey="G5", sql=None)
+@register(
+    "g5_approx_count_distinct",
+    survey="G5",
+    sql="""
+    -- The HLL++ estimate itself is sketch-implementation-defined, so the
+    -- oracle checks the exact cardinality plus the *accuracy contract*: the
+    -- Spark side emits whether its estimate landed within 5x the requested
+    -- rsd (0.02) of the exact count; the oracle asserts that bound holds.
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           true AS estimate_within_rsd
+    FROM events
+    GROUP BY 1
+    """,
+)
 def g5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ cardinality sketch — the 100 TB substitute for G4 (BASELINE.json:6
-    scale mandate). Estimates are sketch-implementation-defined, so there is no
-    cross-engine oracle: the driver records a rows-only check (allowed per
-    contract). tests/test_operators.py asserts the estimate is within rsd of
-    the exact count."""
+    scale mandate). The estimate is implementation-defined, so the checkable
+    output is (exact count, estimate-within-bound boolean): the oracle
+    recomputes the exact count and asserts the boolean is true, making the
+    sketch's accuracy contract itself hash-checkable."""
     events = load_table(spark, sf_dir, "events")
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.02)
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+        exact.alias("n_users_exact"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.02 * 5 * exact.cast("double")
+        ).alias("estimate_within_rsd"),
     )
 
 
@@ -181,6 +204,7 @@ def g6_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g6_cube_flag_status",
     survey="G6",
+    extended=True,  # G6 covered in the driver tier by g6_rollup_time_hierarchy
     sql=f"""
     SELECT l_returnflag, l_linestatus, {dsum_sql('l_quantity')} AS sum_qty,
            count(*) AS n_rows
@@ -226,21 +250,34 @@ def g7_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "g8_per_source_audit",
-    survey="G8",
+    survey="G8,F8,E2",
     sql="""
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
-           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    -- sum(BIGINT) is HUGEINT in DuckDB (→ float64 via fetchdf); Spark sums
+    -- BIGINT as BIGINT. Cast for the driver's dtype-sensitive hash.
+    -- src_file: Spark derives it from input_file_name() at scan time (F8);
+    -- the oracle pins the known fixture file name.
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           'documents.parquet' AS src_file
     FROM documents
     GROUP BY 1
     """,
 )
 def g8_per_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-contributed-per-source-file audit — the purpose of the lineage
-    column (sudo_code.txt:250 "Helps trace back rows", diagram3:109)."""
+    column (sudo_code.txt:250 "Helps trace back rows", diagram3:109). The
+    src_file column is real scan-time lineage via input_file_name() (F8),
+    the same mechanism ingest stamps _source_file with."""
     docs = load_table(spark, sf_dir, "documents")
+    # input_file_name() is nondeterministic → must be projected to a column
+    # BEFORE the aggregate (Spark rejects it inside agg arguments).
+    docs = docs.withColumn(
+        "src_file", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+    )
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+        F.min("src_file").alias("src_file"),
     )

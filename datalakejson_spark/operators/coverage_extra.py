@@ -14,6 +14,7 @@ from datalakejson_spark.sources.tables import load_table
 @register(
     "j5b_full_outer_join",
     survey="J5,F7",
+    extended=True,  # J5 covered in the driver tier by j5
     sql="""
     SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
            coalesce(cn.n_customers, 0) AS n_customers,
@@ -79,6 +80,7 @@ def f6_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f1b_datetime_extended",
     survey="F1",
+    extended=True,  # F1 covered in the driver tier by f1
     sql="""
     SELECT o_orderkey,
            CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
@@ -117,6 +119,7 @@ def f1b_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "o2_global_sort_rank",
     survey="O2,W1",
+    extended=True,  # O2 covered in the driver tier by g3_flagship
     sql="""
     SELECT rank_overall, s_suppkey, s_name, s_acctbal FROM (
         SELECT row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rank_overall,
@@ -145,6 +148,7 @@ def o2_global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u2b_union_all",
     survey="U2",
+    extended=True,  # U2 covered in the driver tier by u2
     sql="""
     SELECT kind, count(*) AS n FROM (
         SELECT 'c' AS kind, CAST(c_nationkey AS INTEGER) AS nationkey FROM customer

@@ -15,6 +15,7 @@ from datalakejson_spark.sources.tables import load_table
 @register(
     "p13_like_predicates",
     survey="P10,F2",
+    extended=True,  # P10/F2 covered in the driver tier
     sql="""
     SELECT p_partkey, p_name, p_type
     FROM part
@@ -37,6 +38,7 @@ def p13_like_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f7b_null_safe_equality",
     survey="F7",
+    extended=True,  # F7 covered in the driver tier by f7/p2
     sql="""
     SELECT a.event_id AS event_id,
            (nullif(a.event_type, 'error') IS NOT DISTINCT FROM
@@ -62,6 +64,7 @@ def f7b_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f5e_array_algebra",
     survey="F5,U3",
+    extended=True,  # F5/U3 covered in the driver tier
     sql="""
     WITH t AS (
         SELECT doc_id,
@@ -102,6 +105,7 @@ def f5e_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g9b_unpivot",
     survey="G3,G6,U2",
+    extended=True,  # G3/G6/U2 covered in the driver tier
     sql="""
     SELECT c_custkey, metric, val FROM (
         SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
@@ -128,6 +132,7 @@ def g9b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f5f_explode_outer",
     survey="F5,J5",
+    extended=True,  # F5/J5 covered in the driver tier
     sql="""
     WITH t AS (
         SELECT event_id,
@@ -155,8 +160,8 @@ def f5f_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
     SELECT o_orderpriority,
-           count_if(o_totalprice >= 150000) AS n_high,
-           count_if(o_totalprice < 150000) AS n_low
+           CAST(count_if(o_totalprice >= 150000) AS BIGINT) AS n_high,
+           CAST(count_if(o_totalprice < 150000) AS BIGINT) AS n_low
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -166,7 +171,7 @@ _Q12_SQL = """
 """
 
 
-@register("q12_priority_shipping", survey="J3,G1,G3,F7", sql=_Q12_SQL)
+@register("q12_priority_shipping", survey="J3,G1,G3,F7", extended=True, sql=_Q12_SQL)
 def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q12 shape: join + conditional counts per class."""
     orders = load_table(spark, sf_dir, "orders")
@@ -200,7 +205,7 @@ _Q14_SQL = f"""
 """
 
 
-@register("q14_promo_ratio", survey="J3,J4,G3,F7", sql=_Q14_SQL)
+@register("q14_promo_ratio", survey="J3,J4,G3,F7", extended=True, sql=_Q14_SQL)
 def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14 shape: ratio of conditional revenue to total — one
     aggregation, broadcast part dimension."""

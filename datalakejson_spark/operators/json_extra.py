@@ -15,6 +15,7 @@ from datalakejson_spark.sources.tables import load_table
 @register(
     "f3c_json_tuple_roundtrip",
     survey="F3",
+    extended=True,  # F3 covered in the driver tier by f3/p6/f6
     sql="""
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,

@@ -13,11 +13,13 @@ from datalakejson_spark.sources.tables import load_table
 @register(
     "f4b_math_extended",
     survey="F4,F7",
+    extended=True,  # F4/F7 covered in the driver tier by f4/f7
     sql="""
+    -- DuckDB sign() returns TINYINT; Spark signum() returns DOUBLE — cast.
     SELECT l_orderkey, l_linenumber,
            greatest(l_quantity, l_discount * 100.0) AS g,
            least(l_tax, l_discount) AS l,
-           sign(l_extendedprice - 30000.0) AS spread_sign,
+           CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS spread_sign,
            CAST(l_extendedprice AS BIGINT) // 1000 AS price_k,
            l_orderkey & 255 AS key_low_byte,
            l_orderkey | 1 AS key_odd,

@@ -16,30 +16,33 @@ from datalakejson_spark.sources.tables import load_table
 
 
 # --------------------------------------------------------------------------
-# P1 + P5: projection with rename and casts
+# P1 + P4 + P5 + P9: distinct projection with rename, casts, computed column
 # --------------------------------------------------------------------------
 @register(
     "p1_projection_rename_cast",
-    survey="P1,P5",
+    survey="P1,P4,P5,P9,G2",
     sql="""
-    SELECT p_partkey AS part_id,
-           upper(p_brand) AS brand,
+    SELECT DISTINCT upper(p_brand) AS brand,
            CAST(p_size AS BIGINT) AS size_big,
-           CAST(p_retailprice AS VARCHAR) AS price_str
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_hundreds,
+           CAST(p_size AS VARCHAR) AS size_str
     FROM part
     """,
 )
 def p1_projection_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Select-with-alias + cast chain (reference transform step,
     sudo_code.txt:243-251, psuedo_code.txt:273-276: ``col("id").cast(StringType())
-    .alias(...)``). Column-pruned scan: only 4 of 6 part columns read."""
+    .alias(...)``) + computed column (P4) + DISTINCT over the projection (P9 —
+    the reference collects distinct source-path sets, sudo_code.txt:165).
+    Column-pruned scan: only 3 of 6 part columns read; the distinct is a
+    two-phase hash aggregate on the projected (narrow) columns only."""
     part = load_table(spark, sf_dir, "part")
     return part.select(
-        F.col("p_partkey").alias("part_id"),
         F.upper("p_brand").alias("brand"),
         F.col("p_size").cast("bigint").alias("size_big"),
-        F.col("p_retailprice").cast("string").alias("price_str"),
-    )
+        F.floor(F.col("p_retailprice") / 100).alias("price_hundreds"),
+        F.col("p_size").cast("string").alias("size_str"),
+    ).distinct()
 
 
 # --------------------------------------------------------------------------
@@ -75,6 +78,7 @@ def p2_null_predicate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p4_partition_key_derivation",
     survey="P4,F1",
+    extended=True,  # P4 covered in the driver tier by p1 (computed column)
     sql=f"""
     SELECT year(l_shipdate) AS year,
            month(l_shipdate) AS month,
@@ -105,6 +109,7 @@ def p4_partition_key_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p9_distinct_projection",
     survey="P9,G2",
+    extended=True,  # P9/G2 covered in the driver tier by p1 + l1
     sql="SELECT DISTINCT lang, source FROM documents",
 )
 def p9_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,6 +125,7 @@ def p9_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p10_inlist_filter",
     survey="P10",
+    extended=True,  # P10 covered in the driver tier by o1 (IN-list claim)
     sql="""
     SELECT o_orderkey, o_orderstatus, o_totalprice
     FROM orders
@@ -133,6 +139,64 @@ def p10_inlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(
         F.col("o_orderstatus").isin("F", "O") & (F.col("o_orderpriority") == "1-URGENT")
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# P6 + P7 + P8: nested flatten, complex passthrough, star expansion
+# --------------------------------------------------------------------------
+@register(
+    "p6_nested_flatten",
+    survey="P6,P7,P8,F3",
+    sql="""
+    -- DuckDB: unnest(struct) expands struct fields to columns (= Spark
+    -- `meta.*`). The passthrough struct is serialized with to_json only in
+    -- the FINAL projection (the driver canonicalizer can't hash dict cells);
+    -- both engines emit identical compact JSON for int/varchar fields.
+    SELECT event_id, etype, k, usr.uid AS uid, to_json(usr) AS usr_json
+    FROM (
+        SELECT event_id, unnest(meta)
+        FROM (
+            SELECT event_id,
+                   struct_pack(
+                       etype := event_type,
+                       k := CAST(json_extract_string(props, '$.k') AS BIGINT),
+                       usr := struct_pack(uid := user_id, ev := event_type)
+                   ) AS meta
+            FROM events
+            WHERE event_id <= 300
+        )
+    )
+    """,
+)
+def p6_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's transform IS selective flattening of nested JSON
+    (psuedo_code.txt:279-287: ``col("metadata.app_version")`` + star expansion
+    + complex passthrough). The flat events fixture carries its nesting in the
+    ``props`` JSON string, so the query (1) parses it with from_json (F3),
+    (2) builds the nested struct, (3) star-expands it with ``meta.*`` (P8),
+    (4) flattens a leaf with ``usr.uid`` (P6), and (5) passes the complex
+    ``usr`` struct through intermediate projections untouched (P7),
+    serializing it only in the final projection for the driver's hasher."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    nested = events.filter(F.col("event_id") <= 300).select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("etype"),
+            parsed.getField("k").alias("k"),
+            F.struct(
+                F.col("user_id").alias("uid"), F.col("event_type").alias("ev")
+            ).alias("usr"),
+        ).alias("meta"),
+    )
+    expanded = nested.select("event_id", "meta.*")  # P8: star expansion
+    return expanded.select(
+        "event_id",
+        "etype",
+        "k",
+        F.col("usr.uid").alias("uid"),  # P6: selective leaf flatten
+        F.to_json("usr").alias("usr_json"),  # P7: passthrough, serialized last
+    )
 
 
 # --------------------------------------------------------------------------
@@ -191,7 +255,7 @@ def p12_prefix_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "o1_order_limit_claim",
-    survey="O1",
+    survey="O1,P10",
     sql="""
     SELECT o_orderkey, o_orderdate, o_orderstatus
     FROM orders
@@ -277,26 +341,46 @@ def u1_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# U2: union all + union distinct
+# U2 + U3: union all / union distinct / intersect / except in one membership map
 # --------------------------------------------------------------------------
 @register(
     "u2_union_distinct",
-    survey="U2",
+    survey="U2,U3",
     sql="""
-    SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
-    UNION
-    SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+    SELECT nationkey, 'any' AS membership FROM (
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        UNION
+        SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'both' AS membership FROM (
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        INTERSECT
+        SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS membership FROM (
+        SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        EXCEPT
+        SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+    )
     """,
 )
 def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL UNION (distinct) surface (diagram_1.txt:99)."""
+    """The full set-operation surface (diagram_1.txt:99) as one membership map:
+    UNION (distinct), INTERSECT, EXCEPT, glued with UNION ALL. The EXCEPT
+    branch is the reference's lost-file reconciliation shape: claimed minus
+    good minus corrupt (sudo_code.txt:219-224)."""
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
-    return (
-        customer.select(F.col("c_nationkey").cast("int").alias("nationkey"))
-        .union(supplier.select(F.col("s_nationkey").cast("int").alias("nationkey")))
-        .distinct()
+    c = customer.select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    s = supplier.select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    any_ = c.union(s).distinct().withColumn("membership", F.lit("any"))
+    both = c.intersect(s).withColumn("membership", F.lit("both"))
+    only = c.distinct().exceptAll(s.distinct()).withColumn(
+        "membership", F.lit("customer_only")
     )
+    return any_.unionByName(both).unionByName(only)
 
 
 # --------------------------------------------------------------------------
@@ -305,6 +389,7 @@ def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u3_intersect_except",
     survey="U3",
+    extended=True,  # U3 covered in the driver tier by u2 (set-op membership)
     sql="""
     SELECT nationkey, 'both' AS membership FROM (
         SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer

@@ -95,9 +95,11 @@ def f2_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f3_json_extraction",
     survey="F3",
     sql="""
+    -- sum(BIGINT) is HUGEINT in DuckDB (→ float64 via fetchdf); cast back to
+    -- BIGINT so the driver's dtype-sensitive hash matches Spark's sum.
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(json_extract_string(props, '$.k')) AS min_k_str
     FROM events
     GROUP BY 1
@@ -120,6 +122,7 @@ def f3_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f3_from_json_struct",
     survey="F3",
+    extended=True,  # F3 covered in the driver tier by f3_json_extraction + f6
     sql="""
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
     FROM events
@@ -144,10 +147,12 @@ def f3_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f4_math_functions",
     survey="F4",
     sql="""
+    -- DuckDB floor/ceil return DOUBLE; Spark F.floor/F.ceil return BIGINT.
+    -- Cast the oracle side to BIGINT for the driver's dtype-sensitive hash.
     SELECT l_orderkey, l_linenumber,
            abs(l_extendedprice - l_quantity * 1000.0) AS abs_spread,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_extendedprice) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
            sqrt(l_quantity) AS qty_sqrt,
            l_orderkey % 7 AS key_mod,
            power(1.0 + l_discount, 2.0) AS disc_sq
@@ -179,6 +184,7 @@ def f4_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f5_explode_tokens",
     survey="F5,L4",
+    extended=True,  # F5 covered in the driver tier by f5_higher_order/f5c/f5d
     sql="""
     SELECT token, count(*) AS freq FROM (
         SELECT unnest(string_split(text, ' ')) AS token FROM documents

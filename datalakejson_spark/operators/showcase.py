@@ -32,7 +32,7 @@ _Q3_SQL = f"""
 """
 
 
-@register("q3_shipping_priority", survey="J3,J4,G3,O1,P10,P11", sql=_Q3_SQL)
+@register("q3_shipping_priority", survey="J3,J4,G3,O1,P10,P11", extended=True, sql=_Q3_SQL)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3 shape: selective dimension filter → star join → grouped
     revenue → top-10. The customer filter prunes before the join; the final
@@ -76,7 +76,7 @@ _Q10_SQL = f"""
 """
 
 
-@register("q10_returned_items", survey="J3,J4,G3,O1,P10", sql=_Q10_SQL)
+@register("q10_returned_items", survey="J3,J4,G3,O1,P10", extended=True, sql=_Q10_SQL)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10 shape: lost-revenue report over returned lineitems — fact
     filter pushed to scan, nation broadcast, top-20 customers."""

@@ -23,7 +23,7 @@ _Q6_SQL = f"""
 """
 
 
-@register("q6_forecast_revenue", survey="G3,P11,F4", sql=_Q6_SQL)
+@register("q6_forecast_revenue", survey="G3,P11,F4", extended=True, sql=_Q6_SQL)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6 shape: pure scan-side predicates feeding one global
     aggregate — everything pushes down; the job reduces a filtered scan
@@ -58,7 +58,7 @@ _Q18_SQL = f"""
 """
 
 
-@register("q18_large_volume_customers", survey="J3,J6,G3", sql=_Q18_SQL)
+@register("q18_large_volume_customers", survey="J3,J6,G3", extended=True, sql=_Q18_SQL)
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18 shape: IN-subquery over a grouped HAVING — planned as an
     aggregate + semi join, then the main star join re-aggregates."""
@@ -82,7 +82,7 @@ _Q19_SQL = f"""
 """
 
 
-@register("q19_disjunctive_predicates", survey="J3,J4,F7,P10", sql=_Q19_SQL)
+@register("q19_disjunctive_predicates", survey="J3,J4,F7,P10", extended=True, sql=_Q19_SQL)
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q19 shape: OR-of-ANDs across both join sides. Catalyst extracts
     the common join key and pushes the per-side conjuncts below the join

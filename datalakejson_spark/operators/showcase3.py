@@ -24,7 +24,7 @@ _Q4_SQL = """
 """
 
 
-@register("q4_order_priority_check", survey="J6,G3,P11", sql=_Q4_SQL)
+@register("q4_order_priority_check", survey="J6,G3,P11", extended=True, sql=_Q4_SQL)
 def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4 shape: date-windowed orders having at least one late-shipped
     line — correlated EXISTS with a cross-table predicate → semi join."""
@@ -48,7 +48,7 @@ _Q15_SQL = f"""
 """
 
 
-@register("q15_top_supplier", survey="G3,J3,O1", sql=_Q15_SQL)
+@register("q15_top_supplier", survey="G3,J3,O1", extended=True, sql=_Q15_SQL)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q15 shape: aggregate view + max-of-aggregate scalar subquery —
     the revenue CTE is computed once and reused for both the probe and the
@@ -76,7 +76,7 @@ _Q21_SQL = """
 """
 
 
-@register("q21_waiting_supplier", survey="J6,J3,G3", sql=_Q21_SQL)
+@register("q21_waiting_supplier", survey="J6,J3,G3", extended=True, sql=_Q21_SQL)
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21 shape: the sole at-fault supplier on multi-supplier orders —
     one correlated EXISTS and one NOT EXISTS against the same fact table,

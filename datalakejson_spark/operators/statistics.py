@@ -51,7 +51,7 @@ _G10_SQL = f"""
 """
 
 
-@register("g10_exact_moment_stats", survey="G3,G7,F4", sql=_G10_SQL)
+@register("g10_exact_moment_stats", survey="G3,G7,F4", extended=True, sql=_G10_SQL)
 def g10_exact_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample stddev from exact integer moments: deterministic under any
     partitioning on both engines, unlike native stddev accumulators."""
@@ -89,7 +89,7 @@ _G11_SQL = f"""
 """
 
 
-@register("g11_exact_correlation", survey="G3,F4", sql=_G11_SQL)
+@register("g11_exact_correlation", survey="G3,F4", extended=True, sql=_G11_SQL)
 def g11_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation from exact cross-moments (same portability
     rationale as g10)."""
@@ -126,7 +126,7 @@ _G9_SQL = f"""
 """
 
 
-@register("g9_pivot_segments", survey="G3,G6", sql=_G9_SQL)
+@register("g9_pivot_segments", survey="G3,G6", extended=True, sql=_G9_SQL)
 def g9_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot market segments to columns via Spark's pivot API (which plans
     exactly the conditional aggregation the oracle spells out — one pass,
@@ -150,6 +150,7 @@ def g9_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g6c_grouping_sets",
     survey="G6",
+    extended=True,  # G6 covered in the driver tier by g6_rollup
     sql="""
     SELECT l_returnflag, l_linestatus,
            grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,

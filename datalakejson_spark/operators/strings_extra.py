@@ -13,6 +13,7 @@ from datalakejson_spark.sources.tables import load_table
 @register(
     "f2b_string_extended",
     survey="F2",
+    extended=True,  # F2 covered in the driver tier by f2/p12/o3
     sql="""
     SELECT n_nationkey,
            lpad(n_name, 20, '.') AS padded,

@@ -25,6 +25,7 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 @register(
     "sq1_exists_semi",
     survey="J6,P10",
+    extended=True,  # J6 covered in the driver tier by j2
     sql="""
     SELECT c_custkey, c_acctbal
     FROM customer
@@ -48,6 +49,7 @@ def sq1_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sq2_not_in_anti",
     survey="J6",
+    extended=True,  # J6 covered in the driver tier by j1/j2
     sql="""
     SELECT p_partkey, p_brand
     FROM part
@@ -73,7 +75,7 @@ _SQ3 = f"""
 """
 
 
-@register("sq3_scalar_subquery", survey="G3,F7", sql=_SQ3)
+@register("sq3_scalar_subquery", survey="G3,F7", extended=True, sql=_SQ3)
 def sq3_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery: customers above global mean balance.
     (Deterministic avg, so the threshold is bit-identical across engines.)"""
@@ -90,7 +92,7 @@ _SQ4 = f"""
 """
 
 
-@register("sq4_correlated_scalar", survey="G3,J3", sql=_SQ4)
+@register("sq4_correlated_scalar", survey="G3,J3", extended=True, sql=_SQ4)
 def sq4_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: orders > 2× their customer's average —
     Catalyst decorrelates to an aggregate + join (RewriteCorrelatedScalarSubquery);
@@ -102,6 +104,7 @@ def sq4_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sq5_having",
     survey="G3",
+    extended=True,  # G3 covered in the driver tier
     sql="""
     SELECT l_suppkey, count(*) AS n_lines
     FROM lineitem

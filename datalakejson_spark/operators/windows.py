@@ -59,6 +59,7 @@ def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w2_lag_lead",
     survey="W2",
+    extended=True,  # W2 covered in the driver tier by j10_asof_last_click
     sql="""
     SELECT event_id, user_id, value,
            lag(value)  OVER w AS prev_value,
@@ -86,11 +87,11 @@ def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# W3: running aggregate with explicit row frame
+# W3 + W4: running aggregate (row frame) + trailing time-range frame
 # --------------------------------------------------------------------------
 @register(
     "w3_running_sum",
-    survey="W3",
+    survey="W3,W4",
     sql=f"""
     SELECT o_custkey, o_orderkey, o_totalprice,
            {dwin_sum_sql('o_totalprice', '''(
@@ -99,20 +100,30 @@ def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS lifetime_spend,
            count(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq,
+           count(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_orders_30d
     FROM orders
     """,
 )
 def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer lifetime-spend running total — classic training-label feature.
-    The cumulative sum goes through a DECIMAL accumulator: windowed double
-    sums are association-order-dependent (DuckDB uses segment trees) and
-    would drift in the last ULP otherwise."""
+    """Customer lifetime-spend running total (W3, ROWS frame) plus a trailing
+    30-day order count (W4, RANGE frame over epoch days) — classic training-
+    label features. The cumulative sum goes through a DECIMAL accumulator:
+    windowed double sums are association-order-dependent (DuckDB uses segment
+    trees) and would drift in the last ULP otherwise. Both windows partition
+    by o_custkey, so Spark reuses one exchange for the two sorts."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    day = F.floor(F.col("o_orderdate").cast("timestamp").cast("long") / 86400)
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, Window.currentRow)
     )
     return orders.select(
         "o_custkey",
@@ -120,6 +131,7 @@ def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         dwin_sum("o_totalprice", w).alias("lifetime_spend"),
         F.count("*").over(w).alias("order_seq"),
+        F.count("*").over(w_range).alias("n_orders_30d"),
     )
 
 
@@ -129,6 +141,7 @@ def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w4_time_range_frame",
     survey="W4",
+    extended=True,  # W4 covered in the driver tier by w3 (30-day range frame)
     sql=f"""
     SELECT event_id, user_id,
            {dwin_sum_sql('value', '''(

@@ -14,6 +14,7 @@ from datalakejson_spark.sources.tables import load_table
 @register(
     "w6_distribution_functions",
     survey="W1,W2",
+    extended=True,  # W1/W2 covered in the driver tier by w1/o1/j10
     sql="""
     SELECT s_suppkey, s_acctbal,
            round(percent_rank() OVER w, 9) AS pct_rank,
@@ -48,31 +49,41 @@ def w6_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f5c_array_construction",
     survey="F5",
     sql="""
+    -- The driver canonicalizer sorts result columns with pandas, which cannot
+    -- sort ndarray cells — so the final projection serializes each array with
+    -- a join; the array construction itself still runs inside the query.
     SELECT n_nationkey,
-           list_sort(string_split(n_name, '')) AS sorted_chars,
+           array_to_string(list_sort(string_split(n_name, '')), '') AS sorted_chars,
            len(flatten([string_split(n_name, ''), ['|'],
                         string_split(upper(n_name), '')])) AS flat_len,
-           [x * CAST(n_nationkey AS BIGINT) for x in range(1, 4)] AS key_multiples
+           array_to_string([CAST(x * CAST(n_nationkey AS BIGINT) AS VARCHAR)
+                            for x in range(1, 4)], ',') AS key_multiples
     FROM nation
     """,
 )
 def f5c_array_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction surface: sort_array, flatten, sequence+transform.
-    (Portability: DuckDB string_split with '' splits to chars like Spark
-    split with the empty pattern... pinned by the oracle.)"""
+    Array-typed outputs are serialized with array_join in the FINAL projection
+    only (the driver's canonicalizer can't sort ndarray cells); every array op
+    still executes as an array op inside the plan."""
     nation = load_table(spark, sf_dir, "nation")
     chars = F.split("n_name", "")
     return nation.select(
         "n_nationkey",
-        F.sort_array(chars).alias("sorted_chars"),
+        F.array_join(F.sort_array(chars), "").alias("sorted_chars"),
         F.size(
             F.flatten(
                 F.array(chars, F.array(F.lit("|")), F.split(F.upper("n_name"), ""))
             )
         ).alias("flat_len"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(3)),
-            lambda x: x.cast("bigint") * F.col("n_nationkey").cast("bigint"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3)),
+                lambda x: (x.cast("bigint") * F.col("n_nationkey").cast("bigint")).cast(
+                    "string"
+                ),
+            ),
+            ",",
         ).alias("key_multiples"),
     )
 

@@ -31,16 +31,36 @@ class QuerySpec:
     sql: str | None  # DuckDB oracle; None → rows-only check
     survey: str = ""  # SURVEY.md §2 operator ids this query covers
     doc: str = ""
+    extended: bool = False  # True → locally verified only, not in the driver set
 
 
-def register(name: str, sql: str | None = None, survey: str = "", doc: str = ""):
-    """Decorator: register ``fn`` as an oracle-checked query."""
+def register(
+    name: str,
+    sql: str | None = None,
+    survey: str = "",
+    doc: str = "",
+    extended: bool = False,
+):
+    """Decorator: register ``fn`` as an oracle-checked query.
+
+    ``extended=True`` marks a query as part of the *extended* tier: it is still
+    oracle-verified locally (tools/verify_oracle.py, tests) but is excluded
+    from the driver's registry, which checks only the first 50 entries
+    alphabetically. The driver tier (``driver_specs()``) is a curated ≤50-query
+    set in which every SURVEY §2 operator family appears at least once; the
+    extended tier holds the redundant variants (TPC-H showcase queries,
+    per-function long-tail demos) whose §2 tags are already covered."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, sql=sql, survey=survey, doc=doc or (fn.__doc__ or "")
+            name=name,
+            fn=fn,
+            sql=sql,
+            survey=survey,
+            doc=doc or (fn.__doc__ or ""),
+            extended=extended,
         )
         return fn
 
@@ -79,3 +99,19 @@ def all_specs() -> dict[str, QuerySpec]:
     from datalakejson_spark.streaming import windows as stream_windows  # noqa: F401
 
     return dict(_REGISTRY)
+
+
+DRIVER_CAP = 50  # the driver verifies only the first 50 queries alphabetically
+
+
+def driver_specs() -> dict[str, QuerySpec]:
+    """The curated driver tier: every non-extended query, capped at
+    ``DRIVER_CAP``. tests/test_engine.py asserts the cap is respected and that
+    every SURVEY §2 family tag appears in this set."""
+    core = {n: s for n, s in all_specs().items() if not s.extended}
+    if len(core) > DRIVER_CAP:
+        raise RuntimeError(
+            f"driver tier has {len(core)} queries (> {DRIVER_CAP}); demote "
+            "redundant queries to extended=True so the driver checks them all"
+        )
+    return core

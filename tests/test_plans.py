@@ -63,6 +63,21 @@ def test_exists_rewrites_to_semi_join(spark):
     assert "Subquery" not in plan2 or "BroadcastHashJoin" in plan2 or "SortMergeJoin" in plan2
 
 
+def test_minhash_pipeline_executes_once(spark):
+    """The round-1 defect: LSH banding referenced the signature pipeline 8x
+    (4 band branches x 2 join sides) with no exchange reuse. The fixed shape
+    (one explode over the signature table + forced sort-merge self-join) must
+    show exactly ONE documents scan and a ReusedExchange in the FINAL
+    adaptive plan — i.e. the shingle+md5+aggregate pipeline runs once."""
+    df = all_specs()["l2_minhash_lsh_pairs"].fn(spark, SF)
+    df.collect()  # executedPlan is final only after the df itself executes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
+    assert "ReusedExchange" in final, final
+
+
 def test_no_python_eval_in_registered_queries(spark):
     """Every registered operator stays JVM-side (UDFs live only in the
     explicitly-Python §2.11 surface, not in the oracle-checked library)."""

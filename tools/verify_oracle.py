@@ -52,6 +52,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for col in s.columns:
+        # Driver-hash mimic: float-vs-int dtype drift hashes differently on
+        # the driver (15000.0 != 15000) even when values compare equal here.
+        s_f, d_f = pd.api.types.is_float_dtype(s[col]), pd.api.types.is_float_dtype(d[col])
+        if s_f != d_f:
+            problems.append(
+                f"col {col}: DTYPE drift spark={s[col].dtype} duck={d[col].dtype} "
+                "(driver hash would fail)"
+            )
+    for col in s.columns:
         sv, dv = s[col], d[col]
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
             sa = sv.astype(float).to_numpy()
