@@ -17,12 +17,20 @@ at reference scale (~10^6 files, sudo_code.txt:7) a snapshot is a few MB —
 at 10^9 files, partition snapshots by status so claims read only
 PENDING/FAILED (the reference's ``idx_processing_status``, sudo_code.txt:49).
 
-Single-runner semantics: ``FOR UPDATE SKIP LOCKED`` multi-runner claims
-(psuedo_code.txt:174) are out of scope per SURVEY.md §4 X5.
+Multi-runner semantics: the reference serializes concurrent claims with
+``FOR UPDATE SKIP LOCKED`` (psuedo_code.txt:170-181). The filesystem analogue
+here is a lock file (O_CREAT|O_EXCL — atomic on POSIX and NFSv4+) held only
+for the duration of each ledger read-modify-write: a claim marks its files
+PROCESSING before releasing the lock, so a second runner's claim sees them
+and skips them — exactly SKIP LOCKED. Locks abandoned by a dead runner are
+broken after ``LOCK_STALE_S``. Files orphaned in PROCESSING by a hard crash
+(SIGKILL between claim and commit) are reclaimed at claim time once their
+``last_updated_at`` is older than the processing lease.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import time
@@ -59,13 +67,61 @@ LEDGER_SCHEMA = T.StructType(
 )
 
 
+# A runner that dies holding the lock must not wedge the fleet: locks older
+# than this are broken. Ledger ops hold the lock for seconds, so 120 s of
+# lock age means the holder is gone.
+LOCK_STALE_S = 120.0
+
+# PROCESSING rows whose last_updated_at is older than this are considered
+# orphaned by a crashed runner and become claimable again (the reference's
+# crash story relies on its DB transaction rollback; a snapshot ledger needs
+# an explicit lease).
+PROCESSING_LEASE_S = 1800.0
+
+
 class Ledger:
-    """Parquet-snapshot ledger with atomic pointer swap."""
+    """Parquet-snapshot ledger with atomic pointer swap and a lock-file mutex
+    serializing concurrent runners' read-modify-write cycles."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- multi-runner mutex --------------------------------------------------
+    @property
+    def _lockfile(self) -> Path:
+        return self.root / "_LOCK"
+
+    @contextlib.contextmanager
+    def _mutex(self, timeout_s: float = 60.0):
+        """Exclusive inter-process lock around a ledger read-modify-write.
+        O_CREAT|O_EXCL is the atomic primitive; a stale lock (holder died) is
+        broken after LOCK_STALE_S."""
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(self._lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"pid={os.getpid()} t={time.time()}".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - self._lockfile.stat().st_mtime
+                    if age > LOCK_STALE_S:
+                        self._lockfile.unlink(missing_ok=True)  # break stale lock
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between open and stat — retry now
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"ledger lock {self._lockfile} held for >{timeout_s}s"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            self._lockfile.unlink(missing_ok=True)
 
     # -- snapshot plumbing --------------------------------------------------
     @property
@@ -110,50 +166,68 @@ class Ledger:
         """Idempotent insert of (s3_key, file_size_bytes) rows as PENDING —
         the ``ON CONFLICT DO NOTHING`` anti-join (J1; sudo_code.txt:90).
         Returns the number of newly registered files."""
-        current = self.read()
-        now = F.current_timestamp()
-        fresh = (
-            discovered.select("s3_key", "file_size_bytes")
-            .dropDuplicates(["s3_key"])
-            .join(current.select("s3_key"), "s3_key", "left_anti")
-            .withColumn("status", F.lit(LedgerStatus.PENDING))
-            .withColumn("retry_count", F.lit(0))
-            .withColumn("error_message", F.lit(None).cast("string"))
-            .withColumn("first_discovered_at", now)
-            .withColumn("last_updated_at", now)
-            .withColumn("run_id", F.lit(None).cast("string"))
-        )
-        fresh = fresh.persist()  # count + overwrite: one anti-join execution
-        try:
-            n_new = fresh.count()
-            if n_new:
-                self.overwrite(current.unionByName(fresh))
-        finally:
-            fresh.unpersist()
-        return n_new
+        with self._mutex():
+            current = self.read()
+            now = F.current_timestamp()
+            fresh = (
+                discovered.select("s3_key", "file_size_bytes")
+                .dropDuplicates(["s3_key"])
+                .join(current.select("s3_key"), "s3_key", "left_anti")
+                .withColumn("status", F.lit(LedgerStatus.PENDING))
+                .withColumn("retry_count", F.lit(0))
+                .withColumn("error_message", F.lit(None).cast("string"))
+                .withColumn("first_discovered_at", now)
+                .withColumn("last_updated_at", now)
+                .withColumn("run_id", F.lit(None).cast("string"))
+            )
+            fresh = fresh.persist()  # count + overwrite: one anti-join execution
+            try:
+                n_new = fresh.count()
+                if n_new:
+                    self.overwrite(current.unionByName(fresh))
+            finally:
+                fresh.unpersist()
+            return n_new
 
-    def claim_batch(self, batch_size: int, run_id: str) -> list[str]:
+    def claim_batch(
+        self,
+        batch_size: int,
+        run_id: str,
+        stale_lease_s: float = PROCESSING_LEASE_S,
+    ) -> list[str]:
         """Claim up to ``batch_size`` claimable files oldest-first and mark
         them PROCESSING with retry_count+1 (sudo_code.txt:132,141).
         Returns the claimed paths (driver-side list, bounded by batch_size —
-        the same bounded collect the reference does)."""
-        current = self.read()
-        claimable = (
-            current.filter(
-                F.col("status").isin(LedgerStatus.PENDING, LedgerStatus.FAILED)
+        the same bounded collect the reference does).
+
+        SKIP LOCKED semantics (psuedo_code.txt:170-181): select-and-mark runs
+        under the ledger mutex, so a concurrent runner's claim sees this
+        batch already PROCESSING and takes the next files instead. PROCESSING
+        rows whose lease expired (runner died between claim and commit) are
+        claimable again — nothing is stranded by a SIGKILL."""
+        with self._mutex():
+            current = self.read()
+            stale = (F.col("status") == LedgerStatus.PROCESSING) & (
+                F.col("last_updated_at")
+                < F.current_timestamp() - F.expr(f"INTERVAL {int(stale_lease_s)} SECONDS")
             )
-            .orderBy("first_discovered_at", "s3_key")
-            .limit(batch_size)
-        )
-        paths = [r.s3_key for r in claimable.select("s3_key").collect()]
-        if paths:
-            self.set_status(
-                paths,
-                LedgerStatus.PROCESSING,
-                run_id=run_id,
-                increment_retry=True,
+            claimable = (
+                current.filter(
+                    F.col("status").isin(LedgerStatus.PENDING, LedgerStatus.FAILED)
+                    | stale
+                )
+                .orderBy("first_discovered_at", "s3_key")
+                .limit(batch_size)
             )
-        return paths
+            paths = [r.s3_key for r in claimable.select("s3_key").collect()]
+            if paths:
+                self._set_status_unlocked(
+                    paths,
+                    LedgerStatus.PROCESSING,
+                    run_id=run_id,
+                    increment_retry=True,
+                )
+            return paths
 
     def set_status(
         self,
@@ -165,6 +239,23 @@ class Ledger:
     ) -> None:
         """Transition the given files to ``status`` (sudo_code.txt:141,
         psuedo_code.txt:207,241)."""
+        with self._mutex():
+            self._set_status_unlocked(
+                paths,
+                status,
+                error_message=error_message,
+                run_id=run_id,
+                increment_retry=increment_retry,
+            )
+
+    def _set_status_unlocked(
+        self,
+        paths: list[str] | DataFrame,
+        status: str,
+        error_message: str | None = None,
+        run_id: str | None = None,
+        increment_retry: bool = False,
+    ) -> None:
         current = self.read()
         if isinstance(paths, DataFrame):
             keys = paths.select(F.col(paths.columns[0]).alias("s3_key"))
@@ -221,6 +312,10 @@ class Ledger:
         updates = self.spark.createDataFrame(
             rows, "s3_key string, new_status string, new_error string"
         ).dropDuplicates(["s3_key"])
+        with self._mutex():
+            self._apply_updates_unlocked(updates, run_id)
+
+    def _apply_updates_unlocked(self, updates: DataFrame, run_id: str) -> None:
         current = self.read()
         hit = F.col("new_status").isNotNull()
         merged = (

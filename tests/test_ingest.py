@@ -203,3 +203,74 @@ def test_transform_handles_missing_fields(spark):
     assert row.record_id == "1"
     assert row.app_version is None
     assert row.year == 2024 and row.mode == "unknown"
+
+
+def test_stale_processing_reclaimed(spark, ingest_conf):
+    """ADVICE r01: a hard crash (SIGKILL) between claim and commit must not
+    strand files in PROCESSING forever — once the processing lease expires,
+    they are claimable again."""
+    discover(spark, ingest_conf)
+    ledger = Ledger(spark, ingest_conf.ledger_dir)
+    dead = ledger.claim_batch(10, "run-died-mid-batch")
+    assert len(dead) == 4
+    assert ledger.counts() == {LedgerStatus.PROCESSING: 4}
+    # a live runner's fresh PROCESSING rows are NOT claimable (SKIP LOCKED)
+    assert ledger.claim_batch(10, "run-b") == []
+    # once the lease expires the orphans are reclaimed, retry incremented
+    reclaimed = ledger.claim_batch(10, "run-b", stale_lease_s=0)
+    assert sorted(reclaimed) == sorted(dead)
+    rows = {r.s3_key: r for r in ledger.read().collect()}
+    assert all(r.retry_count == 2 and r.run_id == "run-b" for r in rows.values())
+
+
+def test_concurrent_runners_no_double_processing(spark, tmp_path):
+    """Two concurrent batch runners over one landing zone + ledger
+    (psuedo_code.txt:170-181 FOR UPDATE SKIP LOCKED): every file is processed
+    by exactly one runner, no file is double-claimed, all work drains."""
+    import threading
+
+    from tests.conftest import good_record, write_ndjson
+
+    land = tmp_path / "landing"
+    n_files = 12
+    for i in range(n_files):
+        write_ndjson(land / f"f{i:02d}.json", [good_record(1000 + i * 10 + j) for j in range(3)])
+    conf = IngestConfig(
+        landing_dir=str(land),
+        curated_dir=str(tmp_path / "curated"),
+        dlq_dir=str(tmp_path / "dlq"),
+        archive_dir=str(tmp_path / "archive"),
+        ledger_dir=str(tmp_path / "ledger"),
+        batch_size=2,  # many small batches → real claim interleaving
+    )
+    discover(spark, conf)
+
+    results: dict[str, list] = {"a": [], "b": []}
+    errors: list[BaseException] = []
+
+    def runner(name: str) -> None:
+        try:
+            results[name] = run_until_drained(spark, conf, max_runs=20)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta = threading.Thread(target=runner, args=("a",))
+    tb = threading.Thread(target=runner, args=("b",))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+
+    ok_a = {p for r in results["a"] for p in r.succeeded_files}
+    ok_b = {p for r in results["b"] for p in r.succeeded_files}
+    # no file succeeded under both runners, and together they drained all
+    assert ok_a & ok_b == set()
+    assert len(ok_a | ok_b) == n_files
+    ledger = Ledger(spark, conf.ledger_dir)
+    assert ledger.counts() == {LedgerStatus.SUCCEEDED: n_files}
+    # curated rows: every source file ingested by exactly ONE run
+    curated = read_curated(spark, conf.curated_dir)
+    per_file = curated.groupBy("source_s3_path").agg(
+        F.count_distinct("ingest_run_id").alias("n_runs"),
+        F.count("*").alias("n_rows"),
+    )
+    assert per_file.filter((F.col("n_runs") != 1) | (F.col("n_rows") != 3)).count() == 0
+    assert curated.count() == n_files * 3
