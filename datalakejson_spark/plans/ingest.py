@@ -401,22 +401,40 @@ def _norm(file_uri: str) -> str:
 
 
 def run_until_drained(
-    spark: SparkSession, conf: IngestConfig, max_runs: int = 100
+    spark: SparkSession,
+    conf: IngestConfig,
+    max_runs: int = 100,
+    compact_every: int | None = None,
+    compact_target_bytes: int | None = None,
 ) -> list[IngestResult]:
     """The scheduler loop: fire batches until no claimable work remains
     (cron trigger sudo_code.txt:107 + graceful exit sudo_code.txt:136-139).
     FAILED files would be re-claimed forever (unbounded retries,
-    sudo_code.txt:132); max_runs bounds the harness."""
+    sudo_code.txt:132); max_runs bounds the harness.
+
+    ``compact_every=N`` runs curated-lake compaction after every N batches
+    and once more at drain end — the operational answer to the reference's
+    small-file problem (960k files/day at its stated rate): micro-batch
+    appends write one file per task per batch, and compaction folds each
+    partition back to target-size files without changing query results
+    (old-or-new atomic swap per partition, plans/compact.py)."""
+    from datalakejson_spark.plans.compact import TARGET_FILE_BYTES, compact
+
+    target = compact_target_bytes or TARGET_FILE_BYTES
     results = []
     for _ in range(max_runs):
         res = ingest_batch(spark, conf)
         if res.claimed == 0:
             break
         results.append(res)
+        if compact_every and len(results) % compact_every == 0:
+            compact(spark, conf.curated_dir, target_file_bytes=target)
         # Files that failed this run stay FAILED; stop if ONLY failures remain
         # and nothing new can succeed (avoids infinite retry of poison files).
         if not res.succeeded_files and not res.quarantined_files:
             break
+    if compact_every and results:
+        compact(spark, conf.curated_dir, target_file_bytes=target)
     return results
 
 

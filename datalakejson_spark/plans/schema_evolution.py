@@ -122,6 +122,13 @@ def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
             return merge_schemas(a, b)
         if ka == kb == "array":
             return T.ArrayType(merge_type(a.elementType, b.elementType))
+        if ka == kb == "map":
+            # recurse like arrays: map<string,int> + map<string,double> must
+            # widen the value type, not silently keep the narrow one
+            return T.MapType(
+                merge_type(a.keyType, b.keyType),
+                merge_type(a.valueType, b.valueType),
+            )
         if ka == kb:
             # prefer the wider scalar within a kind
             if ka == "integral":

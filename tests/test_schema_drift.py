@@ -123,3 +123,28 @@ def test_widening_drift_flows_through(spark, ingest_conf):
         for r in curated.filter(F.col("amount").isNotNull()).select("amount").collect()
     }
     assert vals == {5.0, 5.5}
+
+
+def test_merge_widens_map_value_types():
+    """ADVICE r01: map value types must merge recursively — map<string,int> +
+    map<string,double> widens to map<string,double>, not silently narrow."""
+    from pyspark.sql import types as T
+
+    from datalakejson_spark.plans.schema_evolution import merge_schemas
+
+    old = T.StructType([T.StructField("m", T.MapType(T.StringType(), T.LongType()))])
+    new = T.StructType([T.StructField("m", T.MapType(T.StringType(), T.DoubleType()))])
+    merged = merge_schemas(old, new)
+    assert merged["m"].dataType == T.MapType(T.StringType(), T.DoubleType())
+    # nested: map values that are structs merge field-wise
+    old2 = T.StructType(
+        [T.StructField("m", T.MapType(T.StringType(), T.StructType(
+            [T.StructField("a", T.LongType())])))]
+    )
+    new2 = T.StructType(
+        [T.StructField("m", T.MapType(T.StringType(), T.StructType(
+            [T.StructField("a", T.DoubleType()), T.StructField("b", T.StringType())])))]
+    )
+    merged2 = merge_schemas(old2, new2)
+    vt = merged2["m"].dataType.valueType
+    assert vt["a"].dataType == T.DoubleType() and vt["b"].dataType == T.StringType()
