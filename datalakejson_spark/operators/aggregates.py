@@ -255,7 +255,11 @@ def g7_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- sum(BIGINT) is HUGEINT in DuckDB (→ float64 via fetchdf); Spark sums
     -- BIGINT as BIGINT. Cast for the driver's dtype-sensitive hash.
     -- src_file: Spark derives it from input_file_name() at scan time (F8);
-    -- the oracle pins the known fixture file name.
+    -- the oracle pins the fixture's TABLE file/dir name. The Spark side
+    -- extracts the 'documents*' path segment (not the basename), so the two
+    -- agree whether the fixture is a single file or a part-file directory
+    -- named documents.parquet; a renamed fixture fails loudly in
+    -- tools/verify_oracle.py before any driver run (ADVICE r02).
     SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc,
            'documents.parquet' AS src_file
@@ -270,9 +274,13 @@ def g8_per_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same mechanism ingest stamps _source_file with."""
     docs = load_table(spark, sf_dir, "documents")
     # input_file_name() is nondeterministic → must be projected to a column
-    # BEFORE the aggregate (Spark rejects it inside agg arguments).
+    # BEFORE the aggregate (Spark rejects it inside agg arguments). Extract
+    # the table-level path segment, not the basename: if the fixture is ever
+    # a multi-file directory, the basename would be a part-file name but the
+    # 'documents*' segment is still the table name the oracle pins.
     docs = docs.withColumn(
-        "src_file", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+        "src_file",
+        F.regexp_extract(F.input_file_name(), "/(documents[^/]*)(?=/|$)", 1),
     )
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),

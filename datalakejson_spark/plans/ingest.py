@@ -89,6 +89,11 @@ class IngestResult:
     succeeded_files: list[str] = field(default_factory=list)
     quarantined_files: list[str] = field(default_factory=list)
     lost_files: list[str] = field(default_factory=list)
+    # claims fenced out at commit: our PROCESSING lease expired and another
+    # runner reclaimed the file while we ran — we committed nothing for these
+    # and skipped their archive move; our already-appended curated rows are
+    # shadowed by the reclaimer's newer run_id in deduplicate_replays()
+    lost_claims: list[str] = field(default_factory=list)
     # files rejected by the schema-drift gate (incompatible type change,
     # psuedo_code.txt:362 / SURVEY §7.3) — a subset of quarantined_files
     drifted_files: dict[str, list] = field(default_factory=dict)
@@ -355,6 +360,24 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                 # the retry loop reclaims
                 result.lost_files.append(p)
 
+        # Run-id fencing (ADVICE r02 / the reference's transactional UPDATE):
+        # if this batch outlived its PROCESSING lease, another runner may have
+        # reclaimed some files. Check ownership BEFORE the irreversible side
+        # effect (archive removes the landing copy the reclaimer is reading);
+        # the commit below re-checks the same fence atomically under the
+        # ledger mutex, so this pre-check only narrows the race window.
+        still_ours = ledger.owned_by(paths, run_id)
+        pre_fenced = [p for p in paths if p not in still_ours]
+        if pre_fenced:
+            fenced_set = set(pre_fenced)
+            result.succeeded_files = [
+                p for p in result.succeeded_files if p not in fenced_set
+            ]
+            result.quarantined_files = [
+                p for p in result.quarantined_files if p not in fenced_set
+            ]
+            result.lost_files = [p for p in result.lost_files if p not in fenced_set]
+
         # Archive good files (copy+delete, sudo_code.txt:196-215), then commit
         # ledger states.
         for p in result.succeeded_files:
@@ -371,7 +394,9 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
             else None
         )
         # One snapshot write for the whole batch outcome (not one per state).
-        ledger.apply_outcomes(
+        # fence=True: transitions apply only to rows still carrying our
+        # run_id; reclaimed rows come back as lost claims, untouched.
+        fenced = ledger.apply_outcomes(
             [
                 (result.succeeded_files, LedgerStatus.SUCCEEDED, None),
                 (corrupt_quarantine, LedgerStatus.QUARANTINED,
@@ -382,12 +407,28 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
             ],
             run_id=run_id,
         )
+        result.lost_claims = sorted({*pre_fenced, *fenced})
+        if fenced:
+            fenced_set = set(fenced)
+            result.succeeded_files = [
+                p for p in result.succeeded_files if p not in fenced_set
+            ]
+            result.quarantined_files = [
+                p for p in result.quarantined_files if p not in fenced_set
+            ]
+            result.lost_files = [p for p in result.lost_files if p not in fenced_set]
         return result
     except Exception as exc:  # noqa: BLE001
         # Crash recovery: whole in-flight batch → FAILED for the next run
-        # (sudo_code.txt:189-194, psuedo_code.txt:252-259).
+        # (sudo_code.txt:189-194, psuedo_code.txt:252-259). Fenced on run_id:
+        # a file already reclaimed by a healthy runner must not be flipped
+        # back to FAILED by this dying one.
         ledger.set_status(
-            paths, LedgerStatus.FAILED, error_message=f"batch error: {exc}", run_id=run_id
+            paths,
+            LedgerStatus.FAILED,
+            error_message=f"batch error: {exc}",
+            run_id=run_id,
+            fence_run_id=run_id,
         )
         raise
 

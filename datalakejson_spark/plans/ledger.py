@@ -33,7 +33,9 @@ from __future__ import annotations
 import contextlib
 import os
 import shutil
+import threading
 import time
+import uuid
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -67,10 +69,15 @@ LEDGER_SCHEMA = T.StructType(
 )
 
 
-# A runner that dies holding the lock must not wedge the fleet: locks older
-# than this are broken. Ledger ops hold the lock for seconds, so 120 s of
-# lock age means the holder is gone.
-LOCK_STALE_S = 120.0
+# A runner that dies holding the lock must not wedge the fleet: locks whose
+# mtime is older than this are broken. A LIVE holder heartbeats the lockfile
+# mtime every LOCK_HEARTBEAT_S from a daemon thread, so lock age is decoupled
+# from how long the critical section runs (a ledger snapshot write is a full
+# Spark job and can far exceed any fixed budget under GC/FS stalls) — only a
+# dead process stops touching its lock. 600 s therefore means "no heartbeat
+# for 10 minutes", not "critical section slower than 10 minutes".
+LOCK_STALE_S = 600.0
+LOCK_HEARTBEAT_S = 5.0
 
 # PROCESSING rows whose last_updated_at is older than this are considered
 # orphaned by a crashed runner and become claimable again (the reference's
@@ -96,32 +103,106 @@ class Ledger:
     @contextlib.contextmanager
     def _mutex(self, timeout_s: float = 60.0):
         """Exclusive inter-process lock around a ledger read-modify-write.
-        O_CREAT|O_EXCL is the atomic primitive; a stale lock (holder died) is
-        broken after LOCK_STALE_S."""
+
+        O_CREAT|O_EXCL is the atomic acquisition primitive. Three hardenings
+        over a naive lockfile (each closes a real race):
+
+        - **Ownership token**: the lockfile body is a unique token. Release
+          unlinks only if the body still matches (``_unlink_if_owner``), so a
+          holder whose lock was broken while it ran can never delete the NEW
+          holder's lock from its ``finally``.
+        - **Heartbeat**: while held, a daemon thread touches the lockfile
+          mtime every LOCK_HEARTBEAT_S. A live-but-slow holder (long Spark
+          job, GC pause) therefore never looks stale; only a dead process
+          goes quiet for LOCK_STALE_S.
+        - **Atomic stale-break**: a waiter that observes a stale lock breaks
+          it by ``os.rename()`` to a unique name, re-verifies staleness on
+          the renamed inode, then unlinks THAT file. Rename captures exactly
+          one inode — when two waiters race, the loser's rename fails ENOENT
+          instead of blindly unlinking the path (which could by then hold the
+          winner's brand-new lock)."""
+        token = f"pid={os.getpid()} token={uuid.uuid4().hex}"
         deadline = time.monotonic() + timeout_s
         while True:
             try:
                 fd = os.open(self._lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"pid={os.getpid()} t={time.time()}".encode())
+                os.write(fd, token.encode())
                 os.close(fd)
                 break
             except FileExistsError:
-                try:
-                    age = time.time() - self._lockfile.stat().st_mtime
-                    if age > LOCK_STALE_S:
-                        self._lockfile.unlink(missing_ok=True)  # break stale lock
-                        continue
-                except FileNotFoundError:
-                    continue  # holder released between open and stat — retry now
+                if self._break_if_stale():
+                    continue  # lock broken (or vanished) — retry immediately
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"ledger lock {self._lockfile} held for >{timeout_s}s"
                     ) from None
                 time.sleep(0.05)
+        stop = threading.Event()
+        beat = threading.Thread(
+            target=self._heartbeat, args=(stop, token), daemon=True
+        )
+        beat.start()
         try:
             yield
         finally:
-            self._lockfile.unlink(missing_ok=True)
+            stop.set()
+            beat.join(timeout=2 * LOCK_HEARTBEAT_S)
+            self._unlink_if_owner(token)
+
+    def _break_if_stale(self) -> bool:
+        """Break the current lock iff its heartbeat stopped LOCK_STALE_S ago.
+        Returns True when the caller should retry acquisition right away
+        (lock broken or already gone)."""
+        try:
+            age = time.time() - self._lockfile.stat().st_mtime
+        except FileNotFoundError:
+            return True  # holder released between open and stat
+        if age <= LOCK_STALE_S:
+            return False
+        wreck = self.root / f"_LOCK.stale.{uuid.uuid4().hex[:12]}"
+        try:
+            os.rename(self._lockfile, wreck)  # atomic: captures ONE inode
+        except FileNotFoundError:
+            return True  # another breaker (or the holder) got there first
+        try:
+            still_stale = time.time() - wreck.stat().st_mtime > LOCK_STALE_S
+        except FileNotFoundError:
+            return True
+        if still_stale:
+            wreck.unlink(missing_ok=True)  # confirmed dead — bury it
+            return True
+        # Rare race: the path held a FRESH lock by rename time (old holder
+        # released and a new one acquired between our stat and rename).
+        # Restore it atomically; link() fails EEXIST rather than clobbering
+        # if yet another acquirer already took the slot.
+        try:
+            os.link(wreck, self._lockfile)
+        except (FileExistsError, OSError):
+            pass
+        wreck.unlink(missing_ok=True)
+        return False
+
+    def _heartbeat(self, stop: threading.Event, token: str) -> None:
+        """Touch the lockfile mtime while the critical section runs, so a
+        live holder never ages past LOCK_STALE_S. Stops heartbeating if the
+        lock no longer carries our token (stolen/broken) — run_id fencing at
+        commit is the data-integrity guard for that case."""
+        while not stop.wait(LOCK_HEARTBEAT_S):
+            try:
+                if self._lockfile.read_text() != token:
+                    return  # not ours anymore — never touch someone else's lock
+                os.utime(self._lockfile)
+            except OSError:
+                continue  # transiently renamed by a staleness probe — retry
+
+    def _unlink_if_owner(self, token: str) -> None:
+        """Release only a lock we still own. If the body is not our token,
+        the lock was broken and re-acquired by someone else — leave it."""
+        try:
+            if self._lockfile.read_text() == token:
+                self._lockfile.unlink(missing_ok=True)
+        except OSError:
+            pass
 
     # -- snapshot plumbing --------------------------------------------------
     @property
@@ -236,16 +317,26 @@ class Ledger:
         error_message: str | None = None,
         run_id: str | None = None,
         increment_retry: bool = False,
-    ) -> None:
+        fence_run_id: str | None = None,
+    ) -> list[str]:
         """Transition the given files to ``status`` (sudo_code.txt:141,
-        psuedo_code.txt:207,241)."""
+        psuedo_code.txt:207,241).
+
+        ``fence_run_id``: when set, a row transitions ONLY if its current
+        ``run_id`` equals the fence — the snapshot-ledger analogue of the
+        reference's transactional ``UPDATE ... WHERE id = ?`` inside the
+        claim's DB transaction. A slow runner whose PROCESSING lease expired
+        and whose files were reclaimed by another runner is fenced out here
+        instead of silently overwriting the new owner's state. Returns the
+        fenced-out (lost-claim) paths; empty when not fencing."""
         with self._mutex():
-            self._set_status_unlocked(
+            return self._set_status_unlocked(
                 paths,
                 status,
                 error_message=error_message,
                 run_id=run_id,
                 increment_retry=increment_retry,
+                fence_run_id=fence_run_id,
             )
 
     def _set_status_unlocked(
@@ -255,7 +346,8 @@ class Ledger:
         error_message: str | None = None,
         run_id: str | None = None,
         increment_retry: bool = False,
-    ) -> None:
+        fence_run_id: str | None = None,
+    ) -> list[str]:
         current = self.read()
         if isinstance(paths, DataFrame):
             keys = paths.select(F.col(paths.columns[0]).alias("s3_key"))
@@ -264,6 +356,21 @@ class Ledger:
                 [(p,) for p in paths], "s3_key string"
             )
         hit = F.col("_hit").isNotNull()
+        fenced_out: list[str] = []
+        if fence_run_id is not None:
+            hit = hit & (F.col("run_id") == F.lit(fence_run_id))
+            # Requested-but-not-ours rows: bounded by the batch's path list,
+            # same driver-side cardinality as the claim itself.
+            fenced_out = [
+                r.s3_key
+                for r in current.join(F.broadcast(keys), "s3_key", "left_semi")
+                .filter(
+                    F.col("run_id").isNull()
+                    | (F.col("run_id") != F.lit(fence_run_id))
+                )
+                .select("s3_key")
+                .collect()
+            ]
         updated = (
             current.join(
                 F.broadcast(keys.withColumn("_hit", F.lit(1))), "s3_key", "left"
@@ -294,30 +401,59 @@ class Ledger:
             .drop("_hit")
         )
         self.overwrite(updated)
+        return fenced_out
 
     def apply_outcomes(
-        self, outcomes: list[tuple[list[str], str, str | None]], run_id: str
-    ) -> None:
+        self,
+        outcomes: list[tuple[list[str], str, str | None]],
+        run_id: str,
+        fence: bool = True,
+    ) -> list[str]:
         """Apply several status transitions in ONE snapshot write:
         ``outcomes`` is [(paths, status, error_message), ...]. A batch's
         commit touches the ledger once instead of once per status group —
-        the ledger write amplification is O(1) per batch, not O(states)."""
+        the ledger write amplification is O(1) per batch, not O(states).
+
+        ``fence=True`` (default): each transition applies only where the
+        row's current ``run_id`` equals ``run_id`` — i.e. this runner still
+        owns the claim. Reclaimed rows (lease expired, another runner took
+        over) are left untouched and returned as lost-claim paths so the
+        caller can abort their side effects (see ingest_batch)."""
         rows = [
             (p, status, msg)
             for paths, status, msg in outcomes
             for p in paths
         ]
         if not rows:
-            return
+            return []
         updates = self.spark.createDataFrame(
             rows, "s3_key string, new_status string, new_error string"
         ).dropDuplicates(["s3_key"])
         with self._mutex():
-            self._apply_updates_unlocked(updates, run_id)
+            return self._apply_updates_unlocked(
+                updates, run_id, fence_run_id=run_id if fence else None
+            )
 
-    def _apply_updates_unlocked(self, updates: DataFrame, run_id: str) -> None:
+    def _apply_updates_unlocked(
+        self, updates: DataFrame, run_id: str, fence_run_id: str | None = None
+    ) -> list[str]:
         current = self.read()
         hit = F.col("new_status").isNotNull()
+        fenced_out: list[str] = []
+        if fence_run_id is not None:
+            hit = hit & (F.col("run_id") == F.lit(fence_run_id))
+            fenced_out = [
+                r.s3_key
+                for r in current.join(
+                    F.broadcast(updates.select("s3_key")), "s3_key", "left_semi"
+                )
+                .filter(
+                    F.col("run_id").isNull()
+                    | (F.col("run_id") != F.lit(fence_run_id))
+                )
+                .select("s3_key")
+                .collect()
+            ]
         merged = (
             current.join(F.broadcast(updates), "s3_key", "left")
             .withColumn(
@@ -337,6 +473,24 @@ class Ledger:
             .drop("new_status", "new_error")
         )
         self.overwrite(merged)
+        return fenced_out
+
+    def owned_by(self, paths: list[str], run_id: str) -> set[str]:
+        """The subset of ``paths`` whose ledger row currently carries
+        ``run_id`` — i.e. claims this runner still holds. Read-only (no
+        mutex needed: the authoritative check re-runs inside the fenced
+        commit); used to skip side effects for already-reclaimed files."""
+        if not paths:
+            return set()
+        keys = self.spark.createDataFrame([(p,) for p in paths], "s3_key string")
+        return {
+            r.s3_key
+            for r in self.read()
+            .join(F.broadcast(keys), "s3_key", "left_semi")
+            .filter(F.col("run_id") == F.lit(run_id))
+            .select("s3_key")
+            .collect()
+        }
 
     def counts(self) -> dict[str, int]:
         return {

@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datalakejson_spark.plans.ingest import IngestConfig, write_dlq_summary
-from datalakejson_spark.plans.ledger import Ledger, LedgerStatus
+from datalakejson_spark.plans.ledger import PROCESSING_LEASE_S, Ledger, LedgerStatus
 
 # Alarm names (the reference's three alarm classes, sudo_code.txt:257-276)
 ALARM_FAILED_FILES = "failed_files"  # job failures → files stuck FAILED
@@ -62,18 +62,36 @@ def ingest_alarms(
     max_failed_files: int = 0,
     max_dlq_rows: int = 0,
     max_quarantined_ratio: float = 0.5,
+    processing_lease_s: float = PROCESSING_LEASE_S,
 ) -> DataFrame:
     """The alarm board: (alarm, observed, threshold, triggered). A row is
     emitted for every alarm class; ``triggered`` is the threshold predicate —
-    callers page on ``filter(triggered)``."""
+    callers page on ``filter(triggered)``.
+
+    ``stuck_processing`` counts only PROCESSING rows whose lease expired
+    (``last_updated_at`` older than ``processing_lease_s`` — the SAME
+    staleness predicate claim_batch uses for reclaim), so a healthy
+    in-flight batch never pages; only a dead runner's orphans do."""
     counts = {
         r["status"]: r["n_files"]
         for r in ledger_status_counts(spark, conf).collect()
     }
     total = sum(counts.values()) or 1
     n_failed = counts.get(LedgerStatus.FAILED, 0)
-    n_processing = counts.get(LedgerStatus.PROCESSING, 0)
     n_quarantined = counts.get(LedgerStatus.QUARANTINED, 0)
+    n_stuck = (
+        Ledger(spark, conf.ledger_dir)
+        .read()
+        .filter(
+            (F.col("status") == LedgerStatus.PROCESSING)
+            & (
+                F.col("last_updated_at")
+                < F.current_timestamp()
+                - F.expr(f"INTERVAL {int(processing_lease_s)} SECONDS")
+            )
+        )
+        .count()
+    )
     n_dlq = write_dlq_summary(spark, conf).agg(
         F.coalesce(F.sum("n_corrupt_rows"), F.lit(0))
     ).first()[0]
@@ -83,7 +101,7 @@ def ingest_alarms(
          n_failed > max_failed_files),
         (ALARM_DLQ_ACTIVE, float(n_dlq), float(max_dlq_rows),
          n_dlq > max_dlq_rows),
-        (ALARM_STUCK_PROCESSING, float(n_processing), 0.0, n_processing > 0),
+        (ALARM_STUCK_PROCESSING, float(n_stuck), 0.0, n_stuck > 0),
         (ALARM_QUARANTINE_RATE, n_quarantined / total, max_quarantined_ratio,
          n_quarantined / total > max_quarantined_ratio),
     ]

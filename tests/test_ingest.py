@@ -274,3 +274,153 @@ def test_concurrent_runners_no_double_processing(spark, tmp_path):
     )
     assert per_file.filter((F.col("n_runs") != 1) | (F.col("n_rows") != 3)).count() == 0
     assert curated.count() == n_files * 3
+
+
+# ---------------------------------------------------------------------------
+# Ledger lock hardening + run-id commit fencing (ADVICE r02)
+# ---------------------------------------------------------------------------
+def test_stale_lock_broken_and_acquired(spark, tmp_path):
+    """A lock whose heartbeat stopped LOCK_STALE_S ago is broken (via atomic
+    rename, not blind unlink) and the waiter acquires."""
+    import time as _time
+
+    from datalakejson_spark.plans import ledger as L
+
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    led._lockfile.write_text("pid=999999 token=deadbeef")
+    old = _time.time() - (L.LOCK_STALE_S + 10)
+    os.utime(led._lockfile, (old, old))
+    with led._mutex(timeout_s=5.0):
+        assert led._lockfile.exists()
+        body = led._lockfile.read_text()
+        assert "deadbeef" not in body  # our token, not the dead holder's
+    assert not led._lockfile.exists()  # released our own lock
+
+
+def test_fresh_foreign_lock_respected(spark, tmp_path):
+    """A live (fresh-mtime) foreign lock is never broken: acquisition times
+    out and the foreign lock survives byte-identical."""
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    led._lockfile.write_text("pid=999999 token=livelock")
+    with pytest.raises(TimeoutError):
+        with led._mutex(timeout_s=0.3):
+            pass
+    assert led._lockfile.read_text() == "pid=999999 token=livelock"
+
+
+def test_release_never_unlinks_foreign_lock(spark, tmp_path):
+    """If our lock is stolen mid-section (simulated), the finally-release
+    must NOT delete the new owner's lock (ADVICE r02: token-verified
+    unlink)."""
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    with led._mutex(timeout_s=5.0):
+        led._lockfile.write_text("pid=424242 token=newowner")
+    assert led._lockfile.read_text() == "pid=424242 token=newowner"
+    led._lockfile.unlink()
+
+
+def test_heartbeat_keeps_lock_fresh(spark, tmp_path, monkeypatch):
+    """A slow critical section does not go stale: the heartbeat thread
+    refreshes the lockfile mtime while held."""
+    import time as _time
+
+    from datalakejson_spark.plans import ledger as L
+
+    monkeypatch.setattr(L, "LOCK_HEARTBEAT_S", 0.05)
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    with led._mutex(timeout_s=5.0):
+        old = _time.time() - 3600
+        os.utime(led._lockfile, (old, old))
+        _time.sleep(0.3)  # several heartbeat ticks
+        assert _time.time() - led._lockfile.stat().st_mtime < 60
+    assert not led._lockfile.exists()
+
+
+def test_commit_fenced_on_run_id(spark, tmp_path):
+    """A slow runner whose lease expired and whose files were reclaimed must
+    not overwrite the new owner's ledger state at commit (ADVICE r02: the
+    reference's DB transaction prevents this; we fence on run_id)."""
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    files = [(f"/data/f{i}.json", 100) for i in range(3)]
+    led.register(spark.createDataFrame(files, "s3_key string, file_size_bytes long"))
+
+    claimed_a = led.claim_batch(10, "run-000a")
+    assert len(claimed_a) == 3
+    # lease expires; runner B reclaims everything
+    claimed_b = led.claim_batch(10, "run-000b", stale_lease_s=0)
+    assert sorted(claimed_b) == sorted(claimed_a)
+
+    # slow runner A commits late: every transition is fenced out
+    fenced = led.apply_outcomes(
+        [(claimed_a, LedgerStatus.SUCCEEDED, None)], run_id="run-000a"
+    )
+    assert sorted(fenced) == sorted(claimed_a)
+    rows = {r.s3_key: r for r in led.read().collect()}
+    assert all(
+        r.status == LedgerStatus.PROCESSING and r.run_id == "run-000b"
+        for r in rows.values()
+    )
+    assert led.owned_by(claimed_a, "run-000a") == set()
+    assert led.owned_by(claimed_a, "run-000b") == set(claimed_a)
+
+    # B commits fine (fence matches), then a dying A's FAILED rollback is
+    # also fenced and cannot clobber B's SUCCEEDED
+    assert led.apply_outcomes(
+        [(claimed_b, LedgerStatus.SUCCEEDED, None)], run_id="run-000b"
+    ) == []
+    fenced2 = led.set_status(
+        claimed_a, LedgerStatus.FAILED, error_message="batch error: late crash",
+        run_id="run-000a", fence_run_id="run-000a",
+    )
+    assert sorted(fenced2) == sorted(claimed_a)
+    assert led.counts() == {LedgerStatus.SUCCEEDED: 3}
+
+
+def test_ingest_batch_aborts_side_effects_on_lost_claim(spark, tmp_path, monkeypatch):
+    """End-to-end fencing: a runner that loses its claims mid-batch (lease
+    expiry + reclaim by another runner) archives nothing, commits nothing,
+    and reports the files as lost_claims. The reclaimer's later run wins
+    deduplicate_replays (newer run_id)."""
+    import datalakejson_spark.plans.ingest as ingest_mod
+
+    land = tmp_path / "landing"
+    for i in range(2):
+        write_ndjson(land / f"f{i}.json", [good_record(200 + i)])
+    conf = IngestConfig(
+        landing_dir=str(land),
+        curated_dir=str(tmp_path / "curated"),
+        dlq_dir=str(tmp_path / "dlq"),
+        archive_dir=str(tmp_path / "archive"),
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+    discover(spark, conf)
+
+    real_transform = ingest_mod.apply_transformations
+    state = {"stolen": False}
+
+    def steal_then_transform(df, mode_default="unknown"):
+        if not state["stolen"]:
+            state["stolen"] = True
+            # simulate: this runner stalls past its lease; runner B reclaims
+            Ledger(spark, conf.ledger_dir).claim_batch(
+                10, "run-9999999999999999999-thief", stale_lease_s=0
+            )
+        return real_transform(df, mode_default)
+
+    monkeypatch.setattr(ingest_mod, "apply_transformations", steal_then_transform)
+    res = ingest_batch(spark, conf)
+    assert res.claimed == 2
+    assert sorted(res.lost_claims) == sorted(
+        str(land / f"f{i}.json") for i in range(2)
+    )
+    assert res.succeeded_files == []
+    # nothing archived: the reclaimer still needs the landing copies
+    assert not (tmp_path / "archive").exists() or not any(
+        (tmp_path / "archive").rglob("*.json")
+    )
+    # ledger untouched by the fenced commit: still the thief's PROCESSING
+    rows = {r.s3_key: r for r in Ledger(spark, conf.ledger_dir).read().collect()}
+    assert all(
+        r.status == LedgerStatus.PROCESSING and r.run_id.endswith("thief")
+        for r in rows.values()
+    )
