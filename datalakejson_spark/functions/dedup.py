@@ -257,7 +257,8 @@ _L2B_SQL = f"""
 """
 
 
-@register("l2b_simhash_signatures", survey="L2", sql=_L2B_SQL)
+@register("l2b_simhash_signatures", survey="L2", sql=_L2B_SQL, extended=True)
+# extended: L2 driver coverage via l2_minhash_lsh_pairs/l2c/l2d/l2e
 def l2b_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from md5 word hashes: per-bit ±1 votes,
     sign-combined. Near-dup docs land on nearby signatures; pairing is then a

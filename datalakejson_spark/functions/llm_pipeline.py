@@ -1,0 +1,264 @@
+"""Training-data pipeline completions: near-dup cluster resolution
+(connected components over LSH candidate pairs), benchmark decontamination
+(n-gram overlap against an eval set), and token-budget shard packing.
+
+These extend SURVEY.md §2's L-tier (L1/L2/L4) with the three operations a
+100 TB pretraining-data pipeline runs after candidate generation:
+
+- Pair lists are not dedup decisions: near-dup candidates form CHAINS
+  (a~b, b~c but not a~c). Deduplication must resolve them to clusters and
+  keep one representative per cluster — connected components, computed here
+  as iterative min-label propagation (each round is one shuffle join; rounds
+  = graph diameter, which for near-dup clusters is tiny). The DuckDB oracle
+  computes the same fixpoint as a recursive CTE — an exact cross-engine
+  check of an iterative distributed algorithm.
+- Benchmark contamination: training documents sharing word n-grams with an
+  evaluation suite must be flagged/removed. The eval suite is tiny relative
+  to the corpus → its shingle set is broadcast; the corpus is never
+  shuffled, only scanned.
+- Shard packing: sequential documents are packed into fixed-token-budget
+  shards. A naive global-window cumulative sum is a single-task bottleneck;
+  this implementation computes partition-local prefix sums plus a
+  driver-side offset table of per-partition totals (bounded: one row per
+  partition) — the classic two-phase scan, so the packing scales with
+  partition count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datalakejson_spark.functions.dedup import (
+    _DUCK_SHINGLES,
+    _L2_SQL,
+    _SPARK_SHINGLES,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from datalakejson_spark.registry import register
+from datalakejson_spark.sources.tables import load_table
+
+CC_MAX_ITERS = 25
+SHARD_TOKEN_BUDGET = 256
+SHARD_PARTITIONS = 8
+# Pseudo eval-suite membership: a deterministic ~1% id slice standing in for
+# the (externally supplied) benchmark table. Lazy on the Spark side — Column
+# construction needs an active SparkContext in PySpark 4.
+def _bench_pred():
+    return F.col("doc_id") % 97 == 0
+
+
+BENCH_PRED_DUCK = "doc_id % 97 = 0"
+
+
+# --------------------------------------------------------------------------
+# L2e: connected-component dedup clusters over MinHash-LSH candidate pairs
+# --------------------------------------------------------------------------
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = CC_MAX_ITERS,
+) -> DataFrame:
+    """(node, cluster_id) where cluster_id = min node id reachable in the
+    undirected graph — iterative min-label propagation.
+
+    Per round: one join of labels onto the symmetrized edge list + a min
+    aggregate, i.e. two shuffles over (node, label) pairs only (never
+    payload data). Converges in O(component diameter) rounds; labels
+    decrease monotonically, so the sum of labels is a cheap fixpoint test.
+    ``localCheckpoint`` truncates lineage each round — without it the plan
+    doubles per iteration. At 100 TB scale the same loop applies; the
+    alternating small-star/large-star optimization drops round count to
+    O(log d) if diameters grow, but near-dup clusters are shallow."""
+    sym = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    )
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Materialize the edge list ONCE: without this, the (expensive) candidate
+    # generation upstream re-executes inside every propagation round.
+    sym = sym.localCheckpoint()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iters):
+        neighbor_min = (
+            labels.join(sym, labels["node"] == sym["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
+    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+_L2E_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT * FROM ({_L2_SQL}) __lsh
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id,
+           min(lbl) AS cluster_id,
+           (min(lbl) = node) AS is_representative
+    FROM reach
+    GROUP BY node
+"""
+
+
+@register(
+    "l2e_dedup_clusters",
+    survey="L2,L1",
+    sql=_L2E_SQL,
+)
+def l2e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve MinHash-LSH candidate pairs into dedup clusters: every
+    document labeled with the min doc_id of its connected component;
+    ``is_representative`` marks the one row per cluster a dedup pass keeps.
+    The oracle recomputes the identical fixpoint via a recursive CTE, so the
+    iterative Spark loop is exact-value-checked cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    cc = connected_components(docs.select("doc_id"), pairs)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_representative"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L7: benchmark decontamination (n-gram overlap vs an eval suite)
+# --------------------------------------------------------------------------
+_L7_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle FROM tok
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE {BENCH_PRED_DUCK}
+    )
+    SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared_shingles
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE NOT ({BENCH_PRED_DUCK.replace('doc_id', 's.doc_id')})
+    GROUP BY s.doc_id
+"""
+
+
+@register(
+    "l7_decontamination",
+    survey="L4,L2",
+    sql=_L7_SQL,
+)
+def l7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing ≥1 word-3-gram with the (pseudo) benchmark
+    suite, with the count of shared shingles — the contamination filter run
+    before pretraining. Scale shape: the benchmark shingle set is distinct'd
+    and BROADCAST (eval suites are MBs; the corpus is TBs), so the corpus is
+    scanned once and never shuffled on text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = tok.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle")
+    )
+    bench = sh.filter(_bench_pred()).select("shingle").distinct()
+    return (
+        sh.filter(~_bench_pred())
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L8: token-budget shard packing (two-phase distributed prefix sum)
+# --------------------------------------------------------------------------
+@register(
+    "l8_token_shards",
+    survey="L4,W3,O2",
+    sql=f"""
+    -- floor() is DOUBLE in DuckDB; cast to match Spark's BIGINT (r01 lesson)
+    SELECT doc_id, n_tokens,
+           CAST(floor(
+               coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {SHARD_TOKEN_BUDGET}.0
+           ) AS BIGINT) AS shard_id
+    FROM (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    """,
+)
+def l8_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into fixed-token-budget training
+    shards: shard_id = floor(exclusive-prefix-tokens / budget).
+
+    The prefix sum is the scale-critical part. A bare
+    ``Window.orderBy(doc_id)`` has no partition key → Spark coalesces to ONE
+    task. Instead: range-repartition by doc_id, cumulative-sum WITHIN each
+    partition, and add a per-partition offset computed from the (tiny,
+    one-row-per-partition) totals table collected to the driver — the
+    standard two-phase parallel scan, same partition-count scaling as the
+    sort that feeds it. Range boundaries come from deterministic sampling
+    (seeded by partition index), and the result depends only on the global
+    doc_id order, not where the boundaries fall."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    parts = (
+        toks.repartitionByRange(SHARD_PARTITIONS, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()  # pin partition boundaries across the totals job + main job
+    )
+    totals = {
+        r["pid"]: r["total"]
+        for r in parts.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):  # range partitions are ordered by pid
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = F.broadcast(
+        docs.sparkSession.createDataFrame(offsets, "pid int, part_offset long")
+    )
+    within = F.sum("n_tokens").over(
+        Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        parts.join(off_df, "pid")
+        .withColumn("prefix_excl", F.col("part_offset") + within - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("prefix_excl") / SHARD_TOKEN_BUDGET).alias("shard_id"),
+        )
+    )

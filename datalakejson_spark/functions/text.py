@@ -161,6 +161,7 @@ def l4b_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l4c_fingerprint",
     survey="L4,L1",
+    extended=True,  # L4 driver coverage via l4_language_profile; L1 via l1_exact_dedup
     sql="""
     SELECT doc_id,
            substr(md5(text), 1, 16) AS fp64,

@@ -48,6 +48,7 @@ def w6_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f5c_array_construction",
     survey="F5",
+    extended=True,  # F5 driver coverage via f5_higher_order_array/f5d/l2c/l3
     sql="""
     -- The driver canonicalizer sorts result columns with pandas, which cannot
     -- sort ndarray cells — so the final projection serializes each array with

@@ -95,6 +95,7 @@ def all_specs() -> dict[str, QuerySpec]:
         text,
         text_extra,
         ivf,
+        llm_pipeline,
     )
     from datalakejson_spark.streaming import windows as stream_windows  # noqa: F401
 

@@ -97,3 +97,64 @@ def test_langid_separates_scripts(spark):
     assert out[1] == "en-like"
     assert out[2] == "zh"
     assert out[3] == "ru"
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline completions (functions/llm_pipeline.py)
+# ---------------------------------------------------------------------------
+def test_connected_components_resolves_chains(spark):
+    """a~b, b~c (no a~c edge) must land in ONE cluster — the reason pair
+    lists aren't dedup decisions."""
+    from datalakejson_spark.functions.llm_pipeline import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    out = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_match_pair_transitivity(spark):
+    """Every LSH candidate pair must share a cluster; representatives are the
+    cluster minima; cluster count + singleton docs add up."""
+    from datalakejson_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from datalakejson_spark.functions.llm_pipeline import l2e_dedup_clusters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cc = {r.doc_id: r.cluster_id for r in l2e_dedup_clusters(spark, SF).collect()}
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    assert pairs, "fixture should produce at least one candidate pair"
+    for p in pairs:
+        assert cc[p.doc_a] == cc[p.doc_b], (p.doc_a, p.doc_b)
+    reps = {c for c in cc.values()}
+    assert all(cc[r] == r for r in reps)  # labels are cluster minima (fixpoint)
+
+
+def test_decontamination_flags_overlap_only(spark):
+    from datalakejson_spark.functions.llm_pipeline import l7_decontamination
+
+    out = l7_decontamination(spark, SF)
+    rows = out.collect()
+    assert rows, "pseudo-benchmark should contaminate some train docs"
+    # benchmark docs themselves are never flagged
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    assert all(r.n_shared_shingles >= 1 for r in rows)
+
+
+def test_token_shards_pack_in_order(spark):
+    """Shard ids are non-decreasing in doc order and match a driver-side
+    sequential recomputation (the two-phase prefix sum is exact, not
+    approximate)."""
+    from datalakejson_spark.functions.llm_pipeline import (
+        SHARD_TOKEN_BUDGET,
+        l8_token_shards,
+    )
+
+    rows = sorted(l8_token_shards(spark, SF).collect(), key=lambda r: r.doc_id)
+    acc = 0
+    for r in rows:
+        assert r.shard_id == acc // SHARD_TOKEN_BUDGET, r
+        acc += r.n_tokens
+    assert rows[-1].shard_id > 0  # multiple shards actually produced
