@@ -84,6 +84,7 @@ def all_specs() -> dict[str, QuerySpec]:
         showcase,
         showcase2,
         showcase3,
+        showcase4,
         windows_extra,
         json_extra,
         strings_extra,
