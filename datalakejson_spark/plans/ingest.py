@@ -78,6 +78,11 @@ class IngestConfig:
     # corrupt-record contract; requires ``schema`` — CSV inference is not
     # trustworthy at scale and the drift gate is JSON-specific).
     landing_format: str = "json"
+    # S5: when set, the ledger lives in a JDBC database at this URL (the
+    # reference's JDBC_URL job parameter, sudo_code.txt:74) instead of the
+    # local parquet-snapshot store. Locally: "jdbc:derby:<dir>;create=true"
+    # (embedded, in Spark's JVM); production: a PostgreSQL URL.
+    jdbc_url: str | None = None
 
 
 @dataclass
@@ -97,6 +102,17 @@ class IngestResult:
     # files rejected by the schema-drift gate (incompatible type change,
     # psuedo_code.txt:362 / SURVEY §7.3) — a subset of quarantined_files
     drifted_files: dict[str, list] = field(default_factory=dict)
+
+
+def make_ledger(spark: SparkSession, conf: IngestConfig):
+    """Ledger backend selection (S5): JDBC when ``conf.jdbc_url`` is set,
+    else the local parquet-snapshot ledger. Both expose the same surface;
+    everything downstream is backend-agnostic."""
+    if conf.jdbc_url:
+        from datalakejson_spark.plans.jdbc_ledger import JdbcLedger
+
+        return JdbcLedger(spark, conf.jdbc_url)
+    return Ledger(spark, conf.ledger_dir)
 
 
 # --------------------------------------------------------------------------
@@ -121,7 +137,7 @@ def discover(spark: SparkSession, conf: IngestConfig) -> int:
     if not rows:
         return 0
     discovered = spark.createDataFrame(rows, "s3_key string, file_size_bytes long")
-    return Ledger(spark, conf.ledger_dir).register(discovered)
+    return make_ledger(spark, conf).register(discovered)
 
 
 # --------------------------------------------------------------------------
@@ -231,7 +247,7 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
     # per file, so ids must order by attempt time even for same-second
     # retries — zero-padded nanoseconds, uuid only as a collision suffix.
     run_id = f"run-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
-    ledger = Ledger(spark, conf.ledger_dir)
+    ledger = make_ledger(spark, conf)
     result = IngestResult(run_id=run_id)
 
     paths = ledger.claim_batch(conf.batch_size, run_id)

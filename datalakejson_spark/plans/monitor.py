@@ -16,8 +16,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from datalakejson_spark.plans.ingest import IngestConfig, write_dlq_summary
-from datalakejson_spark.plans.ledger import PROCESSING_LEASE_S, Ledger, LedgerStatus
+from datalakejson_spark.plans.ingest import IngestConfig, make_ledger, write_dlq_summary
+from datalakejson_spark.plans.ledger import PROCESSING_LEASE_S, LedgerStatus
 
 # Alarm names (the reference's three alarm classes, sudo_code.txt:257-276)
 ALARM_FAILED_FILES = "failed_files"  # job failures → files stuck FAILED
@@ -30,7 +30,7 @@ def ledger_status_counts(spark: SparkSession, conf: IngestConfig) -> DataFrame:
     """Files per ledger state — the reference's idx_processing_status rollup
     (sudo_code.txt:49). One row per status present."""
     return (
-        Ledger(spark, conf.ledger_dir)
+        make_ledger(spark, conf)
         .read()
         .groupBy("status")
         .agg(F.count("*").alias("n_files"))
@@ -80,7 +80,7 @@ def ingest_alarms(
     n_failed = counts.get(LedgerStatus.FAILED, 0)
     n_quarantined = counts.get(LedgerStatus.QUARANTINED, 0)
     n_stuck = (
-        Ledger(spark, conf.ledger_dir)
+        make_ledger(spark, conf)
         .read()
         .filter(
             (F.col("status") == LedgerStatus.PROCESSING)

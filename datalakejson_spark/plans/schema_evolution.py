@@ -224,6 +224,9 @@ class RawSchemaRegistry:
         import json
         import os
 
+        # the dir normally exists (snapshot ledger home), but with a JDBC
+        # ledger nothing else creates it
+        self.path.parent.mkdir(parents=True, exist_ok=True)
         tmp = self.path.with_suffix(".tmp")
         tmp.write_text(json.dumps(schema.jsonValue()))
         os.replace(tmp, self.path)

@@ -1,0 +1,103 @@
+"""S5: JDBC-backed ledger (embedded Derby) — same contract as the snapshot
+ledger: idempotent registration, SKIP-LOCKED-equivalent claims, lease
+reclaim, run_id commit fencing, and a full ingest_batch e2e on the JDBC
+backend."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from datalakejson_spark.plans.ingest import (
+    IngestConfig,
+    discover,
+    ingest_batch,
+    read_curated,
+)
+from datalakejson_spark.plans.jdbc_ledger import JdbcLedger
+from datalakejson_spark.plans.ledger import LedgerStatus
+from tests.conftest import good_record, write_ndjson
+
+
+@pytest.fixture()
+def jdbc_url(tmp_path: Path) -> str:
+    return f"jdbc:derby:{tmp_path}/ledgerdb;create=true"
+
+
+def _register(spark, led, keys):
+    led.register(
+        spark.createDataFrame([(k, 10) for k in keys], "s3_key string, file_size_bytes long")
+    )
+
+
+def test_jdbc_register_idempotent(spark, jdbc_url):
+    led = JdbcLedger(spark, jdbc_url)
+    df = spark.createDataFrame(
+        [("/a.json", 10), ("/b.json", 20)], "s3_key string, file_size_bytes long"
+    )
+    assert led.register(df) == 2
+    assert led.register(df) == 0  # ON CONFLICT DO NOTHING
+    assert led.counts() == {LedgerStatus.PENDING: 2}
+
+
+def test_jdbc_claim_skip_locked_and_reclaim(spark, jdbc_url):
+    led = JdbcLedger(spark, jdbc_url)
+    _register(spark, led, [f"/f{i}.json" for i in range(4)])
+
+    a = led.claim_batch(3, "run-a")
+    assert len(a) == 3
+    # concurrent runner skips a's PROCESSING rows, takes the remainder
+    b = led.claim_batch(3, "run-b")
+    assert len(b) == 1 and not set(a) & set(b)
+    assert led.counts() == {LedgerStatus.PROCESSING: 4}
+    # fresh leases are not claimable; expired ones are (crash reclaim)
+    assert led.claim_batch(10, "run-c") == []
+    reclaimed = led.claim_batch(10, "run-c", stale_lease_s=0)
+    assert sorted(reclaimed) == sorted(a + b)
+    rows = {r.s3_key: r for r in led.read().collect()}
+    assert all(r.run_id == "run-c" and r.retry_count == 2 for r in rows.values())
+
+
+def test_jdbc_commit_fencing(spark, jdbc_url):
+    led = JdbcLedger(spark, jdbc_url)
+    _register(spark, led, ["/x.json", "/y.json"])
+    a = led.claim_batch(10, "run-a")
+    b = led.claim_batch(10, "run-b", stale_lease_s=0)  # B reclaims everything
+    assert sorted(b) == sorted(a)
+
+    fenced = led.apply_outcomes([(a, LedgerStatus.SUCCEEDED, None)], run_id="run-a")
+    assert sorted(fenced) == sorted(a)  # A lost every claim
+    assert led.counts() == {LedgerStatus.PROCESSING: 2}  # B's state intact
+    assert led.owned_by(a, "run-b") == set(a)
+    assert led.apply_outcomes([(b, LedgerStatus.SUCCEEDED, None)], run_id="run-b") == []
+    assert led.counts() == {LedgerStatus.SUCCEEDED: 2}
+
+
+def test_ingest_e2e_on_jdbc_ledger(spark, tmp_path, jdbc_url):
+    """The full batch pipeline with the ledger in a JDBC database — the
+    reference's actual deployment shape (JDBC_URL, sudo_code.txt:74)."""
+    land = tmp_path / "landing"
+    for i in range(3):
+        write_ndjson(land / f"f{i}.json", [good_record(300 + i * 10 + j) for j in range(2)])
+    conf = IngestConfig(
+        landing_dir=str(land),
+        curated_dir=str(tmp_path / "curated"),
+        dlq_dir=str(tmp_path / "dlq"),
+        archive_dir=str(tmp_path / "archive"),
+        ledger_dir=str(tmp_path / "ledger-unused"),
+        jdbc_url=jdbc_url,
+    )
+    assert discover(spark, conf) == 3
+    res = ingest_batch(spark, conf)
+    assert len(res.succeeded_files) == 3 and res.good_rows == 6
+    assert res.lost_claims == []
+    led = JdbcLedger(spark, jdbc_url)
+    assert led.counts() == {LedgerStatus.SUCCEEDED: 3}
+    # snapshot-ledger directory untouched; archive + curated both real
+    assert not any(Path(conf.ledger_dir).glob("v*"))
+    assert read_curated(spark, conf.curated_dir).count() == 6
+    assert len(list((tmp_path / "archive").rglob("*.json"))) == 3
+    # idempotent re-run: nothing claimable
+    res2 = ingest_batch(spark, conf)
+    assert res2.claimed == 0
