@@ -101,3 +101,34 @@ def test_ingest_e2e_on_jdbc_ledger(spark, tmp_path, jdbc_url):
     # idempotent re-run: nothing claimable
     res2 = ingest_batch(spark, conf)
     assert res2.claimed == 0
+
+
+def test_jdbc_concurrent_runners_no_double_claim(spark, jdbc_url):
+    """Two threads claiming from the same Derby ledger: guarded updates give
+    SKIP LOCKED semantics — every file claimed exactly once across runners."""
+    import threading
+
+    led = JdbcLedger(spark, jdbc_url)
+    _register(spark, led, [f"/c{i:03d}.json" for i in range(40)])
+
+    claims: dict[str, list[str]] = {"a": [], "b": []}
+    errors: list[BaseException] = []
+
+    def runner(name: str) -> None:
+        try:
+            own = JdbcLedger(spark, jdbc_url)  # own connections per thread
+            while True:
+                got = own.claim_batch(3, f"run-{name}")
+                if not got:
+                    return
+                claims[name].extend(got)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta = threading.Thread(target=runner, args=("a",))
+    tb = threading.Thread(target=runner, args=("b",))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+    assert set(claims["a"]) & set(claims["b"]) == set()
+    assert len(claims["a"]) + len(claims["b"]) == 40
+    assert led.counts() == {LedgerStatus.PROCESSING: 40}
