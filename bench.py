@@ -49,20 +49,10 @@ def run_one(spark, fn, sf_dir: str) -> float:
     return time.time() - t0
 
 
-def bench_ingest(spark, n_files: int = 256, rows_per_file: int = 50) -> float:
-    """files/sec through one full discover→claim→read→transform→curated→
-    archive→commit batch over a synthetic landing zone. Bounded (256 files)
-    so the per-round bench stays fast; the reference's implied ceiling is
-    ~11 files/s (10k files / 15 min). Explicit landing schema — the 100 TB
-    posture (IngestConfig.schema) that skips per-batch inference."""
-    import shutil
-    import tempfile
-
+def _landing_schema():
     from pyspark.sql import types as T
 
-    from datalakejson_spark.plans.ingest import IngestConfig, discover, ingest_batch
-
-    landing_schema = T.StructType(
+    return T.StructType(
         [
             T.StructField("id", T.StringType()),
             T.StructField("event_timestamp", T.StringType()),
@@ -88,25 +78,43 @@ def bench_ingest(spark, n_files: int = 256, rows_per_file: int = 50) -> float:
         ]
     )
 
+
+def _synth_landing(land: Path, n_files: int, rows_per_file: int) -> None:
+    land.mkdir(parents=True)
+    for i in range(n_files):
+        with open(land / f"f{i:04d}.json", "w") as f:
+            for j in range(rows_per_file):
+                f.write(
+                    json.dumps(
+                        {
+                            "id": f"r-{i}-{j}",
+                            "event_timestamp": "2024-03-01T10:00:00Z",
+                            "MODE": "train",
+                            "metadata": {"app_version": "1.0", "user_agent": "b"},
+                            "payload": {"transaction_id": f"t{i}-{j}", "items": []},
+                        }
+                    )
+                    + "\n"
+                )
+
+
+def bench_ingest(spark, n_files: int = 256, rows_per_file: int = 50) -> float:
+    """files/sec through one full discover→claim→read→transform→curated→
+    archive→commit batch over a synthetic landing zone. Bounded (256 files)
+    so the per-round bench stays fast; the reference's implied ceiling is
+    ~11 files/s (10k files / 15 min). Explicit landing schema — the 100 TB
+    posture (IngestConfig.schema) that skips per-batch inference."""
+    import shutil
+    import tempfile
+
+    from datalakejson_spark.plans.ingest import IngestConfig, discover, ingest_batch
+
+    landing_schema = _landing_schema()
+
     root = Path(tempfile.mkdtemp(prefix="bench_ingest_"))
     try:
         land = root / "landing"
-        land.mkdir()
-        for i in range(n_files):
-            with open(land / f"f{i:04d}.json", "w") as f:
-                for j in range(rows_per_file):
-                    f.write(
-                        json.dumps(
-                            {
-                                "id": f"r-{i}-{j}",
-                                "event_timestamp": "2024-03-01T10:00:00Z",
-                                "MODE": "train",
-                                "metadata": {"app_version": "1.0", "user_agent": "b"},
-                                "payload": {"transaction_id": f"t{i}-{j}", "items": []},
-                            }
-                        )
-                        + "\n"
-                    )
+        _synth_landing(land, n_files, rows_per_file)
         conf = IngestConfig(
             landing_dir=str(land),
             curated_dir=str(root / "curated"),
@@ -121,6 +129,37 @@ def bench_ingest(spark, n_files: int = 256, rows_per_file: int = 50) -> float:
         dt = time.time() - t0
         assert len(res.succeeded_files) == n_files, res
         return round(n_files / dt, 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_stream(spark, n_files: int = 64, rows_per_file: int = 200) -> float:
+    """rows/sec through the Structured Streaming drain (Trigger.AvailableNow
+    over a synthetic landing zone, foreachBatch corrupt-split + transform +
+    partitioned curated append — the T1-T3 path)."""
+    import shutil
+    import tempfile
+
+    from datalakejson_spark.streaming.ingest_stream import streaming_ingest
+
+    root = Path(tempfile.mkdtemp(prefix="bench_stream_"))
+    try:
+        land = root / "landing"
+        _synth_landing(land, n_files, rows_per_file)
+        t0 = time.time()
+        q = streaming_ingest(
+            spark,
+            landing_dir=str(land),
+            curated_dir=str(root / "curated"),
+            dlq_dir=str(root / "dlq"),
+            checkpoint_dir=str(root / "ckpt"),
+            schema=_landing_schema(),
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        n = spark.read.parquet(str(root / "curated")).count()
+        assert n == n_files * rows_per_file, n
+        return round(n / dt, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -151,8 +190,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    try:  # extra key; never allowed to break the primary metric line
+    try:  # extra keys; never allowed to break the primary metric line
         payload["ingest_files_per_sec"] = bench_ingest(spark)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        payload["stream_rows_per_sec"] = bench_stream(spark)
     except Exception:  # noqa: BLE001
         pass
     print(json.dumps(payload))
