@@ -127,3 +127,21 @@ def test_catalog_partitions_listed(spark, tmp_path):
         "year=2024/month=2/day=1/mode=train",
         "year=2024/month=2/day=2/mode=train",
     }
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """l7's scale contract: the eval-suite shingle set broadcasts; the corpus
+    side is never shuffled on text (no SortMergeJoin against the corpus
+    shingles)."""
+    plan = plan_of(spark, "l7_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_shards_have_no_global_window(spark):
+    """l8's scale contract: the prefix sum is a window WITHIN each range
+    partition (partitionBy pid) — a bare global-order window would plan a
+    SinglePartition exchange and serialize on one task."""
+    plan = plan_of(spark, "l8_token_shards")
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan

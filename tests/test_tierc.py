@@ -158,3 +158,38 @@ def test_token_shards_pack_in_order(spark):
         assert r.shard_id == acc // SHARD_TOKEN_BUDGET, r
         acc += r.n_tokens
     assert rows[-1].shard_id > 0  # multiple shards actually produced
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Distributed min-label propagation vs a driver-side union-find over
+    seeded random graphs — the iterative Spark loop must produce exactly the
+    canonical components, including long chains (worst-case diameter)."""
+    import random
+
+    from datalakejson_spark.functions.llm_pipeline import connected_components
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        edges += [(i, i + 1) for i in range(50, 58)]  # a guaranteed chain
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expected = {x: min(y for y in range(n) if find(y) == find(x)) for x in range(n)}
+
+        nodes_df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edges_df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(nodes_df, edges_df).collect()
+        }
+        assert got == expected, f"seed {seed}"
