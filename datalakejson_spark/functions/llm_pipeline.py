@@ -69,9 +69,14 @@ def connected_components(
     payload data). Converges in O(component diameter) rounds; labels
     decrease monotonically, so the sum of labels is a cheap fixpoint test.
     ``localCheckpoint`` truncates lineage each round — without it the plan
-    doubles per iteration. At 100 TB scale the same loop applies; the
-    alternating small-star/large-star optimization drops round count to
-    O(log d) if diameters grow, but near-dup clusters are shallow."""
+    doubles per iteration.
+
+    Scale shape: only nodes that APPEAR IN AN EDGE enter the loop — in a
+    near-dup corpus that is a small fraction of all documents, so the
+    per-round shuffle is O(candidate-pair nodes), not O(corpus). Singletons
+    get their identity label in one final left join. If cluster diameters
+    ever grow beyond shallow near-dup chains, the alternating
+    small-star/large-star optimization drops round count to O(log d)."""
     sym = edges.select(
         F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
     )
@@ -79,9 +84,12 @@ def connected_components(
     # Materialize the edge list ONCE: without this, the (expensive) candidate
     # generation upstream re-executes inside every propagation round.
     sym = sym.localCheckpoint()
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
-    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iters):
         neighbor_min = (
@@ -103,7 +111,15 @@ def connected_components(
         prev_sum = cur_sum
     else:
         raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
-    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+    # Singletons (no candidate pair) never entered the loop: label = self.
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("lbl", F.col("node")).alias("cluster_id"),
+        )
+    )
 
 
 _L2E_SQL = f"""
