@@ -24,11 +24,11 @@ from datalakejson_spark.plans.ingest import (
     deduplicate_replays,
     discover,
     ingest_batch,
+    make_ledger,
     read_curated,
     run_until_drained,
     write_dlq_summary,
 )
-from datalakejson_spark.plans.ledger import Ledger
 from datalakejson_spark.session import configure_runtime
 from datalakejson_spark.sources.catalog import register_curated_table
 
@@ -54,11 +54,20 @@ class DataLakeEngine:
         self._fq_table = None  # new partitions/schema → re-register on next sql()
         return results
 
-    def ledger(self) -> Ledger:
-        return Ledger(self.spark, self.conf.ledger_dir)
+    def ledger(self):
+        """The configured ledger backend (snapshot, or JDBC when
+        ``conf.jdbc_url`` is set — S5)."""
+        return make_ledger(self.spark, self.conf)
 
     def dlq_summary(self) -> DataFrame:
         return write_dlq_summary(self.spark, self.conf)
+
+    def alarms(self, **thresholds) -> DataFrame:
+        """The monitoring board (plans/monitor.py): one row per alarm class
+        with (observed, threshold, triggered)."""
+        from datalakejson_spark.plans.monitor import ingest_alarms
+
+        return ingest_alarms(self.spark, self.conf, **thresholds)
 
     # -- consumption plane --------------------------------------------------
     def curated(self, resolve_replays: bool = False) -> DataFrame:
