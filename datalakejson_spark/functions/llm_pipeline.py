@@ -278,3 +278,103 @@ def l8_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("prefix_excl") / SHARD_TOKEN_BUDGET).alias("shard_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# The end-to-end corpus preparation pipeline (composition of verified parts)
+# --------------------------------------------------------------------------
+def prepare_training_corpus(
+    docs: DataFrame,
+    shard_token_budget: int = SHARD_TOKEN_BUDGET,
+    shard_partitions: int = SHARD_PARTITIONS,
+) -> DataFrame:
+    """The full pretraining-data prep flow, each stage an operator verified
+    on its own elsewhere in this package:
+
+    1. exact dedup        — one keeper per identical text (md5 groupBy, L1)
+    2. near-dup dedup     — MinHash-LSH pairs → connected components → keep
+                            each cluster's representative (L2/L2e)
+    3. quality gate       — Gopher/C4-style length + word-shape predicates,
+                            pushed into the scan (L6)
+    4. decontamination    — drop docs sharing word-3-grams with the
+                            (pseudo) benchmark slice (L7)
+    5. shard packing      — two-phase prefix sum over token counts (L8)
+
+    Input: (doc_id, text, n_chars, ...). Output: (doc_id, text, n_tokens,
+    shard_id) for the surviving corpus, packed in doc_id order. Every stage
+    is shuffle-bounded: dedup keys are hashes, CC shuffles only
+    edge-adjacent (node,label) pairs, the benchmark set broadcasts, and the
+    prefix sum is partition-parallel — no stage is O(corpus²) or
+    single-task."""
+    from datalakejson_spark.functions.dedup import (
+        keep_first_distinct,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 1. exact dedup
+    corpus = keep_first_distinct(docs)
+
+    # 2. near-dup clusters → representatives only
+    pairs = lsh_candidate_pairs(minhash_signatures(corpus))
+    cc = connected_components(corpus.select("doc_id"), pairs)
+    reps = cc.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    corpus = corpus.join(reps, "doc_id", "left_semi")
+
+    # 3. quality gate (same predicates as l6_quality_filter)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    avg_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("double") / F.greatest(n_tokens, F.lit(1))
+    corpus = corpus.withColumn("n_tokens", n_tokens.cast("long")).filter(
+        (F.col("n_chars") >= 100)
+        & (F.col("n_tokens") >= 20)
+        & avg_word_len.between(2.0, 12.0)
+    )
+
+    # 4. decontamination: drop the benchmark slice itself AND any train doc
+    #    sharing a shingle with it
+    tok = corpus.select("doc_id", F.split("text", " ").alias("w"))
+    sh = tok.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle")
+    )
+    bench_shingles = sh.filter(_bench_pred()).select("shingle").distinct()
+    contaminated = (
+        sh.join(F.broadcast(bench_shingles), "shingle").select("doc_id").distinct()
+    )
+    corpus = corpus.filter(~_bench_pred()).join(contaminated, "doc_id", "left_anti")
+
+    # 5. shard packing (two-phase prefix sum, same shape as l8_token_shards)
+    parts = (
+        corpus.select("doc_id", "text", "n_tokens")
+        .repartitionByRange(shard_partitions, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["pid"]: r["total"]
+        for r in parts.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = F.broadcast(
+        docs.sparkSession.createDataFrame(offsets, "pid int, part_offset long")
+    )
+    within = F.sum("n_tokens").over(
+        Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        parts.join(off_df, "pid")
+        .withColumn("prefix_excl", F.col("part_offset") + within - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "text",
+            "n_tokens",
+            F.floor(F.col("prefix_excl") / shard_token_budget).alias("shard_id"),
+        )
+    )

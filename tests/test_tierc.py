@@ -193,3 +193,43 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
             for r in connected_components(nodes_df, edges_df).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    """The composed prep pipeline: output has no exact dups, no surviving
+    near-dup pair, no benchmark overlap, and contiguous budget-packed
+    shards."""
+    import pyspark.sql.functions as F
+
+    from datalakejson_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from datalakejson_spark.functions.llm_pipeline import (
+        SHARD_TOKEN_BUDGET,
+        prepare_training_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = prepare_training_corpus(docs)
+    rows = sorted(out.collect(), key=lambda r: r.doc_id)
+    assert rows, "pipeline should keep a non-trivial corpus"
+    assert len(rows) < docs.count()  # something was actually filtered
+
+    # no exact duplicates survive
+    texts = [r.text for r in rows]
+    assert len(texts) == len(set(texts))
+
+    # no near-dup candidate pair survives (both ends in the output)
+    kept = {r.doc_id for r in rows}
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    assert all(not (p.doc_a in kept and p.doc_b in kept) for p in pairs)
+
+    # benchmark slice gone
+    assert all(r.doc_id % 97 != 0 for r in rows)
+
+    # shards: monotone ids, exclusive-prefix packing law holds
+    acc = 0
+    for r in rows:
+        assert r.shard_id == acc // SHARD_TOKEN_BUDGET
+        acc += r.n_tokens
