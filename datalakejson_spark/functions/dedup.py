@@ -279,3 +279,63 @@ def l2b_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select(
         "doc_id", F.expr(_SIMHASH_COMBINE).cast("bigint").alias("simhash")
     )
+
+
+_L2F_SQL = f"""
+    WITH sigs AS ({_L2B_SQL}),
+    bands AS (
+        SELECT doc_id, simhash, i AS band, (simhash >> (4 * i)) & 15 AS band_val
+        FROM sigs, unnest([0, 1, 2, 3]) AS t(i)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("l2f_simhash_pairs", survey="L2", sql=_L2F_SQL, extended=True)
+def l2f_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance ≤ 3, via 4-bit banding:
+    any two 16-bit signatures differing in ≤ 3 bits leave at least one of
+    the four nibbles untouched (pigeonhole), so joining on (band, nibble)
+    is COMPLETE for the threshold while staying O(bucket collisions) — the
+    same never-all-pairs shape as MinHash banding, but over one integer
+    signature instead of an 8-lane sketch."""
+    sigs = l2b_simhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 4 * i).bitwiseAND(15).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
