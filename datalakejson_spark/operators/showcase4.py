@@ -174,3 +174,41 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_Q22_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q8: national market share (conditional share-of-total aggregate)
+# --------------------------------------------------------------------------
+_Q8_SQL = f"""
+    SELECT o_year,
+           round(
+               {dsum_sql("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+               / {dsum_sql('volume')}, 6) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               sn.n_name AS nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE r_name = 'ASIA' AND p_size <= 25
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@register("q8_national_market_share", survey="J3,J4,G3,F7", extended=True, sql=_Q8_SQL)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8 shape: one nation's share of regional revenue per year — a
+    conditional-sum / total-sum ratio over a seven-table star join with the
+    nation dimension in two roles. Both sums ride ONE aggregate (no second
+    scan for the denominator)."""
+    _views(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+           "supplier", "part")
+    return spark.sql(_Q8_SQL)
