@@ -90,3 +90,46 @@ def compact(
             continue
         out[part] = compact_partition(spark, part, target_file_bytes)
     return out
+
+
+def vacuum_replays(spark: SparkSession, curated_dir: str) -> dict[str, int]:
+    """Physically delete crash-replay rows that ``deduplicate_replays``
+    (plans/ingest.py) filters at read time: for each source file keep only
+    its newest ``ingest_run_id``'s rows. Without this, a lake that ever
+    replayed keeps paying the dead rows' scan cost forever.
+
+    Runs partition-local (no global shuffle): per partition, a window max
+    over ``source_s3_path`` decides survivors. Equivalent to the global
+    rule because a source file's transform is deterministic — every attempt
+    lands rows in the same partition set, so the newest run present in a
+    partition IS the file's globally newest run. Same atomic old-or-new
+    swap as compaction; like compaction, run it on closed partitions (not
+    concurrently with an in-flight append to the same partition).
+
+    Returns {partition_dir: n_rows_removed} for rewritten partitions."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    out: dict[str, int] = {}
+    for part in list_partition_dirs(curated_dir):
+        df = spark.read.parquet(part)
+        if "ingest_run_id" not in df.columns or "source_s3_path" not in df.columns:
+            continue
+        w = Window.partitionBy("source_s3_path")
+        annotated = df.withColumn("_max_run", F.max("ingest_run_id").over(w))
+        stale = annotated.filter(F.col("ingest_run_id") != F.col("_max_run"))
+        n_stale = stale.count()
+        if not n_stale:
+            continue
+        keep = annotated.filter(
+            F.col("ingest_run_id") == F.col("_max_run")
+        ).drop("_max_run")
+        parent, leaf = os.path.split(part.rstrip("/"))
+        staging = os.path.join(parent, f".__vacuum_{time.time_ns()}_{leaf}")
+        keep.write.mode("overwrite").parquet(staging)
+        retired = os.path.join(parent, f".__retired_{time.time_ns()}_{leaf}")
+        os.rename(part, retired)
+        os.rename(staging, part)
+        shutil.rmtree(retired, ignore_errors=True)
+        out[part] = n_stale
+    return out

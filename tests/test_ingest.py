@@ -424,3 +424,43 @@ def test_ingest_batch_aborts_side_effects_on_lost_claim(spark, tmp_path, monkeyp
         r.status == LedgerStatus.PROCESSING and r.run_id.endswith("thief")
         for r in rows.values()
     )
+
+
+def test_vacuum_replays_removes_stale_rows_physically(spark, ingest_conf, monkeypatch):
+    """vacuum_replays makes deduplicate_replays' read-time filter permanent:
+    after a crash-replay, vacuuming leaves only the newest run's rows ON
+    DISK, with query results identical."""
+    import datalakejson_spark.plans.ingest as ing
+    from datalakejson_spark.plans.compact import vacuum_replays
+    from datalakejson_spark.plans.ingest import deduplicate_replays
+
+    discover(spark, ingest_conf)
+    real_move = ing._move_idempotent
+    calls = {"n": 0}
+
+    def crash_on_first_move(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after curated append")
+        return real_move(src, dst)
+
+    monkeypatch.setattr(ing, "_move_idempotent", crash_on_first_move)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ingest_batch(spark, ingest_conf)
+    monkeypatch.undo()
+    ingest_batch(spark, ingest_conf)  # replay: rows duplicated under new run
+
+    before = read_curated(spark, ingest_conf.curated_dir)
+    assert before.count() == 40
+    expected = {
+        tuple(r) for r in deduplicate_replays(before).select("record_id").collect()
+    }
+
+    removed = vacuum_replays(spark, ingest_conf.curated_dir)
+    assert sum(removed.values()) == 20
+    after = read_curated(spark, ingest_conf.curated_dir)
+    assert after.count() == 20  # stale rows gone from storage
+    assert {tuple(r) for r in after.select("record_id").collect()} == expected
+    assert after.select("ingest_run_id").distinct().count() == 1
+    # idempotent: second vacuum is a no-op
+    assert vacuum_replays(spark, ingest_conf.curated_dir) == {}
