@@ -491,6 +491,11 @@ def run_until_drained(
         if not res.succeeded_files and not res.quarantined_files:
             break
     if compact_every and results:
+        # vacuum BEFORE the final compaction: replay rows from any crashed
+        # attempts are dropped first, so compaction never rewrites dead data
+        from datalakejson_spark.plans.compact import vacuum_replays
+
+        vacuum_replays(spark, conf.curated_dir)
         compact(spark, conf.curated_dir, target_file_bytes=target)
     return results
 
