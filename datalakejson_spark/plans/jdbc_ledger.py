@@ -58,6 +58,55 @@ _CREATE_IDX = f"CREATE INDEX idx_processing_status ON {_TABLE} (status)"
 
 _BATCH = 1000  # JDBC executeBatch chunk
 
+DUPLICATE_KEY_SQLSTATE = "23505"  # standard unique-violation (Derby + Postgres)
+
+
+def _is_postgres(url: str) -> bool:
+    return url.startswith("jdbc:postgresql")
+
+
+def _insert_sql(url: str) -> str:
+    """Dialect-aware idempotent insert (sudo_code.txt:90 ON CONFLICT DO
+    NOTHING). PostgreSQL gets the native, race-free form; Derby (and any
+    other ANSI DB) gets INSERT..WHERE NOT EXISTS, which under READ_COMMITTED
+    can still lose a register/register race — register() covers that window
+    by catching the duplicate-key violation per row (savepoint + SQLState
+    23505), so a concurrent discoverer's win is an idempotent skip, never an
+    aborted transaction."""
+    if _is_postgres(url):
+        return (
+            f"INSERT INTO {_TABLE} (s3_key, file_size_bytes, status, "
+            "retry_count, first_discovered_at, last_updated_at) "
+            "VALUES (?, ?, ?, 0, CURRENT_TIMESTAMP, CURRENT_TIMESTAMP) "
+            "ON CONFLICT (s3_key) DO NOTHING"
+        )
+    return (
+        f"INSERT INTO {_TABLE} (s3_key, file_size_bytes, status, "
+        "retry_count, first_discovered_at, last_updated_at) "
+        "SELECT ?, ?, ?, 0, CURRENT_TIMESTAMP, CURRENT_TIMESTAMP "
+        "FROM SYSIBM.SYSDUMMY1 "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {_TABLE} WHERE s3_key = ?)"
+    )
+
+
+def _sql_state(exc: Exception) -> str | None:
+    """Walk a py4j-wrapped java.sql exception's cause chain for an SQLState.
+    executeUpdate failures surface as Py4JJavaError wrapping SQLException
+    (sometimes nested under BatchUpdateException or Derby's wrappers)."""
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            state = je.getSQLState()
+        except Exception:  # noqa: BLE001 — not an SQLException level
+            state = None
+        if state:
+            return str(state)
+        try:
+            je = je.getCause()
+        except Exception:  # noqa: BLE001
+            return None
+    return None
+
 
 class JdbcLedger:
     """Drop-in Ledger alternative backed by a JDBC database (embedded Derby
@@ -93,9 +142,15 @@ class JdbcLedger:
     # -- reference operations ----------------------------------------------
     def register(self, discovered: DataFrame) -> int:
         """Idempotent PENDING insert — ``ON CONFLICT (s3_key) DO NOTHING``
-        (sudo_code.txt:90) as a per-row insert-if-absent (Derby has no ON
-        CONFLICT). The discovered list is driver-bounded exactly like the
-        reference's own batched INSERTs (psuedo_code.txt:117-131)."""
+        (sudo_code.txt:90). PostgreSQL URLs use that exact clause (native,
+        race-free) with executeBatch; other dialects (embedded Derby) use
+        INSERT..WHERE NOT EXISTS per row under a savepoint, skipping
+        duplicate-key violations (SQLState 23505) — two concurrent
+        discoverers can both pass the NOT EXISTS read for the same new key
+        under READ_COMMITTED, and the loser's PK violation must be an
+        idempotent skip, not an aborted batch. The discovered list is
+        driver-bounded exactly like the reference's own batched INSERTs
+        (psuedo_code.txt:117-131)."""
         rows = (
             discovered.select("s3_key", "file_size_bytes")
             .dropDuplicates(["s3_key"])
@@ -105,23 +160,37 @@ class JdbcLedger:
             return 0
         conn = self._connect()
         try:
-            ps = conn.prepareStatement(
-                f"INSERT INTO {_TABLE} (s3_key, file_size_bytes, status, "
-                "retry_count, first_discovered_at, last_updated_at) "
-                "SELECT ?, ?, ?, 0, CURRENT_TIMESTAMP, CURRENT_TIMESTAMP "
-                "FROM SYSIBM.SYSDUMMY1 "
-                f"WHERE NOT EXISTS (SELECT 1 FROM {_TABLE} WHERE s3_key = ?)"
-            )
+            ps = conn.prepareStatement(_insert_sql(self.url))
             n_new = 0
-            for i, r in enumerate(rows):
-                ps.setString(1, r.s3_key)
-                ps.setLong(2, int(r.file_size_bytes or 0))
-                ps.setString(3, LedgerStatus.PENDING)
-                ps.setString(4, r.s3_key)
-                ps.addBatch()
-                if (i + 1) % _BATCH == 0:
-                    n_new += sum(ps.executeBatch())
-            n_new += sum(ps.executeBatch())
+            if _is_postgres(self.url):
+                for i, r in enumerate(rows):
+                    ps.setString(1, r.s3_key)
+                    ps.setLong(2, int(r.file_size_bytes or 0))
+                    ps.setString(3, LedgerStatus.PENDING)
+                    ps.addBatch()
+                    if (i + 1) % _BATCH == 0:
+                        n_new += sum(ps.executeBatch())
+                n_new += sum(ps.executeBatch())
+            else:
+                for r in rows:
+                    ps.setString(1, r.s3_key)
+                    ps.setLong(2, int(r.file_size_bytes or 0))
+                    ps.setString(3, LedgerStatus.PENDING)
+                    ps.setString(4, r.s3_key)
+                    # Savepoint per row: a duplicate-key loss rolls back only
+                    # this statement; rows already inserted in the transaction
+                    # survive. (Derby's statement-level atomicity would cope
+                    # without it, but Postgres-family DBs poison the whole
+                    # transaction on any error unless a savepoint exists.)
+                    sp = conn.setSavepoint()
+                    try:
+                        n_new += ps.executeUpdate()
+                        conn.releaseSavepoint(sp)
+                    except Exception as exc:  # noqa: BLE001 — py4j-wrapped SQL error
+                        if _sql_state(exc) == DUPLICATE_KEY_SQLSTATE:
+                            conn.rollback(sp)  # lost the race; row exists — skip
+                        else:
+                            raise
             conn.commit()
             ps.close()
             return n_new

@@ -132,3 +132,71 @@ def test_jdbc_concurrent_runners_no_double_claim(spark, jdbc_url):
     assert set(claims["a"]) & set(claims["b"]) == set()
     assert len(claims["a"]) + len(claims["b"]) == 40
     assert led.counts() == {LedgerStatus.PROCESSING: 40}
+
+
+def test_jdbc_insert_dialect_selection():
+    """PostgreSQL URLs get the native race-free ON CONFLICT DO NOTHING;
+    everything else (Derby) gets the guarded NOT-EXISTS form."""
+    from datalakejson_spark.plans.jdbc_ledger import _insert_sql
+
+    pg = _insert_sql("jdbc:postgresql://db.example/ledger")
+    assert "ON CONFLICT (s3_key) DO NOTHING" in pg
+    assert "NOT EXISTS" not in pg
+    derby = _insert_sql("jdbc:derby:/tmp/x;create=true")
+    assert "NOT EXISTS" in derby and "ON CONFLICT" not in derby
+
+
+def test_jdbc_register_survives_duplicate_key_race(spark, jdbc_url, monkeypatch):
+    """The register/register race: both discoverers pass NOT EXISTS for the
+    same new key; the loser's PK violation (SQLState 23505) must be an
+    idempotent skip, and the other rows in its transaction must survive.
+    Forced deterministically by stripping the NOT-EXISTS guard, so every
+    duplicate insert takes the 23505 recovery path."""
+    from datalakejson_spark.plans import jdbc_ledger as jl
+
+    led = JdbcLedger(spark, jdbc_url)
+    _register(spark, led, ["/dup.json"])
+
+    unguarded = (
+        f"INSERT INTO {jl._TABLE} (s3_key, file_size_bytes, status, "
+        "retry_count, first_discovered_at, last_updated_at) "
+        "SELECT ?, ?, ?, 0, CURRENT_TIMESTAMP, CURRENT_TIMESTAMP "
+        "FROM SYSIBM.SYSDUMMY1 WHERE ? IS NOT NULL"
+    )
+    monkeypatch.setattr(jl, "_insert_sql", lambda url: unguarded)
+    n = led.register(
+        spark.createDataFrame(
+            [("/dup.json", 10), ("/new1.json", 11), ("/new2.json", 12)],
+            "s3_key string, file_size_bytes long",
+        )
+    )
+    assert n == 2  # duplicate skipped, the rest of the batch committed
+    assert led.counts() == {LedgerStatus.PENDING: 3}
+
+
+def test_jdbc_concurrent_register_same_keys(spark, jdbc_url):
+    """Two discoverers registering overlapping key sets concurrently: the
+    union registers exactly once, neither raises."""
+    import threading
+
+    led = JdbcLedger(spark, jdbc_url)
+    keys = [f"/r{i:03d}.json" for i in range(30)]
+    new_counts: dict[str, int] = {}
+    errors: list[BaseException] = []
+
+    def runner(name: str, subset: list[str]) -> None:
+        try:
+            own = JdbcLedger(spark, jdbc_url)
+            df = spark.createDataFrame(
+                [(k, 10) for k in subset], "s3_key string, file_size_bytes long"
+            )
+            new_counts[name] = own.register(df)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta = threading.Thread(target=runner, args=("a", keys[:20]))
+    tb = threading.Thread(target=runner, args=("b", keys[10:]))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+    assert new_counts["a"] + new_counts["b"] == 30
+    assert led.counts() == {LedgerStatus.PENDING: 30}
