@@ -86,6 +86,14 @@ LOCK_HEARTBEAT_S = 5.0
 PROCESSING_LEASE_S = 1800.0
 
 
+class LedgerLockLost(RuntimeError):
+    """The mutex token vanished mid-critical-section: a stale-break racer
+    renamed our fresh lock away and its restore lost to a new acquirer
+    (see ``_break_if_stale``). ``overwrite`` raises this BEFORE the pointer
+    swap — nothing was published — and the public operations retry their
+    whole read-modify-write under a fresh acquisition."""
+
+
 class Ledger:
     """Parquet-snapshot ledger with atomic pointer swap and a lock-file mutex
     serializing concurrent runners' read-modify-write cycles."""
@@ -94,6 +102,7 @@ class Ledger:
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        self._held = threading.local()  # token while inside _mutex, per thread
 
     # -- multi-runner mutex --------------------------------------------------
     @property
@@ -142,9 +151,11 @@ class Ledger:
             target=self._heartbeat, args=(stop, token), daemon=True
         )
         beat.start()
+        self._held.token = token
         try:
             yield
         finally:
+            self._held.token = None
             stop.set()
             beat.join(timeout=2 * LOCK_HEARTBEAT_S)
             self._unlink_if_owner(token)
@@ -221,17 +232,56 @@ class Ledger:
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
         return self.spark.read.schema(LEDGER_SCHEMA).parquet(str(self.root / version))
 
+    def _owns_lock(self) -> bool:
+        """Does the lockfile still carry this thread's mutex token? Outside a
+        mutex (direct overwrite in tests/tools) there is nothing to verify."""
+        token = getattr(self._held, "token", None)
+        if token is None:
+            return True
+        try:
+            return self._lockfile.read_text() == token
+        except OSError:
+            return False  # renamed/unlinked — dispossessed either way
+
     def overwrite(self, df: DataFrame) -> None:
-        """Write a new snapshot, atomically swap the pointer, prune old ones."""
+        """Write a new snapshot, atomically swap the pointer, prune old ones.
+
+        Dispossession guard (the _break_if_stale restore race): immediately
+        before the pointer swap, re-verify the lockfile still carries our
+        token. A holder whose fresh lock was renamed away by a staleness
+        probe and lost to a new acquirer must NOT publish — its snapshot is
+        whole-state last-writer-wins and would erase the new holder's
+        transitions. Raising here (nothing published yet; the orphan version
+        directory is pruned by later snapshots) lets the operation retry its
+        whole read-modify-write under a fresh acquisition."""
         version = f"v{time.time_ns()}"
         out = self.root / version
         df.select([f.name for f in LEDGER_SCHEMA.fields]).coalesce(1).write.mode(
             "overwrite"
         ).parquet(str(out))
+        if not self._owns_lock():
+            raise LedgerLockLost(
+                f"ledger lock {self._lockfile} stolen mid-write; snapshot "
+                f"{version} aborted before publish"
+            )
         tmp = self.root / "_LATEST.tmp"
         tmp.write_text(version)
         os.replace(tmp, self._pointer)  # atomic commit point
         self._prune(keep=3, current=version)
+
+    def _retrying(self, body, attempts: int = 5):
+        """Run ``body`` inside the mutex, retrying the whole read-modify-write
+        when the lock was stolen mid-flight (LedgerLockLost aborts before any
+        state is published, so a retry is a clean re-application on whatever
+        the winning holder committed)."""
+        last: LedgerLockLost | None = None
+        for _ in range(attempts):
+            try:
+                with self._mutex():
+                    return body()
+            except LedgerLockLost as exc:
+                last = exc
+        raise last
 
     def _prune(self, keep: int, current: str) -> None:
         snaps = sorted(
@@ -247,7 +297,8 @@ class Ledger:
         """Idempotent insert of (s3_key, file_size_bytes) rows as PENDING —
         the ``ON CONFLICT DO NOTHING`` anti-join (J1; sudo_code.txt:90).
         Returns the number of newly registered files."""
-        with self._mutex():
+
+        def body() -> int:
             current = self.read()
             now = F.current_timestamp()
             fresh = (
@@ -260,8 +311,7 @@ class Ledger:
                 .withColumn("first_discovered_at", now)
                 .withColumn("last_updated_at", now)
                 .withColumn("run_id", F.lit(None).cast("string"))
-            )
-            fresh = fresh.persist()  # count + overwrite: one anti-join execution
+            ).persist()  # count + overwrite: one anti-join execution
             try:
                 n_new = fresh.count()
                 if n_new:
@@ -269,6 +319,8 @@ class Ledger:
             finally:
                 fresh.unpersist()
             return n_new
+
+        return self._retrying(body)
 
     def claim_batch(
         self,

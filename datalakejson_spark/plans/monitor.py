@@ -71,27 +71,37 @@ def ingest_alarms(
     ``stuck_processing`` counts only PROCESSING rows whose lease expired
     (``last_updated_at`` older than ``processing_lease_s`` — the SAME
     staleness predicate claim_batch uses for reclaim), so a healthy
-    in-flight batch never pages; only a dead runner's orphans do."""
-    counts = {
-        r["status"]: r["n_files"]
-        for r in ledger_status_counts(spark, conf).collect()
-    }
-    total = sum(counts.values()) or 1
-    n_failed = counts.get(LedgerStatus.FAILED, 0)
-    n_quarantined = counts.get(LedgerStatus.QUARANTINED, 0)
-    n_stuck = (
+    in-flight batch never pages; only a dead runner's orphans do.
+
+    One ledger construction, one read, one aggregate job: every board count
+    is a conditional sum over the same scan (the JDBC backend would otherwise
+    pay _ensure_table + a second table scan for the stuck count)."""
+    stuck = (F.col("status") == LedgerStatus.PROCESSING) & (
+        F.col("last_updated_at")
+        < F.current_timestamp()
+        - F.expr(f"INTERVAL {int(processing_lease_s)} SECONDS")
+    )
+
+    def n_where(pred) -> F.Column:
+        return F.coalesce(F.sum(F.when(pred, 1)), F.lit(0))
+
+    tallies = (
         make_ledger(spark, conf)
         .read()
-        .filter(
-            (F.col("status") == LedgerStatus.PROCESSING)
-            & (
-                F.col("last_updated_at")
-                < F.current_timestamp()
-                - F.expr(f"INTERVAL {int(processing_lease_s)} SECONDS")
-            )
+        .agg(
+            F.count("*").alias("total"),
+            n_where(F.col("status") == LedgerStatus.FAILED).alias("n_failed"),
+            n_where(F.col("status") == LedgerStatus.QUARANTINED).alias(
+                "n_quarantined"
+            ),
+            n_where(stuck).alias("n_stuck"),
         )
-        .count()
+        .first()
     )
+    total = tallies["total"] or 1
+    n_failed = tallies["n_failed"]
+    n_quarantined = tallies["n_quarantined"]
+    n_stuck = tallies["n_stuck"]
     n_dlq = write_dlq_summary(spark, conf).agg(
         F.coalesce(F.sum("n_corrupt_rows"), F.lit(0))
     ).first()[0]
