@@ -164,6 +164,35 @@ def bench_stream(spark, n_files: int = 64, rows_per_file: int = 200) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_feed(spark, sf_dir: str) -> float:
+    """rows/sec through the consumption plane's Arrow batch feed: pack the
+    documents table (L8), export the shard lake once, then time a full
+    deterministic iteration over every shard (the training-loop read path —
+    partition-pruned fetch windows, Arrow transfer, batch slicing)."""
+    import shutil
+    import tempfile
+
+    from datalakejson_spark.consumption import ShardFeed, export_shards
+    from datalakejson_spark.functions.llm_pipeline import l8_token_shards
+    from datalakejson_spark.sources.tables import load_table
+
+    root = Path(tempfile.mkdtemp(prefix="bench_feed_"))
+    try:
+        out = str(root / "shards")
+        packed = l8_token_shards(spark, sf_dir).join(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+        )
+        export_shards(packed, out)
+        feed = ShardFeed(spark, out, batch_rows=1024, shards_per_fetch=256)
+        t0 = time.time()
+        n = sum(b.num_rows for b in feed.batches())
+        dt = time.time() - t0
+        assert n == packed.count(), n
+        return round(n / dt, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -196,6 +225,10 @@ def main() -> None:
         pass
     try:
         payload["stream_rows_per_sec"] = bench_stream(spark)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        payload["feed_rows_per_sec"] = bench_feed(spark, sf_dir)
     except Exception:  # noqa: BLE001
         pass
     print(json.dumps(payload))

@@ -1,0 +1,109 @@
+"""Consumption plane (reference diagram3:135, 138-143): shard export layout,
+feed determinism, partition/column pruning on the feed's own plan, and the
+distributed-training rank split."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalakejson_spark.consumption import ShardFeed, export_shards, shard_manifest
+from datalakejson_spark.functions.llm_pipeline import l8_token_shards
+from datalakejson_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def shard_dir(spark, tmp_path_factory) -> str:
+    """Pack the documents table (L8) and export it once for all feed tests."""
+    out = str(tmp_path_factory.mktemp("lake") / "shards")
+    packed = l8_token_shards(spark, SF).join(
+        load_table(spark, SF, "documents").select("doc_id", "text"), "doc_id"
+    )
+    export_shards(packed, out)
+    return out
+
+
+def test_export_writes_one_sorted_file_per_shard(spark, shard_dir):
+    dirs = sorted(p for p in Path(shard_dir).iterdir() if p.name.startswith("shard_id="))
+    assert len(dirs) > 3  # 500 docs / 256-token budget → a handful of shards
+    for d in dirs:
+        files = [p for p in d.iterdir() if p.suffix == ".parquet"]
+        assert len(files) == 1, f"{d.name}: expected exactly one file, got {files}"
+    # within-file order: each shard file is ascending by doc_id as written
+    import pyarrow.parquet as pq
+
+    for d in dirs[:3]:
+        ids = pq.read_table(str(d), columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+
+
+def test_feed_is_deterministic_and_complete(spark, shard_dir):
+    feed = ShardFeed(spark, shard_dir, batch_rows=64, shards_per_fetch=3)
+    run1 = [b.to_pydict() for b in feed.batches()]
+    run2 = [b.to_pydict() for b in feed.batches()]
+    assert run1 == run2
+    assert all(len(b["doc_id"]) <= 64 for b in run1)
+    got = [i for b in run1 for i in b["doc_id"]]
+    expected = [
+        r["doc_id"]
+        for r in spark.read.parquet(shard_dir)
+        .orderBy("shard_id", "doc_id")
+        .select("doc_id")
+        .collect()
+    ]
+    assert got == expected  # global (shard_id, doc_id) order, no gaps, no dups
+
+
+def test_feed_prunes_partitions_and_columns(spark, shard_dir):
+    all_ids = ShardFeed(spark, shard_dir).shard_ids
+    pick = all_ids[:2]
+    feed = ShardFeed(spark, shard_dir, shards=pick, columns=["n_tokens"])
+    plan = feed.window_plan(pick)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # shard selection reaches the source as a partition filter ...
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "shard_id" in pf
+    # ... and unselected payload columns are pruned from the read schema
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema and "n_tokens" in read_schema
+    rows = list(feed.rows())
+    assert {r["shard_id"] for r in rows} == set(pick)
+    assert set(rows[0]) == {"shard_id", "doc_id", "n_tokens"}
+
+
+def test_rank_split_is_disjoint_and_exhaustive(spark, shard_dir):
+    world = 3
+    feeds = [ShardFeed(spark, shard_dir, rank=r, world_size=world) for r in range(world)]
+    slices = [set(f.shard_ids) for f in feeds]
+    assert set().union(*slices) == set(ShardFeed(spark, shard_dir).shard_ids)
+    for i in range(world):
+        for j in range(i + 1, world):
+            assert not (slices[i] & slices[j])
+
+
+def test_manifest_matches_feed_accounting(spark, shard_dir):
+    man = {r["shard_id"]: r for r in shard_manifest(spark, shard_dir).collect()}
+    feed = ShardFeed(spark, shard_dir)
+    seen: dict[int, int] = {}
+    for row in feed.rows():
+        seen[row["shard_id"]] = seen.get(row["shard_id"], 0) + 1
+    assert {s: m["n_docs"] for s, m in man.items()} == seen
+    # every shard respects the packing law: tokens before the last doc < budget
+    packed = l8_token_shards(spark, SF)
+    budget_viol = (
+        packed.groupBy("shard_id")
+        .agg((F.sum("n_tokens") - F.max("n_tokens")).alias("without_last"))
+        .filter(F.col("without_last") >= 256)
+        .count()
+    )
+    assert budget_viol == 0
+
+
+def test_unknown_shard_selection_raises(spark, shard_dir):
+    with pytest.raises(ValueError, match="not present"):
+        ShardFeed(spark, shard_dir, shards=[999999])
