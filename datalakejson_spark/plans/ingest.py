@@ -1,5 +1,5 @@
 """Batch ingest plane: discovery → claim → PERMISSIVE read → corrupt split →
-transform → partitioned curated append → archive → ledger commit.
+transform → partitioned curated append → fenced ledger commit → archive.
 
 Reference parity (operator-by-operator):
 - discovery & registration: ``FileListerAndDbPopulator``
@@ -102,6 +102,10 @@ class IngestResult:
     # files rejected by the schema-drift gate (incompatible type change,
     # psuedo_code.txt:362 / SURVEY §7.3) — a subset of quarantined_files
     drifted_files: dict[str, list] = field(default_factory=dict)
+    # succeeded files whose archive move failed AFTER the fenced commit; they
+    # are committed work (unclaimable) and the next discover() sweep finishes
+    # the move — an archive hiccup must not re-FAIL a committed batch
+    archive_deferred: list[str] = field(default_factory=list)
 
 
 def make_ledger(spark: SparkSession, conf: IngestConfig):
@@ -118,26 +122,107 @@ def make_ledger(spark: SparkSession, conf: IngestConfig):
 # --------------------------------------------------------------------------
 # Discovery (S4 + S11 + J1)
 # --------------------------------------------------------------------------
-def discover(spark: SparkSession, conf: IngestConfig) -> int:
-    """Recursively list the landing zone and register new files as PENDING.
-
-    The reference enumerates historical + ``YYYY/weekXX`` prefixes via
-    paginated S3 listing (psuedo_code.txt:80-98) and head_objects for size
-    (psuedo_code.txt:107-110); locally that is one os.walk. At 10^7+ files,
-    swap the walk for a parallelized listing (RDD of prefixes) — the ledger
-    anti-join path is unchanged. Returns newly registered file count."""
-    configure_runtime(spark)
-    suffix = f".{conf.landing_format}"
+def _walk_prefix(root: str, suffix: str) -> list[tuple[str, int]]:
+    """List every ``*{suffix}`` file under one prefix (the per-prefix unit of
+    the fan-out; runs on executors in distributed mode)."""
     rows = []
-    for base, _dirs, files in os.walk(conf.landing_dir):
+    for base, _dirs, files in os.walk(root):
         for name in files:
             if name.endswith(suffix):
                 p = Path(base) / name
-                rows.append((str(p), p.stat().st_size))
-    if not rows:
+                try:
+                    rows.append((str(p), p.stat().st_size))
+                except FileNotFoundError:
+                    continue  # deleted between listdir and stat
+    return rows
+
+
+# Below this many top-level prefixes the fan-out's job overhead exceeds the
+# walk itself; the driver walk is also the only option on a single prefix.
+DISCOVERY_FANOUT_THRESHOLD = 16
+
+
+def discover(
+    spark: SparkSession,
+    conf: IngestConfig,
+    *,
+    distributed: bool | None = None,
+) -> int:
+    """List the landing zone and register new files as PENDING.
+
+    The reference enumerates historical + ``YYYY/weekXX`` prefixes via
+    paginated S3 listing (psuedo_code.txt:80-98) and head_objects for size
+    (psuedo_code.txt:107-110). 100 TB posture: listing 10^7+ files from the
+    driver is the bottleneck, so the walk fans out as an RDD of top-level
+    prefixes — each executor walks one subtree and ships (path, size) rows;
+    only the (bounded) newly-registered count returns to the driver. Below
+    ``DISCOVERY_FANOUT_THRESHOLD`` prefixes the driver walk wins (job
+    overhead) and is used automatically; ``distributed`` forces either mode.
+    On S3 the per-prefix unit becomes a paginated ListObjectsV2 call — the
+    fan-out shape and the ledger anti-join are unchanged.
+
+    Also completes interrupted archive moves: a run that crashed between its
+    fenced SUCCEEDED commit and the archive step (archive runs after the
+    commit so a reclaimer can never lose its landing copy mid-read) leaves
+    the landing file behind with a SUCCEEDED ledger row; discovery is the
+    reconciliation point that finishes the move (sudo_code.txt:219-224's
+    lost-file sweep, inverted). Returns newly registered file count."""
+    configure_runtime(spark)
+    suffix = f".{conf.landing_format}"
+    try:
+        entries = list(os.scandir(conf.landing_dir))
+    except FileNotFoundError:
         return 0
+    prefixes = sorted(e.path for e in entries if e.is_dir())
+    rows = [
+        (e.path, e.stat().st_size)
+        for e in entries
+        if e.is_file() and e.name.endswith(suffix)
+    ]
+    if not rows and not prefixes:
+        return 0
+    fan_out = (
+        distributed
+        if distributed is not None
+        else len(prefixes) >= DISCOVERY_FANOUT_THRESHOLD
+    )
     discovered = spark.createDataFrame(rows, "s3_key string, file_size_bytes long")
-    return make_ledger(spark, conf).register(discovered)
+    if prefixes:
+        if fan_out:
+            sc = spark.sparkContext
+            slices = min(len(prefixes), sc.defaultParallelism * 4)
+            listed = spark.createDataFrame(
+                sc.parallelize(prefixes, slices).flatMap(
+                    lambda p, _s=suffix: _walk_prefix(p, _s)
+                ),
+                "s3_key string, file_size_bytes long",
+            )
+        else:
+            listed = spark.createDataFrame(
+                [r for p in prefixes for r in _walk_prefix(p, suffix)],
+                "s3_key string, file_size_bytes long",
+            )
+        discovered = discovered.unionByName(listed)
+    ledger = make_ledger(spark, conf)
+    registered = ledger.register(discovered)
+    _finish_interrupted_archives(ledger, discovered, conf)
+    return registered
+
+
+def _finish_interrupted_archives(ledger, discovered: DataFrame, conf: IngestConfig) -> None:
+    """Archive any discovered landing file whose ledger row is already
+    SUCCEEDED — the crash-after-commit-before-archive case. The semi join is
+    distributed; only the straggler list (normally empty) is collected."""
+    stragglers = [
+        r[0]
+        for r in ledger.read()
+        .filter(F.col("status") == LedgerStatus.SUCCEEDED)
+        .join(discovered, "s3_key", "left_semi")
+        .select("s3_key")
+        .collect()
+    ]
+    if stragglers:
+        _archive_parallel(stragglers, conf)
 
 
 # --------------------------------------------------------------------------
@@ -237,6 +322,34 @@ def _move_idempotent(src: str, dst: str) -> None:
         os.replace(tmp, dst)  # atomic: dst is all-or-nothing
     if os.path.exists(src):
         os.remove(src)
+
+
+def _archive_parallel(paths: list[str], conf: IngestConfig) -> None:
+    """Fan the copy+delete moves over a thread pool — they are I/O-bound
+    driver Python (each move is an independent idempotent unit), and at the
+    reference's 10k-files/batch bound a serial loop is the ingest ceiling.
+    On S3 each move is a CopyObject+DeleteObject pair with the same shape."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    live = [p for p in paths if os.path.exists(p)]
+    if not live:
+        return
+    if len(live) == 1:
+        _move_idempotent(
+            live[0], _archive_path(live[0], conf.landing_dir, conf.archive_dir)
+        )
+        return
+    with ThreadPoolExecutor(max_workers=min(32, len(live))) as pool:
+        futures = [
+            pool.submit(
+                _move_idempotent,
+                p,
+                _archive_path(p, conf.landing_dir, conf.archive_dir),
+            )
+            for p in live
+        ]
+        for f in futures:
+            f.result()  # surface the first failure (crash-recovery path)
 
 
 def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
@@ -376,29 +489,6 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                 # the retry loop reclaims
                 result.lost_files.append(p)
 
-        # Run-id fencing (ADVICE r02 / the reference's transactional UPDATE):
-        # if this batch outlived its PROCESSING lease, another runner may have
-        # reclaimed some files. Check ownership BEFORE the irreversible side
-        # effect (archive removes the landing copy the reclaimer is reading);
-        # the commit below re-checks the same fence atomically under the
-        # ledger mutex, so this pre-check only narrows the race window.
-        still_ours = ledger.owned_by(paths, run_id)
-        pre_fenced = [p for p in paths if p not in still_ours]
-        if pre_fenced:
-            fenced_set = set(pre_fenced)
-            result.succeeded_files = [
-                p for p in result.succeeded_files if p not in fenced_set
-            ]
-            result.quarantined_files = [
-                p for p in result.quarantined_files if p not in fenced_set
-            ]
-            result.lost_files = [p for p in result.lost_files if p not in fenced_set]
-
-        # Archive good files (copy+delete, sudo_code.txt:196-215), then commit
-        # ledger states.
-        for p in result.succeeded_files:
-            if os.path.exists(p):
-                _move_idempotent(p, _archive_path(p, conf.landing_dir, conf.archive_dir))
         drift_set = set(drift_quarantined)
         corrupt_quarantine = [p for p in result.quarantined_files if p not in drift_set]
         drift_msg = (
@@ -411,7 +501,14 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
         )
         # One snapshot write for the whole batch outcome (not one per state).
         # fence=True: transitions apply only to rows still carrying our
-        # run_id; reclaimed rows come back as lost claims, untouched.
+        # run_id; reclaimed rows come back as lost claims, untouched. The
+        # commit runs BEFORE the archive move (ADVICE r03): the fenced commit
+        # authoritatively decides who owns the side effect, so a reclaimer
+        # can never have its landing copy deleted out from under it — we only
+        # archive files the commit just confirmed ours (and flipped to
+        # SUCCEEDED, making them unclaimable). A crash between commit and
+        # archive leaves a SUCCEEDED file in landing; the next discover()
+        # sweep finishes the move (_finish_interrupted_archives).
         fenced = ledger.apply_outcomes(
             [
                 (result.succeeded_files, LedgerStatus.SUCCEEDED, None),
@@ -423,7 +520,7 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
             ],
             run_id=run_id,
         )
-        result.lost_claims = sorted({*pre_fenced, *fenced})
+        result.lost_claims = sorted(fenced)
         if fenced:
             fenced_set = set(fenced)
             result.succeeded_files = [
@@ -433,6 +530,16 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                 p for p in result.quarantined_files if p not in fenced_set
             ]
             result.lost_files = [p for p in result.lost_files if p not in fenced_set]
+        # Archive good files (copy+delete, sudo_code.txt:196-215) in parallel.
+        # Failures land in archive_deferred, NOT the crash-recovery handler:
+        # the batch is already committed and must not be flipped to FAILED
+        # (that would re-claim and re-append rows another run already owns).
+        try:
+            _archive_parallel(result.succeeded_files, conf)
+        except Exception:  # noqa: BLE001 — I/O flake after a durable commit
+            result.archive_deferred = [
+                p for p in result.succeeded_files if os.path.exists(p)
+            ]
         return result
     except Exception as exc:  # noqa: BLE001
         # Crash recovery: whole in-flight batch → FAILED for the next run

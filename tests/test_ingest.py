@@ -163,20 +163,19 @@ def test_replay_after_partial_crash_is_deduplicable(spark, ingest_conf, monkeypa
     next run re-appends the same source rows under a new run id;
     deduplicate_replays() restores exactly-once semantics (T2)."""
     from datalakejson_spark.plans.ingest import deduplicate_replays
-    import datalakejson_spark.plans.ingest as ing
 
     discover(spark, ingest_conf)
 
-    real_move = ing._move_idempotent
+    real_commit = Ledger.apply_outcomes
     calls = {"n": 0}
 
-    def crash_on_first_move(src, dst):
+    def crash_on_first_commit(self, *a, **k):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("simulated crash after curated append")
-        return real_move(src, dst)
+        return real_commit(self, *a, **k)
 
-    monkeypatch.setattr(ing, "_move_idempotent", crash_on_first_move)
+    monkeypatch.setattr(Ledger, "apply_outcomes", crash_on_first_commit)
     with pytest.raises(RuntimeError, match="simulated crash"):
         ingest_batch(spark, ingest_conf)
     monkeypatch.undo()
@@ -430,21 +429,20 @@ def test_vacuum_replays_removes_stale_rows_physically(spark, ingest_conf, monkey
     """vacuum_replays makes deduplicate_replays' read-time filter permanent:
     after a crash-replay, vacuuming leaves only the newest run's rows ON
     DISK, with query results identical."""
-    import datalakejson_spark.plans.ingest as ing
     from datalakejson_spark.plans.compact import vacuum_replays
     from datalakejson_spark.plans.ingest import deduplicate_replays
 
     discover(spark, ingest_conf)
-    real_move = ing._move_idempotent
+    real_commit = Ledger.apply_outcomes
     calls = {"n": 0}
 
-    def crash_on_first_move(src, dst):
+    def crash_on_first_commit(self, *a, **k):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("simulated crash after curated append")
-        return real_move(src, dst)
+        return real_commit(self, *a, **k)
 
-    monkeypatch.setattr(ing, "_move_idempotent", crash_on_first_move)
+    monkeypatch.setattr(Ledger, "apply_outcomes", crash_on_first_commit)
     with pytest.raises(RuntimeError, match="simulated crash"):
         ingest_batch(spark, ingest_conf)
     monkeypatch.undo()
@@ -464,3 +462,85 @@ def test_vacuum_replays_removes_stale_rows_physically(spark, ingest_conf, monkey
     assert after.select("ingest_run_id").distinct().count() == 1
     # idempotent: second vacuum is a no-op
     assert vacuum_replays(spark, ingest_conf.curated_dir) == {}
+
+
+def test_discover_distributed_matches_driver(spark, tmp_path):
+    """S4 at 100 TB: the RDD-of-prefixes fan-out listing produces the exact
+    same (path, size) discovery set as the driver walk, over a deep tree
+    wide enough to trigger the fan-out automatically."""
+    from datalakejson_spark.plans.ingest import DISCOVERY_FANOUT_THRESHOLD
+
+    root = tmp_path / "landing"
+    expect = set()
+    n_prefixes = DISCOVERY_FANOUT_THRESHOLD + 4
+    for i in range(n_prefixes):
+        for j in range(3):
+            p = root / f"2024/week{i:02d}".replace("2024/", f"p{i:02d}/") / f"sub{j}" / f"f_{i}_{j}.json"
+            write_ndjson(p, [good_record(i * 10 + j)])
+            expect.add(str(p))
+    # a root-level file and a non-matching suffix that must be ignored
+    rf = root / "root_file.json"
+    write_ndjson(rf, [good_record(999)])
+    expect.add(str(rf))
+    write_ndjson(root / "p00" / "notes.txt", ["not a landing file"])
+
+    def conf_for(tag: str) -> IngestConfig:
+        return IngestConfig(
+            landing_dir=str(root),
+            curated_dir=str(tmp_path / tag / "curated"),
+            dlq_dir=str(tmp_path / tag / "dlq"),
+            archive_dir=str(tmp_path / tag / "archive"),
+            ledger_dir=str(tmp_path / tag / "ledger"),
+        )
+
+    conf_drv, conf_dist, conf_auto = conf_for("drv"), conf_for("dist"), conf_for("auto")
+    assert discover(spark, conf_drv, distributed=False) == len(expect)
+    assert discover(spark, conf_dist, distributed=True) == len(expect)
+    # auto mode picks the fan-out above the threshold — same result again
+    assert discover(spark, conf_auto) == len(expect)
+
+    def keys(conf: IngestConfig) -> dict[str, int]:
+        return {
+            r.s3_key: r.file_size_bytes
+            for r in Ledger(spark, conf.ledger_dir).read().collect()
+        }
+
+    k_drv, k_dist = keys(conf_drv), keys(conf_dist)
+    assert set(k_drv) == expect
+    assert k_drv == k_dist == keys(conf_auto)  # identical paths AND sizes
+
+
+def test_archive_failure_after_commit_is_swept_by_discover(spark, ingest_conf, monkeypatch):
+    """ADVICE r03 ordering: the fenced commit decides archive ownership, so a
+    crash between commit and archive leaves SUCCEEDED files in landing;
+    ingest does NOT re-FAIL them (no replay), and the next discover() run
+    completes the interrupted moves."""
+    import datalakejson_spark.plans.ingest as ing
+
+    discover(spark, ingest_conf)
+
+    def boom(paths, conf):
+        raise OSError("simulated archive outage")
+
+    monkeypatch.setattr(ing, "_archive_parallel", boom)
+    res = ingest_batch(spark, ingest_conf)  # no exception: commit is durable
+    assert len(res.succeeded_files) == 3
+    assert sorted(res.archive_deferred) == sorted(res.succeeded_files)
+    monkeypatch.undo()
+
+    # committed as SUCCEEDED despite the archive failure...
+    ledger = Ledger(spark, ingest_conf.ledger_dir)
+    counts = ledger.counts()
+    assert counts[LedgerStatus.SUCCEEDED] == 3
+    # ...landing copies still present, archive empty
+    assert all(os.path.exists(p) for p in res.succeeded_files)
+
+    # discover() is the reconciliation point: 0 new files, moves finished
+    assert discover(spark, ingest_conf) == 0
+    assert all(not os.path.exists(p) for p in res.succeeded_files)
+    archived = {p.name for p in Path(ingest_conf.archive_dir).rglob("*.json")}
+    assert {"good_a.json", "good_b.json", "late_week1.json"} <= archived
+    # SUCCEEDED files stay SUCCEEDED — the sweep is pure file movement
+    assert ledger.counts()[LedgerStatus.SUCCEEDED] == 3
+    # and a re-run claims nothing new (no replay happened)
+    assert ingest_batch(spark, ingest_conf).claimed == 0
