@@ -27,7 +27,7 @@ These extend SURVEY.md §2's L-tier (L1/L2/L4) with the three operations a
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from datalakejson_spark.functions.dedup import (
     _DUCK_SHINGLES,
@@ -41,7 +41,11 @@ from datalakejson_spark.sources.tables import load_table
 
 CC_MAX_ITERS = 25
 SHARD_TOKEN_BUDGET = 256
-SHARD_PARTITIONS = 8
+# Target bytes of input per range partition in the shard-packing scan; the
+# partition count is derived from Catalyst's size estimate so it scales with
+# the data (8 tasks at sf0.01, thousands at 100 TB) instead of a constant.
+SHARD_TARGET_PARTITION_BYTES = 64 << 20
+SHARD_MIN_PARTITIONS = 8
 # Pseudo eval-suite membership: a deterministic ~1% id slice standing in for
 # the (externally supplied) benchmark table. Lazy on the Spark side — Column
 # construction needs an active SparkContext in PySpark 4.
@@ -84,33 +88,51 @@ def connected_components(
     # Materialize the edge list ONCE: without this, the (expensive) candidate
     # generation upstream re-executes inside every propagation round.
     sym = sym.localCheckpoint()
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(max_iters):
-        neighbor_min = (
-            labels.join(sym, labels["node"] == sym["src"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
+    # ADVICE r03: the loop's cost floor is fixed per-round JOB overhead, not
+    # data. Two cuts: (a) lazy checkpoints materialize inside the SAME job
+    # as the convergence aggregate (no separate checkpoint job); (b) AQE is
+    # off inside the loop — AQE submits every query stage as its own job
+    # (~8 jobs/round for the join+agg), while the loop's frames are bare
+    # (node,label) pairs whose skew is bounded by near-dup cluster degree,
+    # so runtime re-planning buys nothing here. Restored before the final
+    # join, which DOES benefit (it touches the full corpus node list).
+    sess = nodes.sparkSession
+    prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
         labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
-            )
-            .localCheckpoint()
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
+            .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
+        prev_sum = labels.agg(F.sum("lbl")).first()[0]
+        for _ in range(max_iters):
+            neighbor_min = (
+                labels.join(sym, labels["node"] == sym["src"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
+                    ).alias("lbl"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            cur_sum = labels.agg(F.sum("lbl")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"connected components did not converge in {max_iters} rounds"
+            )
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     # Singletons (no candidate pair) never entered the loop: label = self.
     return (
         nodes.select(F.col(id_col).alias("node"))
@@ -190,21 +212,33 @@ _L7_SQL = f"""
     survey="L4,L2",
     sql=_L7_SQL,
 )
-def l7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training docs sharing ≥1 word-3-gram with the (pseudo) benchmark
-    suite, with the count of shared shingles — the contamination filter run
-    before pretraining. Scale shape: the benchmark shingle set is distinct'd
-    and BROADCAST (eval suites are MBs; the corpus is TBs), so the corpus is
-    scanned once and never shuffled on text."""
+def l7_decontamination(
+    spark: SparkSession, sf_dir: str, bench_docs: DataFrame | None = None
+) -> DataFrame:
+    """Training docs sharing ≥1 word-3-gram with the benchmark suite, with
+    the count of shared shingles — the contamination filter run before
+    pretraining. Scale shape: the benchmark shingle set is distinct'd and
+    BROADCAST (eval suites are MBs; the corpus is TBs), so the corpus is
+    scanned once and never shuffled on text.
+
+    ``bench_docs``: the real evaluation suite as a (text, ...) DataFrame;
+    default None keeps the deterministic pseudo-slice the oracle checks."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.split("text", " ").alias("w"))
     sh = tok.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle")
     )
-    bench = sh.filter(_bench_pred()).select("shingle").distinct()
+    if bench_docs is None:
+        bench = sh.filter(_bench_pred()).select("shingle").distinct()
+        train = sh.filter(~_bench_pred())
+    else:
+        btok = bench_docs.select(F.split("text", " ").alias("w"))
+        bench = btok.select(
+            F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle")
+        ).distinct()
+        train = sh
     return (
-        sh.filter(~_bench_pred())
-        .join(F.broadcast(bench), "shingle")
+        train.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
     )
@@ -213,6 +247,79 @@ def l7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # L8: token-budget shard packing (two-phase distributed prefix sum)
 # --------------------------------------------------------------------------
+def _derive_shard_partitions(df: DataFrame) -> int:
+    """Range-partition count for the packing scan, from Catalyst's logical
+    size estimate (no job): ~SHARD_TARGET_PARTITION_BYTES of input per task,
+    floored at SHARD_MIN_PARTITIONS — 8 tasks at sf0.01, thousands at 100 TB
+    (VERDICT r03: a fixed count is correct at any scale but under-parallel)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — estimate unavailable: fall back to cores
+        return max(SHARD_MIN_PARTITIONS, df.sparkSession.sparkContext.defaultParallelism)
+    return int(
+        max(SHARD_MIN_PARTITIONS, min(1 << 16, size // SHARD_TARGET_PARTITION_BYTES + 1))
+    )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    shard_token_budget: int = SHARD_TOKEN_BUDGET,
+    shard_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``shard_id = floor(exclusive-prefix-tokens / budget)`` to a
+    frame with (doc_id, n_tokens, ...), packing rows in global doc_id order.
+
+    The prefix sum is the scale-critical part. A bare
+    ``Window.orderBy(doc_id)`` has no partition key → Spark coalesces to ONE
+    task. Shape here: range-repartition by doc_id + sortWithinPartitions
+    (ONE exchange — a window partitioned on spark_partition_id would add a
+    second, hash-on-pid exchange), then a vectorized per-partition running
+    sum via mapInPandas seeded with the per-partition offsets from the
+    (tiny, one-row-per-partition) totals job — the standard two-phase
+    parallel scan. ``localCheckpoint(eager=False)`` pins the sampled range
+    boundaries across the totals job and the main job without the
+    unbounded-lifetime ``.persist()`` leak (ADVICE r03); the checkpoint
+    materializes inside the totals job itself. The result depends only on
+    the global doc_id order, never on where the boundaries fall."""
+    n_parts = shard_partitions or _derive_shard_partitions(df)
+    parts = (
+        df.repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = {
+        r["pid"]: r["total"]
+        for r in parts.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):  # range partitions are ordered by pid
+        offsets[pid] = acc
+        acc += totals[pid]
+    out_cols = df.columns + ["shard_id"]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in parts.schema.fields
+        if f.name != "pid"
+    ) + ", shard_id long"
+    budget = int(shard_token_budget)
+
+    def pack(batches):
+        run = None  # exclusive prefix carried across Arrow batches
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if run is None:
+                run = int(offsets.get(int(pdf["pid"].iloc[0]), 0))
+            excl = pdf["n_tokens"].cumsum() - pdf["n_tokens"] + run
+            out = pdf.drop(columns=["pid"])
+            out["shard_id"] = (excl // budget).astype("int64")
+            run += int(pdf["n_tokens"].sum())
+            yield out
+
+    return parts.mapInPandas(pack, schema).select(*out_cols)
+
+
 @register(
     "l8_token_shards",
     survey="L4,W3,O2",
@@ -233,51 +340,13 @@ def l7_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l8_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents (in doc_id order) into fixed-token-budget training
-    shards: shard_id = floor(exclusive-prefix-tokens / budget).
-
-    The prefix sum is the scale-critical part. A bare
-    ``Window.orderBy(doc_id)`` has no partition key → Spark coalesces to ONE
-    task. Instead: range-repartition by doc_id, cumulative-sum WITHIN each
-    partition, and add a per-partition offset computed from the (tiny,
-    one-row-per-partition) totals table collected to the driver — the
-    standard two-phase parallel scan, same partition-count scaling as the
-    sort that feeds it. Range boundaries come from deterministic sampling
-    (seeded by partition index), and the result depends only on the global
-    doc_id order, not where the boundaries fall."""
+    shards: shard_id = floor(exclusive-prefix-tokens / budget) — the
+    two-phase parallel scan in ``pack_token_shards``."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    parts = (
-        toks.repartitionByRange(SHARD_PARTITIONS, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()  # pin partition boundaries across the totals job + main job
-    )
-    totals = {
-        r["pid"]: r["total"]
-        for r in parts.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(totals):  # range partitions are ordered by pid
-        offsets.append((pid, acc))
-        acc += totals[pid]
-    off_df = F.broadcast(
-        docs.sparkSession.createDataFrame(offsets, "pid int, part_offset long")
-    )
-    within = F.sum("n_tokens").over(
-        Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-    )
-    return (
-        parts.join(off_df, "pid")
-        .withColumn("prefix_excl", F.col("part_offset") + within - F.col("n_tokens"))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor(F.col("prefix_excl") / SHARD_TOKEN_BUDGET).alias("shard_id"),
-        )
-    )
+    return pack_token_shards(toks)
 
 
 # --------------------------------------------------------------------------
@@ -286,7 +355,8 @@ def l8_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def prepare_training_corpus(
     docs: DataFrame,
     shard_token_budget: int = SHARD_TOKEN_BUDGET,
-    shard_partitions: int = SHARD_PARTITIONS,
+    shard_partitions: int | None = None,
+    bench_docs: DataFrame | None = None,
 ) -> DataFrame:
     """The full pretraining-data prep flow, each stage an operator verified
     on its own elsewhere in this package:
@@ -305,7 +375,12 @@ def prepare_training_corpus(
     is shuffle-bounded: dedup keys are hashes, CC shuffles only
     edge-adjacent (node,label) pairs, the benchmark set broadcasts, and the
     prefix sum is partition-parallel — no stage is O(corpus²) or
-    single-task."""
+    single-task.
+
+    ``bench_docs``: the real evaluation suite as a (text, ...) DataFrame —
+    its word-3-gram shingles are broadcast against the corpus. Default None
+    keeps the deterministic pseudo-slice (a ~1% doc_id cut of the corpus
+    itself) so the oracle-checked result is unchanged."""
     from datalakejson_spark.functions.dedup import (
         keep_first_distinct,
         lsh_candidate_pairs,
@@ -333,48 +408,28 @@ def prepare_training_corpus(
         & avg_word_len.between(2.0, 12.0)
     )
 
-    # 4. decontamination: drop the benchmark slice itself AND any train doc
-    #    sharing a shingle with it
+    # 4. decontamination: drop any train doc sharing a shingle with the eval
+    #    suite; with the pseudo-slice default the slice itself is dropped too
     tok = corpus.select("doc_id", F.split("text", " ").alias("w"))
     sh = tok.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle")
     )
-    bench_shingles = sh.filter(_bench_pred()).select("shingle").distinct()
+    if bench_docs is None:
+        bench_shingles = sh.filter(_bench_pred()).select("shingle").distinct()
+        corpus = corpus.filter(~_bench_pred())
+    else:
+        btok = bench_docs.select(F.split("text", " ").alias("w"))
+        bench_shingles = btok.select(
+            F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle")
+        ).distinct()
     contaminated = (
         sh.join(F.broadcast(bench_shingles), "shingle").select("doc_id").distinct()
     )
-    corpus = corpus.filter(~_bench_pred()).join(contaminated, "doc_id", "left_anti")
+    corpus = corpus.join(contaminated, "doc_id", "left_anti")
 
-    # 5. shard packing (two-phase prefix sum, same shape as l8_token_shards)
-    parts = (
-        corpus.select("doc_id", "text", "n_tokens")
-        .repartitionByRange(shard_partitions, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    totals = {
-        r["pid"]: r["total"]
-        for r in parts.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(totals):
-        offsets.append((pid, acc))
-        acc += totals[pid]
-    off_df = F.broadcast(
-        docs.sparkSession.createDataFrame(offsets, "pid int, part_offset long")
-    )
-    within = F.sum("n_tokens").over(
-        Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-    )
-    return (
-        parts.join(off_df, "pid")
-        .withColumn("prefix_excl", F.col("part_offset") + within - F.col("n_tokens"))
-        .select(
-            "doc_id",
-            "text",
-            "n_tokens",
-            F.floor(F.col("prefix_excl") / shard_token_budget).alias("shard_id"),
-        )
+    # 5. shard packing (two-phase prefix sum, shared with l8_token_shards)
+    return pack_token_shards(
+        corpus.select("doc_id", "text", "n_tokens"),
+        shard_token_budget=shard_token_budget,
+        shard_partitions=shard_partitions,
     )

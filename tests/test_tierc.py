@@ -233,3 +233,81 @@ def test_prepare_training_corpus_end_to_end(spark):
     for r in rows:
         assert r.shard_id == acc // SHARD_TOKEN_BUDGET
         acc += r.n_tokens
+
+
+def test_connected_components_one_job_per_round(spark):
+    """ADVICE r03: each propagation round must cost ONE Spark job (the lazy
+    localCheckpoint materializes inside the convergence aggregate), not
+    checkpoint + aggregate separately."""
+    from datalakejson_spark.functions.llm_pipeline import connected_components
+
+    n = 9  # a pure chain: worst-case diameter, ~n propagation rounds
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("cc-job-count", "connected components job audit")
+    try:
+        out = connected_components(nodes, edges).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    assert {r.doc_id: r.cluster_id for r in out} == {i: 0 for i in range(n)}
+    jobs = sc.statusTracker().getJobIdsForGroup("cc-job-count")
+    # budget: 1 edge checkpoint + 1 seed agg + ~(n+1) rounds + 1 final
+    # collect. The pre-fix shape (eager checkpoint + agg) costs ~2 jobs per
+    # round and blows well past this bound.
+    assert len(jobs) <= n + 5, len(jobs)
+
+
+def test_corpus_prep_with_external_benchmark(spark):
+    """prepare_training_corpus/l7 accept a real eval-suite DataFrame: docs
+    sharing 3-grams with it are dropped/flagged, and nothing else changes."""
+    import pyspark.sql.functions as F
+
+    from datalakejson_spark.functions.llm_pipeline import (
+        l7_decontamination,
+        prepare_training_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # eval suite = verbatim text of two corpus docs + one novel prompt
+    sample = docs.orderBy("doc_id").limit(2).select("text")
+    bench = sample.union(
+        spark.createDataFrame(
+            [("entirely novel benchmark prompt about nothing in corpus xyzzy",)],
+            "text string",
+        )
+    )
+
+    flagged = l7_decontamination(spark, SF, bench_docs=bench)
+    flagged_ids = {r.doc_id for r in flagged.collect()}
+    sampled_ids = {r.doc_id for r in docs.orderBy("doc_id").limit(2).collect()}
+    assert sampled_ids <= flagged_ids  # verbatim members must be flagged
+
+    out = prepare_training_corpus(docs, bench_docs=bench)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert not (kept & sampled_ids)  # contaminated docs removed
+    # external mode must not ALSO apply the pseudo-slice cut: %97 docs that
+    # share nothing with the external suite survive
+    assert any(d % 97 == 0 for d in kept)
+
+
+def test_shard_partitions_derived_from_input_size(spark):
+    """VERDICT r03: the packing partition count scales with Catalyst's input
+    size estimate instead of a constant 8."""
+    from datalakejson_spark.functions.llm_pipeline import (
+        SHARD_MIN_PARTITIONS,
+        SHARD_TARGET_PARTITION_BYTES,
+        _derive_shard_partitions,
+    )
+
+    small = spark.range(10).selectExpr("id AS doc_id", "id AS n_tokens")
+    assert _derive_shard_partitions(small) == SHARD_MIN_PARTITIONS
+    # a frame Catalyst sizes well past the target must fan out accordingly
+    # (stats come from the logical plan — nothing here executes)
+    wide = spark.range(200_000_000).selectExpr("id AS doc_id", "id AS n_tokens")
+    derived = _derive_shard_partitions(wide)
+    assert derived > SHARD_MIN_PARTITIONS
+    est = int(wide._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert derived == min(1 << 16, est // SHARD_TARGET_PARTITION_BYTES + 1)
