@@ -3,10 +3,11 @@
 Images/audio/video are opaque ``BinaryType`` payloads with a typed metadata
 struct, read via ``spark.read.format("binaryFile")`` or carried as columns in
 parquet. The Spark-side plumbing — schemas, partition-friendly layout,
-Arrow-batched UDF signatures — is real and tested; the actual codec work is
-STUBBED (``decode_stub``) because media libraries are not in this container:
-swap ``_decode_image_stub`` for PIL/libvips/ffmpeg calls in production, the
-dataflow is unchanged.
+Arrow-batched UDF signatures — is real and tested; the codec step is GATED
+on importability (``decode_image``): Pillow decodes for real where it is
+installed, and a clearly-marked deterministic stub (``_decode_image_stub``)
+stands in where media libraries are absent (this container). Audio/video
+codecs slot into the same gate (ffmpeg), the dataflow is unchanged.
 
 Scale notes: media blobs are large and incompressible — never a shuffle key,
 never broadcast. The pattern is: derive features per-partition (mapInPandas),
@@ -64,6 +65,17 @@ def read_binary_assets(spark: SparkSession, path: str, glob: str = "*") -> DataF
     )
 
 
+def _has_pil() -> bool:
+    """Codec availability, probed where the decode actually runs (driver for
+    unit calls, each executor's Python worker for mapInPandas batches)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _decode_image_stub(payload: bytes) -> list[float] | None:
     """STUB for the codec step (PIL/torchvision not available here).
 
@@ -77,11 +89,46 @@ def _decode_image_stub(payload: bytes) -> list[float] | None:
     return [b / 255.0 for b in digest[:8]]
 
 
+def _decode_image_pil(payload: bytes) -> list[float] | None:
+    """Real codec path, used automatically when Pillow is importable:
+    decode → RGB → 8-float stat embedding (per-channel mean + std, plus
+    log-area and aspect ratio). Undecodable bytes → None (decoded_ok=False
+    downstream), never an exception — one bad blob must not fail a batch."""
+    import io
+    import math
+
+    import numpy as np
+    from PIL import Image
+
+    if payload is None:
+        return None
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            w, h = img.size
+            arr = np.asarray(img.convert("RGB"), dtype="float32") / 255.0
+    except Exception:  # noqa: BLE001 — corrupt/unsupported media
+        return None
+    return [
+        *(float(m) for m in arr.mean(axis=(0, 1))),
+        *(float(s) for s in arr.std(axis=(0, 1))),
+        math.log1p(float(w) * float(h)),
+        float(w) / float(max(h, 1)),
+    ]
+
+
+def decode_image(payload: bytes, use_pil: bool | None = None) -> list[float] | None:
+    """The L5 codec gate (ADVICE r03): Pillow when importable, the
+    deterministic stub otherwise; ``use_pil`` forces a branch for tests."""
+    use = _has_pil() if use_pil is None else use_pil
+    return _decode_image_pil(payload) if use else _decode_image_stub(payload)
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (mapInPandas:
     bounded memory per batch, no blob ever shuffles)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = _has_pil()  # probed once per worker, not per row
         for pdf in batches:
             feats, oks, hashes, sizes = [], [], [], []
             for payload in pdf["payload"]:
@@ -92,8 +139,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     sizes.append(0)
                     continue
                 raw = bytes(payload)
-                feats.append(_decode_image_stub(raw))
-                oks.append(True)
+                feat = decode_image(raw, use_pil=use_pil)
+                feats.append(feat)
+                oks.append(feat is not None)
                 hashes.append(hashlib.sha256(raw).hexdigest())
                 sizes.append(len(raw))
             yield pd.DataFrame(

@@ -102,3 +102,59 @@ def test_l5_frame_sampling_plan(spark):
     )
     frames = frame_sample_plan(assets, every_ms=1000)
     assert [r.frame_ts_ms for r in frames.collect()] == [0, 1000, 2000, 3000]
+
+
+def test_l5_codec_gate_both_branches():
+    """ADVICE r03: decode_image picks Pillow when importable, the stub
+    otherwise — both branches exercised here (stub for real since this
+    container has no PIL; the PIL path via a minimal fake module)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import _has_pil, decode_image
+
+    # this container has no Pillow: auto mode must take the stub branch
+    assert not _has_pil()
+    payload = b"\x01" * 120
+    stub = decode_image(payload)
+    assert stub == decode_image(payload, use_pil=False)
+    assert len(stub) == 8 and all(0.0 <= v <= 1.0 for v in stub)
+    assert decode_image(None) is None
+
+    # fake PIL: 4x2 all-gray RGB image regardless of payload
+    class _FakeImg:
+        size = (4, 2)
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return np.full((2, 4, 3), 128, dtype="uint8")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: _FakeImg()
+    fake_pil.Image = fake_image_mod
+    sys.modules["PIL"] = fake_pil
+    sys.modules["PIL.Image"] = fake_image_mod
+    try:
+        assert _has_pil()  # the gate flips with importability
+        feat = decode_image(payload)  # auto mode now takes the PIL branch
+        assert len(feat) == 8
+        means, stds = feat[:3], feat[3:6]
+        assert all(abs(m - 128 / 255) < 1e-6 for m in means)
+        assert all(abs(s) < 1e-6 for s in stds)
+        assert abs(feat[6] - np.log1p(8.0)) < 1e-6  # log-area of 4x2
+        assert abs(feat[7] - 2.0) < 1e-6  # aspect 4/2
+        # undecodable bytes → None, not an exception
+        fake_image_mod.open = lambda fp: (_ for _ in ()).throw(OSError("bad"))
+        assert decode_image(payload) is None
+    finally:
+        del sys.modules["PIL"]
+        del sys.modules["PIL.Image"]
