@@ -93,3 +93,48 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT id FROM dedup_sink ORDER BY id").collect()
     assert [r.id for r in out] == [1, 2]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Scale evidence for the skew claim (VERDICT r03): with AQE skew-join
+    on, a sort-merge join whose shuffle has one dominant key gets that
+    partition SPLIT at runtime — the executed plan must carry skew=true —
+    instead of serializing the whole key on one task. Thresholds are
+    lowered to make a test-sized skew trip the same machinery that guards
+    the 100 TB joins."""
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in lowered.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # left side: 200k rows, 95% on key 0, with an incompressible payload
+        # that must survive into the shuffle (pruned or constant columns
+        # compress below the skew threshold); right: 1k keys
+        left = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 20 != 0 THEN 0 ELSE id % 1000 END AS k",
+            "md5(CAST(id AS STRING)) AS pad",
+        )
+        right = spark.range(1_000).selectExpr("id AS k", "id * 2 AS v")
+        joined = left.join(right.hint("merge"), "k")
+        # action on the join df itself: its OWN execution must finalize for
+        # executedPlan to be the adaptive final plan (count() plans separately)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
