@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from datalakejson_spark.functions.similarity import TOP_K, cosine_expr
 from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table
+from datalakejson_spark.session import local_df
 
 N_CELLS = 16
 N_PROBE = 4
@@ -110,8 +111,8 @@ def ivf_topk(
     spark = emb.sparkSession
     centroids = train_quantizer(emb, k=n_cells)
     assigned = assign_cells(emb, centroids)
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    cent_df = local_df(
+        spark, [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     )
     # per-query nprobe nearest cells (euclidean to centroid); centroid set is
     # tiny → broadcast, one row per (query, probed cell)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from datalakejson_spark.operators.deterministic import ds, dsum_sql
 from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table
+from datalakejson_spark.session import local_df
 
 
 # --------------------------------------------------------------------------
@@ -168,7 +169,8 @@ def j7_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     band key (SURVEY.md §2.3 J9 note) — this query keeps the theta form to
     exercise the operator."""
     part = load_table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("budget", 0.0, 900.0), ("mid", 900.0, 1100.0), ("premium", 1100.0, 100000.0)],
         "band_name string, lo double, hi double",
     )
@@ -234,7 +236,8 @@ def j9_range_join_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     path pre-buckets both sides by a coarse time grain so the range join
     becomes an equi-join on the bucket plus a residual predicate."""
     events = load_table(spark, sf_dir, "events")
-    wins = spark.createDataFrame(
+    wins = local_df(
+        spark,
         [
             (0, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
             (1, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),

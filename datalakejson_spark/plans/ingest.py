@@ -45,6 +45,8 @@ from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from datalakejson_spark.session import local_df
 from pyspark.sql import types as T
 
 from datalakejson_spark.plans.ledger import Ledger, LedgerStatus
@@ -186,7 +188,7 @@ def discover(
         if distributed is not None
         else len(prefixes) >= DISCOVERY_FANOUT_THRESHOLD
     )
-    discovered = spark.createDataFrame(rows, "s3_key string, file_size_bytes long")
+    discovered = local_df(spark, rows, "s3_key string, file_size_bytes long")
     if prefixes:
         if fan_out:
             sc = spark.sparkContext
@@ -198,7 +200,8 @@ def discover(
                 "s3_key string, file_size_bytes long",
             )
         else:
-            listed = spark.createDataFrame(
+            listed = local_df(
+                spark,
                 [r for p in prefixes for r in _walk_prefix(p, suffix)],
                 "s3_key string, file_size_bytes long",
             )
@@ -648,7 +651,7 @@ def write_dlq_summary(spark: SparkSession, conf: IngestConfig) -> DataFrame:
         if "source_s3_path" not in df.columns:
             raise FileNotFoundError(conf.dlq_dir)
     except Exception:  # noqa: BLE001 — no DLQ activity yet
-        return spark.createDataFrame(
-            [], "source_s3_path string, n_corrupt_rows long"
+        return local_df(
+            spark, [], "source_s3_path string, n_corrupt_rows long"
         )
     return df.groupBy("source_s3_path").agg(F.count("*").alias("n_corrupt_rows"))

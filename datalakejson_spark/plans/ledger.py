@@ -40,6 +40,8 @@ from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from datalakejson_spark.session import local_df
 from pyspark.sql import types as T
 
 
@@ -229,7 +231,7 @@ class Ledger:
     def read(self) -> DataFrame:
         version = self._current_version()
         if version is None:
-            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+            return local_df(self.spark, [], LEDGER_SCHEMA)
         return self.spark.read.schema(LEDGER_SCHEMA).parquet(str(self.root / version))
 
     def _owns_lock(self) -> bool:
@@ -256,7 +258,7 @@ class Ledger:
         whole read-modify-write under a fresh acquisition."""
         version = f"v{time.time_ns()}"
         out = self.root / version
-        df.select([f.name for f in LEDGER_SCHEMA.fields]).coalesce(1).write.mode(
+        df.select([f.name for f in LEDGER_SCHEMA.fields]).repartition(1).write.mode(
             "overwrite"
         ).parquet(str(out))
         if not self._owns_lock():
@@ -404,8 +406,8 @@ class Ledger:
         if isinstance(paths, DataFrame):
             keys = paths.select(F.col(paths.columns[0]).alias("s3_key"))
         else:
-            keys = self.spark.createDataFrame(
-                [(p,) for p in paths], "s3_key string"
+            keys = local_df(
+                self.spark, [(p,) for p in paths], "s3_key string"
             )
         hit = F.col("_hit").isNotNull()
         fenced_out: list[str] = []
@@ -478,8 +480,8 @@ class Ledger:
         ]
         if not rows:
             return []
-        updates = self.spark.createDataFrame(
-            rows, "s3_key string, new_status string, new_error string"
+        updates = local_df(
+            self.spark, rows, "s3_key string, new_status string, new_error string"
         ).dropDuplicates(["s3_key"])
         with self._mutex():
             return self._apply_updates_unlocked(
@@ -534,7 +536,7 @@ class Ledger:
         commit); used to skip side effects for already-reclaimed files."""
         if not paths:
             return set()
-        keys = self.spark.createDataFrame([(p,) for p in paths], "s3_key string")
+        keys = local_df(self.spark, [(p,) for p in paths], "s3_key string")
         return {
             r.s3_key
             for r in self.read()

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datalakejson_spark.plans.ingest import IngestConfig, make_ledger, write_dlq_summary
 from datalakejson_spark.plans.ledger import PROCESSING_LEASE_S, LedgerStatus
+from datalakejson_spark.session import local_df
 
 # Alarm names (the reference's three alarm classes, sudo_code.txt:257-276)
 ALARM_FAILED_FILES = "failed_files"  # job failures → files stuck FAILED
@@ -47,8 +48,8 @@ def run_throughput(spark: SparkSession, conf: IngestConfig) -> DataFrame:
     try:
         curated = read_curated(spark, conf.curated_dir)
     except Exception:  # noqa: BLE001 — nothing ingested yet
-        return spark.createDataFrame(
-            [], "ingest_run_id string, n_rows long, n_files long"
+        return local_df(
+            spark, [], "ingest_run_id string, n_rows long, n_files long"
         )
     return curated.groupBy("ingest_run_id").agg(
         F.count("*").alias("n_rows"),
@@ -115,6 +116,6 @@ def ingest_alarms(
         (ALARM_QUARANTINE_RATE, n_quarantined / total, max_quarantined_ratio,
          n_quarantined / total > max_quarantined_ratio),
     ]
-    return spark.createDataFrame(
-        rows, "alarm string, observed double, threshold double, triggered boolean"
+    return local_df(
+        spark, rows, "alarm string, observed double, threshold double, triggered boolean"
     )

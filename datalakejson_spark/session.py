@@ -76,3 +76,47 @@ def get_spark(
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
     return configure_runtime(builder.getOrCreate())
+
+
+def _schema_field_names(schema) -> list[str]:
+    """Column names from a DDL schema string (bracket-aware: commas inside
+    ``array<...>``/``map<...>``/``struct<...>`` are not separators) or a
+    StructType."""
+    if not isinstance(schema, str):
+        return list(schema.fieldNames())
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(schema + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = schema[start:i].strip()
+            if part:
+                names.append(part.split()[0].strip("`"))
+            start = i + 1
+    return names
+
+
+def local_df(spark: SparkSession, rows: list, schema):
+    """Build a small driver-side DataFrame as an Arrow-backed SINGLE
+    local relation instead of a parallelized pickle-RDD.
+
+    ``createDataFrame(list_of_tuples)`` slices the list into
+    defaultParallelism pickled-RDD partitions, and EVERY downstream task
+    that evaluates one pays a Python-worker round-trip — a ``coalesce(1)``
+    consumer (the ledger snapshot writer) evaluates all 32 serially,
+    ~5 s of pure worker launches for a 256-row table. Routing through
+    pandas hands Spark one Arrow batch that executes JVM-side in any
+    number of downstream tasks for free. Only for bounded metadata frames
+    (ledger keys, discovery listings, broadcast dims); real data stays in
+    distributed scans."""
+    if not rows:
+        # zero-partition RDD: downstream evaluation schedules no tasks at
+        # all (the pandas/Arrow path falls back to pickled slices on empty).
+        return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=_schema_field_names(schema)), schema=schema
+    )
