@@ -1,0 +1,269 @@
+"""Corpus curation operators for training-data pipelines: deterministic
+splits, domain mixing, PII redaction, vocabulary statistics, repetition
+scoring.
+
+The reference's curated lake feeds model training (diagram3:135-143); these
+are the standard curation passes a large-scale pipeline runs between the
+dedup/quality stages (functions/dedup.py, functions/text.py) and shard
+packing (functions/llm_pipeline.py). All are built-in-function compositions
+(whole-stage codegen, no Python in the hot path) and all derive randomness
+from ``md5`` of stable keys, so results are reproducible row-by-row across
+runs, partitionings, and engines — which is also what makes them
+oracle-checkable against DuckDB.
+
+Scale notes (100 TB posture):
+- Split/mixture assignment is a pure row-local expression: no shuffle, no
+  state, trivially parallel at any scale.
+- Vocabulary DF is one explode + one aggregate: the shuffle carries
+  (token, 1) pairs with map-side partial aggregation, and the top-k is a
+  TakeOrderedAndProject, never a global sort.
+- Top-token-share shuffles (doc_id, token) pairs once; at 100 TB the skew
+  ceiling is bounded by document length, not corpus size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datalakejson_spark.registry import register
+from datalakejson_spark.sources.tables import load_table
+
+# Split fractions encoded as thresholds over the first byte of md5(doc_id):
+# hex strings compare lexicographically identically in Spark and DuckDB
+# ('0'..'9' < 'a'..'f'), so `substr(md5, 1, 2) < 'cd'` keeps exactly
+# 0xcd/0x100 = 205/256 ≈ 80.1% of a uniform hash — deterministic, seedable
+# (prefix the key), and engine-agnostic.
+TRAIN_MAX_HEX = "cd"  # [00, cd) → 205/256 ≈ 80.1% train
+VAL_MAX_HEX = "e6"  # [cd, e6) →  25/256 ≈  9.8% val; [e6, ff] test
+
+# Source-mixture weights: hash-threshold over md5 bytes 3-4 (independent of
+# the split bytes 1-2). 'g0' sorts above every hex byte → keep-all.
+MIX_FULL_HEX = "g0"  # weight 1.0
+MIX_HALF_HEX = "80"  # weight 0.5  (128/256)
+MIX_QUARTER_HEX = "40"  # weight 0.25 ( 64/256)
+
+EMAIL_RE = r"[A-Za-z0-9+._-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def _doc_hash(prefix: int, length: int = 2):
+    """First ``length`` hex chars of md5(doc_id), offset ``prefix`` (1-based):
+    independent uniform bytes per use-site from one stable key."""
+    return F.substring(F.md5(F.col("doc_id").cast("string")), prefix, length)
+
+
+def assign_split(docs: DataFrame) -> DataFrame:
+    """Add a deterministic ``split`` column (train/val/test ≈ 80/10/10).
+
+    Library form: row-local, no shuffle; any engine hashing md5 the same way
+    assigns the same rows to the same split — the property that lets a
+    training run be resumed or audited byte-for-byte."""
+    h = _doc_hash(1)
+    return docs.withColumn(
+        "split",
+        F.when(h < TRAIN_MAX_HEX, "train")
+        .when(h < VAL_MAX_HEX, "val")
+        .otherwise("test"),
+    )
+
+
+@register(
+    "l9_train_split",
+    survey="L6,G3",
+    extended=True,
+    sql=f"""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_MAX_HEX}'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VAL_MAX_HEX}'
+                THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def l9_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification report for the deterministic train/val/test split:
+    docs and tokens per (split, language). The assignment itself is
+    :func:`assign_split`; integer token sums keep the report exact (no
+    float aggregation → partition-order-independent)."""
+    docs = assign_split(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+
+
+@register(
+    "l10_source_mixture",
+    survey="L6,G3,F7",
+    extended=True,
+    sql=f"""
+    WITH weighted AS (
+        SELECT source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS h,
+               CASE WHEN CAST(replace(source, 'src', '') AS INT) < 5
+                    THEN '{MIX_FULL_HEX}'
+                    WHEN CAST(replace(source, 'src', '') AS INT) < 10
+                    THEN '{MIX_HALF_HEX}'
+                    ELSE '{MIX_QUARTER_HEX}' END AS thr
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM weighted
+    GROUP BY 1
+    """,
+)
+def l10_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: per-source keep-weights applied as a
+    deterministic hash threshold (sources 0-4 weight 1.0, 5-9 weight 0.5,
+    rest 0.25 — the stand-in for a real mixture config). Reports kept vs
+    total per source. Row-local decision → no shuffle beyond the final
+    bounded aggregate; rerunning yields the identical subset, which is what
+    makes mixture experiments comparable."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.replace(F.col("source"), F.lit("src"), F.lit("")).cast("int")
+    thr = (
+        F.when(src_num < 5, MIX_FULL_HEX)
+        .when(src_num < 10, MIX_HALF_HEX)
+        .otherwise(MIX_QUARTER_HEX)
+    )
+    kept = (_doc_hash(3) < thr).cast("int")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+    )
+
+
+@register(
+    "l11_pii_redaction",
+    survey="L6,F2",
+    extended=True,
+    sql=f"""
+    WITH contactful AS (
+        SELECT doc_id,
+               concat(text, ' contact ', source, '+', CAST(doc_id AS VARCHAR),
+                      '@example.com') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_redacted,
+           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS redacted
+    FROM contactful
+    WHERE len(regexp_extract_all(text, '{EMAIL_RE}')) > 0
+    """,
+)
+def l11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: redact email addresses, report per-doc match counts.
+
+    The fixture corpus is synthetic word-soup with no PII, so the query
+    plants a contact string per row first — the redaction path itself
+    (`regexp_extract_all` count + `regexp_replace` rewrite, both inside
+    codegen) is exactly what runs on real data, and the oracle checks the
+    rewritten text byte-for-byte. The pattern avoids lookarounds so RE2
+    (DuckDB) and Java regex (Spark) agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    contactful = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("+"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ).alias("text"),
+    )
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+    return (
+        contactful.select(
+            "doc_id",
+            n.alias("n_redacted"),
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>").alias("redacted"),
+        )
+        .filter(F.col("n_redacted") > 0)
+    )
+
+
+@register(
+    "l12_vocab_top_df",
+    survey="L4,G3,O1",
+    extended=True,
+    sql="""
+    SELECT token,
+           count(*) AS doc_freq
+    FROM (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY doc_freq DESC, token
+    LIMIT 20
+    """,
+)
+def l12_vocab_top_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head by document frequency: the top-20 tokens by how many
+    documents contain them (the input to stopword lists and BPE seeding).
+    One explode → one partial-aggregated shuffle of (token) keys; the final
+    top-k is TakeOrderedAndProject (no global sort materialization). Tie-break
+    on token keeps the result total-ordered for the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "l13_top_token_share",
+    survey="L4,L6,G3,W5",
+    extended=True,
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, token, count(*) AS c
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           max(c) AS top_token_count,
+           CAST(max(c) AS DOUBLE) / sum(c) AS top_share,
+           CAST(max(c) AS DOUBLE) / sum(c) > 0.2 AS repetitive
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def l13_top_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (C4/Gopher-style): the share of a document
+    taken by its single most frequent token; docs above 20% flag as
+    repetitive. Two exact-integer aggregates — (doc, token) then (doc) — so
+    the only float is a final row-local division (deterministic). The
+    shuffle key includes doc_id, so skew is bounded by per-document
+    vocabulary, not corpus frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_token = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    top = F.max("c")
+    total = F.sum("c")
+    return per_token.groupBy("doc_id").agg(
+        total.alias("n_tokens"),
+        top.alias("top_token_count"),
+        (top.cast("double") / total).alias("top_share"),
+        (top.cast("double") / total > 0.2).alias("repetitive"),
+    )

@@ -1,0 +1,77 @@
+"""Curation operators (functions/curation.py): deterministic splits, domain
+mixing, PII redaction, vocabulary stats, repetition scoring. Oracle parity is
+covered by tools/verify_oracle.py; these tests pin the library-level
+semantics the oracle can't see (determinism across runs, partition
+invariance, plan shape)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datalakejson_spark.functions.curation import (
+    assign_split,
+    l10_source_mixture,
+    l12_vocab_top_df,
+    l13_top_token_share,
+)
+from datalakejson_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_split_partition_and_fractions(spark):
+    """Every doc lands in exactly one split, and fractions track the hash
+    thresholds (80.1/9.8/10.1 ±5pp at 500 docs)."""
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    split = assign_split(docs)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n
+    assert abs(counts["train"] / n - 205 / 256) < 0.05
+    assert abs(counts["val"] / n - 25 / 256) < 0.05
+    assert abs(counts["test"] / n - 26 / 256) < 0.05
+
+
+def test_split_deterministic_under_repartition(spark):
+    """The assignment is a pure function of doc_id: identical for the same
+    doc across runs and partitionings (the resume/audit property)."""
+    docs = load_table(spark, SF, "documents")
+    a = {r.doc_id: r.split for r in assign_split(docs).select("doc_id", "split").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in assign_split(docs.repartition(17, "lang")).select("doc_id", "split").collect()
+    }
+    assert a == b
+
+
+def test_mixture_weights_honored(spark):
+    """Full-weight sources keep every doc; sampled sources keep a subset
+    near their weight (binomial at n=25 → wide tolerance, but exact
+    determinism is asserted by the oracle hash, not here)."""
+    rows = l10_source_mixture(spark, SF).collect()
+    by_src = {r.source: r for r in rows}
+    for i in range(5):  # weight 1.0
+        r = by_src[f"src{i}"]
+        assert r.n_kept == r.n_docs
+    sampled = [by_src[f"src{i}"] for i in range(10, 20)]  # weight 0.25
+    frac = sum(r.n_kept for r in sampled) / sum(r.n_docs for r in sampled)
+    assert 0.1 < frac < 0.45
+
+
+def test_vocab_topk_plan_uses_take_ordered(spark):
+    """The top-20 must be TakeOrderedAndProject (bounded heap per partition),
+    never a global Sort materialization — the 100 TB shape."""
+    df = l12_vocab_top_df(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_top_token_share_bounds(spark):
+    """top_share is a valid share; the repetitive flag matches the 0.2
+    threshold row-by-row."""
+    rows = l13_top_token_share(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.top_share <= 1
+        assert r.top_token_count <= r.n_tokens
+        assert r.repetitive == (r.top_share > 0.2)
