@@ -267,3 +267,130 @@ def l13_top_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (top.cast("double") / total).alias("top_share"),
         (top.cast("double") / total > 0.2).alias("repetitive"),
     )
+
+
+# --------------------------------------------------------------------------
+# L7b: embedding-based benchmark decontamination
+# --------------------------------------------------------------------------
+DECON_COSINE_THRESHOLD = 0.90
+
+_EMB_DOT = (
+    "list_aggregate([CAST(c.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) "
+    "for i in range(1, len(c.embedding) + 1)], 'sum')"
+)
+_EMB_NORM_C = (
+    "sqrt(list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) "
+    "for x in c.embedding], 'sum'))"
+)
+_EMB_NORM_E = (
+    "sqrt(list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) "
+    "for x in e.embedding], 'sum'))"
+)
+
+_L7B_SQL = f"""
+    WITH ev AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0
+    )
+    SELECT c.vec_id,
+           max(round({_EMB_DOT} / ({_EMB_NORM_C} * {_EMB_NORM_E}), 6))
+               AS max_eval_cosine,
+           max(round({_EMB_DOT} / ({_EMB_NORM_C} * {_EMB_NORM_E}), 6))
+               >= {DECON_COSINE_THRESHOLD} AS contaminated
+    FROM corpus c CROSS JOIN ev e
+    GROUP BY c.vec_id
+"""
+
+
+@register("l7b_embedding_decontamination", survey="L7,L3,G3", extended=True, sql=_L7B_SQL)
+def l7b_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: flag corpus items whose embedding
+    is near-identical (cosine >= 0.90) to any evaluation-set item — catches
+    paraphrased leakage that l7's exact n-gram overlap misses.
+
+    Scale shape mirrors l7 (llm_pipeline.py): the eval side is tiny and
+    BROADCAST, the corpus is scanned once and never shuffled; per-corpus-row
+    work is |eval| x O(dim) inside codegen (zip_with/aggregate dot products,
+    no UDF). The pseudo eval slice (vec_id % 97) keeps the oracle
+    self-contained; production passes a real eval embedding table the same
+    way l7 takes ``bench_docs``."""
+    from datalakejson_spark.functions.similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", F.col("embedding").alias("c_emb")
+    )
+    cos = F.round(cosine_expr("c_emb", "e_emb"), 6)
+    return (
+        corpus.crossJoin(F.broadcast(ev))
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max("cos").alias("max_eval_cosine"),
+            (F.max("cos") >= DECON_COSINE_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L14: unigram surprisal (LM-proxy quality signal)
+# --------------------------------------------------------------------------
+_L14_SQL = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+        SELECT token, count(*) AS c FROM tok GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*) AS n FROM tok
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(
+               (CAST(sum(CAST(round(-ln(CAST(f.c AS DOUBLE) / tot.n) * 1000000.0)
+                              AS BIGINT)) AS DOUBLE) / 1000000.0) / count(*),
+               6) AS avg_surprisal
+    FROM tok t JOIN freq f USING (token) CROSS JOIN tot
+    GROUP BY t.doc_id
+"""
+
+
+@register("l14_unigram_surprisal", survey="L4,L6,J3,G3", extended=True, sql=_L14_SQL)
+def l14_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (-ln p(token) under the corpus
+    unigram model) — the cheap stand-in for CCNet-style LM-perplexity quality
+    filtering: word-soup and boilerplate score low, rare-token noise scores
+    high.
+
+    Two-pass shape: corpus unigram counts (one partially-aggregated shuffle
+    of token keys), then a broadcast join of that frequency table back onto
+    the exploded tokens (vocab << corpus; Zipf head carries no skew penalty
+    because the join side is broadcast, not shuffled). Per-token surprisal is
+    quantized to 6 dp BEFORE the sum (scaled-integer accumulation,
+    operators/deterministic.py) so the per-doc mean is bit-stable across
+    partitionings and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    # corpus token total as a broadcast 1-row aggregate: stays in the plan
+    # (no eager driver-side action), reuses the freq aggregate's input.
+    total = freq.agg(F.sum("c").alias("n"))
+    surprisal = -F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+    scaled = F.round(surprisal * 1000000.0).cast("bigint")
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                (F.sum(scaled).cast("double") / 1000000.0) / F.count("*"), 6
+            ).alias("avg_surprisal"),
+        )
+    )
