@@ -138,3 +138,49 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Scale evidence for runtime row-level filtering: when a selective dim
+    filters a fact across a NON-broadcast join, Catalyst injects a bloom
+    filter built from the dim side into the fact scan (might_contain), so
+    pruned fact rows die before the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    matching slice. Thresholds are lowered so a test-sized join trips the
+    same machinery (application-side default is 10 GB)."""
+    lowered = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in lowered.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact_dir = str(tmp_path / "fact")
+        dim_dir = str(tmp_path / "dim")
+        spark.range(100_000).selectExpr(
+            "id", "id % 5000 AS k", "md5(CAST(id AS STRING)) AS pad"
+        ).write.parquet(fact_dir)
+        # selective dim: 50 of 5000 keys survive the filter
+        spark.range(5000).selectExpr("id AS k", "id % 100 AS grp").write.parquet(
+            dim_dir
+        )
+        fact = spark.read.parquet(fact_dir)
+        dim = spark.read.parquet(dim_dir).filter("grp = 0")
+        joined = fact.join(dim.hint("merge"), "k")
+        n = joined.count()
+        assert n == 100_000 // 100  # 50 keys x 20 fact rows/key
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
