@@ -289,3 +289,59 @@ def g8_per_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.min("src_file").alias("src_file"),
     )
+
+
+# --------------------------------------------------------------------------
+# G10: mergeable HLL sketch rollup (incremental distinct counts)
+# --------------------------------------------------------------------------
+@register(
+    "g10_hll_mergeable_rollup",
+    survey="G5,G3,F1",
+    extended=True,
+    sql="""
+    -- Accuracy-contract oracle (the g5/l3b pattern): the sketch bytes are
+    -- implementation-defined, so the Spark side emits whether the UNIONED
+    -- estimate landed within 5% of the exact total; the oracle pins the
+    -- exact values and asserts the contract held.
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS d
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(d) AS BIGINT) AS sum_daily_distinct,
+           (SELECT count(DISTINCT user_id) FROM events) AS exact_total,
+           TRUE AS union_within_5pct
+    FROM daily
+    """,
+)
+def g10_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count rollup with mergeable HLL sketches
+    (DataSketches via ``hll_sketch_agg``): one sketch per day, then
+    ``hll_union_agg`` merges the daily sketches into the period total
+    WITHOUT rescanning events — the 100 TB pattern for maintained rollups
+    (store a sketch per partition; any date-range cardinality is a cheap
+    union over stored sketches, while exact daily counts can never be
+    summed because users span days — ``sum_daily_distinct`` > total shows
+    exactly that). The contract column asserts the unioned estimate lands
+    within 5% of the exact cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("d"),
+    )
+    rolled = daily.agg(
+        F.count("*").alias("n_days"),
+        F.sum("d").alias("sum_daily_distinct"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_total"))
+    return rolled.crossJoin(exact).select(
+        "n_days",
+        "sum_daily_distinct",
+        "exact_total",
+        (
+            F.abs(F.col("est_total") - F.col("exact_total"))
+            / F.col("exact_total")
+            <= 0.05
+        ).alias("union_within_5pct"),
+    )
