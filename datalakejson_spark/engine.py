@@ -112,3 +112,60 @@ class DataLakeEngine:
             F.col(text_col).cast("string").alias("text"),
         )
         return lsh_candidate_pairs(minhash_signatures(docs))
+
+    # -- lake maintenance ---------------------------------------------------
+    def compact(self, **kwargs) -> dict[str, bool]:
+        """Small-file compaction over the curated lake's leaf partitions
+        (plans/compact.py); returns {partition: rewritten?}."""
+        from datalakejson_spark.plans.compact import compact
+
+        self._fq_table = None  # rewritten files → re-register on next sql()
+        return compact(self.spark, self.conf.curated_dir, **kwargs)
+
+    def vacuum_replays(self) -> dict[str, int]:
+        """Physically drop superseded crash-replay rows per partition."""
+        from datalakejson_spark.plans.compact import vacuum_replays
+
+        self._fq_table = None
+        return vacuum_replays(self.spark, self.conf.curated_dir)
+
+    # -- training-data pipeline --------------------------------------------
+    def prepare_training_corpus(
+        self, docs: DataFrame | None = None, text_col: str = "record_id", **kwargs
+    ) -> DataFrame:
+        """dedup → CC clustering → quality gate → decontaminate → shard-pack
+        (functions/llm_pipeline.py) over ``docs`` or a curated text column.
+        Pass ``bench_docs=`` with the real eval suite for decontamination."""
+        import pyspark.sql.functions as F
+
+        from datalakejson_spark.functions.llm_pipeline import (
+            prepare_training_corpus,
+        )
+
+        if docs is None:
+            docs = self.curated(resolve_replays=True).select(
+                F.xxhash64("record_id").alias("doc_id"),
+                F.col(text_col).cast("string").alias("text"),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        return prepare_training_corpus(docs, **kwargs)
+
+    def assign_split(self, docs: DataFrame) -> DataFrame:
+        """Deterministic train/val/test split column (functions/curation.py)."""
+        from datalakejson_spark.functions.curation import assign_split
+
+        return assign_split(docs)
+
+    def export_shards(self, corpus: DataFrame, out_dir: str, **kwargs) -> None:
+        """Materialize a packed corpus as one parquet file per shard_id
+        (consumption/feed.py) — the layout ShardFeed and training jobs read."""
+        from datalakejson_spark.consumption import export_shards
+
+        export_shards(corpus, out_dir, **kwargs)
+
+    def feed(self, shard_dir: str, **kwargs):
+        """Deterministic, partition-pruned Arrow batch iterator over an
+        exported shard lake; ``rank``/``world_size`` slice shards per
+        training worker."""
+        from datalakejson_spark.consumption import ShardFeed
+
+        return ShardFeed(self.spark, shard_dir, **kwargs)

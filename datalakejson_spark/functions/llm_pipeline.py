@@ -357,6 +357,9 @@ def prepare_training_corpus(
     shard_token_budget: int = SHARD_TOKEN_BUDGET,
     shard_partitions: int | None = None,
     bench_docs: DataFrame | None = None,
+    min_chars: int = 100,
+    min_tokens: int = 20,
+    word_len_range: tuple[float, float] = (2.0, 12.0),
 ) -> DataFrame:
     """The full pretraining-data prep flow, each stage an operator verified
     on its own elsewhere in this package:
@@ -380,7 +383,10 @@ def prepare_training_corpus(
     ``bench_docs``: the real evaluation suite as a (text, ...) DataFrame —
     its word-3-gram shingles are broadcast against the corpus. Default None
     keeps the deterministic pseudo-slice (a ~1% doc_id cut of the corpus
-    itself) so the oracle-checked result is unchanged."""
+    itself) so the oracle-checked result is unchanged.
+
+    ``min_chars``/``min_tokens``/``word_len_range``: quality-gate thresholds
+    (defaults are the oracle-checked l6 values); tune per corpus."""
     from datalakejson_spark.functions.dedup import (
         keep_first_distinct,
         lsh_candidate_pairs,
@@ -403,9 +409,9 @@ def prepare_training_corpus(
         F.replace(F.col("text"), F.lit(" "), F.lit(""))
     ).cast("double") / F.greatest(n_tokens, F.lit(1))
     corpus = corpus.withColumn("n_tokens", n_tokens.cast("long")).filter(
-        (F.col("n_chars") >= 100)
-        & (F.col("n_tokens") >= 20)
-        & avg_word_len.between(2.0, 12.0)
+        (F.col("n_chars") >= min_chars)
+        & (F.col("n_tokens") >= min_tokens)
+        & avg_word_len.between(*word_len_range)
     )
 
     # 4. decontamination: drop any train doc sharing a shingle with the eval

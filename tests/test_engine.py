@@ -88,3 +88,35 @@ def test_csv_landing_ingest(spark, tmp_path: Path):
     # partitioning still applies; row lands in the null-year partition
     assert curated.filter(F.col("record_id") == "a3").first().year is None
     assert curated.filter(F.col("extra_key") == "k1").first().mode == "train"
+
+
+def test_engine_training_lifecycle(spark, ingest_conf, tmp_path: Path):
+    """The training-data half of the facade: curated text → corpus prep →
+    split assignment → shard export → Arrow feed, end-to-end from one
+    engine object (the 'user of the reference could switch' workflow)."""
+    engine = DataLakeEngine(spark, ingest_conf, table="t_lifecycle")
+    engine.discover()
+    engine.ingest_until_drained()
+
+    # maintenance passes run and report per-partition outcomes
+    compacted = engine.compact()
+    assert isinstance(compacted, dict) and compacted
+    vacuumed = engine.vacuum_replays()
+    assert isinstance(vacuumed, dict)
+
+    # corpus prep over a curated column (record ids as stand-in text)
+    corpus = engine.prepare_training_corpus(
+        text_col="record_id", min_chars=1, min_tokens=1, word_len_range=(0.0, 99.0)
+    )
+    assert {"doc_id", "shard_id"} <= set(corpus.columns)
+    n_docs = corpus.count()
+    assert n_docs > 0
+
+    split = engine.assign_split(corpus)
+    assert split.filter(F.col("split").isNull()).count() == 0
+
+    shard_dir = str(tmp_path / "shards")
+    engine.export_shards(corpus, shard_dir)
+    feed = engine.feed(shard_dir, batch_rows=7)
+    fed = sum(b.num_rows for b in feed.batches())
+    assert fed == n_docs
