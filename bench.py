@@ -202,14 +202,15 @@ def main() -> None:
     # Warm-up: touch the biggest table + codegen paths once.
     run_one(spark, specs["g3_flagship_pricing_summary"].fn, sf_dir)
 
-    # Best-of-2: the first execution of a query pays one-time whole-stage
+    # Best-of-3: the first execution of a query pays one-time whole-stage
     # codegen compilation (hundreds of ms) that a long-lived session never
-    # pays again; min is the steady-state cost.
+    # pays again, and rep 2 often still carries JIT warm-up; min over three
+    # reps is the steady-state cost (measured: rep sequences like
+    # 2.9 -> 1.7 -> 1.46 on the LSH join converge only at rep 3).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        first = run_one(spark, specs[name].fn, sf_dir)
-        second = run_one(spark, specs[name].fn, sf_dir)
-        timings[name] = round(min(first, second), 3)
+        reps = [run_one(spark, specs[name].fn, sf_dir) for _ in range(3)]
+        timings[name] = round(min(reps), 3)
 
     total = round(sum(timings.values()), 3)
     payload = {
