@@ -98,6 +98,7 @@ def all_specs() -> dict[str, QuerySpec]:
         text_extra,
         ivf,
         llm_pipeline,
+        variant,
     )
     from datalakejson_spark.streaming import windows as stream_windows  # noqa: F401
     from datalakejson_spark.consumption import feed  # noqa: F401
