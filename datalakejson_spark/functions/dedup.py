@@ -167,6 +167,25 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def band_table(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_hash) LSH band table from a signature table — one row
+    per doc per band, built with a single explode(array(struct...)) so the
+    signature pipeline upstream is never duplicated (see lsh_candidate_pairs
+    for why that matters). This is also the persisted-index format for
+    incremental dedup (functions/incremental_dedup.py)."""
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(band).alias("band"), F.expr(expr).alias("band_hash"))
+            for band, expr in _BAND_EXPRS
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col),
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Band the signatures and emit candidate near-dup pairs (id_a < id_b).
 
@@ -186,17 +205,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     tests/test_plans.py asserts a single documents scan and a ReusedExchange
     in the executed l2 plan.)
     """
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(band).alias("band"), F.expr(expr).alias("band_hash"))
-            for band, expr in _BAND_EXPRS
-        ]
-    )
-    bands = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        F.col(id_col),
-        F.col("bb.band").alias("band"),
-        F.col("bb.band_hash").alias("band_hash"),
-    )
+    bands = band_table(sigs, id_col)
     # hint("merge"): without it Spark broadcasts one side (bands is small at
     # test sf), and a BroadcastExchange can never reuse the other side's
     # shuffle Exchange → the pipeline would run twice. With a sort-merge join

@@ -96,6 +96,7 @@ def all_specs() -> dict[str, QuerySpec]:
         similarity,
         text,
         text_extra,
+        incremental_dedup,
         ivf,
         llm_pipeline,
         variant,

@@ -1,0 +1,71 @@
+"""Incremental cross-batch dedup (functions/incremental_dedup.py): the
+index+delta loop, audit flag semantics, and probe plan shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datalakejson_spark.functions.incremental_dedup import (
+    dedup_audit,
+    exact_hash_index,
+    ingest_batch_dedup,
+)
+from datalakejson_spark.functions.dedup import band_table, minhash_signatures
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the quiet river bank tonight"
+OTHER = "entirely different content about distributed query engines and parquet files"
+
+
+def test_ingest_batch_dedup_loop(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+
+    # Batch 1 bootstraps empty indexes: everything survives.
+    b1 = _docs(spark, [(1, BASE), (2, OTHER)])
+    kept1 = ingest_batch_dedup(spark, b1, idx)
+    assert {r.doc_id for r in kept1.collect()} == {1, 2}
+
+    # Batch 2: exact copy of doc 1, near-copy of doc 1 (one token changed →
+    # shares 3-word shingles → at least one band collides), and a novel doc.
+    novel = "completely fresh text with no overlap whatsoever in any shingle window"
+    b2 = _docs(spark, [(10, BASE), (11, NEAR), (12, novel)])
+    kept2 = ingest_batch_dedup(spark, b2, idx)
+    assert {r.doc_id for r in kept2.collect()} == {12}
+
+    # Batch 3: re-presenting batch 2's survivor → now an exact dup (the loop
+    # invariant: survivors were appended to the index).
+    b3 = _docs(spark, [(20, novel)])
+    kept3 = ingest_batch_dedup(spark, b3, idx)
+    assert kept3.count() == 0
+
+
+def test_audit_flags(spark):
+    corpus = _docs(spark, [(1, BASE)])
+    delta = _docs(spark, [(10, BASE), (11, NEAR), (12, OTHER)])
+    bands = band_table(minhash_signatures(corpus))
+    audit = {
+        r.doc_id: (r.is_exact_dup, r.is_near_dup, r.kept)
+        for r in dedup_audit(delta, exact_hash_index(corpus), bands).collect()
+    }
+    assert audit[10] == (True, True, False)  # identical text ⇒ both flags
+    assert audit[11] == (False, True, False)  # near-copy: bands only
+    assert audit[12] == (False, False, True)  # novel
+    assert len(audit) == 3  # every delta doc audited exactly once
+
+
+def test_audit_probe_plan_shape(spark):
+    """Both probes must be semi-join-shaped bucket joins — never a cartesian
+    or a join carrying document text. The only columns crossing the probe
+    joins are fixed-width hashes + ids."""
+    corpus = _docs(spark, [(i, f"{BASE} {i}") for i in range(1, 30)])
+    delta = _docs(spark, [(100 + i, f"{OTHER} {i}") for i in range(30)])
+    audit = dedup_audit(delta, exact_hash_index(corpus), band_table(minhash_signatures(corpus)))
+    plan = audit._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert audit.count() == 30
