@@ -1,0 +1,90 @@
+"""Streaming drain of a landing zone into the VARIANT curated lake.
+
+The streaming twin of plans/variant_ingest.py: a text file-source (no
+schema, no inference — the variant IS the schema escape hatch) drained with
+``Trigger.AvailableNow``, each micro-batch running the same
+parse→split→DLQ→partitioned-append composition as the batch path. The
+checkpoint's file index provides the per-file exactly-once claim, exactly
+as streaming/ingest_stream.py does for the typed pipeline
+(sudo_code.txt:107,136-139's cron+ledger loop).
+
+Why this mode matters at 100 TB: the typed streaming pipeline requires a
+frozen StructType up front — a landing zone whose producers evolve freely
+would either drop new fields or fail the stream. The variant drain never
+re-reads, never re-infers, and never loses a field; schema drift surfaces
+later as a query (plans/variant_ingest.drift_report) instead of an incident.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datalakejson_spark.plans.variant_ingest import LINEAGE_COL, RAW_COL
+from datalakejson_spark.session import configure_runtime
+
+
+def streaming_variant_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    curated_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    column: str = "record",
+    partition_path: str | None = "$.MODE",
+    partition_col: str = "mode",
+    partition_default: str = "unknown",
+    max_files_per_trigger: int | None = None,
+):
+    """Drain all available landing files once into variant parquet.
+
+    Returns the StreamingQuery; call ``.awaitTermination()``.
+    """
+    configure_runtime(spark)
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = (
+        reader.text(landing_dir)
+        .filter(F.length(F.trim(F.col("value"))) > 0)
+        .select(
+            F.try_parse_json("value").alias(column),
+            F.col("value").alias(RAW_COL),
+            F.input_file_name().alias(LINEAGE_COL),
+        )
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            corrupt = batch_df.filter(F.col(column).isNull()).drop(column)
+            good = batch_df.filter(F.col(column).isNotNull()).drop(RAW_COL)
+            if corrupt.limit(1).count():
+                corrupt.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).json(os.path.join(dlq_dir, f"batch-{batch_id}"))
+            if good.limit(1).count():
+                if partition_path is not None:
+                    good = good.withColumn(
+                        partition_col,
+                        F.coalesce(
+                            F.variant_get(F.col(column), partition_path, "string"),
+                            F.lit(partition_default),
+                        ),
+                    )
+                    good.write.mode("append").partitionBy(partition_col).parquet(
+                        curated_dir
+                    )
+                else:
+                    good.write.mode("append").parquet(curated_dir)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -138,3 +138,35 @@ def test_variant_queries_stay_jvm_side(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert df.count() > 0
+
+
+def test_streaming_variant_ingest_incremental(spark, tmp_path):
+    """AvailableNow drain of a variant landing zone: first drain curates
+    batch 1 (good + DLQ), a second drain with the same checkpoint picks up
+    ONLY the newly arrived file (the checkpoint is the per-file claim)."""
+    from datalakejson_spark.streaming.variant_stream import streaming_variant_ingest
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.json").write_text(
+        '{"MODE": "train", "x": 1}\n{"MODE": "train", "x": 2}\nBROKEN\n'
+    )
+    args = dict(
+        landing_dir=str(land),
+        curated_dir=str(tmp_path / "curated"),
+        dlq_dir=str(tmp_path / "dlq"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    streaming_variant_ingest(spark, **args).awaitTermination()
+    back = spark.read.parquet(args["curated_dir"])
+    assert back.count() == 2
+    assert spark.read.json(args["dlq_dir"] + "/batch-0").count() == 1
+
+    (land / "b.json").write_text('{"MODE": "test", "x": 3, "fresh": true}\n')
+    streaming_variant_ingest(spark, **args).awaitTermination()
+    back = spark.read.parquet(args["curated_dir"])
+    assert back.count() == 3  # a.json NOT reprocessed
+    fresh = back.filter(
+        F.variant_get("record", "$.fresh", "boolean") == True  # noqa: E712
+    )
+    assert fresh.count() == 1 and fresh.collect()[0]["mode"] == "test"
