@@ -103,6 +103,7 @@ def all_specs() -> dict[str, QuerySpec]:
     )
     from datalakejson_spark.streaming import windows as stream_windows  # noqa: F401
     from datalakejson_spark.consumption import feed  # noqa: F401
+    from datalakejson_spark.plans import layout  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,88 @@
+"""Z-order clustered layout (plans/layout.py): content preservation, plan
+shape, and the measured data-skipping win over arrival-order layout."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datalakejson_spark.plans.layout import (
+    cluster_write,
+    prunable_fraction,
+    rowgroup_stats,
+    zorder_key,
+)
+from datalakejson_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+COLS = ["user_id", "value"]
+
+
+def _boxes(events):
+    """Nine narrow 2-D boxes spread over the key space (≈10% of each dim)."""
+    lo = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    umin, umax, vmin, vmax = lo
+    du, dv = (umax - umin) / 10, (vmax - vmin) / 10
+    return [
+        {
+            "user_id": (umin + i * 3 * du, umin + (i * 3 + 1) * du),
+            "value": (vmin + j * 3 * dv, vmin + (j * 3 + 1) * dv),
+        }
+        for i in range(3)
+        for j in range(3)
+    ]
+
+
+def test_cluster_write_preserves_content_and_plan(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    out = str(tmp_path / "z")
+    cluster_write(events, out, COLS, n_files=8)
+    back = spark.read.parquet(out)
+    assert back.columns == events.columns
+    assert back.exceptAll(events).count() == 0 and events.exceptAll(back).count() == 0
+
+    # One shuffle (the range partition); no global Sort node after it.
+    zdf, z = zorder_key(events, COLS)
+    plan = (
+        zdf.withColumn("_zkey", z)
+        .repartitionByRange(8, "_zkey")
+        .sortWithinPartitions("_zkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange rangepartitioning") == 1
+    # Sort node's second arg false = partition-local sort, not a global sort.
+    assert "Sort [_zkey" in plan and "], false, 0" in plan
+
+
+def test_zorder_skipping_beats_arrival_order(spark, tmp_path):
+    """Identical rows, identical predicates — the clustered layout lets a
+    min/max-pruning reader skip the large majority of row groups while the
+    arrival-order layout skips almost nothing."""
+    events = load_table(spark, SF, "events")
+    arrival, clustered = str(tmp_path / "arrival"), str(tmp_path / "clustered")
+    # Arrival order: round-robin into the same number of files (what a plain
+    # append of unsorted micro-batches produces).
+    events.repartition(8).write.mode("overwrite").parquet(arrival)
+    cluster_write(events, clustered, COLS, n_files=8)
+
+    preds = _boxes(events)
+    f_arrival = prunable_fraction(rowgroup_stats(arrival, COLS), preds)
+    f_clustered = prunable_fraction(rowgroup_stats(clustered, COLS), preds)
+    # The claim of the module, measured from the actual footers.
+    assert f_clustered >= 0.6, (f_arrival, f_clustered)
+    assert f_clustered >= f_arrival + 0.4, (f_arrival, f_clustered)
+
+    # And the result of a boxed query is identical on both layouts.
+    (ulo, uhi), (vlo, vhi) = preds[0]["user_id"], preds[0]["value"]
+    box = (
+        (F.col("user_id") >= ulo)
+        & (F.col("user_id") <= uhi)
+        & (F.col("value") >= vlo)
+        & (F.col("value") <= vhi)
+    )
+    a = spark.read.parquet(arrival).filter(box)
+    c = spark.read.parquet(clustered).filter(box)
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
