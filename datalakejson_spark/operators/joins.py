@@ -257,6 +257,92 @@ def j9_range_join_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    grain_seconds: int,
+) -> DataFrame:
+    """The 100 TB form of the range join (the scale rewrite j9's docstring
+    names): coarsen time into ``grain_seconds`` buckets, explode each
+    interval into the buckets it overlaps, and equi-join on the bucket with
+    the exact range predicate as a residual filter.
+
+    Why this scales where the theta-join doesn't: a pure range join is a
+    BroadcastNestedLoopJoin unless one side broadcasts — with two large
+    sides there is no equi-key for a shuffle. Bucketing manufactures that
+    key: both sides shuffle (or neither, if the event side is the only big
+    one and the bucketed interval table broadcasts), candidate pairs are
+    bounded by bucket co-residency, and the residual predicate restores
+    exactness. Cost knob: intervals spanning B buckets appear B times —
+    pick the grain near the median interval length so B stays small.
+
+    ``hi_col`` is exclusive, matching the j9 semantics."""
+    g = int(grain_seconds)
+    right_b = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lo_col)) / g),
+                # hi is exclusive: an interval ending exactly on a bucket
+                # boundary does not reach into that bucket
+                F.floor((F.unix_timestamp(F.col(hi_col)) - 1) / g),
+            )
+        ),
+    )
+    left_b = left.withColumn("_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / g))
+    return (
+        left_b.join(right_b, "_bkt")
+        .filter((F.col(ts_col) >= F.col(lo_col)) & (F.col(ts_col) < F.col(hi_col)))
+        .drop("_bkt")
+    )
+
+
+@register(
+    "j9b_range_join_bucketed",
+    survey="J9",
+    extended=True,  # J9 has a driver row (j9); this is the scale formulation
+    sql=f"""
+    SELECT w.win_id AS win_id, count(*) AS n_events, {dsum_sql('value')} AS sum_value
+    FROM events e
+    JOIN (VALUES (0, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
+                 (1, TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+                 (2, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00'),
+                 (3, TIMESTAMP '2024-01-22 00:00:00', TIMESTAMP '2024-03-01 00:00:00'))
+         AS w(win_id, lo, hi)
+      ON e.ts >= w.lo AND e.ts < w.hi
+    GROUP BY 1
+    """,
+)
+def j9b_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j9's intervals through the bucketed equi-join path (weekly grain) —
+    same oracle SQL as j9, so the rewrite's exactness is verified
+    cross-engine, not asserted. The plan contains an equi-join on the
+    manufactured bucket key instead of a nested-loop range probe
+    (asserted in tests/test_plans.py)."""
+    events = load_table(spark, sf_dir, "events")
+    wins = local_df(
+        spark,
+        [
+            (0, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+            (1, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+            (2, "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+            (3, "2024-01-22 00:00:00", "2024-03-01 00:00:00"),
+        ],
+        "win_id int, lo_s string, hi_s string",
+    ).select(
+        "win_id",
+        F.col("lo_s").cast("timestamp_ntz").alias("lo"),
+        F.col("hi_s").cast("timestamp_ntz").alias("hi"),
+    )
+    joined = bucketed_range_join(events, wins, "ts", "lo", "hi", 7 * 86400)
+    return joined.groupBy("win_id").agg(
+        F.count("*").alias("n_events"), ds("value").alias("sum_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # J10: as-of join — latest state at event time
 # --------------------------------------------------------------------------

@@ -151,3 +151,13 @@ def test_token_shards_have_no_global_window(spark):
     # the one range exchange ran inside the (lineage-truncating) checkpoint
     # job; the packing plan itself is exchange-free
     assert "Exchange" not in plan, plan
+
+
+def test_bucketed_range_join_is_equi_join(spark):
+    """j9b's scale contract: the manufactured bucket key turns the range
+    join into an equi-join — no nested-loop probe anywhere in the plan, and
+    the exact range predicate survives as a residual filter/condition."""
+    plan = plan_of(spark, "j9b_range_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "_bkt" in plan  # joined on the bucket key
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
