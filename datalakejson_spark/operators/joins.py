@@ -343,6 +343,72 @@ def j9b_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salt: int,
+    salt_from: list[str],
+) -> DataFrame:
+    """Manual hot-key mitigation for shuffle equi-joins: append a
+    deterministic salt in ``[0, n_salt)`` to the join key on the skewed
+    side (hashed from ``salt_from`` columns — NOT rand(), so replays and
+    retries stay bit-identical), and replicate the other side ``n_salt``
+    ways. A key holding 30 % of all rows then lands on ``n_salt`` reducers
+    instead of one.
+
+    When to reach for this instead of AQE skew-join splitting: AQE splits
+    skewed SortMergeJoin partitions, but cannot split the *aggregation*
+    that follows a join on the same hot key, and does nothing for
+    deliberately disabled-AQE or streaming foreachBatch plans. Salting
+    re-keys the whole pipeline stage. Cost: the other side is exploded
+    ``n_salt``× — use with a small-but-not-broadcastable or dimension-like
+    right side.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(n_salt))
+    left = skewed.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return left.join(right, [key, "_salt"]).drop("_salt")
+
+
+@register(
+    "j11_salted_hot_key_join",
+    survey="J3,G3",
+    extended=True,
+    sql=f"""
+    SELECT e.event_type,
+           count(*) AS n_events,
+           {dsum_sql('e.value * w.weight')} AS weighted_value
+    FROM events e
+    JOIN (SELECT event_type, CAST(length(event_type) AS DOUBLE) AS weight
+          FROM (SELECT DISTINCT event_type FROM events)) w
+      ON e.event_type = w.event_type
+    GROUP BY 1
+    """,
+)
+def j11_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join verified against its unsalted semantics: events join
+    a per-type weight table on ``event_type`` — a 5-distinct-value key, the
+    worst-case shuffle skew (every row of a type on one reducer). The salt
+    spreads each type over 8 reducers; the oracle runs the PLAIN join, so
+    the rewrite's result-equivalence is cross-engine-checked, not assumed."""
+    events = load_table(spark, sf_dir, "events")
+    weights = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("double"))
+    )
+    joined = salted_join(
+        events, weights.hint("merge"), "event_type", 8, salt_from=["event_id"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        ds(F.col("value") * F.col("weight")).alias("weighted_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # J10: as-of join — latest state at event time
 # --------------------------------------------------------------------------

@@ -161,3 +161,16 @@ def test_bucketed_range_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "_bkt" in plan  # joined on the bucket key
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """j11's scale contract: the join's exchange partitions on
+    (event_type, _salt) — the hot key is spread across n_salt reducers —
+    and the salt never reaches the output schema."""
+    plan = plan_of(spark, "j11_salted_hot_key_join")
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert any("_salt" in e for e in exchanges), exchanges
+    df = all_specs()["j11_salted_hot_key_join"].fn(spark, SF)
+    assert "_salt" not in df.columns
