@@ -50,14 +50,23 @@ def compact_partition(
     partition_dir: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
     min_files: int = 2,
+    zorder_cols: list[str] | None = None,
 ) -> bool:
     """Rewrite one partition into ceil(bytes/target) files. Returns True if
-    a rewrite happened."""
+    a rewrite happened.
+
+    With ``zorder_cols`` the rewrite also re-clusters the partition on the
+    space-filling curve (plans/layout.py) — Delta's ``OPTIMIZE ... ZORDER
+    BY`` shape: compaction is the natural moment to fix layout, because the
+    rows are being rewritten anyway and micro-batch appends destroy
+    clustering as fast as ingest runs. A re-cluster is worth a rewrite even
+    when the file count is already at target, so ``zorder_cols`` drops the
+    already-compacted early-out."""
     n_files, total_bytes = partition_file_stats(partition_dir)
-    if n_files < min_files:
+    if n_files < min_files and not zorder_cols:
         return False
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-    if n_out >= n_files:
+    if n_out >= n_files and not zorder_cols:
         return False  # already at or below target granularity
 
     df = spark.read.parquet(partition_dir)
@@ -68,7 +77,12 @@ def compact_partition(
     # is the only window (partition briefly absent, never doubled).
     parent, leaf = os.path.split(partition_dir.rstrip("/"))
     staging = os.path.join(parent, f".__compact_{time.time_ns()}_{leaf}")
-    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    if zorder_cols:
+        from datalakejson_spark.plans.layout import cluster_write
+
+        cluster_write(df, staging, zorder_cols, n_files=n_out)
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
 
     retired = os.path.join(parent, f".__retired_{time.time_ns()}_{leaf}")
     os.rename(partition_dir, retired)  # swap 1: move old out of the way
@@ -82,14 +96,37 @@ def compact(
     curated_dir: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
     partition_filter=None,
+    zorder_cols: list[str] | None = None,
 ) -> dict[str, bool]:
     """Compact every (selected) partition; returns {partition: rewritten?}."""
     out = {}
     for part in list_partition_dirs(curated_dir):
         if partition_filter and not partition_filter(part):
             continue
-        out[part] = compact_partition(spark, part, target_file_bytes)
+        out[part] = compact_partition(
+            spark, part, target_file_bytes, zorder_cols=zorder_cols
+        )
     return out
+
+
+def optimize_table(
+    spark: SparkSession,
+    curated_dir: str,
+    zorder_cols: list[str],
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    partition_filter=None,
+) -> dict[str, bool]:
+    """OPTIMIZE-with-ZORDER for the curated lake: compact small files AND
+    re-cluster every (selected) partition on ``zorder_cols`` in one pass of
+    partition-atomic rewrites. Run on closed partitions (past the late-data
+    horizon) after the ingest drain, like plain compaction."""
+    return compact(
+        spark,
+        curated_dir,
+        target_file_bytes,
+        partition_filter,
+        zorder_cols=zorder_cols,
+    )
 
 
 def vacuum_replays(spark: SparkSession, curated_dir: str) -> dict[str, int]:
