@@ -35,7 +35,8 @@ from datalakejson_spark.sources.tables import load_table
 @register(
     "f9_variant_extraction",
     survey="F3,F9",
-    extended=True,  # F3 family covered in the driver tier by f3/f6
+    # driver tier (r5): the VARIANT surface's hard driver-green signal —
+    # took the slot of the fully-redundant j8_cross_join
     sql="""
     SELECT event_type,
            COUNT(*) AS n_events,

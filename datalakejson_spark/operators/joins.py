@@ -194,6 +194,8 @@ def j7_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j8_cross_join",
     survey="J8",
+    extended=True,  # J8 carried in the driver tier by l2c + l3 (r5: slot
+    # given to f9_variant_extraction so VARIANT gets a driver-green signal)
     sql="""
     SELECT r_name AS region, seg.c_mktsegment AS segment
     FROM region
