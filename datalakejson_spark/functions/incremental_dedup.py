@@ -112,7 +112,18 @@ def ingest_batch_dedup(
             [], f"{id_col} bigint, band int, band_hash string"
         )
     audit = dedup_audit(delta, corpus_hashes, corpus_bands, id_col, text_col)
-    kept = delta.join(audit.filter("kept").select(id_col), id_col, "leftsemi")
+    # localCheckpoint (eager), NOT persist: the survivor set feeds three
+    # consumers (two index appends + the caller's curated write), and two of
+    # them APPEND to the very paths the audit reads. A persisted plan is
+    # recomputed by Spark's CacheManager when a write refreshes those paths
+    # (recacheByPath), which would re-run the audit against an index that
+    # already contains the survivors' own hashes — every survivor becomes a
+    # "duplicate" of itself and the batch collapses to empty. Checkpointing
+    # materializes the decision first and cuts the lineage, so the
+    # subsequent appends cannot retroactively change it.
+    kept = delta.join(
+        audit.filter("kept").select(id_col), id_col, "leftsemi"
+    ).localCheckpoint(eager=True)
     exact_hash_index(kept, text_col).write.mode("append").parquet(hp)
     band_table(minhash_signatures(kept, text_col, id_col), id_col).write.mode(
         "append"

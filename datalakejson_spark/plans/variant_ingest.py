@@ -81,24 +81,30 @@ def curate_variant(
     (the reference partitions curated data by the MODE field,
     sudo_code.txt:193-196 — here the field never had to be in a schema).
 
-    Returns row counts; all counts come from one materialization each of the
-    two branches (count() on the written result readers, not extra jobs over
-    the landing zone)."""
-    good, corrupt = split_corrupt(scan_json_as_variant(spark, landing, column))
+    The scan is persisted across the split's two consumers (DLQ write +
+    curated write), so the landing zone is read ONCE per pass — the same
+    cache discipline the reference's PERMISSIVE pipeline needs
+    (psuedo_code.txt:192-197 filters one RAW_DF twice) and the typed
+    streaming path applies (streaming/ingest_stream.py)."""
+    scanned = scan_json_as_variant(spark, landing, column).persist()
+    try:
+        good, corrupt = split_corrupt(scanned, column)
 
-    n_corrupt = corrupt.count()
-    if n_corrupt:
-        corrupt.write.mode("append").json(dlq_dir)
+        n_corrupt = corrupt.count()
+        if n_corrupt:
+            corrupt.write.mode("append").json(dlq_dir)
 
-    if partition_path is not None:
-        part = F.coalesce(
-            F.variant_get(F.col(column), partition_path, "string"),
-            F.lit(partition_default),
-        )
-        good = good.withColumn(partition_col, part)
-        good.write.mode("append").partitionBy(partition_col).parquet(curated_dir)
-    else:
-        good.write.mode("append").parquet(curated_dir)
+        if partition_path is not None:
+            part = F.coalesce(
+                F.variant_get(F.col(column), partition_path, "string"),
+                F.lit(partition_default),
+            )
+            good = good.withColumn(partition_col, part)
+            good.write.mode("append").partitionBy(partition_col).parquet(curated_dir)
+        else:
+            good.write.mode("append").parquet(curated_dir)
+    finally:
+        scanned.unpersist()
 
     n_good = spark.read.parquet(curated_dir).count()
     return {"good_rows": n_good, "corrupt_rows": n_corrupt}
