@@ -1,0 +1,78 @@
+"""Streaming ingest with cross-batch CONTENT dedup: the composition of the
+checkpointed file-source drain (streaming/ingest_stream.py's T1-T3 shape)
+with the persisted dedup indexes (functions/incremental_dedup.py).
+
+The checkpoint deduplicates *files* (each landing file enters exactly one
+micro-batch); the index pair deduplicates *content* across batches, runs,
+and restarts — a document that arrived last week in a different file is
+still caught. This is the continuously-running form of the training-corpus
+hygiene loop: nothing enters the curated lake twice, exactly or nearly.
+
+Per micro-batch cost: the two fixed-width-hash probes + index appends of
+the incremental module — O(batch + collisions), independent of how large
+the curated corpus has grown. At 100 TB the indexes are parquet tables like
+any other; their size is bounded by NUM_BANDS rows + one 32-byte hash per
+unique document ever kept.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datalakejson_spark.functions.incremental_dedup import ingest_batch_dedup
+from datalakejson_spark.session import configure_runtime
+
+
+def streaming_dedup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    curated_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+):
+    """Drain landing JSON-lines documents once (AvailableNow); each
+    micro-batch is audited against the persistent hash+band indexes, only
+    never-seen (exactly or nearly) documents are appended to the curated
+    lake, and the survivors' index rows are appended for the next batch —
+    inside the same foreachBatch, so a crash replays the whole unit.
+
+    Replay note: a crash between the index append and the checkpoint commit
+    re-runs the batch; its documents then collide with their own index rows
+    and are dropped, so the curated append is idempotent-by-construction for
+    replays (at-least-once write, exactly-once content).
+
+    Returns the StreamingQuery; call ``.awaitTermination()``.
+    """
+    configure_runtime(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(landing_dir).withColumn(
+        "_ingest_file", F.input_file_name()
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = ingest_batch_dedup(
+            batch_df.sparkSession,
+            batch_df,
+            index_dir,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        if kept.limit(1).count():
+            kept.withColumn("ingest_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(curated_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

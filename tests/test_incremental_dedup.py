@@ -69,3 +69,52 @@ def test_audit_probe_plan_shape(spark):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert audit.count() == 30
+
+
+def test_streaming_dedup_ingest(spark, tmp_path):
+    """The streaming composition: drain 1 curates batch 1 and seeds the
+    indexes; drain 2 (same checkpoint, new file) appends ONLY content never
+    seen before — an exact re-send and a near-copy are both dropped even
+    though they arrive in a brand-new file."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from datalakejson_spark.streaming.dedup_stream import streaming_dedup_ingest
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "f1.json").write_text(
+        json.dumps({"doc_id": 1, "text": BASE})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": OTHER})
+        + "\n"
+    )
+    args = dict(
+        landing_dir=str(land),
+        curated_dir=str(tmp_path / "curated"),
+        index_dir=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=schema,
+    )
+    streaming_dedup_ingest(spark, **args).awaitTermination()
+    assert {
+        r.doc_id for r in spark.read.parquet(args["curated_dir"]).collect()
+    } == {1, 2}
+
+    novel = "genuinely new material mentioning structured streaming checkpoints"
+    (land / "f2.json").write_text(
+        json.dumps({"doc_id": 10, "text": BASE})  # exact re-send
+        + "\n"
+        + json.dumps({"doc_id": 11, "text": NEAR})  # near-copy
+        + "\n"
+        + json.dumps({"doc_id": 12, "text": novel})
+        + "\n"
+    )
+    streaming_dedup_ingest(spark, **args).awaitTermination()
+    assert {
+        r.doc_id for r in spark.read.parquet(args["curated_dir"]).collect()
+    } == {1, 2, 12}
