@@ -108,3 +108,61 @@ def f5d_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+# --------------------------------------------------------------------------
+# W7: time-series resample + forward fill (gap fill)
+# --------------------------------------------------------------------------
+_W7_SQL = """
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, max(value) AS v
+        FROM events WHERE user_id <= 20 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    j AS (SELECT g.user_id, g.h, b.v FROM grid g LEFT JOIN b USING (user_id, h))
+    SELECT user_id, h, v,
+           last_value(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS v_ffill
+    FROM j
+"""
+
+
+@register("w7_resample_gapfill", survey="W2,F1,F5", extended=True, sql=_W7_SQL)
+def w7_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill — the time-series gap-fill
+    shape (sensor/feature pipelines: downsample to hourly, carry the last
+    observation through gaps). Spark-first formulation: per-user hourly
+    aggregate, grid densification via ``sequence`` + ``explode`` (map-side —
+    the grid never shuffles unjoined), one left join back, then
+    ``last(v, ignoreNulls)`` over an unbounded-preceding window. Shuffles:
+    one for the aggregate, one for the join+window on the same key. ``max``
+    (not sum) keeps doubles bit-stable cross-engine."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    b = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max("value").alias("v"))
+    bounds = b.groupBy("user_id").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(b, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+    )
