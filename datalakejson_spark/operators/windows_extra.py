@@ -166,3 +166,89 @@ def w7_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
     )
+
+
+# --------------------------------------------------------------------------
+# W7b: linear interpolation across gaps (the ffill upgrade)
+# --------------------------------------------------------------------------
+_W7B_SQL = """
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, max(value) AS v
+        FROM events WHERE user_id <= 20 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    j AS (SELECT g.user_id, g.h, b.v FROM grid g LEFT JOIN b USING (user_id, h)),
+    ctx AS (
+        SELECT user_id, h, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               max(CASE WHEN v IS NOT NULL THEN h END) OVER wp AS ph,
+               first_value(v IGNORE NULLS) OVER wf AS nv,
+               min(CASE WHEN v IS NOT NULL THEN h END) OVER wf AS nh
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv)
+                    * (epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph))
+           END, 9) AS v_interp
+    FROM ctx
+"""
+
+
+@register("w7b_linear_interpolation", survey="W2,W4,F1", extended=True, sql=_W7B_SQL)
+def w7b_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the resampled grid: each gap point blends
+    the straddling observations by time distance (edges fall back to the one
+    available side). Two windows over ONE shuffle on user_id — forward and
+    backward context come from mirrored frames of the same partitioning, so
+    interpolation costs the same shuffle count as forward fill. Rounded to
+    9 decimals for cross-engine float parity (w6 precedent)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    b = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max("value").alias("v"))
+    bounds = b.groupBy("user_id").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = grid.join(b, ["user_id", "h"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    pv, ph = F.last("v", ignorenulls=True).over(wp), F.max(obs_h).over(wp)
+    nv, nh = F.first("v", ignorenulls=True).over(wf), F.min(obs_h).over(wf)
+    ctx = j.select("user_id", "h", "v",
+                   pv.alias("pv"), ph.alias("ph"), nv.alias("nv"), nh.alias("nh"))
+    ep = F.unix_timestamp
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (ep("h") - ep("ph"))
+            / (ep("nh") - ep("ph"))
+        )
+    )
+    return ctx.select("user_id", "h", F.round(interp, 9).alias("v_interp"))
