@@ -394,3 +394,62 @@ def l14_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L16: epoch-weighted source re-sampling (fractional up/down-sampling)
+# --------------------------------------------------------------------------
+_L16_SQL = """
+    WITH planned AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST(replace(source, 'src', '') AS INT) < 5 THEN 1
+                    WHEN CAST(replace(source, 'src', '') AS INT) < 10 THEN 2
+                    ELSE 0 END
+               + CASE WHEN CAST(replace(source, 'src', '') AS INT) >= 5
+                           AND substr(md5(CAST(doc_id AS VARCHAR)), 5, 2) < '80'
+                      THEN 1 ELSE 0 END AS copies
+        FROM documents
+    ),
+    emitted AS (
+        SELECT doc_id, source, unnest(generate_series(1, copies)) AS copy_n
+        FROM planned WHERE copies >= 1
+    )
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_emitted
+    FROM emitted
+    GROUP BY 1
+"""
+
+
+@register("l16_source_epochs", survey="L6,F5,G3", extended=True, sql=_L16_SQL)
+def l16_source_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture resampling — the upsampling half of data
+    mixing (l10 covers keep/drop downsampling): each source gets a
+    fractional epoch count (here: sources 0-4 → 1.0, 5-9 → 2.5, rest →
+    0.5), realized as floor(e) full copies plus one extra copy for a
+    deterministic hash-fraction of documents. Replication is a map-side
+    ``explode(sequence(1, copies))`` — no shuffle to duplicate rows, and the
+    same document always gets the same copy count (resumable runs). The
+    fractional byte (md5 offset 5) is independent of the split (offset 1)
+    and mixture (offset 3) bytes. Guard: rows with 0 copies are filtered
+    BEFORE the explode — Spark's ``sequence(1, 0)`` yields a DESCENDING
+    [1, 0], not empty (DuckDB's generate_series(1,0) IS empty)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.replace(F.col("source"), F.lit("src"), F.lit("")).cast("int")
+    base = F.when(src_num < 5, 1).when(src_num < 10, 2).otherwise(0)
+    extra = (
+        (src_num >= 5) & (_doc_hash(5) < F.lit(MIX_HALF_HEX))
+    ).cast("int")
+    planned = docs.select(
+        "doc_id", "source", (base + extra).alias("copies")
+    ).filter(F.col("copies") >= 1)
+    emitted = planned.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("copy_n"),
+    )
+    return emitted.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_emitted"),
+    )
