@@ -129,6 +129,42 @@ class DataLakeEngine:
         self._fq_table = None
         return vacuum_replays(self.spark, self.conf.curated_dir)
 
+    def optimize(self, zorder_cols: list[str], **kwargs) -> dict[str, bool]:
+        """Compaction + Z-order re-clustering in one pass of partition-atomic
+        rewrites (plans/compact.optimize_table): small files merged AND each
+        partition sorted along the space-filling curve over ``zorder_cols``
+        so multi-column filters skip row groups (plans/layout.py)."""
+        from datalakejson_spark.plans.compact import optimize_table
+
+        self._fq_table = None
+        return optimize_table(
+            self.spark, self.conf.curated_dir, zorder_cols, **kwargs
+        )
+
+    # -- variant mode -------------------------------------------------------
+    def curate_variant(self, **kwargs) -> dict[str, int]:
+        """One schema-free VARIANT pass over the landing zone
+        (plans/variant_ingest.py): no inference, lossless under drift, same
+        DLQ contract. Complements the typed ledgered pipeline."""
+        from datalakejson_spark.plans.variant_ingest import curate_variant
+
+        return curate_variant(
+            self.spark,
+            self.conf.landing_dir,
+            self.conf.curated_dir,
+            self.conf.dlq_dir,
+            **kwargs,
+        )
+
+    def drift_report(self, column: str = "record") -> DataFrame:
+        """Per-source-file merged variant schema over a variant-mode curated
+        lake — schema drift as a query, not an incident."""
+        from datalakejson_spark.plans.variant_ingest import drift_report
+
+        return drift_report(
+            self.spark.read.parquet(self.conf.curated_dir), column
+        )
+
     # -- training-data pipeline --------------------------------------------
     def prepare_training_corpus(
         self, docs: DataFrame | None = None, text_col: str = "record_id", **kwargs
