@@ -174,3 +174,50 @@ def g6c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag, l_linestatus))
         """
     )
+
+
+# --------------------------------------------------------------------------
+# G12: retention cohort analysis
+# --------------------------------------------------------------------------
+_G12_SQL = """
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT cohort_week,
+           CAST((epoch(week) - epoch(cohort_week)) / 604800.0 AS BIGINT)
+               AS week_offset,
+           count(*) AS n_active_users
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+@register("g12_retention_cohorts", survey="G3,J3,F1", extended=True, sql=_G12_SQL)
+def g12_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users bucketed by first-seen week (cohort), then
+    counted per (cohort, week-offset) of later activity — the standard
+    product-analytics rollup. Two aggregates + one join, all keyed on
+    user_id/cohort; the distinct-activity table is the only wide shuffle and
+    carries two columns. Week offsets are exact multiples of 604800 s so the
+    double division is lossless cross-engine."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    off = (
+        (F.col("week").cast("double") - F.col("cohort_week").cast("double"))
+        / 604800.0
+    ).cast("bigint")
+    return (
+        activity.join(first_seen, "user_id")
+        .select("cohort_week", off.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )

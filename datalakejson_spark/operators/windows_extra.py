@@ -252,3 +252,64 @@ def w7b_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ctx.select("user_id", "h", F.round(interp, 9).alias("v_interp"))
+
+
+# --------------------------------------------------------------------------
+# W8: batch sessionization (gap-based session assignment)
+# --------------------------------------------------------------------------
+_W8_SQL = """
+    WITH o AS (
+        SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS session_n
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+           count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+    FROM sess
+    GROUP BY 1, 2
+"""
+
+
+@register("w8_sessionization", survey="W2,W3,G3,T6", extended=True, sql=_W8_SQL)
+def w8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap rule (>30 min silence starts a new
+    session) as lag + running sum over ONE shuffle on user_id, then the
+    per-session rollup reuses the same partitioning. This is the batch twin
+    of the streaming session window (T6): identical session boundaries,
+    derivable over the whole history instead of a stream. Gap compare uses
+    the microsecond-precision epoch double in both engines (Spark
+    ``unix_timestamp`` would truncate sub-second digits and disagree with
+    DuckDB's ``epoch()`` on boundary gaps)."""
+    from datalakejson_spark.sources.tables import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.date_trunc("microsecond", "ts").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = events.withColumn("new_s", new_s).withColumn(
+        "session_n", F.sum("new_s").over(run)
+    )
+    return sess.groupBy("user_id", "session_n").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
