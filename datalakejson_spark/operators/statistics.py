@@ -221,3 +221,60 @@ def g12_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# G13: ordered funnel analysis (view → click → purchase)
+# --------------------------------------------------------------------------
+_G13_SQL = """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                        THEN date_trunc('microseconds', ts) END) AS t_view,
+               min(CASE WHEN event_type = 'click'
+                        THEN date_trunc('microseconds', ts) END) AS t_click,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN date_trunc('microseconds', ts) END) AS t_purchase
+        FROM events
+        GROUP BY 1
+    )
+    SELECT count(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS step_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+    FROM firsts
+"""
+
+
+@register("g13_funnel_steps", survey="G1,G3,F7", extended=True, sql=_G13_SQL)
+def g13_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: a user counts for a step only if their
+    FIRST occurrence of each stage happens strictly after the previous
+    stage's first occurrence. One conditional-min aggregate per user (one
+    shuffle), then a single global rollup — no self-joins per step, which is
+    the formulation that degrades quadratically with funnel depth."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_of(t):
+        return F.min(
+            F.when(
+                F.col("event_type") == t, F.date_trunc("microsecond", "ts")
+            )
+        ).alias(f"t_{t}")
+
+    firsts = events.groupBy("user_id").agg(
+        first_of("view"), first_of("click"), first_of("purchase")
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("int")).cast("bigint").alias("step_view"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("step_click"),
+        F.sum(purchased.cast("int")).cast("bigint").alias("step_purchase"),
+    )
