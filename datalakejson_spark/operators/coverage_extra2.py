@@ -222,3 +222,65 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * ds(small_rev) / ds(rev), 6).alias("small_revenue_pct")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# U4: EXCEPT ALL / INTERSECT ALL (multiplicity-preserving set ops)
+# --------------------------------------------------------------------------
+_U4_SQL = """
+    WITH a AS (SELECT event_type, user_id % 10 AS bucket FROM events
+               WHERE event_id <= 6000),
+         b AS (SELECT event_type, user_id % 10 AS bucket FROM events
+               WHERE event_id > 4000)
+    SELECT event_type, bucket, count(*) AS n FROM (
+        SELECT * FROM a EXCEPT ALL SELECT * FROM b
+    ) GROUP BY 1, 2
+"""
+
+
+@register("u4_except_intersect_all", survey="U3,G3", extended=True, sql=_U4_SQL)
+def u4_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-preserving set difference (``EXCEPT ALL`` /
+    ``exceptAll``): each duplicate survives max(n_a - n_b, 0) times — the
+    bag semantics U3's DISTINCT variants erase. Planned as one aggregate
+    over a union with signed counts (no join), which is exactly how you'd
+    hand-write it at scale; the overlapping event_id slices make both
+    multiplicity directions non-trivial."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 10).alias("bucket")
+    a = events.filter(F.col("event_id") <= 6000).select("event_type", bucket)
+    b = events.filter(F.col("event_id") > 4000).select("event_type", bucket)
+    return a.exceptAll(b).groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# F10: regexp_extract_all + flatten (multi-match extraction)
+# --------------------------------------------------------------------------
+_F10_SQL = """
+    WITH m AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, 's[a-z]+')) AS tok
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT tok, count(*) AS n_matches, count(DISTINCT doc_id) AS n_docs
+    FROM m GROUP BY 1
+"""
+
+
+@register("f10_regexp_extract_all", survey="F2,F5,G3", extended=True, sql=_F10_SQL)
+def f10_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regex extraction (every s-initial token) exploded and
+    aggregated — the log-mining shape (pull all matches, not just the
+    first). The extraction runs inside codegen; the only shuffle is the
+    final bounded aggregate. The pattern sticks to character classes +
+    literals, the regex subset Java and RE2-family engines agree on."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("s[a-z]+"), 0)).alias("tok"),
+    )
+    return m.groupBy("tok").agg(
+        F.count("*").alias("n_matches"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )

@@ -278,3 +278,32 @@ def g13_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("int")).cast("bigint").alias("step_click"),
         F.sum(purchased.cast("int")).cast("bigint").alias("step_purchase"),
     )
+
+
+# --------------------------------------------------------------------------
+# G14: argument-selection + conditional aggregates (max_by/min_by/count_if)
+# --------------------------------------------------------------------------
+_G14_SQL = """
+    SELECT event_type,
+           arg_max(event_id, ts) AS latest_event_id,
+           arg_min(event_id, ts) AS earliest_event_id,
+           CAST(count_if(value > 3.0) AS BIGINT) AS n_high_value
+    FROM events
+    GROUP BY 1
+"""
+
+
+@register("g14_argmax_aggregates", survey="G3,F7", extended=True, sql=_G14_SQL)
+def g14_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-selection aggregates: the row-valued companions of min/max
+    (``max_by``/``min_by`` = DuckDB ``arg_max``/``arg_min``) plus
+    ``count_if`` — one two-phase hash aggregate, no window, no self-join
+    (the naive 'latest row per group' via join-back-on-max-ts costs an
+    extra shuffle and breaks on ts ties; event timestamps here are unique
+    per type so both engines select identical rows)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.max_by("event_id", "ts").alias("latest_event_id"),
+        F.min_by("event_id", "ts").alias("earliest_event_id"),
+        F.count_if(F.col("value") > 3.0).alias("n_high_value"),
+    )
