@@ -36,6 +36,19 @@ from pyspark.sql import DataFrame, SparkSession
 # (plans/ingest.py lineage column) so curated consumers see one idiom.
 LINEAGE_COL = "_ingest_file"
 RAW_COL = "_raw"
+RUN_COL = "_run_id"  # per-attempt stamp (streaming drain replay resolution)
+
+
+def resolve_replays(curated: DataFrame) -> DataFrame:
+    """Variant-mode twin of plans/ingest.deduplicate_replays: when a crash
+    between the streaming drain's parquet append and its checkpoint commit
+    replays a batch, the same source file's rows exist under two run stamps;
+    keep only the newest attempt per file. The semi join moves (file, run)
+    keys only. A no-op for batch-mode lakes without the stamp column."""
+    if RUN_COL not in curated.columns:
+        return curated
+    latest = curated.groupBy(LINEAGE_COL).agg(F.max(RUN_COL).alias(RUN_COL))
+    return curated.join(latest, [LINEAGE_COL, RUN_COL], "left_semi")
 
 
 def scan_json_as_variant(

@@ -22,7 +22,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from datalakejson_spark.plans.variant_ingest import LINEAGE_COL, RAW_COL
+from datalakejson_spark.plans.variant_ingest import LINEAGE_COL, RAW_COL, RUN_COL
 from datalakejson_spark.session import configure_runtime
 
 
@@ -57,10 +57,22 @@ def streaming_variant_ingest(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        # per-ATTEMPT stamp (same scheme as streaming/ingest_stream.py): a
+        # crash between the parquet append and the checkpoint commit replays
+        # this batch_id with a strictly larger stamp, so
+        # variant_ingest.resolve_replays can keep only the newest attempt
+        # per source file (T2 parity for the variant drain).
+        run_id = f"stream-{time.time_ns():020d}-b{batch_id}"
         batch_df = batch_df.persist()
         try:
             corrupt = batch_df.filter(F.col(column).isNull()).drop(column)
-            good = batch_df.filter(F.col(column).isNotNull()).drop(RAW_COL)
+            good = (
+                batch_df.filter(F.col(column).isNotNull())
+                .drop(RAW_COL)
+                .withColumn(RUN_COL, F.lit(run_id))
+            )
             if corrupt.limit(1).count():
                 corrupt.withColumn("batch_id", F.lit(batch_id)).write.mode(
                     "append"

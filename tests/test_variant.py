@@ -170,3 +170,36 @@ def test_streaming_variant_ingest_incremental(spark, tmp_path):
         F.variant_get("record", "$.fresh", "boolean") == True  # noqa: E712
     )
     assert fresh.count() == 1 and fresh.collect()[0]["mode"] == "test"
+
+
+def test_variant_stream_replay_resolution(spark, tmp_path):
+    """T2 parity for the variant drain: a simulated crash-replay (same
+    source file appended under an older and a newer run stamp) resolves to
+    the newest attempt's rows only — and run stamps are present on streamed
+    output to make that possible."""
+    from datalakejson_spark.plans.variant_ingest import RUN_COL, resolve_replays
+    from datalakejson_spark.streaming.variant_stream import streaming_variant_ingest
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.json").write_text('{"MODE": "train", "x": 1}\n')
+    args = dict(
+        landing_dir=str(land),
+        curated_dir=str(tmp_path / "curated"),
+        dlq_dir=str(tmp_path / "dlq"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    streaming_variant_ingest(spark, **args).awaitTermination()
+    cur = spark.read.parquet(args["curated_dir"])
+    assert RUN_COL in cur.columns
+
+    # Simulate the crash-replay: re-append the same file's rows under a
+    # strictly LARGER stamp (what a re-attempt of the same batch id gets).
+    replay = cur.withColumn(RUN_COL, F.concat(F.col(RUN_COL), F.lit("~replay")))
+    replay.write.mode("append").partitionBy("mode").parquet(args["curated_dir"])
+
+    doubled = spark.read.parquet(args["curated_dir"])
+    assert doubled.count() == 2
+    resolved = resolve_replays(doubled)
+    assert resolved.count() == 1
+    assert resolved.collect()[0][RUN_COL].endswith("~replay")  # newest wins
