@@ -284,3 +284,36 @@ def f10_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_matches"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# F11: error-safe (try_) arithmetic and casts
+# --------------------------------------------------------------------------
+_F11_SQL = """
+    SELECT event_type,
+           CAST(SUM(CASE WHEN user_id % 7 = 0 THEN NULL
+                         ELSE CAST(floor(event_id / (user_id % 7)) AS BIGINT)
+                    END) AS BIGINT) AS sum_safe_div,
+           CAST(count_if(try_cast(props AS INT) IS NULL) AS BIGINT)
+               AS n_uncastable
+    FROM events
+    GROUP BY 1
+"""
+
+
+@register("f11_try_arithmetic", survey="F4,F7,E1", extended=True, sql=_F11_SQL)
+def f11_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression semantics: ``try_divide`` returns NULL on
+    division by zero and ``try_cast`` NULL on malformed input instead of
+    failing the task — the row-level analogue of PERMISSIVE-mode scans
+    (E1): bad values degrade to NULL and flow into aggregates that skip
+    them, no task retry storms at 100 TB. The oracle encodes the identical
+    NULL-on-error contract with guarded CASE / try_cast."""
+    events = load_table(spark, sf_dir, "events")
+    safe_div = F.try_divide(F.col("event_id"), F.col("user_id") % 7)
+    return events.groupBy("event_type").agg(
+        F.sum(F.floor(safe_div).cast("bigint")).cast("bigint").alias("sum_safe_div"),
+        F.count_if(F.expr("try_cast(props AS INT)").isNull())
+        .cast("bigint")
+        .alias("n_uncastable"),
+    )

@@ -307,3 +307,29 @@ def g14_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_id", "ts").alias("earliest_event_id"),
         F.count_if(F.col("value") > 3.0).alias("n_high_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# G15: quantile vectors (one pass, many percentiles)
+# --------------------------------------------------------------------------
+_G15_SQL = """
+    SELECT event_type,
+           quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS value_quantiles
+    FROM events
+    GROUP BY 1
+"""
+
+
+@register("g15_quantile_vector", survey="G7,G3,F5", extended=True, sql=_G15_SQL)
+def g15_quantile_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A whole quantile VECTOR per group in one aggregate pass — the
+    feature-distribution profile (p25/p50/p75/p95) without one job per
+    percentile. Both engines use exact linear interpolation over the sorted
+    group, so the arrays match element-wise; the scale path swaps in
+    ``percentile_approx`` (t-digest) exactly as g5/g7 document."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        ).alias("value_quantiles")
+    )
