@@ -193,6 +193,42 @@ def bench_feed(spark, sf_dir: str) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_dedup(spark, sf_dir: str) -> float:
+    """rows/sec through one incremental-dedup batch: corpus = 3/4 of the
+    documents table indexed once (setup, untimed), then the remaining 1/4
+    audited + appended as one ``ingest_batch_dedup`` loop iteration — the
+    per-batch cost a continuously-ingesting corpus pays."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from datalakejson_spark.functions.dedup import band_table, minhash_signatures
+    from datalakejson_spark.functions.incremental_dedup import (
+        exact_hash_index,
+        ingest_batch_dedup,
+    )
+    from datalakejson_spark.sources.tables import load_table
+
+    root = Path(tempfile.mkdtemp(prefix="bench_dedup_"))
+    try:
+        idx = str(root / "idx")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 4 != 0)
+        exact_hash_index(corpus).write.mode("append").parquet(f"{idx}/hashes")
+        band_table(minhash_signatures(corpus)).write.mode("append").parquet(
+            f"{idx}/bands"
+        )
+        delta = docs.filter(F.col("doc_id") % 4 == 0)
+        n = delta.count()
+        t0 = time.time()
+        kept = ingest_batch_dedup(spark, delta, idx)
+        kept.write.format("noop").mode("overwrite").save()
+        return round(n / (time.time() - t0), 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -230,6 +266,10 @@ def main() -> None:
         pass
     try:
         payload["feed_rows_per_sec"] = bench_feed(spark, sf_dir)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        payload["dedup_rows_per_sec"] = bench_dedup(spark, sf_dir)
     except Exception:  # noqa: BLE001
         pass
     print(json.dumps(payload))
