@@ -348,3 +348,92 @@ def l2f_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# L2g: two-stage near-dup — LSH candidates VERIFIED by exact Jaccard
+# --------------------------------------------------------------------------
+JACCARD_DUP_THRESHOLD = 0.6
+
+_L2G_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingle_sets AS (
+        SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS shingles FROM tok
+    ),
+    shingled AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM shingle_sets
+    ),
+    hashed AS (
+        SELECT doc_id, md5(shingle) AS h FROM shingled
+    ),
+    sigs AS (
+        SELECT doc_id,
+           {_MINHASH_AGGS}
+        FROM hashed
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {_DUCK_BANDS_UNION}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
+                 6) AS jaccard
+    FROM candidates
+    JOIN shingle_sets sa ON sa.doc_id = doc_a
+    JOIN shingle_sets sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1)
+          >= {JACCARD_DUP_THRESHOLD}
+"""
+
+
+@register("l2g_verified_neardup_pairs", survey="L2,J3,F5", extended=True, sql=_L2G_SQL)
+def l2g_verified_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete two-stage near-dup pipeline: LSH bucket collisions
+    GENERATE candidates (O(collisions), whole corpus), exact shingle-set
+    Jaccard VERIFIES each candidate and drops the false positives the bands
+    let through. The verify join touches only candidate pairs — at 100 TB
+    the shingle arrays move for the ~0.1 % of pairs that collided, never
+    all-pairs (this is the composition l2c's docstring promises). Shared
+    single scan: signatures and shingle sets both derive from one
+    shingle-set projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("w"))
+    shingle_sets = tok.select(
+        "doc_id", F.array_distinct(F.expr(_SPARK_SHINGLES)).alias("shingles")
+    )
+    hashed = shingle_sets.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", F.md5("shingle").alias("h"))
+    aggs = [
+        F.min(F.substring("h", 1 + 4 * lane, 4)).alias(f"mh{lane}")
+        for lane in range(NUM_HASHES)
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*aggs)
+    candidates = lsh_candidate_pairs(sigs)
+    sa = shingle_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingle_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)).cast(
+        "double"
+    )
+    jac = inter / union
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_DUP_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
