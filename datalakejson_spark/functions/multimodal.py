@@ -3,11 +3,12 @@
 Images/audio/video are opaque ``BinaryType`` payloads with a typed metadata
 struct, read via ``spark.read.format("binaryFile")`` or carried as columns in
 parquet. The Spark-side plumbing — schemas, partition-friendly layout,
-Arrow-batched UDF signatures — is real and tested; the codec step is GATED
-on importability (``decode_image``): Pillow decodes for real where it is
-installed, and a clearly-marked deterministic stub (``_decode_image_stub``)
-stands in where media libraries are absent (this container). Audio/video
-codecs slot into the same gate (ffmpeg), the dataflow is unchanged.
+Arrow-batched UDF signatures — is real and tested; the codec step is a
+THREE-TIER gate (``decode_image``): Pillow where importable (all formats),
+a pure-numpy decoder for uncompressed PPM/BMP (REAL pixel decode — runs and
+is tested in this container, r5), and a clearly-marked deterministic stub
+only for compressed formats with no codec present. Audio/video codecs slot
+into the same gate (ffmpeg), the dataflow is unchanged.
 
 Scale notes: media blobs are large and incompressible — never a shuffle key,
 never broadcast. The pattern is: derive features per-partition (mapInPandas),
@@ -95,7 +96,6 @@ def _decode_image_pil(payload: bytes) -> list[float] | None:
     log-area and aspect ratio). Undecodable bytes → None (decoded_ok=False
     downstream), never an exception — one bad blob must not fail a batch."""
     import io
-    import math
 
     import numpy as np
     from PIL import Image
@@ -108,6 +108,16 @@ def _decode_image_pil(payload: bytes) -> list[float] | None:
             arr = np.asarray(img.convert("RGB"), dtype="float32") / 255.0
     except Exception:  # noqa: BLE001 — corrupt/unsupported media
         return None
+    return _stat_embedding(arr, w, h)
+
+
+def _stat_embedding(arr, w: int, h: int) -> list[float]:
+    """The shared 8-float stat embedding over an (h, w, 3) float array in
+    [0, 1]: per-channel mean + std, log-area, aspect — identical math in the
+    PIL and numpy decode tiers, so the embedding does not depend on which
+    codec happened to be installed."""
+    import math
+
     return [
         *(float(m) for m in arr.mean(axis=(0, 1))),
         *(float(s) for s in arr.std(axis=(0, 1))),
@@ -116,11 +126,105 @@ def _decode_image_pil(payload: bytes) -> list[float] | None:
     ]
 
 
+def _decode_ppm_numpy(payload: bytes):
+    """Binary PPM (P6) decode in pure numpy — no media libraries needed.
+    Returns (h, w, 3) float array in [0,1], or None for malformed data."""
+    import numpy as np
+
+    try:
+        if not payload.startswith(b"P6"):
+            return None
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> raw RGB
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to end of line
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        n = w * h * 3
+        raw = payload[pos : pos + n]
+        if len(raw) != n or maxval <= 0 or maxval > 255:
+            return None
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        return arr.astype("float32") / float(maxval)
+    except Exception:  # noqa: BLE001 — malformed header/payload
+        return None
+
+
+def _decode_bmp_numpy(payload: bytes):
+    """Uncompressed 24-bit BMP decode in pure numpy (BITMAPINFOHEADER,
+    bottom-up rows, BGR order, rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if not payload.startswith(b"BM") or len(payload) < 54:
+            return None
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+        need = data_off + stride * h
+        if len(payload) < need:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].astype("float32") / 255.0  # BGR → RGB
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _decode_image_numpy(payload: bytes) -> list[float] | None:
+    """Middle codec tier: REAL pixel decode for uncompressed formats (PPM
+    P6, 24-bit BMP) with only numpy — available in any PySpark worker. A
+    payload that CLAIMS one of these formats but is malformed returns None
+    (decoded_ok=False), same contract as the PIL tier."""
+    arr = (
+        _decode_ppm_numpy(payload)
+        if payload.startswith(b"P6")
+        else _decode_bmp_numpy(payload)
+        if payload.startswith(b"BM")
+        else False  # sentinel: not a numpy-decodable format at all
+    )
+    if arr is False:
+        return False  # let the gate fall through to the stub
+    if arr is None:
+        return None
+    h, w = arr.shape[0], arr.shape[1]
+    return _stat_embedding(arr, w, h)
+
+
 def decode_image(payload: bytes, use_pil: bool | None = None) -> list[float] | None:
-    """The L5 codec gate (ADVICE r03): Pillow when importable, the
-    deterministic stub otherwise; ``use_pil`` forces a branch for tests."""
+    """The L5 codec gate (ADVICE r03), three tiers: Pillow when importable
+    (all formats); else a pure-numpy decoder for uncompressed PPM/BMP (REAL
+    pixels — this tier runs and is tested in this container); else the
+    clearly-marked deterministic stub for compressed formats without a
+    codec. ``use_pil`` forces the first branch on/off for tests."""
+    if payload is None:
+        return None
     use = _has_pil() if use_pil is None else use_pil
-    return _decode_image_pil(payload) if use else _decode_image_stub(payload)
+    if use:
+        return _decode_image_pil(payload)
+    via_numpy = _decode_image_numpy(payload)
+    if via_numpy is not False:
+        return via_numpy
+    return _decode_image_stub(payload)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
