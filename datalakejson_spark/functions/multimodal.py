@@ -277,3 +277,86 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio tier: real PCM WAV decode + features, numpy only (r5)
+# --------------------------------------------------------------------------
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id string, n_bytes long, decoded_ok boolean, sample_rate int, "
+    "n_samples long, duration_ms long, rms double, zero_cross_rate double"
+)
+
+
+def decode_wav(payload: bytes):
+    """Pure-numpy PCM WAV decode (RIFF/WAVE, format 1, 8/16-bit): returns
+    (sample_rate, mono float array in [-1, 1]) or None for malformed or
+    compressed payloads — the audio analogue of the PPM/BMP image tier."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_fmt, n_ch, rate, _, _, bits = fmt
+        if audio_fmt != 1 or n_ch < 1 or rate <= 0 or bits not in (8, 16):
+            return None
+        if bits == 16:
+            arr = np.frombuffer(data, dtype="<i2").astype("float32") / 32768.0
+        else:
+            arr = (np.frombuffer(data, dtype="u1").astype("float32") - 128.0) / 128.0
+        if n_ch > 1:
+            arr = arr[: len(arr) - len(arr) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        return rate, arr
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio features over binary payloads: duration, RMS
+    level, zero-crossing rate — the standard cheap audio-quality trio
+    (silence/clipping/noise screens for a training-data pipeline). Same
+    mapInPandas shape as the image path: blobs never shuffle, features only."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "n_bytes", "decoded_ok",
+                                    "sample_rate", "n_samples", "duration_ms",
+                                    "rms", "zero_cross_rate")}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rows["asset_id"].append(asset_id)
+                raw = bytes(payload) if payload is not None else b""
+                rows["n_bytes"].append(len(raw))
+                decoded = decode_wav(raw) if raw else None
+                if decoded is None or len(decoded[1]) == 0:
+                    rows["decoded_ok"].append(False)
+                    for k in ("sample_rate", "n_samples", "duration_ms",
+                              "rms", "zero_cross_rate"):
+                        rows[k].append(None)
+                    continue
+                rate, samples = decoded
+                rows["decoded_ok"].append(True)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples))
+                rows["duration_ms"].append(int(len(samples) * 1000 / rate))
+                rows["rms"].append(float(np.sqrt(np.mean(samples**2))))
+                signs = np.signbit(samples)
+                rows["zero_cross_rate"].append(
+                    float(np.mean(signs[1:] != signs[:-1])) if len(samples) > 1 else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

@@ -226,3 +226,49 @@ def test_l5_feature_extraction_mixed_formats(spark, tmp_path):
     assert not feats["c.ppm"].decoded_ok and feats["c.ppm"].feat is None
     assert abs(feats["a.ppm"].feat[0] - 10 / 255) < 1e-6
     assert feats["a.ppm"].feat == feats["b.bmp"].feat
+
+
+def test_l5_wav_audio_features(spark, tmp_path):
+    """Real PCM WAV decode in the audio path: a synthesized 440 Hz sine's
+    RMS and zero-crossing rate match theory; a truncated payload flags
+    decoded_ok=False."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import (
+        extract_audio_features,
+        read_binary_assets,
+    )
+
+    rate, freq, dur_s = 8000, 440, 1
+    n = rate * dur_s
+    samples = np.round(
+        32767 * 0.5 * np.sin(2 * np.pi * freq * np.arange(n) / rate)
+    ).astype("<i2")
+    data = samples.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    d = tmp_path / "audio"
+    d.mkdir()
+    (d / "tone.wav").write_bytes(wav)
+    (d / "bad.wav").write_bytes(wav[:20])
+
+    feats = {
+        r.asset_id.rsplit("/", 1)[-1]: r
+        for r in extract_audio_features(
+            read_binary_assets(spark, str(d))
+        ).collect()
+    }
+    tone = feats["tone.wav"]
+    assert tone.decoded_ok and tone.sample_rate == 8000
+    assert tone.duration_ms == 1000 and tone.n_samples == 8000
+    # sine RMS = amplitude/sqrt(2) = 0.5/1.414 ≈ 0.3536
+    assert abs(tone.rms - 0.5 / math.sqrt(2)) < 0.01
+    # 440 Hz crosses zero 880 times/s → rate ≈ 880/8000 = 0.11
+    assert abs(tone.zero_cross_rate - 2 * freq / rate) < 0.005
+    assert not feats["bad.wav"].decoded_ok
