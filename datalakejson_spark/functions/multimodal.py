@@ -360,3 +360,83 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video tier: real uncompressed Y4M (YUV4MPEG2) frame decode, numpy only (r5)
+# --------------------------------------------------------------------------
+FRAME_FEATURE_SCHEMA = (
+    "asset_id string, decoded_ok boolean, n_frames int, width int, "
+    "height int, frame_idx int, luma_mean double"
+)
+
+
+def decode_y4m(payload: bytes):
+    """Pure-numpy YUV4MPEG2 parse (C420 planar): returns (w, h, [luma
+    planes]) or None. The uncompressed-video analogue of the PPM/WAV tiers —
+    compressed containers (mp4 etc.) need the ffmpeg gate and fall to the
+    metadata-driven plan (frame_sample_plan)."""
+    import numpy as np
+
+    try:
+        end = payload.index(b"\n")
+        header = payload[:end].decode("ascii")
+        if not header.startswith("YUV4MPEG2"):
+            return None
+        w = h = None
+        for tok in header.split()[1:]:
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "C" and not tok.startswith("C420"):
+                return None  # only 4:2:0 subsampling supported
+        if not w or not h:
+            return None
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+        lumas, pos = [], end + 1
+        while pos < len(payload):
+            nl = payload.index(b"\n", pos)
+            if not payload[pos:nl].startswith(b"FRAME"):
+                return None
+            data = payload[nl + 1 : nl + 1 + frame_bytes]
+            if len(data) != frame_bytes:
+                return None
+            lumas.append(
+                np.frombuffer(data[: w * h], dtype=np.uint8).reshape(h, w)
+            )
+            pos = nl + 1 + frame_bytes
+        return w, h, lumas
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def extract_frame_features(assets: DataFrame, every_n: int = 1) -> DataFrame:
+    """Real frame sampling over uncompressed Y4M payloads: one output row
+    per sampled frame with its luma mean (the scene-cut / black-frame
+    screen). Same Arrow-batched shape as the other modalities; ``every_n``
+    is the sampling stride. Undecodable payloads yield a single
+    decoded_ok=False row so per-asset accounting stays complete."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "decoded_ok", "n_frames",
+                                   "width", "height", "frame_idx", "luma_mean")}
+
+            def emit(aid, ok, nf, w, h, idx, lm):
+                for k, v in zip(out, (aid, ok, nf, w, h, idx, lm)):
+                    out[k].append(v)
+
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = decode_y4m(bytes(payload)) if payload is not None else None
+                if decoded is None:
+                    emit(asset_id, False, None, None, None, None, None)
+                    continue
+                w, h, lumas = decoded
+                for idx in range(0, len(lumas), every_n):
+                    emit(asset_id, True, len(lumas), w, h, idx,
+                         float(np.mean(lumas[idx])) / 255.0)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)

@@ -272,3 +272,35 @@ def test_l5_wav_audio_features(spark, tmp_path):
     # 440 Hz crosses zero 880 times/s → rate ≈ 880/8000 = 0.11
     assert abs(tone.zero_cross_rate - 2 * freq / rate) < 0.005
     assert not feats["bad.wav"].decoded_ok
+
+
+def test_l5_y4m_video_frame_features(spark, tmp_path):
+    """Real uncompressed-video decode: a 3-frame synthetic Y4M with known
+    luma ramps yields one row per sampled frame with exact means; a
+    compressed (non-Y4M) payload degrades to a flagged row."""
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import (
+        extract_frame_features,
+        read_binary_assets,
+    )
+
+    w, h = 4, 2
+    frames = [np.full((h, w), v, dtype=np.uint8) for v in (0, 128, 255)]
+    chroma = bytes((w // 2) * (h // 2) * 2)
+    body = b"".join(b"FRAME\n" + f.tobytes() + chroma for f in frames)
+    d = tmp_path / "video"
+    d.mkdir()
+    (d / "ramp.y4m").write_bytes(f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode() + body)
+    (d / "clip.mp4").write_bytes(b"\x00\x00\x00\x18ftypmp42 compressed")
+
+    rows = extract_frame_features(read_binary_assets(spark, str(d))).collect()
+    ramp = sorted(
+        (r for r in rows if r.asset_id.endswith("ramp.y4m")),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.decoded_ok for r in ramp] == [True] * 3
+    assert ramp[0].n_frames == 3 and ramp[0].width == 4 and ramp[0].height == 2
+    assert [round(r.luma_mean, 3) for r in ramp] == [0.0, round(128 / 255, 3), 1.0]
+    (bad,) = [r for r in rows if r.asset_id.endswith("clip.mp4")]
+    assert not bad.decoded_ok and bad.frame_idx is None
