@@ -142,6 +142,32 @@ _L2_SQL = f"""
 """
 
 
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingles) — deduped shingle arrays (``array_distinct`` BEFORE
+    any explode, map-side). The shared projection minhash signatures AND the
+    exact-Jaccard verify stage both derive from."""
+    tok = df.select(F.col(id_col), F.split(text_col, " ").alias("w"))
+    return tok.select(
+        F.col(id_col), F.array_distinct(F.expr(_SPARK_SHINGLES)).alias("shingles")
+    )
+
+
+def signatures_from_shingle_sets(sets_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mhK) from a shingle_sets frame: explode → md5 once per
+    shingle → NUM_HASHES min-aggregates over disjoint hex lanes. ONE
+    definition of the lane math — l2, l15, and l2g's candidates all come
+    from here, so a lane-width or hash change can never make the generate
+    and verify stages disagree."""
+    hashed = sets_df.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).select(F.col(id_col), F.md5("shingle").alias("h"))
+    aggs = [
+        F.min(F.substring("h", 1 + 4 * lane, 4)).alias(f"mh{lane}")
+        for lane in range(NUM_HASHES)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, mh0..mhK) MinHash signature table.
 
@@ -155,16 +181,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     lsh_candidate_pairs: a per-band union would let column pruning
     specialize each branch's aggregate and defeat the reuse, which is
     exactly the 8×-recompute bug round 1 shipped)."""
-    tok = df.select(F.col(id_col), F.split(text_col, " ").alias("w"))
-    hashed = tok.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle"),
-    ).select(F.col(id_col), F.md5("shingle").alias("h"))
-    aggs = [
-        F.min(F.substring("h", 1 + 4 * lane, 4)).alias(f"mh{lane}")
-        for lane in range(NUM_HASHES)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return signatures_from_shingle_sets(shingle_sets(df, text_col, id_col), id_col)
 
 
 def band_table(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -407,25 +424,10 @@ def l2g_verified_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scan: signatures and shingle sets both derive from one
     shingle-set projection."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.split("text", " ").alias("w"))
-    shingle_sets = tok.select(
-        "doc_id", F.array_distinct(F.expr(_SPARK_SHINGLES)).alias("shingles")
-    )
-    hashed = shingle_sets.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    ).select("doc_id", F.md5("shingle").alias("h"))
-    aggs = [
-        F.min(F.substring("h", 1 + 4 * lane, 4)).alias(f"mh{lane}")
-        for lane in range(NUM_HASHES)
-    ]
-    sigs = hashed.groupBy("doc_id").agg(*aggs)
-    candidates = lsh_candidate_pairs(sigs)
-    sa = shingle_sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sb = shingle_sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    sets = shingle_sets(docs)
+    candidates = lsh_candidate_pairs(signatures_from_shingle_sets(sets))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)).cast(
         "double"

@@ -88,42 +88,82 @@ def dedup_audit(
     )
 
 
+def dedup_within_batch(
+    delta: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-batch dedup: the corpus probes (dedup_audit) compare the delta
+    against the INDEXES only, so two copies arriving in the SAME batch both
+    pass a corpus-only audit. This stage removes them first — exact dups by
+    content hash (keep lowest id), near dups by LSH candidate pairs over the
+    batch itself (drop the higher id of each colliding pair). Batch-sized
+    work: the self-join is over one micro-batch, never the corpus."""
+    from datalakejson_spark.functions.dedup import (
+        keep_first_distinct,
+        lsh_candidate_pairs,
+    )
+
+    uniq = keep_first_distinct(delta, text_col, id_col)
+    pairs = lsh_candidate_pairs(minhash_signatures(uniq, text_col, id_col), id_col)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return uniq.join(losers, id_col, "left_anti")
+
+
 def ingest_batch_dedup(
     spark: SparkSession,
     delta: DataFrame,
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    on_kept=None,
 ) -> DataFrame:
     """One loop iteration over a parquet-persisted index pair under
-    ``index_dir`` (``hashes/``, ``bands/``): audit the delta, append the
-    survivors' hashes and bands, return the surviving rows (full columns).
+    ``index_dir`` (``hashes/``, ``bands/``): dedup within the batch, audit
+    the remainder against the indexes, deliver the survivors, THEN append
+    their hashes/bands. Returns the surviving rows (full columns).
 
-    First call bootstraps empty indexes. The append writes are the batch's
-    only actions besides the audit; each is one job over the (small) delta.
+    ``on_kept``: optional callable invoked with the survivor DataFrame
+    BETWEEN the audit decision and the index appends — the downstream
+    (curated) write belongs there. Ordering is load-bearing for crash
+    safety: if the process dies after ``on_kept`` but before the index
+    appends, a replay re-audits the same documents against UNCHANGED
+    indexes, keeps the same survivors, and re-runs ``on_kept`` — a
+    duplicate delivery (resolvable by a replay stamp, see
+    streaming/dedup_stream.py). The reverse order (indexes first) would
+    make the replayed batch collide with its OWN index rows, drop every
+    document, and lose the batch permanently.
+
+    First call bootstraps empty indexes; only a missing index path falls
+    back to the bootstrap — any other read failure (corrupt footer, I/O
+    error) raises, because auditing against accidentally-empty indexes
+    would silently re-ingest the whole corpus as "novel".
     """
+    from pyspark.errors import AnalysisException
+
     hp, bp = f"{index_dir}/hashes", f"{index_dir}/bands"
     try:
         corpus_hashes = spark.read.parquet(hp)
         corpus_bands = spark.read.parquet(bp)
-    except Exception:  # first batch: nothing indexed yet  # noqa: BLE001
+    except AnalysisException:  # PATH_NOT_FOUND: first batch, bootstrap
         corpus_hashes = spark.createDataFrame([], "text_hash string")
         corpus_bands = spark.createDataFrame(
             [], f"{id_col} bigint, band int, band_hash string"
         )
-    audit = dedup_audit(delta, corpus_hashes, corpus_bands, id_col, text_col)
+    batch_uniq = dedup_within_batch(delta, id_col, text_col)
+    audit = dedup_audit(batch_uniq, corpus_hashes, corpus_bands, id_col, text_col)
     # localCheckpoint (eager), NOT persist: the survivor set feeds three
-    # consumers (two index appends + the caller's curated write), and two of
-    # them APPEND to the very paths the audit reads. A persisted plan is
-    # recomputed by Spark's CacheManager when a write refreshes those paths
-    # (recacheByPath), which would re-run the audit against an index that
-    # already contains the survivors' own hashes — every survivor becomes a
-    # "duplicate" of itself and the batch collapses to empty. Checkpointing
-    # materializes the decision first and cuts the lineage, so the
-    # subsequent appends cannot retroactively change it.
-    kept = delta.join(
+    # consumers (on_kept + two index appends), and the appends write to the
+    # very paths the audit reads. A persisted plan is recomputed by Spark's
+    # CacheManager when a write refreshes those paths (recacheByPath), which
+    # would re-run the audit against an index that already contains the
+    # survivors' own hashes — every survivor becomes a "duplicate" of itself
+    # and the batch collapses to empty. Checkpointing materializes the
+    # decision first and cuts the lineage, so the subsequent appends cannot
+    # retroactively change it.
+    kept = batch_uniq.join(
         audit.filter("kept").select(id_col), id_col, "leftsemi"
     ).localCheckpoint(eager=True)
+    if on_kept is not None:
+        on_kept(kept)
     exact_hash_index(kept, text_col).write.mode("append").parquet(hp)
     band_table(minhash_signatures(kept, text_col, id_col), id_col).write.mode(
         "append"

@@ -283,18 +283,34 @@ def bucketed_range_join(
 
     ``hi_col`` is exclusive, matching the j9 semantics."""
     g = int(grain_seconds)
+    # Microsecond-precision epochs: unix_timestamp() truncates sub-second
+    # digits, so "hi minus one second" under-covers an interval whose
+    # exclusive endpoint has a fraction (hi=08:00:00.5 must still reach the
+    # 08:00 bucket). TIMESTAMP_NTZ casts through TIMESTAMP (same conversion
+    # for all three columns, so bucket co-residency is preserved under any
+    # session timezone) and then to a microsecond epoch double — integral
+    # microseconds are exact in a double out to ~year 2255.
+    def _epoch_us(c):
+        return (F.col(c).cast("timestamp").cast("double") * 1_000_000).cast(
+            "bigint"
+        )
+
+    g_us = g * 1_000_000
+    lo_us = _epoch_us(lo_col)
+    hi_us = _epoch_us(hi_col)
     right_b = right.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(F.col(lo_col)) / g),
-                # hi is exclusive: an interval ending exactly on a bucket
-                # boundary does not reach into that bucket
-                F.floor((F.unix_timestamp(F.col(hi_col)) - 1) / g),
+                F.floor(lo_us / g_us),
+                # hi is exclusive: back off one MICROSECOND so an interval
+                # ending exactly on a bucket boundary does not reach into
+                # that bucket, while a fractional endpoint still does
+                F.floor((hi_us - 1) / g_us),
             )
         ),
     )
-    left_b = left.withColumn("_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / g))
+    left_b = left.withColumn("_bkt", F.floor(_epoch_us(ts_col) / g_us))
     return (
         left_b.join(right_b, "_bkt")
         .filter((F.col(ts_col) >= F.col(lo_col)) & (F.col(ts_col) < F.col(hi_col)))

@@ -51,10 +51,24 @@ def zorder_key(
     ``cols``. Normalization bounds come from ONE tiny aggregate (2 numbers
     per column to the driver — metadata, not data); bucketization and
     interleaving are pure map-side expressions after that."""
+    # try_cast, not cast: under ANSI mode (Spark 4 default) casting a
+    # non-numeric string column to double THROWS mid-job; try_cast yields
+    # NULL and the bounds check below turns that into a clear error.
     bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        *[F.min(F.expr(f"try_cast({c} AS DOUBLE)")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.expr(f"try_cast({c} AS DOUBLE)")).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
+    # Fail fast, before any rewrite: a non-numeric column casts to all-NULL
+    # and an empty/all-NULL input has no bounds — either would otherwise
+    # surface as an opaque 'None - None' TypeError mid-compaction, after
+    # some partitions were already rewritten (optimize_table loop).
+    bad = [c for c in cols if bounds[f"mn_{c}"] is None]
+    if bad:
+        raise ValueError(
+            f"zorder_key: no numeric bounds for column(s) {bad} — "
+            "non-numeric type, all NULL, or empty input; Z-order cluster "
+            "columns must be numeric/timestamp with at least one non-NULL row"
+        )
     cells = 1 << bits
     bucket_names = []
     for c in cols:
@@ -62,7 +76,11 @@ def zorder_key(
         span = (mx - mn) or 1.0
         b = F.least(
             F.lit(cells - 1),
-            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * cells),
+            F.floor(
+                (F.expr(f"try_cast({c} AS DOUBLE)") - F.lit(mn))
+                / F.lit(span)
+                * cells
+            ),
         ).cast("bigint")
         name = f"_zb_{c}"
         df = df.withColumn(name, b)

@@ -51,22 +51,47 @@ def resolve_replays(curated: DataFrame) -> DataFrame:
     return curated.join(latest, [LINEAGE_COL, RUN_COL], "left_semi")
 
 
-def scan_json_as_variant(
-    spark: SparkSession, landing: str, column: str = "record"
-) -> DataFrame:
-    """Scan landing JSON-lines as (variant, raw, lineage) — no schema, no
-    inference job. Blank lines are dropped (not corrupt, not data); any
-    non-blank line that fails to parse carries a NULL variant and its
-    verbatim text for the DLQ."""
+def variant_projection(raw_lines: DataFrame, column: str = "record") -> DataFrame:
+    """(variant, raw, lineage) projection over a text source's ``value``
+    column — THE parse step, shared verbatim by the batch scan and the
+    streaming drain so the two modes cannot diverge. Blank lines are dropped
+    (not corrupt, not data); any non-blank line that fails to parse carries
+    a NULL variant and its verbatim text for the DLQ."""
     return (
-        spark.read.text(landing)
-        .filter(F.length(F.trim(F.col("value"))) > 0)
+        raw_lines.filter(F.length(F.trim(F.col("value"))) > 0)
         .select(
             F.try_parse_json("value").alias(column),
             F.col("value").alias(RAW_COL),
             F.input_file_name().alias(LINEAGE_COL),
         )
     )
+
+
+def with_partition_column(
+    df: DataFrame,
+    column: str,
+    partition_path: str,
+    partition_col: str,
+    partition_default: str,
+) -> DataFrame:
+    """Derive the hive-partition column from a path INSIDE the variant
+    (sudo_code.txt:193-196's MODE partitioning, schema-free) — shared by
+    the batch and streaming curate paths."""
+    return df.withColumn(
+        partition_col,
+        F.coalesce(
+            F.variant_get(F.col(column), partition_path, "string"),
+            F.lit(partition_default),
+        ),
+    )
+
+
+def scan_json_as_variant(
+    spark: SparkSession, landing: str, column: str = "record"
+) -> DataFrame:
+    """Batch scan of landing JSON-lines as (variant, raw, lineage) — no
+    schema, no inference job (see variant_projection)."""
+    return variant_projection(spark.read.text(landing), column)
 
 
 def split_corrupt(scanned: DataFrame, column: str = "record") -> tuple[DataFrame, DataFrame]:
@@ -107,19 +132,20 @@ def curate_variant(
         if n_corrupt:
             corrupt.write.mode("append").json(dlq_dir)
 
+        # per-PASS count, from the persisted scan — both counts in the
+        # returned dict describe this pass, and the curated lake is never
+        # re-scanned (an O(lake-size) cost per ingest pass at scale)
+        n_good = good.count()
         if partition_path is not None:
-            part = F.coalesce(
-                F.variant_get(F.col(column), partition_path, "string"),
-                F.lit(partition_default),
+            good = with_partition_column(
+                good, column, partition_path, partition_col, partition_default
             )
-            good = good.withColumn(partition_col, part)
             good.write.mode("append").partitionBy(partition_col).parquet(curated_dir)
         else:
             good.write.mode("append").parquet(curated_dir)
     finally:
         scanned.unpersist()
 
-    n_good = spark.read.parquet(curated_dir).count()
     return {"good_rows": n_good, "corrupt_rows": n_corrupt}
 
 

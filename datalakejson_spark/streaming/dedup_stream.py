@@ -42,10 +42,18 @@ def streaming_dedup_ingest(
     lake, and the survivors' index rows are appended for the next batch —
     inside the same foreachBatch, so a crash replays the whole unit.
 
-    Replay note: a crash between the index append and the checkpoint commit
-    re-runs the batch; its documents then collide with their own index rows
-    and are dropped, so the curated append is idempotent-by-construction for
-    replays (at-least-once write, exactly-once content).
+    Crash-safety ordering (load-bearing): the curated append runs BETWEEN
+    the audit decision and the index appends (``on_kept``). A crash before
+    the index append replays the batch against UNCHANGED indexes → the same
+    survivors are appended AGAIN under a strictly larger ``_run_id`` stamp;
+    ``plans.variant_ingest.resolve_replays`` keeps the newest attempt per
+    source file. A crash after the index append but before the checkpoint
+    commit replays the batch against indexes that already contain its rows
+    → everything audits as duplicate and the replay is a no-op — correct,
+    because the curated write already happened. Either window degrades to
+    a resolvable duplicate, never a loss. (Indexes-first would reverse
+    that: the replay would collide with its own index rows and the batch's
+    documents would be lost permanently.)
 
     Returns the StreamingQuery; call ``.awaitTermination()``.
     """
@@ -58,17 +66,26 @@ def streaming_dedup_ingest(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        kept = ingest_batch_dedup(
+        import time
+
+        from datalakejson_spark.plans.variant_ingest import RUN_COL
+
+        run_id = f"stream-{time.time_ns():020d}-b{batch_id}"
+
+        def deliver(kept: DataFrame) -> None:
+            if kept.limit(1).count():
+                kept.withColumn("ingest_batch_id", F.lit(batch_id)).withColumn(
+                    RUN_COL, F.lit(run_id)
+                ).write.mode("append").parquet(curated_dir)
+
+        ingest_batch_dedup(
             batch_df.sparkSession,
             batch_df,
             index_dir,
             id_col=id_col,
             text_col=text_col,
+            on_kept=deliver,
         )
-        if kept.limit(1).count():
-            kept.withColumn("ingest_batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(curated_dir)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -22,7 +22,12 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from datalakejson_spark.plans.variant_ingest import LINEAGE_COL, RAW_COL, RUN_COL
+from datalakejson_spark.plans.variant_ingest import (
+    RUN_COL,
+    split_corrupt,
+    variant_projection,
+    with_partition_column,
+)
 from datalakejson_spark.session import configure_runtime
 
 
@@ -46,15 +51,10 @@ def streaming_variant_ingest(
     reader = spark.readStream
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = (
-        reader.text(landing_dir)
-        .filter(F.length(F.trim(F.col("value"))) > 0)
-        .select(
-            F.try_parse_json("value").alias(column),
-            F.col("value").alias(RAW_COL),
-            F.input_file_name().alias(LINEAGE_COL),
-        )
-    )
+    # THE parse/split/partition logic is the batch module's, verbatim — only
+    # the source (readStream), the per-attempt stamp, and the per-batch DLQ
+    # directory are streaming-specific.
+    stream = variant_projection(reader.text(landing_dir), column)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         import time
@@ -67,24 +67,17 @@ def streaming_variant_ingest(
         run_id = f"stream-{time.time_ns():020d}-b{batch_id}"
         batch_df = batch_df.persist()
         try:
-            corrupt = batch_df.filter(F.col(column).isNull()).drop(column)
-            good = (
-                batch_df.filter(F.col(column).isNotNull())
-                .drop(RAW_COL)
-                .withColumn(RUN_COL, F.lit(run_id))
-            )
+            good, corrupt = split_corrupt(batch_df, column)
+            good = good.withColumn(RUN_COL, F.lit(run_id))
             if corrupt.limit(1).count():
                 corrupt.withColumn("batch_id", F.lit(batch_id)).write.mode(
                     "append"
                 ).json(os.path.join(dlq_dir, f"batch-{batch_id}"))
             if good.limit(1).count():
                 if partition_path is not None:
-                    good = good.withColumn(
-                        partition_col,
-                        F.coalesce(
-                            F.variant_get(F.col(column), partition_path, "string"),
-                            F.lit(partition_default),
-                        ),
+                    good = with_partition_column(
+                        good, column, partition_path, partition_col,
+                        partition_default,
                     )
                     good.write.mode("append").partitionBy(partition_col).parquet(
                         curated_dir

@@ -118,3 +118,59 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(args["curated_dir"]).collect()
     } == {1, 2, 12}
+
+
+def test_intra_batch_duplicates_are_removed(spark, tmp_path):
+    """Two copies in the SAME batch (exact + near) collapse before the
+    corpus audit — the corpus-only probe can't see them, the within-batch
+    stage must."""
+    idx = str(tmp_path / "idx")
+    batch = _docs(
+        spark, [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)]
+    )  # 2=exact dup of 1, 3=near dup of 1
+    kept = ingest_batch_dedup(spark, batch, idx)
+    assert {r.doc_id for r in kept.collect()} == {1, 4}
+
+
+def test_crash_before_index_append_is_not_data_loss(spark, tmp_path):
+    """The ordering contract: deliver (curated write) runs BEFORE the index
+    appends, so a crash in between replays as a duplicate delivery — never
+    as a lost batch. Simulated by an on_kept that delivers then raises."""
+    idx = str(tmp_path / "idx")
+    curated = str(tmp_path / "curated")
+
+    def deliver_then_crash(kept):
+        kept.write.mode("append").parquet(curated)
+        raise RuntimeError("simulated crash before index append")
+
+    b = _docs(spark, [(1, BASE)])
+    try:
+        ingest_batch_dedup(spark, b, idx, on_kept=deliver_then_crash)
+        raise AssertionError("crash did not propagate")
+    except RuntimeError:
+        pass
+    # Crash propagated → checkpoint would NOT commit → the batch replays.
+    # The indexes are unchanged, so the replay keeps the same survivors and
+    # delivers again (duplicate), then appends the indexes.
+    replay_kept = ingest_batch_dedup(
+        spark, b, idx, on_kept=lambda k: k.write.mode("append").parquet(curated)
+    )
+    assert replay_kept.count() == 1  # NOT lost
+    assert spark.read.parquet(curated).count() == 2  # duplicate, resolvable
+    # And a third presentation is now a plain duplicate of the indexed doc.
+    assert ingest_batch_dedup(spark, _docs(spark, [(9, BASE)]), idx).count() == 0
+
+
+def test_corrupt_index_raises_not_reingests(spark, tmp_path):
+    """A non-missing but unreadable index must FAIL the batch, not silently
+    audit against empty indexes (which would re-ingest the whole corpus)."""
+    import pytest
+
+    idx = tmp_path / "idx"
+    (idx / "hashes").mkdir(parents=True)
+    (idx / "bands").mkdir()
+    (idx / "hashes" / "part-0000.parquet").write_bytes(b"not parquet at all")
+    (idx / "bands" / "part-0000.parquet").write_bytes(b"not parquet either")
+    with pytest.raises(Exception) as exc_info:
+        ingest_batch_dedup(spark, _docs(spark, [(1, BASE)]), str(idx)).count()
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)

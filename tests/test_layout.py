@@ -125,3 +125,15 @@ def test_optimize_table_compacts_and_clusters(spark, tmp_path):
     assert files_after < files_before
     skip_after = prunable_fraction(rowgroup_stats(part_a, COLS), _boxes(events))
     assert skip_after >= skip_before + 0.3, (skip_before, skip_after)
+
+
+def test_zorder_key_rejects_non_numeric_columns(spark):
+    """Clear fail-fast instead of an opaque mid-compaction TypeError when a
+    cluster column is non-numeric or all NULL."""
+    import pytest
+
+    events = load_table(spark, SF, "events")
+    with pytest.raises(ValueError, match="event_type"):
+        zorder_key(events, ["event_type"])
+    with pytest.raises(ValueError, match="user_id"):
+        zorder_key(events.limit(0), ["user_id"])

@@ -174,3 +174,37 @@ def test_salted_join_spreads_hot_keys(spark):
     assert any("_salt" in e for e in exchanges), exchanges
     df = all_specs()["j11_salted_hot_key_join"].fn(spark, SF)
     assert "_salt" not in df.columns
+
+
+def test_bucketed_range_join_subsecond_endpoints(spark):
+    """Exactness regression: intervals/events with sub-second endpoints must
+    produce the same pairs as the plain range join (the review caught a
+    '-1 full second' bucket bound that dropped matches like ts=08:00:00.3
+    against hi=08:00:00.5)."""
+    from datalakejson_spark.operators.joins import bucketed_range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 07:59:59.9"), (2, "2024-01-01 08:00:00.3"),
+         (3, "2024-01-01 08:00:00.7"), (4, "2024-01-01 09:00:00.0")],
+        "ev_id int, ts_s string",
+    ).select("ev_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 07:00:00", "2024-01-01 08:00:00.5"),
+         (11, "2024-01-01 08:00:00.5", "2024-01-01 09:00:00")],
+        "win_id int, lo_s string, hi_s string",
+    ).select(
+        "win_id",
+        F.col("lo_s").cast("timestamp_ntz").alias("lo"),
+        F.col("hi_s").cast("timestamp_ntz").alias("hi"),
+    )
+    got = {
+        (r.ev_id, r.win_id)
+        for r in bucketed_range_join(left, right, "ts", "lo", "hi", 3600).collect()
+    }
+    expect = {
+        (r.ev_id, r.win_id)
+        for r in left.join(
+            right, (left.ts >= right.lo) & (left.ts < right.hi)
+        ).collect()
+    }
+    assert got == expect == {(1, 10), (2, 10), (3, 11)}
