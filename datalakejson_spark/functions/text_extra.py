@@ -175,3 +175,51 @@ def l6b_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("passes_length"),
     )
+
+
+# --------------------------------------------------------------------------
+# L17: most-frequent token per language (deterministic mode())
+# --------------------------------------------------------------------------
+_L17_SQL = """
+    WITH counts AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tallied AS (
+        SELECT lang, token, count(*) AS n
+        FROM counts WHERE token <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT lang, token, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, token) AS rk
+        FROM tallied
+    )
+    SELECT lang, token AS top_token, n AS n_occurrences
+    FROM ranked WHERE rk = 1
+"""
+
+
+@register("l17_top_token_per_lang", survey="L4,G3,W5", extended=True, sql=_L17_SQL)
+def l17_top_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group most-frequent value — mode() done deterministically: count,
+    then rank by (count DESC, token ASC) and keep rank 1. Built-in ``mode``
+    breaks frequency ties arbitrarily (engine- and partition-dependent), so
+    it can never be oracle-checked; the explicit tie-break makes the answer
+    a function of the data alone. Two shuffles (tally, then per-lang rank
+    over the small tally table) — the rank never sees raw tokens."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tallied = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        tallied.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("lang", F.col("token").alias("top_token"), F.col("n").alias("n_occurrences"))
+    )

@@ -208,3 +208,21 @@ def test_bucketed_range_join_subsecond_endpoints(spark):
         ).collect()
     }
     assert got == expect == {(1, 10), (2, 10), (3, 11)}
+
+
+def test_nested_schema_pruning_reaches_scan(spark, tmp_path):
+    """Projecting one leaf of a struct column must prune the ReadSchema to
+    that leaf — at 100 TB reading `metadata.app_version` out of a wide
+    nested record should not deserialize the whole struct."""
+    nested = spark.createDataFrame(
+        [(i, (f"v{i % 3}", f"ua-{i}", "x" * 50)) for i in range(100)],
+        "id long, metadata struct<app_version string, user_agent string, blob string>",
+    )
+    path = str(tmp_path / "nested")
+    nested.write.parquet(path)
+    df = spark.read.parquet(path).select("id", "metadata.app_version")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "app_version" in read_schema
+    assert "user_agent" not in read_schema and "blob" not in read_schema
+    assert df.count() == 100
