@@ -223,3 +223,38 @@ def l17_top_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("lang", F.col("token").alias("top_token"), F.col("n").alias("n_occurrences"))
     )
+
+
+# --------------------------------------------------------------------------
+# L18: character-level fuzzy matching (Levenshtein) on bounded pairs
+# --------------------------------------------------------------------------
+_L18_SQL = """
+    WITH sample AS (
+        SELECT doc_id, substr(text, 1, 40) AS head FROM documents
+        WHERE doc_id < 30
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS edit_distance
+    FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 28
+"""
+
+
+@register("l18_levenshtein_fuzzy", survey="L2,F2,J8", extended=True, sql=_L18_SQL)
+def l18_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit distance on document prefixes — the fuzzy-match
+    primitive token-level dedup (shingles) can't see: transposed characters,
+    typos, OCR noise. Quadratic in pair count AND in string length, so the
+    input is explicitly bounded (30 docs × 40 chars) — at scale this is the
+    verify stage behind an LSH/SimHash candidate generator, exactly like
+    l2g's Jaccard verify, never a standalone sweep."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sample = docs.select("doc_id", F.substring("text", 1, 40).alias("head"))
+    a = sample.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("h_a"))
+    b = sample.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("h_b"))
+    dist = F.levenshtein("h_a", "h_b")
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= 28)
+        .select("doc_a", "doc_b", dist.alias("edit_distance"))
+    )

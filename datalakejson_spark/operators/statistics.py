@@ -333,3 +333,26 @@ def g15_quantile_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))"
         ).alias("value_quantiles")
     )
+
+
+# --------------------------------------------------------------------------
+# G16: grouping() markers over GROUPING SETS
+# --------------------------------------------------------------------------
+_G16_SQL = """
+    SELECT CAST(grouping(lang) AS BIGINT) AS is_lang_total,
+           CAST(grouping(source) AS BIGINT) AS is_source_total,
+           lang, source, count(*) AS n_docs
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""
+
+
+@register("g16_grouping_markers", survey="G6,G3", extended=True, sql=_G16_SQL)
+def g16_grouping_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouping()`` markers distinguish 'NULL because subtotal' from
+    'NULL in the data' across four grouping sets — the disambiguation G6's
+    rollup/cube consumers need before pivoting subtotal rows. One expand +
+    one aggregate, same plan family as g6."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_G16_SQL)
