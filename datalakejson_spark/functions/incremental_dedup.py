@@ -25,6 +25,10 @@ over document *content* instead of file paths.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,6 +37,101 @@ from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table
 
 BAND_KEY = ["band", "band_hash"]
+_STAGING = "_staging"
+_INDEX_SUBDIRS = ("hashes", "bands")
+
+
+def _error_condition(exc) -> str | None:
+    """Best-effort error-class/condition of a PySpark exception (the name
+    changed getErrorClass -> getCondition across 4.x)."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:  # pragma: no cover - defensive
+                cond = None
+            if cond:
+                return cond
+    return None
+
+
+def _read_index_pair(
+    spark: SparkSession, index_dir: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read the persisted index pair, bootstrapping ONLY when neither path
+    exists yet (first batch). The failure taxonomy is deliberate:
+
+    - both missing -> bootstrap empty (PATH_NOT_FOUND on both)
+    - one missing, one present -> raise: a half-present pair means external
+      tampering (the staged-commit publish below never leaves this state),
+      and auditing with one blind index silently re-ingests dups
+    - present but unreadable/empty dir (UNABLE_TO_INFER_SCHEMA, corrupt
+      footer, I/O error) -> raise: auditing against an accidentally-empty
+      index would re-admit the whole corpus as "novel"
+    """
+    from pyspark.errors import AnalysisException
+
+    def _read(path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as exc:
+            if _error_condition(exc) == "PATH_NOT_FOUND":
+                return None
+            raise
+    hp, bp = (os.path.join(index_dir, s) for s in _INDEX_SUBDIRS)
+    hashes, bands = _read(hp), _read(bp)
+    if (hashes is None) != (bands is None):
+        present = hp if hashes is not None else bp
+        missing = bp if hashes is not None else hp
+        raise RuntimeError(
+            f"half-present dedup index pair: {present} exists but {missing} "
+            "is missing. Refusing to audit with one blind index (it would "
+            "silently re-ingest duplicates). Restore the missing index or "
+            "remove both to rebuild from scratch."
+        )
+    if hashes is None:
+        hashes = spark.createDataFrame([], "text_hash string")
+        bands = spark.createDataFrame(
+            [], f"{id_col} bigint, band int, band_hash string"
+        )
+    return hashes, bands
+
+
+def _publish_staged(index_dir: str) -> None:
+    """Roll the staged index deltas forward into the live dirs.
+
+    Each batch stages BOTH parquet deltas under ``_staging/<token>/`` and
+    drops a ``_COMMITTED`` marker only after both writes finish; publishing
+    is then a sequence of idempotent file moves. A crash at ANY point
+    replays safely: no marker -> the stage is discarded (the batch itself
+    replays and re-stages); marker present -> the moves are completed here
+    before the next audit reads the indexes, so the pair can never stay
+    half-appended (the failure mode where a replay sees its exact-hash but
+    not its bands and develops a permanent near-dup blind spot).
+
+    Local-filesystem rename, like the archive move (plans/ingest.py:313);
+    on an object store the same contract is a staged prefix + manifest.
+    """
+    staging_root = os.path.join(index_dir, _STAGING)
+    if not os.path.isdir(staging_root):
+        return
+    for token in sorted(os.listdir(staging_root)):
+        stage = os.path.join(staging_root, token)
+        if not os.path.isdir(stage):
+            continue
+        if os.path.exists(os.path.join(stage, "_COMMITTED")):
+            for sub in _INDEX_SUBDIRS:
+                src_dir, dst_dir = os.path.join(stage, sub), os.path.join(index_dir, sub)
+                os.makedirs(dst_dir, exist_ok=True)
+                if os.path.isdir(src_dir):
+                    for name in os.listdir(src_dir):
+                        if not name.endswith(".parquet"):
+                            continue
+                        dst = os.path.join(dst_dir, name)
+                        if not os.path.exists(dst):  # idempotent re-publish
+                            os.replace(os.path.join(src_dir, name), dst)
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def exact_hash_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -132,22 +231,20 @@ def ingest_batch_dedup(
     make the replayed batch collide with its OWN index rows, drop every
     document, and lose the batch permanently.
 
-    First call bootstraps empty indexes; only a missing index path falls
-    back to the bootstrap — any other read failure (corrupt footer, I/O
-    error) raises, because auditing against accidentally-empty indexes
-    would silently re-ingest the whole corpus as "novel".
-    """
-    from pyspark.errors import AnalysisException
+    First call bootstraps empty indexes; ONLY a missing index path
+    (errorClass PATH_NOT_FOUND, on both paths) falls back to the bootstrap —
+    a half-present pair, an emptied dir, or any other read failure raises,
+    because auditing against accidentally-empty indexes would silently
+    re-ingest the whole corpus as "novel" (see _read_index_pair).
 
-    hp, bp = f"{index_dir}/hashes", f"{index_dir}/bands"
-    try:
-        corpus_hashes = spark.read.parquet(hp)
-        corpus_bands = spark.read.parquet(bp)
-    except AnalysisException:  # PATH_NOT_FOUND: first batch, bootstrap
-        corpus_hashes = spark.createDataFrame([], "text_hash string")
-        corpus_bands = spark.createDataFrame(
-            [], f"{id_col} bigint, band int, band_hash string"
-        )
+    The two index appends commit atomically-in-effect: both deltas are
+    staged under ``{index_dir}/_staging/<token>/`` with a ``_COMMITTED``
+    marker, then published by idempotent file moves (_publish_staged). Each
+    call first rolls forward any committed-but-unpublished stage from a
+    crashed predecessor, so the hash and band indexes can never drift apart.
+    """
+    _publish_staged(index_dir)  # roll forward a crashed predecessor first
+    corpus_hashes, corpus_bands = _read_index_pair(spark, index_dir, id_col)
     batch_uniq = dedup_within_batch(delta, id_col, text_col)
     audit = dedup_audit(batch_uniq, corpus_hashes, corpus_bands, id_col, text_col)
     # localCheckpoint (eager), NOT persist: the survivor set feeds three
@@ -164,10 +261,16 @@ def ingest_batch_dedup(
     ).localCheckpoint(eager=True)
     if on_kept is not None:
         on_kept(kept)
-    exact_hash_index(kept, text_col).write.mode("append").parquet(hp)
+    stage = os.path.join(index_dir, _STAGING, uuid.uuid4().hex)
+    exact_hash_index(kept, text_col).write.mode("overwrite").parquet(
+        os.path.join(stage, "hashes")
+    )
     band_table(minhash_signatures(kept, text_col, id_col), id_col).write.mode(
-        "append"
-    ).parquet(bp)
+        "overwrite"
+    ).parquet(os.path.join(stage, "bands"))
+    with open(os.path.join(stage, "_COMMITTED"), "w") as marker:
+        marker.write("ok")
+    _publish_staged(index_dir)
     return kept
 
 

@@ -298,7 +298,7 @@ def bucketed_range_join(
     g_us = g * 1_000_000
     lo_us = _epoch_us(lo_col)
     hi_us = _epoch_us(hi_col)
-    right_b = right.withColumn(
+    right_b = right.filter(hi_us > lo_us).withColumn(
         "_bkt",
         F.explode(
             F.sequence(

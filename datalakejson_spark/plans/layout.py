@@ -147,7 +147,9 @@ def prunable_fraction(
         for g in groups:
             total += 1
             for c, (lo, hi) in pred.items():
-                gmin, gmax = g["stats"][c]
+                gmin, gmax = g["stats"].get(c) or (None, None)
+                if gmin is None or gmax is None:
+                    continue  # no stats ⇒ conservatively unprunable
                 if gmax < lo or gmin > hi:  # disjoint ⇒ row group pruned
                     skipped += 1
                     break

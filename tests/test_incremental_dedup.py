@@ -161,6 +161,91 @@ def test_crash_before_index_append_is_not_data_loss(spark, tmp_path):
     assert ingest_batch_dedup(spark, _docs(spark, [(9, BASE)]), idx).count() == 0
 
 
+def test_half_present_index_pair_raises(spark, tmp_path):
+    """hashes/ present but bands/ missing (external tampering — the staged
+    publish never leaves this state) must refuse to audit: a one-eyed audit
+    would silently re-admit every near-dup."""
+    import pytest
+
+    idx = str(tmp_path / "idx")
+    ingest_batch_dedup(spark, _docs(spark, [(1, BASE)]), idx)
+    import shutil
+
+    shutil.rmtree(f"{idx}/bands")
+    with pytest.raises(RuntimeError, match="half-present"):
+        ingest_batch_dedup(spark, _docs(spark, [(2, OTHER)]), idx)
+
+
+def test_emptied_index_dir_raises_not_bootstraps(spark, tmp_path):
+    """An existing-but-emptied index dir is NOT a first-batch bootstrap: it
+    raises (UNABLE_TO_INFER_SCHEMA), because auditing against an
+    accidentally-empty index re-ingests the whole corpus as novel."""
+    import pytest
+
+    idx = tmp_path / "idx"
+    (idx / "hashes").mkdir(parents=True)
+    (idx / "bands").mkdir()
+    with pytest.raises(Exception) as exc_info:
+        ingest_batch_dedup(spark, _docs(spark, [(1, BASE)]), str(idx))
+    assert "half-present" not in str(exc_info.value)  # the OTHER guard
+    assert not isinstance(exc_info.value, AssertionError)
+
+
+def test_committed_stage_rolls_forward_before_audit(spark, tmp_path):
+    """Crash AFTER the _COMMITTED marker but before publish: the next call
+    completes BOTH moves before auditing, so a replayed batch sees its own
+    bands (not just its hashes) and the index pair never drifts apart."""
+    import os
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    ingest_batch_dedup(spark, _docs(spark, [(1, BASE)]), idx)
+    # Simulate the crash window: re-create batch 2's committed-but-unpublished
+    # stage by running it normally, then moving its published band rows back
+    # into a staged dir (equivalent on-disk state).
+    b2_text = "totally distinct second document content for the staging test"
+    ingest_batch_dedup(spark, _docs(spark, [(2, b2_text)]), idx)
+    stage = os.path.join(idx, "_staging", "deadbeef")
+    os.makedirs(os.path.join(stage, "hashes"))
+    os.makedirs(os.path.join(stage, "bands"))
+    # Move ALL live band files into the stage (as if publish moved hashes
+    # only for some earlier crash... stronger: bands entirely unpublished).
+    live_bands = os.path.join(idx, "bands")
+    for name in os.listdir(live_bands):
+        if name.endswith(".parquet"):
+            shutil.move(
+                os.path.join(live_bands, name), os.path.join(stage, "bands", name)
+            )
+    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
+        fh.write("ok")
+    # A near-copy of doc 2 must STILL be caught: roll-forward restores bands
+    # before the audit reads them.
+    near2 = "totally distinct second document content for the staging tests"
+    kept = ingest_batch_dedup(spark, _docs(spark, [(9, near2)]), idx)
+    assert kept.count() == 0
+    assert not os.path.exists(stage)
+
+
+def test_uncommitted_stage_is_discarded(spark, tmp_path):
+    """Crash BEFORE the marker: the stage is garbage (the batch itself will
+    replay) and must be discarded, not published."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    ingest_batch_dedup(spark, _docs(spark, [(1, BASE)]), idx)
+    stage = os.path.join(idx, "_staging", "cafebabe")
+    os.makedirs(os.path.join(stage, "hashes"))
+    (spark.createDataFrame([("feedface" * 4,)], "text_hash string")
+        .write.mode("overwrite").parquet(os.path.join(stage, "hashes")))
+    # no _COMMITTED marker
+    kept = ingest_batch_dedup(spark, _docs(spark, [(2, OTHER)]), idx)
+    assert kept.count() == 1
+    assert not os.path.exists(stage)
+    # The poisoned hash never reached the live index.
+    live = spark.read.parquet(os.path.join(idx, "hashes"))
+    assert live.filter(F.col("text_hash") == "feedface" * 4).count() == 0
+
+
 def test_corrupt_index_raises_not_reingests(spark, tmp_path):
     """A non-missing but unreadable index must FAIL the batch, not silently
     audit against empty indexes (which would re-ingest the whole corpus)."""

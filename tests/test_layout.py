@@ -137,3 +137,20 @@ def test_zorder_key_rejects_non_numeric_columns(spark):
         zorder_key(events, ["event_type"])
     with pytest.raises(ValueError, match="user_id"):
         zorder_key(events.limit(0), ["user_id"])
+
+
+def test_prunable_fraction_missing_stats_is_unprunable():
+    """A row group without statistics (stats disabled, or min/max None for
+    all-null chunks) must count as unprunable — not raise KeyError."""
+    groups = [
+        {"file": "a", "row_group": 0, "stats": {"user_id": (0, 10)}},  # no 'value'
+        {"file": "a", "row_group": 1, "stats": {"user_id": (100, 200), "value": (0.0, 1.0)}},
+        {"file": "a", "row_group": 2, "stats": {"user_id": (None, None), "value": (None, None)}},
+    ]
+    preds = [{"user_id": (50, 60), "value": (5.0, 6.0)}]
+    # Group 0: user_id disjoint -> pruned (missing 'value' never consulted
+    # because the loop breaks, but reordering must not crash either).
+    # Group 1: user_id disjoint -> pruned. Group 2: no stats -> kept.
+    assert prunable_fraction(groups, preds) == 2 / 3
+    # Predicate on a column with stats missing everywhere: nothing pruned.
+    assert prunable_fraction(groups, [{"missing_col": (0, 1)}]) == 0.0

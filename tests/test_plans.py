@@ -210,6 +210,33 @@ def test_bucketed_range_join_subsecond_endpoints(spark):
     assert got == expect == {(1, 10), (2, 10), (3, 11)}
 
 
+def test_bucketed_range_join_inverted_interval_is_empty(spark):
+    """Spark sequence(start, stop) DESCENDS when stop < start, so an
+    inverted interval (hi <= lo) would explode into bucket rows — a badly
+    inverted one into millions — before the residual filter discards them.
+    The interval side must be guarded (hi > lo) BEFORE the explode."""
+    from datalakejson_spark.operators.joins import bucketed_range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00")], "ev_id int, ts_s string"
+    ).select("ev_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        # 10: empty (hi == lo); 11: inverted by ~30 YEARS — unguarded, the
+        # descending sequence would materialize ~260k hourly buckets;
+        # 12: a normal window that must still match.
+        [(10, "2024-01-01 08:00:00", "2024-01-01 08:00:00"),
+         (11, "2024-01-01 00:00:00", "1994-01-01 00:00:00"),
+         (12, "2024-01-01 07:00:00", "2024-01-01 09:00:00")],
+        "win_id int, lo_s string, hi_s string",
+    ).select(
+        "win_id",
+        F.col("lo_s").cast("timestamp_ntz").alias("lo"),
+        F.col("hi_s").cast("timestamp_ntz").alias("hi"),
+    )
+    joined = bucketed_range_join(left, right, "ts", "lo", "hi", 3600)
+    assert {(r.ev_id, r.win_id) for r in joined.collect()} == {(1, 12)}
+
+
 def test_nested_schema_pruning_reaches_scan(spark, tmp_path):
     """Projecting one leaf of a struct column must prune the ReadSchema to
     that leaf — at 100 TB reading `metadata.app_version` out of a wide
