@@ -152,15 +152,12 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def signatures_from_shingle_sets(sets_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, mh0..mhK) from a shingle_sets frame: explode → md5 once per
-    shingle → NUM_HASHES min-aggregates over disjoint hex lanes. ONE
-    definition of the lane math — l2, l15, and l2g's candidates all come
-    from here, so a lane-width or hash change can never make the generate
-    and verify stages disagree."""
-    hashed = sets_df.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    ).select(F.col(id_col), F.md5("shingle").alias("h"))
+def _min_lane_signatures(hashed: DataFrame, id_col: str) -> DataFrame:
+    """(id, mh0..mhK) from an (id, h) md5-per-shingle frame: NUM_HASHES
+    min-aggregates over disjoint 4-hex-char lanes. The ONE definition of the
+    lane math — every signature producer funnels through here, so a
+    lane-width or hash change can never make the generate and verify stages
+    disagree."""
     aggs = [
         F.min(F.substring("h", 1 + 4 * lane, 4)).alias(f"mh{lane}")
         for lane in range(NUM_HASHES)
@@ -168,20 +165,45 @@ def signatures_from_shingle_sets(sets_df: DataFrame, id_col: str = "doc_id") -> 
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def signatures_from_shingle_sets(sets_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mhK) from an already-materialized shingle_sets frame.
+
+    Use this ONLY when the shingle arrays genuinely exist as data (e.g. read
+    back from a table). When deriving straight from text, call
+    minhash_signatures instead: exploding a *column* makes Catalyst's
+    InferFiltersFromGenerate infer ``size(shingles) > 0`` and push it
+    through the defining projection, re-evaluating the whole shingle
+    pipeline a second time per row at the scan (measured 2× on the l2
+    bench). The filter is pure waste here — ``greatest(size(w)-2, 1)``
+    guarantees the array is never empty."""
+    hashed = sets_df.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).select(F.col(id_col), F.md5("shingle").alias("h"))
+    return _min_lane_signatures(hashed, id_col)
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, mh0..mhK) MinHash signature table.
 
     Shape: explode deduped shingles (``array_distinct`` BEFORE the explode —
-    map-side) → md5 once per shingle → 8 min-aggregates. The groupBy looks
-    like avoidable work next to a pure map-side ``array_min`` formulation,
-    but it is deliberately kept: downstream LSH banding self-joins the
-    signature table, and the aggregate's shuffle is an Exchange that Spark's
-    ReuseExchange deduplicates across the two join sides — provided both
-    sides reference ALL signature columns identically (see
-    lsh_candidate_pairs: a per-band union would let column pruning
+    map-side) → md5 once per shingle → 8 min-aggregates. The explode input
+    is the shingle EXPRESSION, not a projected column: an attribute input
+    would trip InferFiltersFromGenerate into duplicating the shingle
+    computation at the scan (see signatures_from_shingle_sets). The groupBy
+    looks like avoidable work next to a pure map-side ``array_min``
+    formulation, but it is deliberately kept: downstream LSH banding
+    self-joins the signature table, and the aggregate's shuffle is an
+    Exchange that Spark's ReuseExchange deduplicates across the two join
+    sides — provided both sides reference ALL signature columns identically
+    (see lsh_candidate_pairs: a per-band union would let column pruning
     specialize each branch's aggregate and defeat the reuse, which is
     exactly the 8×-recompute bug round 1 shipped)."""
-    return signatures_from_shingle_sets(shingle_sets(df, text_col, id_col), id_col)
+    tok = df.select(F.col(id_col), F.split(text_col, " ").alias("w"))
+    hashed = tok.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle"),
+    ).select(F.col(id_col), F.md5("shingle").alias("h"))
+    return _min_lane_signatures(hashed, id_col)
 
 
 def band_table(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -420,12 +442,15 @@ def l2g_verified_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard VERIFIES each candidate and drops the false positives the bands
     let through. The verify join touches only candidate pairs — at 100 TB
     the shingle arrays move for the ~0.1 % of pairs that collided, never
-    all-pairs (this is the composition l2c's docstring promises). Shared
-    single scan: signatures and shingle sets both derive from one
-    shingle-set projection."""
+    all-pairs (this is the composition l2c's docstring promises). The
+    candidate stage derives signatures straight from text
+    (minhash_signatures) rather than from the sets projection — exploding
+    the projected column would double-evaluate the shingle pipeline at the
+    scan (InferFiltersFromGenerate, see signatures_from_shingle_sets); the
+    lane math is shared either way."""
     docs = load_table(spark, sf_dir, "documents")
     sets = shingle_sets(docs)
-    candidates = lsh_candidate_pairs(signatures_from_shingle_sets(sets))
+    candidates = lsh_candidate_pairs(minhash_signatures(docs))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -78,6 +78,22 @@ def test_minhash_pipeline_executes_once(spark):
     assert "ReusedExchange" in final, final
 
 
+def test_minhash_shingle_pipeline_not_duplicated_at_scan(spark):
+    """The round-5 l2 bench doubling: exploding the shingle array as a
+    projected COLUMN let InferFiltersFromGenerate infer size(shingles) > 0
+    and push it through the defining projection — re-running the whole
+    split→transform→concat_ws→array_distinct pipeline per row inside the
+    scan's DataFilters (measured 2× wall time). The scan must carry only
+    cheap filters; the shingle expression must appear once per pipeline,
+    never in a Filter."""
+    df = all_specs()["l2_minhash_lsh_pairs"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter" in line or "FileScan" in line:
+            assert "array_distinct" not in line, line
+            assert "concat_ws" not in line, line
+
+
 def test_no_python_eval_in_registered_queries(spark):
     """Every registered operator stays JVM-side (UDFs live only in the
     explicitly-Python §2.11 surface, not in the oracle-checked library)."""
