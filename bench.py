@@ -193,11 +193,16 @@ def bench_feed(spark, sf_dir: str) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_dedup(spark, sf_dir: str) -> float:
-    """rows/sec through one incremental-dedup batch: corpus = 3/4 of the
-    documents table indexed once (setup, untimed), then the remaining 1/4
-    audited + appended as one ``ingest_batch_dedup`` loop iteration — the
-    per-batch cost a continuously-ingesting corpus pays."""
+def bench_dedup(spark, sf_dir: str, batch_factor: int = 1) -> tuple[int, float]:
+    """(batch_rows, rows/sec) through one incremental-dedup batch: corpus =
+    3/4 of the documents table indexed once (setup, untimed), then a delta of
+    ``batch_factor`` × the remaining 1/4 audited + appended as one
+    ``ingest_batch_dedup`` loop iteration — the per-batch cost a
+    continuously-ingesting corpus pays. ``batch_factor`` replicas get every
+    word replica-tagged (distinct shingles, disjoint ids) so a larger batch
+    is genuinely more novel content, not N-way internal duplicates. Run at
+    1×/4×/16× the curve shows how the fixed per-batch overhead (job launch,
+    localCheckpoint materialization, index append commit) amortizes."""
     import shutil
     import tempfile
 
@@ -219,12 +224,28 @@ def bench_dedup(spark, sf_dir: str) -> float:
         band_table(minhash_signatures(corpus)).write.mode("append").parquet(
             f"{idx}/bands"
         )
-        delta = docs.filter(F.col("doc_id") % 4 == 0)
+        base = docs.filter(F.col("doc_id") % 4 == 0)
+        off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        replicas = [base]
+        for i in range(1, batch_factor):
+            tag = F.lit(f"b{i}")
+            replicas.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(i * off)).alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(F.split("text", " "), lambda w: F.concat(tag, w)),
+                    ).alias("text"),
+                )
+            )
+        delta = replicas[0]
+        for r in replicas[1:]:
+            delta = delta.unionByName(r)
         n = delta.count()
         t0 = time.time()
         kept = ingest_batch_dedup(spark, delta, idx)
         kept.write.format("noop").mode("overwrite").save()
-        return round(n / (time.time() - t0), 1)
+        return n, round(n / (time.time() - t0), 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -269,7 +290,47 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
     try:
-        payload["dedup_rows_per_sec"] = bench_dedup(spark, sf_dir)
+        # Batch-size curve: rows/s must GROW with batch size (the fixed
+        # per-batch overhead — job launch, localCheckpoint, commit —
+        # amortizes); dedup_rows_per_sec stays the 1x point for continuity.
+        curve = {}
+        for k in (1, 4, 16):
+            rows, rps = bench_dedup(spark, sf_dir, batch_factor=k)
+            curve[str(rows)] = rps
+            if k == 1:
+                payload["dedup_rows_per_sec"] = rps
+        payload["dedup_curve_rows_per_sec"] = curve
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        # sf1 tier: one decade of measured scaling for the headline set.
+        # Exponent e = log10(t_sf1 / t_sf0.1): e≈0 = overhead-dominated,
+        # e≈1 = linear, e>1.1 = worse than ~O(n log n) over the decade.
+        if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+            import math
+
+            sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+            from make_scaled_sf import make_scaled_sf
+
+            sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/datalakejson_sf1")
+            make_scaled_sf(sf_dir, sf1_dir, 10)  # no-op when already present
+            sf1_timings = {}
+            for name in HEADLINE:
+                reps = [run_one(spark, specs[name].fn, sf1_dir) for _ in range(2)]
+                sf1_timings[name] = round(min(reps), 3)
+            payload["sf1"] = {
+                "value": round(sum(sf1_timings.values()), 3),
+                "unit": "sec",
+                "queries": sf1_timings,
+                "sf": 1.0,
+            }
+            payload["scaling_exponent"] = {
+                n: round(
+                    math.log10(max(sf1_timings[n], 0.001) / max(timings[n], 0.001)),
+                    2,
+                )
+                for n in HEADLINE
+            }
     except Exception:  # noqa: BLE001
         pass
     print(json.dumps(payload))
