@@ -134,6 +134,101 @@ def test_jdbc_concurrent_runners_no_double_claim(spark, jdbc_url):
     assert led.counts() == {LedgerStatus.PROCESSING: 40}
 
 
+def test_jdbc_two_runner_claim_process_commit_soak(spark, jdbc_url):
+    """X5 closure: TWO runners loop full claim→process→commit cycles against
+    one Derby ledger until it drains. The SKIP-LOCKED-equivalent guarded
+    claims plus run-id commit fencing must give exactly-once processing:
+    no file committed by both runners, none lost, every row SUCCEEDED with
+    retry_count == 1 (claimed exactly once — fresh leases mean no reclaim
+    pressure in this soak; see the contended variant below)."""
+    import threading
+
+    n_files = 120
+    led = JdbcLedger(spark, jdbc_url)
+    _register(spark, led, [f"/s{i:04d}.json" for i in range(n_files)])
+
+    committed: dict[str, list[str]] = {"a": [], "b": []}
+    fenced_out: dict[str, list[str]] = {"a": [], "b": []}
+    errors: list[BaseException] = []
+
+    def runner(name: str) -> None:
+        try:
+            own = JdbcLedger(spark, jdbc_url)
+            run_id = f"run-{name}"
+            while True:
+                got = own.claim_batch(7, run_id)
+                if not got:
+                    return
+                lost = own.apply_outcomes(
+                    [(got, LedgerStatus.SUCCEEDED, None)], run_id=run_id
+                )
+                fenced_out[name].extend(lost)
+                committed[name].extend(k for k in got if k not in set(lost))
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta = threading.Thread(target=runner, args=("a",))
+    tb = threading.Thread(target=runner, args=("b",))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+    assert fenced_out == {"a": [], "b": []}  # fresh leases: no interference
+    assert set(committed["a"]) & set(committed["b"]) == set()
+    assert len(committed["a"]) + len(committed["b"]) == n_files
+    assert led.counts() == {LedgerStatus.SUCCEEDED: n_files}
+    rows = led.read().collect()
+    assert all(r.retry_count == 1 for r in rows)
+    # Which runner wins each batch is scheduler-dependent (one side may even
+    # drain everything); only the owner set's bounds are deterministic.
+    assert {r.run_id for r in rows} <= {"run-a", "run-b"}
+
+
+def test_jdbc_two_runner_soak_under_reclaim_contention(spark, jdbc_url):
+    """The hostile variant: stale_lease_s=0 makes every PROCESSING row
+    instantly reclaimable, so the runners continuously steal each other's
+    in-flight claims. Fencing must convert every race into a lost claim for
+    exactly one side — the union of successfully-committed files is still
+    exactly-once (each file SUCCEEDED once, by whichever runner held the
+    final claim), no file is lost, and no commit double-fires."""
+    import threading
+
+    n_files = 60
+    led = JdbcLedger(spark, jdbc_url)
+    _register(spark, led, [f"/h{i:04d}.json" for i in range(n_files)])
+
+    committed: dict[str, list[str]] = {"a": [], "b": []}
+    errors: list[BaseException] = []
+
+    def runner(name: str) -> None:
+        try:
+            own = JdbcLedger(spark, jdbc_url)
+            run_id = f"run-{name}"
+            idle = 0
+            while idle < 3:  # a few empty rounds: the other side may still hold claims
+                got = own.claim_batch(5, run_id, stale_lease_s=0)
+                if not got:
+                    idle += 1
+                    continue
+                idle = 0
+                lost = own.apply_outcomes(
+                    [(got, LedgerStatus.SUCCEEDED, None)], run_id=run_id
+                )
+                committed[name].extend(k for k in got if k not in set(lost))
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta = threading.Thread(target=runner, args=("a",))
+    tb = threading.Thread(target=runner, args=("b",))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+    assert set(committed["a"]) & set(committed["b"]) == set()
+    assert len(committed["a"]) + len(committed["b"]) == n_files
+    assert led.counts() == {LedgerStatus.SUCCEEDED: n_files}
+    # Under contention retries can exceed 1, but must stay bounded by the
+    # number of steal rounds, and every row ends with SOME final owner.
+    rows = led.read().collect()
+    assert all(r.retry_count >= 1 and r.run_id in ("run-a", "run-b") for r in rows)
+
+
 def test_jdbc_insert_dialect_selection():
     """PostgreSQL URLs get the native race-free ON CONFLICT DO NOTHING;
     everything else (Derby) gets the guarded NOT-EXISTS form."""
