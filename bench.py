@@ -250,6 +250,36 @@ def bench_dedup(spark, sf_dir: str, batch_factor: int = 1) -> tuple[int, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_multimodal(spark) -> dict[str, int]:
+    """Decode-tier counts over a synthetic asset mix (real uncompressed
+    PPM/BMP + compressed-format payloads with no codec + nulls) — surfaces
+    which codec tier produced each feature row (FEATURE_SCHEMA.decode_tier)
+    so a consumer can audit how many embeddings are real vs labeled stubs
+    in this environment."""
+    from datalakejson_spark.functions.multimodal import ASSET_SCHEMA, extract_features
+
+    def ppm(i: int) -> bytes:
+        body = bytes((i + j) % 256 for j in range(4 * 4 * 3))
+        return b"P6\n4 4\n255\n" + body
+
+    rows = []
+    for i in range(24):
+        rows.append((f"ppm_{i}", "image", ppm(i), None))
+    for i in range(16):
+        rows.append((f"jpeg_{i}", "image", b"\xff\xd8\xff\xe0" + bytes([i]) * 64, None))
+    rows.append(("null", "image", None, None))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    import pyspark.sql.functions as F
+
+    return {
+        r.decode_tier: r.n
+        for r in extract_features(assets)
+        .groupBy("decode_tier")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -300,6 +330,10 @@ def main() -> None:
             if k == 1:
                 payload["dedup_rows_per_sec"] = rps
         payload["dedup_curve_rows_per_sec"] = curve
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        payload["multimodal_tier_counts"] = bench_multimodal(spark)
     except Exception:  # noqa: BLE001
         pass
     try:

@@ -47,8 +47,15 @@ ASSET_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "asset_id string, media_type string, n_bytes long, sha256 string, "
-    "decoded_ok boolean, feat array<float>"
+    "decoded_ok boolean, decode_tier string, feat array<float>"
 )
+
+#: decode_tier values — which codec tier produced (or attempted) the row's
+#: features, so a consumer can audit/filter fake embeddings downstream:
+#: "pil" real decode via Pillow; "numpy" real pure-numpy decode (PPM/BMP);
+#: "stub" deterministic FAKE embedding (compressed format, no codec);
+#: "none" nothing attempted (null payload).
+DECODE_TIERS = ("pil", "numpy", "stub", "none")
 
 
 def read_binary_assets(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
@@ -210,21 +217,33 @@ def _decode_image_numpy(payload: bytes) -> list[float] | None:
     return _stat_embedding(arr, w, h)
 
 
-def decode_image(payload: bytes, use_pil: bool | None = None) -> list[float] | None:
-    """The L5 codec gate (ADVICE r03), three tiers: Pillow when importable
+def decode_image_tiered(
+    payload: bytes, use_pil: bool | None = None
+) -> tuple[list[float] | None, str]:
+    """The L5 codec gate (ADVICE r03) with tier attribution: returns
+    ``(features, tier)`` where tier ∈ DECODE_TIERS records which codec
+    produced (or attempted) the decode. Three tiers: Pillow when importable
     (all formats); else a pure-numpy decoder for uncompressed PPM/BMP (REAL
     pixels — this tier runs and is tested in this container); else the
     clearly-marked deterministic stub for compressed formats without a
-    codec. ``use_pil`` forces the first branch on/off for tests."""
+    codec. A malformed payload keeps its attempting tier's label with
+    features None (decoded_ok=False downstream). ``use_pil`` forces the
+    first branch on/off for tests."""
     if payload is None:
-        return None
+        return None, "none"
     use = _has_pil() if use_pil is None else use_pil
     if use:
-        return _decode_image_pil(payload)
+        return _decode_image_pil(payload), "pil"
     via_numpy = _decode_image_numpy(payload)
     if via_numpy is not False:
-        return via_numpy
-    return _decode_image_stub(payload)
+        return via_numpy, "numpy"
+    return _decode_image_stub(payload), "stub"
+
+
+def decode_image(payload: bytes, use_pil: bool | None = None) -> list[float] | None:
+    """Features-only view of decode_image_tiered (kept for callers that
+    don't need tier attribution)."""
+    return decode_image_tiered(payload, use_pil)[0]
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -234,18 +253,20 @@ def extract_features(assets: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_pil = _has_pil()  # probed once per worker, not per row
         for pdf in batches:
-            feats, oks, hashes, sizes = [], [], [], []
+            feats, oks, tiers, hashes, sizes = [], [], [], [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None)
                     oks.append(False)
+                    tiers.append("none")
                     hashes.append(None)
                     sizes.append(0)
                     continue
                 raw = bytes(payload)
-                feat = decode_image(raw, use_pil=use_pil)
+                feat, tier = decode_image_tiered(raw, use_pil=use_pil)
                 feats.append(feat)
                 oks.append(feat is not None)
+                tiers.append(tier)
                 hashes.append(hashlib.sha256(raw).hexdigest())
                 sizes.append(len(raw))
             yield pd.DataFrame(
@@ -255,6 +276,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "n_bytes": sizes,
                     "sha256": hashes,
                     "decoded_ok": oks,
+                    "decode_tier": tiers,
                     "feat": feats,
                 }
             )

@@ -91,9 +91,43 @@ def test_l5_binary_asset_pipeline(spark, tmp_path):
     rows = feats.collect()
     assert len(rows) == 3
     assert all(r.decoded_ok and r.n_bytes >= 100 and len(r.feat) == 8 for r in rows)
+    # fake-PNG payloads with no codec present: every row must be LABELED as
+    # stub-tier so a consumer can audit/drop the fake embeddings downstream
+    assert all(r.decode_tier == "stub" for r in rows)
     # deterministic stub: same payload → same features
     again = {r.asset_id: r.feat for r in extract_features(assets).collect()}
     assert all(again[r.asset_id] == r.feat for r in rows)
+
+
+def test_l5_decode_tier_attribution(spark, tmp_path):
+    """Per-tier observability (VERDICT r5 #5): real numpy decodes, stub
+    fakes, and null payloads each carry their tier label; malformed payloads
+    keep the attempting tier's label with decoded_ok=False."""
+    from datalakejson_spark.functions.multimodal import ASSET_SCHEMA
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    assets = spark.createDataFrame(
+        [
+            ("ppm_ok", "image", _ppm_bytes(px), None),
+            ("bmp_ok", "image", _bmp_bytes(px), None),
+            ("ppm_bad", "image", b"P6\n2 2\n255\nshort", None),
+            ("jpeg_nocodec", "image", b"\xff\xd8\xff\xe0 fake jpeg", None),
+            ("null_payload", "image", None, None),
+        ],
+        ASSET_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert rows["ppm_ok"].decode_tier == "numpy" and rows["ppm_ok"].decoded_ok
+    assert rows["bmp_ok"].decode_tier == "numpy" and rows["bmp_ok"].decoded_ok
+    assert rows["ppm_bad"].decode_tier == "numpy" and not rows["ppm_bad"].decoded_ok
+    assert rows["jpeg_nocodec"].decode_tier == "stub" and rows["jpeg_nocodec"].decoded_ok
+    assert rows["null_payload"].decode_tier == "none" and not rows["null_payload"].decoded_ok
+    # the audit aggregation a consumer would run
+    counts = {
+        r.decode_tier: r.n
+        for r in extract_features(assets).groupBy("decode_tier").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"numpy": 3, "stub": 1, "none": 1}
 
 
 def test_l5_frame_sampling_plan(spark):
