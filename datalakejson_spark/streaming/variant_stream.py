@@ -42,10 +42,18 @@ def streaming_variant_ingest(
     partition_col: str = "mode",
     partition_default: str = "unknown",
     max_files_per_trigger: int | None = None,
+    after_append_hook=None,
 ):
     """Drain all available landing files once into variant parquet.
 
     Returns the StreamingQuery; call ``.awaitTermination()``.
+
+    ``after_append_hook(batch_id)``: fault-injection point for tests —
+    invoked after the micro-batch's parquet/DLQ appends succeed but BEFORE
+    the checkpoint commits the batch. Raising here simulates the T2 crash
+    window: the data is on disk, the claim is not, and a restart must
+    replay the batch under a newer run stamp (resolved exactly-once by
+    plans/variant_ingest.resolve_replays).
     """
     configure_runtime(spark)
     reader = spark.readStream
@@ -84,6 +92,8 @@ def streaming_variant_ingest(
                     )
                 else:
                     good.write.mode("append").parquet(curated_dir)
+            if after_append_hook is not None:
+                after_append_hook(batch_id)
         finally:
             batch_df.unpersist()
 
