@@ -56,6 +56,13 @@ def compatible(old: T.DataType, new: T.DataType) -> bool:
             )
         if ko == "array":
             return compatible(old.elementType, new.elementType)
+        if ko == "map":
+            # must mirror merge_type's recursion: a map whose key/value type
+            # drifted incompatibly would otherwise pass this gate and then
+            # blow up merge_schemas mid-ingest instead of quarantining
+            return compatible(old.keyType, new.keyType) and compatible(
+                old.valueType, new.valueType
+            )
         return True
     # numeric widening in either direction is mergeable (result: fractional)
     return {ko, kn} == {"integral", "fractional"}
