@@ -184,10 +184,32 @@ class ShardFeed:
         for batch in self.batches():
             yield from batch.to_pylist()
 
+    def subfeed(self, worker_id: int, num_workers: int) -> "ShardFeed":
+        """This feed restricted to the ``worker_id``-th round-robin slice of
+        its shard ids — the second sharding level, for parallel loader
+        workers WITHIN one training rank (torch DataLoader ``num_workers``,
+        Petastorm-style). Composes with ``rank``/``world_size``: the lake is
+        split rank → worker, and the union over all (rank, worker) pairs is
+        exactly the full selection with no duplicates. Cheap view: shares
+        the parent's reader (and its already-listed file index), no
+        re-listing."""
+        import copy
+
+        if not 0 <= worker_id < num_workers:
+            raise ValueError(f"worker_id {worker_id} outside num_workers {num_workers}")
+        clone = copy.copy(self)
+        clone.shard_ids = self.shard_ids[worker_id::num_workers]
+        return clone
+
     def torch_dataset(self):
         """An ``IterableDataset`` over :meth:`rows` when torch is importable
         (it is not in this container — the gate keeps the Spark-side feed
-        testable everywhere and lights up automatically in training envs)."""
+        testable everywhere and lights up automatically in training envs).
+
+        Worker-aware: with DataLoader ``num_workers > 0`` each worker
+        process gets a disjoint :meth:`subfeed` slice — without this split a
+        multi-worker DataLoader over an IterableDataset silently duplicates
+        every row ``num_workers`` times."""
         try:
             from torch.utils.data import IterableDataset
         except ImportError as exc:  # pragma: no cover - torch not in container
@@ -200,7 +222,12 @@ class ShardFeed:
 
         class _ShardIterable(IterableDataset):  # pragma: no cover - needs torch
             def __iter__(self):
-                return feed.rows()
+                from torch.utils.data import get_worker_info
+
+                info = get_worker_info()
+                if info is None or info.num_workers <= 1:
+                    return feed.rows()
+                return feed.subfeed(info.id, info.num_workers).rows()
 
         return _ShardIterable()
 
