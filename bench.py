@@ -225,8 +225,9 @@ def bench_dedup(spark, sf_dir: str, batch_factor: int = 1) -> tuple[int, float]:
             f"{idx}/bands"
         )
         base = docs.filter(F.col("doc_id") % 4 == 0)
-        off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
         replicas = [base]
+        if batch_factor > 1:
+            off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
         for i in range(1, batch_factor):
             tag = F.lit(f"b{i}")
             replicas.append(

@@ -184,6 +184,33 @@ class ShardFeed:
         for batch in self.batches():
             yield from batch.to_pylist()
 
+    def arrow_rows(self) -> Iterator[dict[str, Any]]:
+        """Spark-FREE row stream over this feed's shard slice: reads each
+        shard's parquet file directly with pyarrow, in the same global
+        (shard_id, order_col) order as :meth:`rows`.
+
+        This is the path for forked DataLoader worker processes: a fork
+        inherits the parent's py4j socket, so a worker driving Spark jobs
+        would interleave protocol bytes with the parent (hangs/corruption).
+        Each shard is one file, already sorted by export — the read is a
+        plain local/object-store parquet fetch, safe in any process. The
+        memory bound is one shard (the packing budget), tighter than the
+        Spark path's fetch window."""
+        import pyarrow.parquet as pq
+
+        cols = None
+        if self.columns is not None:
+            cols = list(dict.fromkeys([self.order_col, *self.columns]))
+        for sid in self.shard_ids:
+            table = pq.read_table(
+                str(Path(self.shard_dir) / f"{SHARD_COL}={sid}"), columns=cols
+            )
+            table = table.sort_by([(self.order_col, "ascending")])
+            for batch in table.to_batches(max_chunksize=self.batch_rows):
+                for row in batch.to_pylist():
+                    row[SHARD_COL] = sid  # partition value, not in the file
+                    yield row
+
     def subfeed(self, worker_id: int, num_workers: int) -> "ShardFeed":
         """This feed restricted to the ``worker_id``-th round-robin slice of
         its shard ids — the second sharding level, for parallel loader
@@ -209,7 +236,10 @@ class ShardFeed:
         Worker-aware: with DataLoader ``num_workers > 0`` each worker
         process gets a disjoint :meth:`subfeed` slice — without this split a
         multi-worker DataLoader over an IterableDataset silently duplicates
-        every row ``num_workers`` times."""
+        every row ``num_workers`` times. Worker processes stream via
+        :meth:`arrow_rows` (direct parquet reads), never through the
+        parent's forked py4j gateway — driving Spark from a forked worker
+        corrupts the shared gateway socket."""
         try:
             from torch.utils.data import IterableDataset
         except ImportError as exc:  # pragma: no cover - torch not in container
@@ -225,9 +255,11 @@ class ShardFeed:
                 from torch.utils.data import get_worker_info
 
                 info = get_worker_info()
-                if info is None or info.num_workers <= 1:
-                    return feed.rows()
-                return feed.subfeed(info.id, info.num_workers).rows()
+                if info is None:
+                    return feed.rows()  # main process: Spark path is fine
+                if info.num_workers <= 1:
+                    return feed.arrow_rows()
+                return feed.subfeed(info.id, info.num_workers).arrow_rows()
 
         return _ShardIterable()
 

@@ -39,6 +39,11 @@ from datalakejson_spark.sources.tables import load_table
 BAND_KEY = ["band", "band_hash"]
 _STAGING = "_staging"
 _INDEX_SUBDIRS = ("hashes", "bands")
+#: markerless (uncommitted) stages younger than this are left alone — they
+#: may belong to a LIVE concurrent runner mid-stage, not a crashed one.
+#: A crashed run's stage is garbage either way (its batch replays and
+#: re-stages), so deferring the cleanup one grace period is free.
+STALE_STAGE_S = 3600.0
 
 
 def _error_condition(exc) -> str | None:
@@ -98,21 +103,26 @@ def _read_index_pair(
     return hashes, bands
 
 
-def _publish_staged(index_dir: str) -> None:
+def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> None:
     """Roll the staged index deltas forward into the live dirs.
 
     Each batch stages BOTH parquet deltas under ``_staging/<token>/`` and
     drops a ``_COMMITTED`` marker only after both writes finish; publishing
     is then a sequence of idempotent file moves. A crash at ANY point
-    replays safely: no marker -> the stage is discarded (the batch itself
-    replays and re-stages); marker present -> the moves are completed here
-    before the next audit reads the indexes, so the pair can never stay
-    half-appended (the failure mode where a replay sees its exact-hash but
-    not its bands and develops a permanent near-dup blind spot).
+    replays safely: no marker -> the stage is garbage (the batch itself
+    replays and re-stages) and is swept once it is older than
+    ``stale_stage_s`` — the age guard keeps a CONCURRENT runner's
+    mid-write stage from being deleted under it; marker present -> the
+    moves are completed here before the next audit reads the indexes, so
+    the pair can never stay half-appended (the failure mode where a replay
+    sees its exact-hash but not its bands and develops a permanent
+    near-dup blind spot).
 
     Local-filesystem rename, like the archive move (plans/ingest.py:313);
     on an object store the same contract is a staged prefix + manifest.
     """
+    import time
+
     staging_root = os.path.join(index_dir, _STAGING)
     if not os.path.isdir(staging_root):
         return
@@ -120,17 +130,24 @@ def _publish_staged(index_dir: str) -> None:
         stage = os.path.join(staging_root, token)
         if not os.path.isdir(stage):
             continue
-        if os.path.exists(os.path.join(stage, "_COMMITTED")):
-            for sub in _INDEX_SUBDIRS:
-                src_dir, dst_dir = os.path.join(stage, sub), os.path.join(index_dir, sub)
-                os.makedirs(dst_dir, exist_ok=True)
-                if os.path.isdir(src_dir):
-                    for name in os.listdir(src_dir):
-                        if not name.endswith(".parquet"):
-                            continue
-                        dst = os.path.join(dst_dir, name)
-                        if not os.path.exists(dst):  # idempotent re-publish
-                            os.replace(os.path.join(src_dir, name), dst)
+        if not os.path.exists(os.path.join(stage, "_COMMITTED")):
+            try:
+                age = time.time() - os.path.getmtime(stage)
+            except OSError:  # vanished: its owner just published/removed it
+                continue
+            if age >= stale_stage_s:
+                shutil.rmtree(stage, ignore_errors=True)
+            continue
+        for sub in _INDEX_SUBDIRS:
+            src_dir, dst_dir = os.path.join(stage, sub), os.path.join(index_dir, sub)
+            os.makedirs(dst_dir, exist_ok=True)
+            if os.path.isdir(src_dir):
+                for name in os.listdir(src_dir):
+                    if not name.endswith(".parquet"):
+                        continue
+                    dst = os.path.join(dst_dir, name)
+                    if not os.path.exists(dst):  # idempotent re-publish
+                        os.replace(os.path.join(src_dir, name), dst)
         shutil.rmtree(stage, ignore_errors=True)
 
 

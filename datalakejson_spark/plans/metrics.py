@@ -23,15 +23,21 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-#: metric keys summed into the per-query rollup, by aggregate name
+#: metric keys rolled up per query. shuffle_bytes keys are FALLBACK
+#: alternatives (first present wins: shuffleBytesWritten when the exchange
+#: reports it, its dataSize estimate otherwise). spill keys are handled
+#: separately: they are facets of the same spill event on one node
+#: (in-memory size vs compressed on-disk bytes), so the rollup takes the
+#: per-node MAX — a conservative byte figure that is nonzero iff anything
+#: spilled, which is what the "nothing spills" evidence needs.
 _ROLLUP = {
     "shuffle_records": ("shuffleRecordsWritten",),
     "shuffle_bytes": ("shuffleBytesWritten", "dataSize"),
-    "spill_bytes": ("spillSize", "memoryBytesSpilled", "diskBytesSpilled"),
     "scan_rows": ("numOutputRows",),  # only summed on scan nodes
     "scan_files": ("numFiles",),
     "scan_bytes": ("filesSize",),
 }
+_SPILL_KEYS = ("spillSize", "memoryBytesSpilled", "diskBytesSpilled")
 
 
 def node_metrics(df: DataFrame) -> list[tuple[str, dict[str, int]]]:
@@ -66,6 +72,7 @@ def executed_summary(df: DataFrame) -> dict[str, Any]:
     METRICS.md / bench extras. ``df`` must already have executed."""
     nodes = node_metrics(df)
     agg = {k: 0 for k in _ROLLUP}
+    agg["spill_bytes"] = 0
     n_exchanges = n_broadcasts = 0
     peak_memory = 0
     output_rows = None
@@ -76,6 +83,7 @@ def executed_summary(df: DataFrame) -> dict[str, Any]:
         n_exchanges += is_exchange
         n_broadcasts += is_broadcast
         peak_memory = max(peak_memory, vals.get("peakMemory", 0))
+        agg["spill_bytes"] += max(vals.get(k, 0) for k in _SPILL_KEYS)
         for out_key, metric_keys in _ROLLUP.items():
             if out_key.startswith("scan_") != is_scan:
                 continue

@@ -152,3 +152,18 @@ def test_worker_subfeed_bounds_and_isolation(spark, shard_dir):
     assert sub.shard_ids == feed.shard_ids[0::2]
     # the parent feed is untouched by the view
     assert set(sub.shard_ids) < set(feed.shard_ids)
+
+
+def test_arrow_rows_matches_spark_rows(spark, shard_dir):
+    """The fork-safe pyarrow path (what DataLoader workers iterate) must
+    stream exactly the rows, order, and columns of the Spark path — for the
+    full feed, a pruned-column feed, and a (rank, worker) subfeed slice."""
+    feed = ShardFeed(spark, shard_dir, batch_rows=64)
+    assert list(feed.arrow_rows()) == list(feed.rows())
+
+    pruned = ShardFeed(spark, shard_dir, columns=["n_tokens"])
+    a, b = list(pruned.arrow_rows()), list(pruned.rows())
+    assert [dict(sorted(r.items())) for r in a] == [dict(sorted(r.items())) for r in b]
+
+    sub = ShardFeed(spark, shard_dir, rank=1, world_size=2).subfeed(0, 2)
+    assert list(sub.arrow_rows()) == list(sub.rows())

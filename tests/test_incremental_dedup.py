@@ -228,8 +228,11 @@ def test_committed_stage_rolls_forward_before_audit(spark, tmp_path):
 
 def test_uncommitted_stage_is_discarded(spark, tmp_path):
     """Crash BEFORE the marker: the stage is garbage (the batch itself will
-    replay) and must be discarded, not published."""
+    replay) and must never publish. Sweep policy: a FRESH markerless stage
+    is left alone (it may be a live concurrent runner mid-write); one older
+    than the grace period is removed."""
     import os
+    import time
 
     idx = str(tmp_path / "idx")
     ingest_batch_dedup(spark, _docs(spark, [(1, BASE)]), idx)
@@ -237,11 +240,18 @@ def test_uncommitted_stage_is_discarded(spark, tmp_path):
     os.makedirs(os.path.join(stage, "hashes"))
     (spark.createDataFrame([("feedface" * 4,)], "text_hash string")
         .write.mode("overwrite").parquet(os.path.join(stage, "hashes")))
-    # no _COMMITTED marker
+    # no _COMMITTED marker; fresh → must survive the next batch's sweep
     kept = ingest_batch_dedup(spark, _docs(spark, [(2, OTHER)]), idx)
     assert kept.count() == 1
+    assert os.path.exists(stage)  # live-runner protection
+    # ... but it never publishes, fresh or stale
+    live = spark.read.parquet(os.path.join(idx, "hashes"))
+    assert live.filter(F.col("text_hash") == "feedface" * 4).count() == 0
+    # age it past the grace period → swept by the next batch
+    old = time.time() - 7200
+    os.utime(stage, (old, old))
+    ingest_batch_dedup(spark, _docs(spark, [(3, NEAR)]), idx)
     assert not os.path.exists(stage)
-    # The poisoned hash never reached the live index.
     live = spark.read.parquet(os.path.join(idx, "hashes"))
     assert live.filter(F.col("text_hash") == "feedface" * 4).count() == 0
 

@@ -36,13 +36,17 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
-# fact table -> columns offset per replica by (max+1)
+# fact table -> {column: key domain}. Columns sharing a DOMAIN (the
+# orders↔lineitem join key) get ONE offset computed over every member's
+# max, so replica i's facts keep joining each other even if one side's max
+# differs (an order with no lineitems would otherwise silently misalign
+# every replica's join).
 FACT_OFFSETS = {
-    "orders": ["o_orderkey"],
-    "lineitem": ["l_orderkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "orders": {"o_orderkey": "orderkey"},
+    "lineitem": {"l_orderkey": "orderkey"},
+    "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
 }
 
 
@@ -88,14 +92,20 @@ def make_scaled_sf(src_dir: str, dst_dir: str, factor: int = 10) -> None:
         target = dst / f"{t}.parquet"
         if not target.exists():
             shutil.copy2(src / f"{t}.parquet", target)
+    # One offset per key DOMAIN: max over every (table, column) in the domain
+    domain_off: dict[str, int] = {}
+    tables: dict[str, pa.Table] = {}
+    for t, key_cols in FACT_OFFSETS.items():
+        tables[t] = pq.read_table(src / f"{t}.parquet")
+        for c, dom in key_cols.items():
+            m = pc.max(tables[t].column(c)).as_py() + 1
+            domain_off[dom] = max(domain_off.get(dom, 0), m)
     for t, key_cols in FACT_OFFSETS.items():
         out_dir = dst / f"{t}.parquet"
         if out_dir.exists():
             continue
-        tab = pq.read_table(src / f"{t}.parquet")
-        offsets = {
-            c: pc.max(tab.column(c)).as_py() + 1 for c in key_cols
-        }
+        tab = tables[t]
+        offsets = {c: domain_off[dom] for c, dom in key_cols.items()}
         tmp = dst / f".{t}.parquet.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         tmp.mkdir(parents=True)
