@@ -338,6 +338,28 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
     try:
+        # Compact executed-SQLMetrics history for the three queries whose
+        # runtime behavior matters most at scale (full table in METRICS.md;
+        # this keeps a per-round trace in the recorded bench line). collect()
+        # so each df's own QueryExecution carries the populated metrics.
+        from datalakejson_spark.plans.metrics import executed_summary
+
+        em = {}
+        for name in ("g3_flagship_pricing_summary", "j3_star_join_revenue",
+                     "l2_minhash_lsh_pairs"):
+            df = specs[name].fn(spark, sf_dir)
+            df.collect()
+            s = executed_summary(df)
+            em[name] = {
+                "shuffle_bytes": s["shuffle_bytes"],
+                "spill_bytes": s["spill_bytes"],
+                "scan_rows": s["scan_rows"],
+                "n_broadcasts": s["n_broadcasts"],
+            }
+        payload["executed_metrics"] = em
+    except Exception:  # noqa: BLE001
+        pass
+    try:
         # sf1 tier: one decade of measured scaling for the headline set.
         # Exponent e = log10(t_sf1 / t_sf0.1): e≈0 = overhead-dominated,
         # e≈1 = linear, e>1.1 = worse than ~O(n log n) over the decade.
