@@ -13,8 +13,11 @@ Scale notes:
 - MinHash-LSH is the standard shingle → k-minhash → band-bucket pipeline: the
   only shuffle of the wide explode is the per-doc signature aggregation;
   candidate generation joins on (band, band_hash) buckets, never all-pairs.
-- SimHash emits one 16-bit signature per doc; near-dup lookup is then a
-  cheap self-join on signature (optionally with rotations for hamming>0).
+- SimHash: l2b keeps the compact 16-bit signature demo; the PAIRING path
+  (l2f) uses a 64-bit signature as four 16-bit md5 lanes, banded by lane —
+  65536 bucket values per band keeps candidate pairs O(collisions) as the
+  corpus grows (the 16-bit/4-bit-nibble banding went quadratic: 115 s at
+  sf1, caught by tools/scale_smoke.py).
 """
 
 from __future__ import annotations
@@ -32,11 +35,13 @@ SHINGLE = 3  # 3-word shingles
 SIMHASH_BITS = 16
 
 
-def _hex4_to_int(expr: str) -> str:
-    """Portable SQL: first 4 hex chars of md5 ``expr`` -> int in [0, 65535).
-    Same text parses in Spark SQL and DuckDB (instr/substr are shared)."""
+def _hex4_to_int(expr: str, offset: int = 0) -> str:
+    """Portable SQL: hex chars [offset+1, offset+4] of md5 ``expr`` -> int
+    in [0, 65535]. Same text parses in Spark SQL and DuckDB (instr/substr
+    are shared). Disjoint offsets give independent 16-bit hashes from one
+    md5 — the lane trick MinHash uses, reused for the wide SimHash."""
     digits = []
-    for i in range(1, 5):
+    for i in range(offset + 1, offset + 5):
         digits.append(
             f"(instr('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)"
         )
@@ -329,48 +334,136 @@ def l2b_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_LANES = 4  # 4 x 16-bit lane signatures = one 64-bit wide SimHash
+
+_LANE_HASHES = [_hex4_to_int("word", 4 * k) for k in range(SIMHASH_LANES)]
+_WIDE_VOTES = ",\n           ".join(
+    f"sum(CASE WHEN (h{k} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}_{i}"
+    for k in range(SIMHASH_LANES)
+    for i in range(SIMHASH_BITS)
+)
+_WIDE_COMBINE = ",\n           ".join(
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN v{k}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    + f" AS BIGINT) AS s{k}"
+    for k in range(SIMHASH_LANES)
+)
+_WIDE_HAMMING = " + ".join(
+    f"bit_count(xor(a.s{k}, b.s{k}))" for k in range(SIMHASH_LANES)
+)
+_LANE_COLS = ", ".join(f"s{k}" for k in range(SIMHASH_LANES))
+
 _L2F_SQL = f"""
-    WITH sigs AS ({_L2B_SQL}),
+    WITH words AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+           {", ".join(f"{h} AS h{k}" for k, h in enumerate(_LANE_HASHES))}
+        FROM words
+    ),
+    votes AS (
+        SELECT doc_id,
+           {_WIDE_VOTES}
+        FROM hashed
+        GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id,
+           {_WIDE_COMBINE}
+        FROM votes
+    ),
     bands AS (
-        SELECT doc_id, simhash, i AS band, (simhash >> (4 * i)) & 15 AS band_val
+        SELECT doc_id, {_LANE_COLS}, i AS band,
+               CASE i WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END
+                   AS band_val
         FROM sigs, unnest([0, 1, 2, 3]) AS t(i)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           CAST({_WIDE_HAMMING} AS INT) AS hamming
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
                 AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WHERE {_WIDE_HAMMING} <= 3
 """
+
+
+def simhash_wide_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, s0..s3) — a 64-bit SimHash as four independent 16-bit lane
+    signatures, each from a disjoint md5 hex lane of the word hash (the
+    same lane trick as MinHash). Kept as four columns because the four
+    lanes ARE the LSH bands: hamming <= 3 over 64 bits leaves at least one
+    lane untouched (pigeonhole), and 16-bit lane equality gives 65536
+    bucket values per band — bucket sizes stay O(n / 65536), so candidate
+    pairs scale near-linearly. (The narrow 16-bit signature of l2b banded
+    into 4-bit nibbles has only 16 bucket values: buckets grow with n and
+    pairs quadratically — measured 115 s at sf1 vs 8 s for this scheme.)"""
+    words = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(text_col, " "))).alias("word")
+    )
+    hashed = words.select(
+        F.col(id_col),
+        *[F.expr(h).alias(f"h{k}") for k, h in enumerate(_LANE_HASHES)],
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"h{k}"), i).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{k}_{i}")
+            for k in range(SIMHASH_LANES)
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    combines = [
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN v{k}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+                for i in range(SIMHASH_BITS)
+            )
+        ).cast("bigint").alias(f"s{k}")
+        for k in range(SIMHASH_LANES)
+    ]
+    return votes.select(F.col(id_col), *combines)
 
 
 @register("l2f_simhash_pairs", survey="L2", sql=_L2F_SQL, extended=True)
 def l2f_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming distance ≤ 3, via 4-bit banding:
-    any two 16-bit signatures differing in ≤ 3 bits leave at least one of
-    the four nibbles untouched (pigeonhole), so joining on (band, nibble)
-    is COMPLETE for the threshold while staying O(bucket collisions) — the
-    same never-all-pairs shape as MinHash banding, but over one integer
-    signature instead of an 8-lane sketch."""
-    sigs = l2b_simhash_signatures(spark, sf_dir)
+    """SimHash near-dup pairs at hamming distance <= 3 over a 64-bit
+    signature, banded by its four 16-bit lanes: the pigeonhole bound makes
+    the band join COMPLETE for the threshold, and 65536 bucket values per
+    band keep it O(collisions) as the corpus grows. This replaces the
+    16-bit/4-bit-nibble formulation, whose 16 bucket values made candidate
+    pairs quadratic in corpus size (the sf1 scale smoke caught it: 115 s
+    at 50k docs; this shape runs the same tier in ~8 s)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_wide_signatures(docs)
+    lane_cols = [f"s{k}" for k in range(SIMHASH_LANES)]
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(k).alias("band"), F.col(f"s{k}").alias("band_val"))
+            for k in range(SIMHASH_LANES)
+        ]
+    )
     bands = sigs.select(
+        "doc_id", *lane_cols, F.explode(band_structs).alias("bb")
+    ).select(
         "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash", 4 * i).bitwiseAND(15).alias("band_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+        *lane_cols,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_val").alias("band_val"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = sum(
+        F.bit_count(F.col(f"a.s{k}").bitwiseXOR(F.col(f"b.s{k}")))
+        for k in range(SIMHASH_LANES)
     ).cast("int")
     return (
         a.join(

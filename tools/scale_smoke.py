@@ -1,0 +1,51 @@
+"""Scale smoke: execute EVERY registered query against a scaled tier.
+
+``python tools/scale_smoke.py [sf_dir]`` (default the cached sf1 tier,
+generating it if missing) runs all 137 registered queries end-to-end via
+the noop sink and reports per-query wall time and any failure. The oracle
+verifies correctness at sf0.01; this proves the whole registry *executes*
+one decade up — no plan blows up, no operator hits a size cliff — and
+prints the slowest tail for perf attention.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    from make_scaled_sf import make_scaled_sf
+
+    from datalakejson_spark.registry import all_specs
+    from datalakejson_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/datalakejson_sf1"
+    if not Path(sf_dir).exists():
+        make_scaled_sf("/root/testdata/sf0.1", sf_dir, 10)
+    spark = get_spark("scale-smoke")
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, spec in sorted(all_specs().items()):
+        t0 = time.time()
+        try:
+            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 2)
+        except Exception as exc:  # noqa: BLE001 — report, keep smoking
+            failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:120]}"
+    total = round(sum(timings.values()), 1)
+    print(f"{len(timings)} ok / {len(failures)} failed, total {total}s")
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1])[:10]:
+        print(f"  slowest: {name} {t}s")
+    for name, err in failures.items():
+        print(f"  FAILED: {name}: {err}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
