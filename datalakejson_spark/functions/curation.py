@@ -337,6 +337,105 @@ def l7b_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def decontaminate_semantic_lsh(
+    corpus_emb: DataFrame, eval_emb: DataFrame
+) -> DataFrame:
+    """The 100 TB shape of l7b: corpus rows score cosine ONLY against eval
+    items sharing a random-hyperplane LSH bucket in at least one table
+    (similarity.lsh_bucket — the l3b machinery), instead of |corpus|×|eval|
+    brute force. For the contamination regime (cosine ≥ 0.9 ⇒ angle ≤ 26°)
+    per-plane collision ≈ 0.86, so 4 tables × 3 planes give ≈ 0.98 recall
+    while pruning the candidate space ≈ 8× per table. Returns
+    (vec_id, max_eval_cosine) for FLAGGED rows only — at scale the clean
+    rows (the overwhelming majority) never score a single pair. Both
+    inputs must carry (vec_id, embedding)."""
+    from datalakejson_spark.functions.similarity import cosine_expr, lsh_bucket
+
+    ev_b = lsh_bucket(eval_emb).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_emb"),
+        "table",
+        "bucket",
+    )
+    corpus_b = lsh_bucket(corpus_emb).select(
+        "vec_id", F.col("embedding").alias("c_emb"), "table", "bucket"
+    )
+    cos = F.round(cosine_expr("c_emb", "e_emb"), 6)
+    return (
+        corpus_b.join(F.broadcast(ev_b), ["table", "bucket"])
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_eval_cosine"))
+        .filter(F.col("max_eval_cosine") >= DECON_COSINE_THRESHOLD)
+    )
+
+
+_L7C_SQL = f"""
+    -- The LSH-bucketed result is approximation-defined, so the checkable
+    -- contract is RECALL over the exact answer (the l3b pattern): the Spark
+    -- side computes the EXACT contaminated set (l7b's pipeline) and emits,
+    -- per contaminated row, whether the bucketed path flagged it. The
+    -- oracle asserts the bucketed path caught every one (deterministic:
+    -- planes are md5-derived, vectors are fixtures). Leakage scenario: the
+    -- corpus CONTAINS the benchmark slice (verbatim leakage, cosine 1.0 —
+    -- identical vectors share every bucket, so LSH recall is exactly 1)
+    -- plus any paraphrase-level near-dups.
+    WITH ev AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+    )
+    SELECT c.vec_id, true AS caught_by_lsh
+    FROM corpus c CROSS JOIN ev e
+    GROUP BY c.vec_id
+    HAVING max(round({_EMB_DOT} / ({_EMB_NORM_C} * {_EMB_NORM_E}), 6))
+           >= {DECON_COSINE_THRESHOLD}
+"""
+
+
+@register(
+    "l7c_decontamination_lsh", survey="L7,L3", extended=True, sql=_L7C_SQL
+)
+def l7c_decontamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract of the LSH-bucketed semantic decontamination
+    (decontaminate_semantic_lsh) against the exact answer: every
+    exactly-contaminated corpus row must be flagged by the bucketed path.
+    The leakage scenario keeps the benchmark slice INSIDE the corpus —
+    verbatim leakage at cosine 1.0 (identical vectors share every bucket:
+    LSH recall exactly 1) plus whatever paraphrase-level near-dups the
+    fixture holds. The registered query IS the verification harness (the
+    exact pipeline runs inside, like l3b); production calls
+    decontaminate_semantic_lsh alone — that path never goes all-pairs."""
+    from datalakejson_spark.functions.similarity import cosine_expr as _cos
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = emb  # leakage scenario: benchmark rows live in the corpus
+    exact = (
+        corpus.select("vec_id", F.col("embedding").alias("c_emb"))
+        .crossJoin(
+            F.broadcast(
+                ev.select(F.col("vec_id").alias("eval_id"),
+                          F.col("embedding").alias("e_emb"))
+            )
+        )
+        .select("vec_id", F.round(_cos("c_emb", "e_emb"), 6).alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+        .filter(F.col("max_cos") >= DECON_COSINE_THRESHOLD)
+    )
+    flagged = decontaminate_semantic_lsh(corpus, ev)
+    # A miss drops the row from the semi join ⇒ fewer rows than the oracle's
+    # exact contaminated set ⇒ the driver's rows_match fails. Catching all ⇒
+    # exact parity.
+    return (
+        exact.select("vec_id")
+        .join(flagged.select("vec_id"), "vec_id", "leftsemi")
+        .select("vec_id", F.lit(True).alias("caught_by_lsh"))
+    )
+
+
 # --------------------------------------------------------------------------
 # L14: unigram surprisal (LM-proxy quality signal)
 # --------------------------------------------------------------------------
