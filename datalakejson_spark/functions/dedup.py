@@ -283,100 +283,126 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # L2b: SimHash signatures
 # --------------------------------------------------------------------------
-_WORD_HASH = _hex4_to_int("word")
-_SIMHASH_VOTES = ",\n           ".join(
-    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
-    for i in range(SIMHASH_BITS)
-)
-_SIMHASH_COMBINE = " + ".join(
-    f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
-)
+SIMHASH_LANES = 4  # 4 x 16-bit lane signatures = one 64-bit wide SimHash
 
-_L2B_SQL = f"""
-    WITH words AS (
+
+def _simhash_sigs_sql(lanes: int) -> str:
+    """words -> hashed -> votes -> sigs CTE chain for a ``lanes`` x 16-bit
+    SimHash — THE one definition of the hash/vote/combine math on the
+    DuckDB side. l2b is the 1-lane instance, l2f the 4-lane one; an edit
+    here changes both formulations in lockstep (the _min_lane_signatures
+    single-definition rule, applied to SimHash)."""
+    lane_hashes = ",\n           ".join(
+        f"{_hex4_to_int('word', 4 * k)} AS h{k}" for k in range(lanes)
+    )
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h{k} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}_{i}"
+        for k in range(lanes)
+        for i in range(SIMHASH_BITS)
+    )
+    combine = ",\n           ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN v{k}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(SIMHASH_BITS)
+        )
+        + f" AS BIGINT) AS s{k}"
+        for k in range(lanes)
+    )
+    return f"""words AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
         FROM documents
     ),
     hashed AS (
-        SELECT doc_id, {_WORD_HASH} AS h FROM words
+        SELECT doc_id,
+           {lane_hashes}
+        FROM words
     ),
     votes AS (
         SELECT doc_id,
-           {_SIMHASH_VOTES}
+           {votes}
         FROM hashed
         GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id,
+           {combine}
+        FROM votes
+    )"""
+
+
+def simhash_wide_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lanes: int = SIMHASH_LANES,
+) -> DataFrame:
+    """(id, s0..s{lanes-1}) — a SimHash of ``lanes`` independent 16-bit lane
+    signatures, each from a disjoint md5 hex lane of the word hash (the
+    same lane trick as MinHash). THE one Spark-side definition (l2b = the
+    1-lane instance). Kept as one column per lane because the lanes ARE the
+    LSH bands: hamming <= lanes-1 over the full signature leaves at least
+    one lane untouched (pigeonhole), and 16-bit lane equality gives 65536
+    bucket values per band — bucket sizes stay O(n / 65536), so candidate
+    pairs scale near-linearly. (The narrow 16-bit signature banded into
+    4-bit nibbles has only 16 bucket values: buckets grow with n and pairs
+    quadratically — measured 115 s at sf1 vs ~4 s for this scheme.)"""
+    words = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(text_col, " "))).alias("word")
     )
-    SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM votes
+    hashed = words.select(
+        F.col(id_col),
+        *[F.expr(_hex4_to_int("word", 4 * k)).alias(f"h{k}") for k in range(lanes)],
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"h{k}"), i).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{k}_{i}")
+            for k in range(lanes)
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    combines = [
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN v{k}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+                for i in range(SIMHASH_BITS)
+            )
+        ).cast("bigint").alias(f"s{k}")
+        for k in range(lanes)
+    ]
+    return votes.select(F.col(id_col), *combines)
+
+
+_L2B_SQL = f"""
+    WITH {_simhash_sigs_sql(1)}
+    SELECT doc_id, s0 AS simhash FROM sigs
 """
 
 
 @register("l2b_simhash_signatures", survey="L2", sql=_L2B_SQL, extended=True)
 # extended: L2 driver coverage via l2_minhash_lsh_pairs/l2c/l2d/l2e
 def l2b_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document from md5 word hashes: per-bit ±1 votes,
-    sign-combined. Near-dup docs land on nearby signatures; pairing is then a
-    signature self-join (tested in tests/test_tierc.py)."""
+    """16-bit SimHash per document (the 1-lane instance of
+    simhash_wide_signatures): per-bit ±1 votes over md5 word hashes,
+    sign-combined. Compact signature demo; the PAIRING path is l2f's
+    4-lane form."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
-    )
-    hashed = words.select("doc_id", F.expr(_WORD_HASH).alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(SIMHASH_BITS)
-        ]
-    )
-    return votes.select(
-        "doc_id", F.expr(_SIMHASH_COMBINE).cast("bigint").alias("simhash")
+    return simhash_wide_signatures(docs, lanes=1).select(
+        "doc_id", F.col("s0").alias("simhash")
     )
 
 
-SIMHASH_LANES = 4  # 4 x 16-bit lane signatures = one 64-bit wide SimHash
-
-_LANE_HASHES = [_hex4_to_int("word", 4 * k) for k in range(SIMHASH_LANES)]
-_WIDE_VOTES = ",\n           ".join(
-    f"sum(CASE WHEN (h{k} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}_{i}"
-    for k in range(SIMHASH_LANES)
-    for i in range(SIMHASH_BITS)
-)
-_WIDE_COMBINE = ",\n           ".join(
-    "CAST("
-    + " + ".join(
-        f"(CASE WHEN v{k}_{i} > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
-    )
-    + f" AS BIGINT) AS s{k}"
-    for k in range(SIMHASH_LANES)
-)
 _WIDE_HAMMING = " + ".join(
     f"bit_count(xor(a.s{k}, b.s{k}))" for k in range(SIMHASH_LANES)
 )
 _LANE_COLS = ", ".join(f"s{k}" for k in range(SIMHASH_LANES))
 
 _L2F_SQL = f"""
-    WITH words AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
-        FROM documents
-    ),
-    hashed AS (
-        SELECT doc_id,
-           {", ".join(f"{h} AS h{k}" for k, h in enumerate(_LANE_HASHES))}
-        FROM words
-    ),
-    votes AS (
-        SELECT doc_id,
-           {_WIDE_VOTES}
-        FROM hashed
-        GROUP BY doc_id
-    ),
-    sigs AS (
-        SELECT doc_id,
-           {_WIDE_COMBINE}
-        FROM votes
-    ),
+    WITH {_simhash_sigs_sql(SIMHASH_LANES)},
     bands AS (
         SELECT doc_id, {_LANE_COLS}, i AS band,
                CASE i WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END
@@ -392,48 +418,6 @@ _L2F_SQL = f"""
 """
 
 
-def simhash_wide_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, s0..s3) — a 64-bit SimHash as four independent 16-bit lane
-    signatures, each from a disjoint md5 hex lane of the word hash (the
-    same lane trick as MinHash). Kept as four columns because the four
-    lanes ARE the LSH bands: hamming <= 3 over 64 bits leaves at least one
-    lane untouched (pigeonhole), and 16-bit lane equality gives 65536
-    bucket values per band — bucket sizes stay O(n / 65536), so candidate
-    pairs scale near-linearly. (The narrow 16-bit signature of l2b banded
-    into 4-bit nibbles has only 16 bucket values: buckets grow with n and
-    pairs quadratically — measured 115 s at sf1 vs 8 s for this scheme.)"""
-    words = df.select(
-        F.col(id_col), F.explode(F.array_distinct(F.split(text_col, " "))).alias("word")
-    )
-    hashed = words.select(
-        F.col(id_col),
-        *[F.expr(h).alias(f"h{k}") for k, h in enumerate(_LANE_HASHES)],
-    )
-    votes = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"h{k}"), i).bitwiseAND(1) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{k}_{i}")
-            for k in range(SIMHASH_LANES)
-            for i in range(SIMHASH_BITS)
-        ]
-    )
-    combines = [
-        F.expr(
-            " + ".join(
-                f"(CASE WHEN v{k}_{i} > 0 THEN {1 << i} ELSE 0 END)"
-                for i in range(SIMHASH_BITS)
-            )
-        ).cast("bigint").alias(f"s{k}")
-        for k in range(SIMHASH_LANES)
-    ]
-    return votes.select(F.col(id_col), *combines)
-
-
 @register("l2f_simhash_pairs", survey="L2", sql=_L2F_SQL, extended=True)
 def l2f_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming distance <= 3 over a 64-bit
@@ -442,7 +426,10 @@ def l2f_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keep it O(collisions) as the corpus grows. This replaces the
     16-bit/4-bit-nibble formulation, whose 16 bucket values made candidate
     pairs quadratic in corpus size (the sf1 scale smoke caught it: 115 s
-    at 50k docs; this shape runs the same tier in ~8 s)."""
+    at 50k docs; this shape runs the same tier in ~4 s). The self-join is
+    hinted sort-merge for the same reason as lsh_candidate_pairs: a
+    broadcast side could never ReuseExchange against the other side's
+    shuffle, and the 64-vote signature aggregate would execute twice."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_wide_signatures(docs)
     lane_cols = [f"s{k}" for k in range(SIMHASH_LANES)]
@@ -460,7 +447,7 @@ def l2f_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.band").alias("band"),
         F.col("bb.band_val").alias("band_val"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
     hamming = sum(
         F.bit_count(F.col(f"a.s{k}").bitwiseXOR(F.col(f"b.s{k}")))
         for k in range(SIMHASH_LANES)

@@ -75,3 +75,39 @@ def test_top_token_share_bounds(spark):
         assert 0 < r.top_share <= 1
         assert r.top_token_count <= r.n_tokens
         assert r.repetitive == (r.top_share > 0.2)
+
+
+def test_lsh_decontamination_recall(spark):
+    """The probabilistic half of l7c's contract: verbatim leaks (cos 1.0)
+    are caught with certainty, and paraphrase-level contaminated rows
+    (0.9 <= cos < 1) at a high fraction — the 4-table x 3-plane recall the
+    decontaminate_semantic_lsh docstring claims (~0.98 in this regime)."""
+    import pyspark.sql.functions as F
+
+    from datalakejson_spark.functions.curation import (
+        DECON_COSINE_THRESHOLD,
+        decontaminate_semantic_lsh,
+    )
+    from datalakejson_spark.functions.similarity import cosine_expr
+    from datalakejson_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    exact = (
+        emb.select("vec_id", F.col("embedding").alias("c_emb"))
+        .crossJoin(
+            F.broadcast(ev.select(F.col("embedding").alias("e_emb")))
+        )
+        .select("vec_id", F.round(cosine_expr("c_emb", "e_emb"), 6).alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+        .filter(F.col("max_cos") >= DECON_COSINE_THRESHOLD)
+    )
+    flagged = {r.vec_id for r in decontaminate_semantic_lsh(emb, ev).collect()}
+    verbatim = {r.vec_id for r in exact.filter("max_cos >= 0.999999").collect()}
+    near = {r.vec_id for r in exact.filter("max_cos < 0.999999").collect()}
+    assert verbatim, "fixture must contain verbatim leaks (eval ⊂ corpus)"
+    assert verbatim <= flagged  # guaranteed: identical vectors, all buckets
+    if near:  # probabilistic tier: hold the docstring's recall claim
+        recall = len(near & flagged) / len(near)
+        assert recall >= 0.9, (recall, len(near))

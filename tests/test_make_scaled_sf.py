@@ -61,8 +61,15 @@ def test_document_replicas_are_not_near_dups(scaled_dir):
     dst = pq.read_table(f"{scaled_dir}/documents.parquet")
     n = src.num_rows
     base_text = src["text"][0].as_py()
-    rep_texts = [t.as_py() for t in dst["text"] if t.as_py().startswith("r1")]
-    assert len(rep_texts) == n  # replica 1 fully tagged
+    # replica 1 identified by its doc_id window — text-prefix matching would
+    # also catch r10+ tags at factor >= 11, or source docs starting with "r1"
+    off = max(src["doc_id"].to_pylist()) + 1
+    rep_texts = [
+        t.as_py()
+        for t, d in zip(dst["text"], dst["doc_id"].to_pylist())
+        if off <= d < 2 * off
+    ]
+    assert len(rep_texts) == n  # replica 1 fully present
 
     def shingles(text):
         w = text.split(" ")

@@ -269,3 +269,15 @@ def test_nested_schema_pruning_reaches_scan(spark, tmp_path):
     assert "app_version" in read_schema
     assert "user_agent" not in read_schema and "blob" not in read_schema
     assert df.count() == 100
+
+
+def test_simhash_pipeline_executes_once(spark):
+    """l2f's self-join must ReuseExchange like l2's (the merge hint): a
+    broadcast side would force the 64-vote signature pipeline to execute
+    twice — one scan, one shared exchange."""
+    df = all_specs()["l2f_simhash_pairs"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
+    assert "ReusedExchange" in final, final

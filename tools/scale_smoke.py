@@ -1,11 +1,12 @@
 """Scale smoke: execute EVERY registered query against a scaled tier.
 
 ``python tools/scale_smoke.py [sf_dir]`` (default the cached sf1 tier,
-generating it if missing) runs all 137 registered queries end-to-end via
-the noop sink and reports per-query wall time and any failure. The oracle
+generating it if missing) runs every registered query end-to-end via the
+noop sink and reports per-query wall time and any failure. The oracle
 verifies correctness at sf0.01; this proves the whole registry *executes*
 one decade up — no plan blows up, no operator hits a size cliff — and
-prints the slowest tail for perf attention.
+prints the slowest tail for perf attention. (It caught l2f's quadratic
+banding in round 6: 115 s against an 8 s field.)
 """
 
 from __future__ import annotations
