@@ -283,10 +283,20 @@ def g13_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # G14: argument-selection + conditional aggregates (max_by/min_by/count_if)
 # --------------------------------------------------------------------------
-_G14_SQL = """
+# The max_by/min_by ordering key: (ts, event_id) encoded as one fixed-width
+# sortable string, because a bare ts is NOT unique (the sf1 tier replicates
+# timestamps) and argmax under ties is engine-arbitrary — the sf1 oracle
+# caught Spark and DuckDB picking different rows. DuckDB's arg_max has no
+# struct-key overload, so the composite key is stringified identically on
+# both sides (zero-padded: lexicographic == numeric order).
+_G14_KEY_SQL = (
+    "lpad(CAST(epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) "
+    "AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+_G14_SQL = f"""
     SELECT event_type,
-           arg_max(event_id, ts) AS latest_event_id,
-           arg_min(event_id, ts) AS earliest_event_id,
+           arg_max(event_id, {_G14_KEY_SQL}) AS latest_event_id,
+           arg_min(event_id, {_G14_KEY_SQL}) AS earliest_event_id,
            CAST(count_if(value > 3.0) AS BIGINT) AS n_high_value
     FROM events
     GROUP BY 1
@@ -297,14 +307,19 @@ _G14_SQL = """
 def g14_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argument-selection aggregates: the row-valued companions of min/max
     (``max_by``/``min_by`` = DuckDB ``arg_max``/``arg_min``) plus
-    ``count_if`` — one two-phase hash aggregate, no window, no self-join
-    (the naive 'latest row per group' via join-back-on-max-ts costs an
-    extra shuffle and breaks on ts ties; event timestamps here are unique
-    per type so both engines select identical rows)."""
+    ``count_if`` — one two-phase hash aggregate, no window, no self-join.
+    The ordering key is (ts, event_id) as a zero-padded string: ties on a
+    bare ts would make the selected row engine-arbitrary (the sf1 oracle
+    tier proved it), and a unique composite key is the production pattern
+    for deterministic latest-row-per-group anyway."""
     events = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
     return events.groupBy("event_type").agg(
-        F.max_by("event_id", "ts").alias("latest_event_id"),
-        F.min_by("event_id", "ts").alias("earliest_event_id"),
+        F.max_by("event_id", key).alias("latest_event_id"),
+        F.min_by("event_id", key).alias("earliest_event_id"),
         F.count_if(F.col("value") > 3.0).alias("n_high_value"),
     )
 

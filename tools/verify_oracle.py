@@ -20,7 +20,12 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override to run the full cross-engine gate at another tier, e.g. the
+# generated sf1 (SPARK_GRAFT_VERIFY_SF=/tmp/datalakejson_sf1) — correctness
+# at scale, not just execution.
+import os  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -117,7 +122,8 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet"
+            + ("/*.parquet')" if Path(f"{SF_DIR}/{t}.parquet").is_dir() else "')")
         )
 
     n_pass = n_soft = n_fail = n_rows_only = 0
