@@ -252,30 +252,44 @@ def bench_dedup(spark, sf_dir: str, batch_factor: int = 1) -> tuple[int, float]:
 
 
 def bench_multimodal(spark) -> dict[str, int]:
-    """Decode-tier counts over a synthetic asset mix (real uncompressed
-    PPM/BMP + compressed-format payloads with no codec + nulls) — surfaces
-    which codec tier produced each feature row (FEATURE_SCHEMA.decode_tier)
-    so a consumer can audit how many embeddings are real vs labeled stubs
-    in this environment."""
+    """Decode-tier counts over a synthetic asset mix — real uncompressed
+    PPM plus, since r6, real COMPRESSED formats (PNG via stdlib zlib,
+    baseline JPEG via numpy — imagecodecs.py), a no-codec format (GIF),
+    malformed payloads, and nulls. Keys are ``tier`` or ``tier_failed`` so
+    a consumer can audit how many embeddings are real decodes vs labeled
+    stubs vs failed attempts in this environment."""
+    import numpy as np
+
+    from datalakejson_spark.functions.imagecodecs import encode_jpeg, encode_png
     from datalakejson_spark.functions.multimodal import ASSET_SCHEMA, extract_features
 
-    def ppm(i: int) -> bytes:
-        body = bytes((i + j) % 256 for j in range(4 * 4 * 3))
-        return b"P6\n4 4\n255\n" + body
+    def pixels(i: int) -> "np.ndarray":
+        return np.arange(i, i + 4 * 4 * 3, dtype=np.int64).astype(np.uint8).reshape(4, 4, 3)
 
     rows = []
-    for i in range(24):
-        rows.append((f"ppm_{i}", "image", ppm(i), None))
     for i in range(16):
-        rows.append((f"jpeg_{i}", "image", b"\xff\xd8\xff\xe0" + bytes([i]) * 64, None))
+        rows.append((f"ppm_{i}", "image", b"P6\n4 4\n255\n" + pixels(i).tobytes(), None))
+    for i in range(8):
+        rows.append((f"png_{i}", "image", encode_png(pixels(i)), None))
+        rows.append(
+            (f"jpg_{i}", "image", encode_jpeg(pixels(i).astype("float32")), None)
+        )
+    for i in range(8):
+        rows.append((f"jpeg_bad_{i}", "image", b"\xff\xd8\xff\xe0" + bytes([i]) * 64, None))
+        rows.append((f"gif_{i}", "image", b"GIF89a" + bytes([i]) * 64, None))
     rows.append(("null", "image", None, None))
     assets = spark.createDataFrame(rows, ASSET_SCHEMA)
     import pyspark.sql.functions as F
 
+    tier = F.when(F.col("decoded_ok"), F.col("decode_tier")).otherwise(
+        F.when(F.col("decode_tier") == "none", "none").otherwise(
+            F.concat_ws("_", "decode_tier", F.lit("failed"))
+        )
+    )
     return {
-        r.decode_tier: r.n
+        r.tier: r.n
         for r in extract_features(assets)
-        .groupBy("decode_tier")
+        .groupBy(tier.alias("tier"))
         .agg(F.count("*").alias("n"))
         .collect()
     }

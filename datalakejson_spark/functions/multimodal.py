@@ -5,10 +5,13 @@ struct, read via ``spark.read.format("binaryFile")`` or carried as columns in
 parquet. The Spark-side plumbing — schemas, partition-friendly layout,
 Arrow-batched UDF signatures — is real and tested; the codec step is a
 THREE-TIER gate (``decode_image``): Pillow where importable (all formats),
-a pure-numpy decoder for uncompressed PPM/BMP (REAL pixel decode — runs and
-is tested in this container, r5), and a clearly-marked deterministic stub
-only for compressed formats with no codec present. Audio/video codecs slot
-into the same gate (ffmpeg), the dataflow is unchanged.
+a pure-numpy/stdlib decoder tier for PPM/BMP (r5) AND the compressed
+PNG/baseline-JPEG formats (r6, imagecodecs.py — REAL pixel decode, runs and
+is tested in this container), and a clearly-marked deterministic stub only
+for formats outside that set with no codec present (GIF/WebP/TIFF/...).
+Audio gains real IMA-ADPCM compressed decode (audiocodecs.py) beside PCM;
+compressed video containers (mp4) still need the ffmpeg gate — the dataflow
+is unchanged either way.
 
 Scale notes: media blobs are large and incompressible — never a shuffle key,
 never broadcast. The pattern is: derive features per-partition (mapInPandas),
@@ -85,7 +88,8 @@ def _has_pil() -> bool:
 
 
 def _decode_image_stub(payload: bytes) -> list[float] | None:
-    """STUB for the codec step (PIL/torchvision not available here).
+    """STUB for the codec step — reached only for formats outside the real
+    numpy tier (PPM/BMP/PNG/JPEG), e.g. GIF/WebP/TIFF, when PIL is absent.
 
     Deterministic fake: 8 floats derived from the sha256 digest — stands in
     for a real decode→resize→embed pipeline while keeping every Spark-side
@@ -198,15 +202,24 @@ def _decode_bmp_numpy(payload: bytes):
 
 
 def _decode_image_numpy(payload: bytes) -> list[float] | None:
-    """Middle codec tier: REAL pixel decode for uncompressed formats (PPM
-    P6, 24-bit BMP) with only numpy — available in any PySpark worker. A
-    payload that CLAIMS one of these formats but is malformed returns None
-    (decoded_ok=False), same contract as the PIL tier."""
+    """Middle codec tier: REAL pixel decode with only numpy + stdlib —
+    available in any PySpark worker. Uncompressed formats (PPM P6, 24-bit
+    BMP) plus, since r6, the COMPRESSED formats PNG (stdlib zlib DEFLATE +
+    numpy unfiltering) and baseline JPEG (numpy Huffman/IDCT) via
+    imagecodecs.py. A payload that CLAIMS one of these formats but is
+    malformed returns None (decoded_ok=False), same contract as the PIL
+    tier."""
+    from datalakejson_spark.functions.imagecodecs import decode_jpeg, decode_png
+
     arr = (
         _decode_ppm_numpy(payload)
         if payload.startswith(b"P6")
         else _decode_bmp_numpy(payload)
         if payload.startswith(b"BM")
+        else decode_png(payload)
+        if payload.startswith(b"\x89PNG")
+        else decode_jpeg(payload)
+        if payload.startswith(b"\xff\xd8")
         else False  # sentinel: not a numpy-decodable format at all
     )
     if arr is False:
@@ -223,10 +236,11 @@ def decode_image_tiered(
     """The L5 codec gate (ADVICE r03) with tier attribution: returns
     ``(features, tier)`` where tier ∈ DECODE_TIERS records which codec
     produced (or attempted) the decode. Three tiers: Pillow when importable
-    (all formats); else a pure-numpy decoder for uncompressed PPM/BMP (REAL
-    pixels — this tier runs and is tested in this container); else the
-    clearly-marked deterministic stub for compressed formats without a
-    codec. A malformed payload keeps its attempting tier's label with
+    (all formats); else a pure-numpy/stdlib decoder for PPM/BMP/PNG/baseline-
+    JPEG (REAL pixels, compressed formats included — this tier runs and is
+    tested in this container); else the clearly-marked deterministic stub
+    for remaining formats (GIF/WebP/TIFF/...) without a codec. A malformed
+    payload keeps its attempting tier's label with
     features None (decoded_ok=False downstream). ``use_pil`` forces the
     first branch on/off for tests."""
     if payload is None:
@@ -311,9 +325,11 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def decode_wav(payload: bytes):
-    """Pure-numpy PCM WAV decode (RIFF/WAVE, format 1, 8/16-bit): returns
-    (sample_rate, mono float array in [-1, 1]) or None for malformed or
-    compressed payloads — the audio analogue of the PPM/BMP image tier."""
+    """Pure-numpy WAV decode: PCM (RIFF/WAVE format 1, 8/16-bit) and, since
+    r6, COMPRESSED IMA ADPCM (format 0x11, audiocodecs.py — real 4:1
+    compressed-audio decode). Returns (sample_rate, mono float array in
+    [-1, 1]) or None for malformed/unsupported payloads — the audio analogue
+    of the PPM/BMP/PNG/JPEG image tier."""
     import struct
 
     import numpy as np
@@ -332,8 +348,15 @@ def decode_wav(payload: bytes):
             pos += 8 + size + (size & 1)  # chunks are word-aligned
         if fmt is None or data is None:
             return None
-        audio_fmt, n_ch, rate, _, _, bits = fmt
-        if audio_fmt != 1 or n_ch < 1 or rate <= 0 or bits not in (8, 16):
+        audio_fmt, n_ch, rate, _, block_align, bits = fmt
+        if n_ch < 1 or rate <= 0:
+            return None
+        if audio_fmt == 0x11:  # IMA ADPCM — real compressed-audio decode
+            from datalakejson_spark.functions.audiocodecs import decode_ima_adpcm
+
+            mono = decode_ima_adpcm(data, n_ch, block_align)
+            return None if mono is None else (rate, mono)
+        if audio_fmt != 1 or bits not in (8, 16):
             return None
         if bits == 16:
             arr = np.frombuffer(data, dtype="<i2").astype("float32") / 32768.0

@@ -1,0 +1,257 @@
+"""Compressed-format codec tests (L5, round-6: verdict "missing #1").
+
+PNG, baseline JPEG, and IMA ADPCM are implemented from their public specs
+with stdlib + numpy only (imagecodecs.py / audiocodecs.py). The encoders
+exist solely to make fixtures; to keep encoder/decoder mirror-bugs from
+self-validating, the primitives are pinned here against INDEPENDENT ground
+truth: the DCT basis against the direct DCT-II double-sum definition, the
+zigzag table against its defining diagonal walk, Huffman code assignment
+against canonical-prefix properties, PNG filters against hand-computed
+bytes, and ADPCM against the spec's step/index tables' published endpoints.
+
+No SparkSession needed — these are plain-Python worker-side functions; the
+Spark-plumbing integration (tier labels, mapInPandas batching) is covered
+in tests/test_udfs.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from datalakejson_spark.functions.audiocodecs import (
+    INDEX_TABLE,
+    STEP_TABLE,
+    encode_ima_adpcm_wav,
+)
+from datalakejson_spark.functions.imagecodecs import (
+    ZIGZAG,
+    _DCT_A,
+    build_huffman_codes,
+    _STD_AC_LUMA,
+    _STD_DC_LUMA,
+    decode_jpeg,
+    decode_png,
+    encode_jpeg,
+    encode_png,
+)
+from datalakejson_spark.functions.multimodal import decode_wav
+
+
+# ---------------------------------------------------------------- primitives
+
+
+def test_dct_basis_matches_direct_dct2_definition():
+    """The basis-matrix IDCT/FDCT must agree with the textbook DCT-II
+    double-sum — computed here independently, term by term."""
+    rng = np.random.default_rng(7)
+    block = rng.uniform(-128, 127, size=(8, 8))
+    via_basis = _DCT_A @ block @ _DCT_A.T
+    direct = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = np.sqrt(0.125) if u == 0 else 0.5
+            cv = np.sqrt(0.125) if v == 0 else 0.5
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            direct[u, v] = cu * cv * s
+    assert np.abs(via_basis - direct).max() < 1e-9
+    # and the inverse inverts
+    assert np.abs(_DCT_A.T @ via_basis @ _DCT_A - block).max() < 1e-9
+
+
+def test_zigzag_order_matches_diagonal_walk():
+    """Re-derive the zigzag order from its definition (anti-diagonals,
+    alternating direction) and compare to the hardcoded table."""
+    order = []
+    for d in range(15):
+        cells = [(i, d - i) for i in range(8) if 0 <= d - i < 8]
+        if d % 2 == 0:
+            cells.reverse()  # even diagonals walk up-right
+        order.extend(r * 8 + c for r, c in cells)
+    assert order == list(ZIGZAG)
+    # involution sanity: it is a permutation of 0..63
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+def test_huffman_codes_are_canonical_and_prefix_free():
+    for bits, vals in (_STD_DC_LUMA, _STD_AC_LUMA):
+        codes = build_huffman_codes(bits, vals)
+        assert len(codes) == sum(bits)
+        seen = []
+        for sym, (code, length) in codes.items():
+            assert code < (1 << length)
+            seen.append((length, code))
+        # prefix-free: no code is a prefix of a longer one
+        for l1, c1 in seen:
+            for l2, c2 in seen:
+                if l1 < l2:
+                    assert (c2 >> (l2 - l1)) != c1, "prefix violation"
+    # Annex C canonical property on a known table: T.81's DC luminance codes
+    dc = build_huffman_codes(*_STD_DC_LUMA)
+    assert dc[0] == (0b00, 2) and dc[1] == (0b010, 3) and dc[11] == (0b111111110, 9)
+
+
+def test_png_sub_filter_bytes_hand_computed():
+    """One row, Sub filter: encoded bytes must equal the hand-derived
+    deltas — independent of the decoder."""
+    img = np.array([[10, 20, 15, 250, 5, 7]], dtype=np.uint8)  # 2 RGB pixels
+    payload = encode_png(img.reshape(1, 2, 3), filters=1)
+    # IDAT is the third chunk (IHDR, IDAT, IEND); scanline = filter byte + data
+    off = 8 + 8 + 13 + 4  # sig + IHDR hdr + IHDR data + crc
+    (ln,) = struct.unpack_from(">I", payload, off)
+    raw = zlib.decompress(payload[off + 8 : off + 8 + ln])
+    # Sub: first pixel unchanged, second stores (cur - prev_pixel_byte) & 255
+    assert raw == bytes([1, 10, 20, 15, (250 - 10) % 256, (5 - 20) % 256, (7 - 15) % 256])
+
+
+# ---------------------------------------------------------------- PNG
+
+
+@pytest.mark.parametrize("filters", [0, 1, 2, 3, 4, [0, 1, 2, 3, 4]])
+@pytest.mark.parametrize("nch", [1, 3, 4])
+def test_png_roundtrip_all_filters(filters, nch):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 17, nch), dtype=np.uint8)
+    dec = decode_png(encode_png(img, filters=filters))
+    assert dec is not None and dec.shape == (13, 17, 3)
+    if nch == 1:
+        exp = np.repeat(img, 3, axis=2).astype(np.float32) / 255.0
+    elif nch == 3:
+        exp = img.astype(np.float32) / 255.0
+    else:  # RGBA composited over white
+        rgb = img[:, :, :3].astype(np.float32) / 255.0
+        a = img[:, :, 3:].astype(np.float32) / 255.0
+        exp = rgb * a + (1 - a)
+    assert np.abs(dec - exp).max() < 1e-6
+
+
+def test_png_rejects_malformed_and_unsupported():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(img)
+    assert decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+    assert decode_png(good[:30]) is None  # truncated
+    # flip the interlace byte inside IHDR → unsupported, not a crash
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1  # IHDR data byte 12 = interlace
+    assert decode_png(bytes(bad)) is None
+    # corrupt the DEFLATE stream → None, not an exception
+    bad = bytearray(good)
+    bad[8 + 8 + 13 + 4 + 8 + 2] ^= 0xFF
+    assert decode_png(bytes(bad)) is None
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [xx * 255.0 / w, yy * 255.0 / h, (xx + yy) * 255.0 / (w + h)], axis=2
+    ).astype(np.float32)
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_jpeg_roundtrip_psnr(subsample):
+    img = _gradient(24, 40)
+    dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=subsample))
+    assert dec is not None and dec.shape == (24, 40, 3)
+    mse = float(np.mean((dec * 255 - img) ** 2))
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    assert psnr > (45 if subsample == "444" else 35), psnr
+
+
+def test_jpeg_odd_dimensions_and_grayscale():
+    img = _gradient(17, 19)
+    for sub in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        assert dec is not None and dec.shape == (17, 19, 3)
+    g = img[:, :, 0]
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec is not None and dec.shape == (17, 19, 3)
+    # grayscale replicates channels
+    assert np.abs(dec[:, :, 0] - dec[:, :, 1]).max() < 1e-6
+
+
+def test_jpeg_uniform_block_exact():
+    """A flat image is DC-only: the decoded value is hand-computable —
+    DC = 8·(v−128), quantized by Q[0,0], dequantized, +128. Pins the whole
+    DC path (FDCT scale, quant, Huffman, IDCT) to arithmetic ground truth."""
+    v = 130.0
+    dec = decode_jpeg(encode_jpeg(np.full((16, 16, 3), v, np.float32), quality=95))
+    assert dec is not None
+    # quality 95 scales Annex-K luma Q[0,0]=16 by (200-2*95)/100 → 2 (min 1)
+    q00 = max((16 * (200 - 2 * 95) + 50) // 100, 1)
+    expected = (round(8 * (v - 128.0) / q00) * q00) / 8.0 + 128.0
+    assert np.abs(dec * 255.0 - expected).max() < 0.75  # chroma rounding slack
+
+
+def test_jpeg_rejects_malformed_and_progressive():
+    assert decode_jpeg(b"\xff\xd8\xff\xe0 fake") is None
+    good = bytearray(encode_jpeg(_gradient(8, 8), quality=80))
+    # rewrite SOF0 marker (FFC0) to SOF2 (progressive) → unsupported
+    i = bytes(good).index(b"\xff\xc0")
+    good[i + 1] = 0xC2
+    assert decode_jpeg(bytes(good)) is None
+
+
+# ---------------------------------------------------------------- IMA ADPCM
+
+
+def test_adpcm_tables_match_spec_endpoints():
+    assert len(STEP_TABLE) == 89 and STEP_TABLE[0] == 7 and STEP_TABLE[88] == 32767
+    assert list(INDEX_TABLE[:8]) == [-1, -1, -1, -1, 2, 4, 6, 8]
+    assert list(INDEX_TABLE[8:]) == list(INDEX_TABLE[:8])  # sign bit mirrors
+
+
+def test_adpcm_wav_roundtrip_snr():
+    rate = 8000
+    t = np.arange(rate) / rate
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1234 * t)
+    decoded = decode_wav(encode_ima_adpcm_wav(sig, rate))
+    assert decoded is not None
+    r, out = decoded
+    assert r == rate
+    n = min(len(out), len(sig))
+    err = out[:n] - sig[:n]
+    snr = 10 * np.log10(np.mean(sig[:n] ** 2) / np.mean(err**2))
+    assert snr > 20, snr  # 4-bit ADPCM lands ~20-30 dB on tonal content
+
+
+def test_adpcm_malformed_rejected():
+    rate = 8000
+    wav = bytearray(encode_ima_adpcm_wav(np.zeros(1000), rate))
+    # corrupt the first block's step index beyond 88
+    data_off = bytes(wav).index(b"data") + 8
+    wav[data_off + 2] = 99
+    assert decode_wav(bytes(wav)) is None
+
+
+def test_adpcm_features_flow_through_spark_path(spark):
+    """End-to-end: an ADPCM payload flows through extract_audio_features
+    with real sample-level features (decoded_ok=True, sane duration/RMS)."""
+    from datalakejson_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        extract_audio_features,
+    )
+
+    rate = 4000
+    t = np.arange(rate // 2) / rate  # 500 ms
+    wav = encode_ima_adpcm_wav(0.4 * np.sin(2 * np.pi * 440 * t), rate)
+    assets = spark.createDataFrame(
+        [("a1", "audio", wav, None), ("a2", "audio", b"RIFFjunk", None)], ASSET_SCHEMA
+    )
+    rows = {r.asset_id: r for r in extract_audio_features(assets).collect()}
+    assert rows["a1"].decoded_ok and rows["a1"].sample_rate == rate
+    assert abs(rows["a1"].duration_ms - 500) < 120  # final-block padding slack
+    assert 0.2 < rows["a1"].rms < 0.4  # sine RMS ≈ 0.4/√2 ≈ 0.283
+    assert not rows["a2"].decoded_ok

@@ -105,29 +105,42 @@ def test_l5_decode_tier_attribution(spark, tmp_path):
     keep the attempting tier's label with decoded_ok=False."""
     from datalakejson_spark.functions.multimodal import ASSET_SCHEMA
 
+    import numpy as np
+
+    from datalakejson_spark.functions.imagecodecs import encode_jpeg, encode_png
+
     px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    arr = np.array(px, dtype=np.uint8)
     assets = spark.createDataFrame(
         [
             ("ppm_ok", "image", _ppm_bytes(px), None),
             ("bmp_ok", "image", _bmp_bytes(px), None),
+            ("png_ok", "image", encode_png(arr), None),
+            ("jpeg_ok", "image", encode_jpeg(arr.astype("float32"), quality=95), None),
             ("ppm_bad", "image", b"P6\n2 2\n255\nshort", None),
-            ("jpeg_nocodec", "image", b"\xff\xd8\xff\xe0 fake jpeg", None),
+            ("jpeg_bad", "image", b"\xff\xd8\xff\xe0 fake jpeg", None),
+            ("gif_nocodec", "image", b"GIF89a fake gif", None),
             ("null_payload", "image", None, None),
         ],
         ASSET_SCHEMA,
     )
     rows = {r.asset_id: r for r in extract_features(assets).collect()}
-    assert rows["ppm_ok"].decode_tier == "numpy" and rows["ppm_ok"].decoded_ok
-    assert rows["bmp_ok"].decode_tier == "numpy" and rows["bmp_ok"].decoded_ok
+    for ok_id in ("ppm_ok", "bmp_ok", "png_ok", "jpeg_ok"):
+        assert rows[ok_id].decode_tier == "numpy" and rows[ok_id].decoded_ok, ok_id
+    # PNG is lossless: its stat embedding must match the PPM tier's exactly
+    assert rows["png_ok"].feat == rows["ppm_ok"].feat
+    # compressed-but-malformed payloads keep the attempting real tier's label
     assert rows["ppm_bad"].decode_tier == "numpy" and not rows["ppm_bad"].decoded_ok
-    assert rows["jpeg_nocodec"].decode_tier == "stub" and rows["jpeg_nocodec"].decoded_ok
+    assert rows["jpeg_bad"].decode_tier == "numpy" and not rows["jpeg_bad"].decoded_ok
+    # formats with no real decoder (GIF) still fall to the labeled stub
+    assert rows["gif_nocodec"].decode_tier == "stub" and rows["gif_nocodec"].decoded_ok
     assert rows["null_payload"].decode_tier == "none" and not rows["null_payload"].decoded_ok
     # the audit aggregation a consumer would run
     counts = {
         r.decode_tier: r.n
         for r in extract_features(assets).groupBy("decode_tier").agg(F.count("*").alias("n")).collect()
     }
-    assert counts == {"numpy": 3, "stub": 1, "none": 1}
+    assert counts == {"numpy": 6, "stub": 1, "none": 1}
 
 
 def test_l5_frame_sampling_plan(spark):
@@ -232,10 +245,13 @@ def test_l5_numpy_tier_decodes_real_pixels():
     assert feat_ppm == feat_bmp  # same pixels ⇒ same embedding, any format
     assert feat_ppm[7] == 1.0  # aspect ratio w/h = 2/2
 
-    # Malformed payload that CLAIMS a decodable format → None (not a fake).
+    # Malformed payloads that CLAIM a decodable format → None (not a fake);
+    # since r6 PNG/JPEG are real-decode formats, so their malformed payloads
+    # also land here rather than in the stub.
     assert decode_image(b"P6\n2 2\n255\nshort", use_pil=False) is None
-    # Unknown format without a codec → the labeled deterministic stub.
-    assert decode_image(b"\x89PNG...", use_pil=False) is not None
+    assert decode_image(b"\x89PNG...", use_pil=False) is None
+    # Format with no real decoder (GIF) → the labeled deterministic stub.
+    assert decode_image(b"GIF89a...", use_pil=False) is not None
 
 
 def test_l5_feature_extraction_mixed_formats(spark, tmp_path):
