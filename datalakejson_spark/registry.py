@@ -91,6 +91,7 @@ def all_specs() -> dict[str, QuerySpec]:
         math_extra,
     )
     from datalakejson_spark.functions import (  # noqa: F401
+        clusters,
         curation,
         dedup,
         similarity,
