@@ -254,13 +254,17 @@ def bench_dedup(spark, sf_dir: str, batch_factor: int = 1) -> tuple[int, float]:
 def bench_multimodal(spark) -> dict[str, int]:
     """Decode-tier counts over a synthetic asset mix — real uncompressed
     PPM plus, since r6, real COMPRESSED formats (PNG via stdlib zlib,
-    baseline JPEG via numpy — imagecodecs.py), a no-codec format (GIF),
-    malformed payloads, and nulls. Keys are ``tier`` or ``tier_failed`` so
-    a consumer can audit how many embeddings are real decodes vs labeled
-    stubs vs failed attempts in this environment."""
+    baseline JPEG and GIF-LZW via numpy — imagecodecs.py), a no-codec
+    format (TIFF), malformed payloads, and nulls. Keys are ``tier`` or
+    ``tier_failed`` so a consumer can audit how many embeddings are real
+    decodes vs labeled stubs vs failed attempts in this environment."""
     import numpy as np
 
-    from datalakejson_spark.functions.imagecodecs import encode_jpeg, encode_png
+    from datalakejson_spark.functions.imagecodecs import (
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+    )
     from datalakejson_spark.functions.multimodal import ASSET_SCHEMA, extract_features
 
     def pixels(i: int) -> "np.ndarray":
@@ -274,9 +278,10 @@ def bench_multimodal(spark) -> dict[str, int]:
         rows.append(
             (f"jpg_{i}", "image", encode_jpeg(pixels(i).astype("float32")), None)
         )
+        rows.append((f"gif_{i}", "image", encode_gif(pixels(i)), None))
     for i in range(8):
         rows.append((f"jpeg_bad_{i}", "image", b"\xff\xd8\xff\xe0" + bytes([i]) * 64, None))
-        rows.append((f"gif_{i}", "image", b"GIF89a" + bytes([i]) * 64, None))
+        rows.append((f"tiff_{i}", "image", b"II*\x00" + bytes([i]) * 64, None))
     rows.append(("null", "image", None, None))
     assets = spark.createDataFrame(rows, ASSET_SCHEMA)
     import pyspark.sql.functions as F
@@ -402,6 +407,37 @@ def main() -> None:
                 )
                 for n in HEADLINE
             }
+            # Optional SECOND decade (sf10 = 100x rows, ~1.7 GB): off by
+            # default to keep the per-round bench fast; run
+            # `SPARK_GRAFT_SF10=1 python bench.py` for the two-decade
+            # evidence recorded in SCALE.md. A query whose exponent RISES
+            # decade-over-decade is leaving the overhead-dominated regime —
+            # the second decade is what distinguishes "still flat" from
+            # "about to go super-linear".
+            if os.environ.get("SPARK_GRAFT_SF10") == "1":
+                sf10_dir = os.environ.get(
+                    "SPARK_GRAFT_SF10_DIR", "/tmp/datalakejson_sf10"
+                )
+                make_scaled_sf(sf_dir, sf10_dir, 100)  # no-op when present
+                sf10_timings = {}
+                for name in HEADLINE:
+                    reps = [run_one(spark, specs[name].fn, sf10_dir) for _ in range(2)]
+                    sf10_timings[name] = round(min(reps), 3)
+                payload["sf10"] = {
+                    "value": round(sum(sf10_timings.values()), 3),
+                    "unit": "sec",
+                    "queries": sf10_timings,
+                    "sf": 10.0,
+                }
+                payload["scaling_exponent_decade2"] = {
+                    n: round(
+                        math.log10(
+                            max(sf10_timings[n], 0.001) / max(sf1_timings[n], 0.001)
+                        ),
+                        2,
+                    )
+                    for n in HEADLINE
+                }
     except Exception:  # noqa: BLE001
         pass
     print(json.dumps(payload))

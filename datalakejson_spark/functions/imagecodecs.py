@@ -9,7 +9,7 @@ without adding a dependency. The reference's ML consumption plane
 JPEG/PNG; these decoders make ``extract_features`` produce REAL stat
 embeddings for such payloads instead of the labeled stub.
 
-Both formats are implemented from their public specifications only:
+All formats are implemented from their public specifications only:
 
 - PNG: RFC 2083 / ISO 15948 — chunk stream, DEFLATE (via stdlib zlib)
   IDAT, per-scanline filters 0-4 (None/Sub/Up/Average/Paeth), color types
@@ -21,6 +21,9 @@ Both formats are implemented from their public specifications only:
   dequantize → inverse zigzag → 8x8 IDCT (numpy basis-matrix form),
   chroma upsampling for 4:2:0/4:2:2, YCbCr→RGB (BT.601 full range).
   Progressive (SOF2) and arithmetic-coded streams return None.
+- GIF: GIF87a/89a — logical screen + global/local color tables, variable-
+  width LSB-first LZW with CLEAR/EOI and 12-bit dictionary cap, Adam-style
+  4-pass interlace, transparency composited over white. First frame only.
 
 Matching ENCODERS are provided for test fixtures only (this container has
 no image library to generate compressed fixtures with). To keep
@@ -28,7 +31,7 @@ encoder/decoder mirror-bugs from self-validating, the test suite pins the
 primitives against independent ground truth: the DCT basis against the
 direct DCT-II double-sum definition, the zigzag order against the published
 table, Huffman codes against canonical-prefix properties, and PNG filters
-against hand-computed rows (tests/test_multimodal.py).
+against hand-computed rows (tests/test_codecs.py).
 
 Scale posture: decode runs inside the same Arrow-batched ``mapInPandas``
 as every other codec tier — blobs never shuffle, features only.
@@ -769,4 +772,207 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> b
     out += seg(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a, LZW — pure Python from the public GIF specification)
+# --------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """LZW decode per the GIF spec (variable code width 3..12 bits, LSB-first
+    bit packing, CLEAR/EOI codes, dictionary rebuilt on CLEAR)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def reset_table():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = min_code_size + 1
+    next_code = eoi + 1
+    reset_table()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset_table()
+                prev = None
+                continue
+            if code == eoi:
+                return out[:n_pixels] if len(out) >= n_pixels else None
+            if code < len(table):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None  # corrupt stream
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels] if len(out) >= n_pixels else None
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes):
+    """Decode the FIRST frame of a GIF87a/89a payload to an (h, w, 3)
+    float32 RGB array in [0, 1] (transparent pixels composited over white),
+    or None for malformed payloads. Interlaced images are supported."""
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        transparent = None
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                return None
+            if block == 0x21:  # extension
+                label = payload[pos]
+                pos += 1
+                while True:
+                    size = payload[pos]
+                    pos += 1
+                    if size == 0:
+                        break
+                    if label == 0xF9 and size >= 4 and payload[pos] & 0x01:
+                        transparent = payload[pos + 3]
+                    pos += size
+                continue
+            if block != 0x2C:  # not an image descriptor
+                return None
+            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or w == 0 or h == 0:
+                return None
+            min_code_size = payload[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                return None
+            stream = bytearray()
+            while True:
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                stream += payload[pos : pos + size]
+                pos += size
+            idx = _gif_lzw_decode(bytes(stream), min_code_size, w * h)
+            if idx is None:
+                return None
+            grid = np.array(idx, dtype=np.int64).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    y
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for y in range(start, h, step)
+                ]
+                deinterlaced = np.empty_like(grid)
+                deinterlaced[order] = grid
+                grid = deinterlaced
+            if grid.max() >= len(pal):
+                return None
+            rgb = pal[grid].astype(np.float32) / 255.0
+            if transparent is not None and transparent < len(pal):
+                rgb[grid == transparent] = 1.0  # composite over white
+            return rgb
+        return None
+    except Exception:  # noqa: BLE001 — malformed payload must not raise
+        return None
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder for TEST FIXTURES (≤256 unique colors). Uses
+    the classic uncompressed-LZW trick: every pixel index is emitted as a
+    literal code with a CLEAR before the dictionary would force a width
+    change — valid LZW, no compression."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif fixtures support at most 256 colors")
+    pal_bits = max(int(np.ceil(np.log2(max(len(pal), 2)))), 1)
+    pal_size = 1 << pal_bits
+    palette = np.zeros((pal_size, 3), dtype=np.uint8)
+    palette[: len(pal)] = pal
+    min_code = max(pal_bits, 2)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    # literals per CLEAR period before the decoder's next_code hits 1<<width
+    period = max((1 << width) - eoi - 1, 1)
+
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    grid = inverse.reshape(h, w)
+    if interlace:
+        order = [
+            y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)
+        ]
+        grid = grid[order]
+    emit(clear)
+    for i, px in enumerate(grid.reshape(-1)):
+        if i and i % period == 0:
+            emit(clear)
+        emit(int(px))
+    emit(eoi)
+    if nacc:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+    data = bytes(bits)
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
     return bytes(out)
