@@ -254,8 +254,8 @@ def bench_dedup(spark, sf_dir: str, batch_factor: int = 1) -> tuple[int, float]:
 def bench_multimodal(spark) -> dict[str, int]:
     """Decode-tier counts over a synthetic asset mix — real uncompressed
     PPM plus, since r6, real COMPRESSED formats (PNG via stdlib zlib,
-    baseline JPEG and GIF-LZW via numpy — imagecodecs.py), a no-codec
-    format (TIFF), malformed payloads, and nulls. Keys are ``tier`` or
+    baseline JPEG, GIF-LZW, uncompressed TIFF via numpy — imagecodecs.py),
+    a no-codec format (WebP), malformed payloads, and nulls. Keys are ``tier`` or
     ``tier_failed`` so a consumer can audit how many embeddings are real
     decodes vs labeled stubs vs failed attempts in this environment."""
     import numpy as np
@@ -264,6 +264,7 @@ def bench_multimodal(spark) -> dict[str, int]:
         encode_gif,
         encode_jpeg,
         encode_png,
+        encode_tiff,
     )
     from datalakejson_spark.functions.multimodal import ASSET_SCHEMA, extract_features
 
@@ -279,9 +280,10 @@ def bench_multimodal(spark) -> dict[str, int]:
             (f"jpg_{i}", "image", encode_jpeg(pixels(i).astype("float32")), None)
         )
         rows.append((f"gif_{i}", "image", encode_gif(pixels(i)), None))
+        rows.append((f"tif_{i}", "image", encode_tiff(pixels(i)), None))
     for i in range(8):
         rows.append((f"jpeg_bad_{i}", "image", b"\xff\xd8\xff\xe0" + bytes([i]) * 64, None))
-        rows.append((f"tiff_{i}", "image", b"II*\x00" + bytes([i]) * 64, None))
+        rows.append((f"webp_{i}", "image", b"RIFF\x00\x00\x00\x00WEBP" + bytes([i]) * 64, None))
     rows.append(("null", "image", None, None))
     assets = spark.createDataFrame(rows, ASSET_SCHEMA)
     import pyspark.sql.functions as F

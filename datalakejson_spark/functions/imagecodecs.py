@@ -976,3 +976,115 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# TIFF (baseline uncompressed subset — TIFF 6.0 specification)
+# --------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def decode_tiff(payload: bytes):
+    """Decode a baseline UNCOMPRESSED TIFF (compression=1, 8 bits/sample,
+    grayscale or RGB, strip layout, first IFD only) to an (h, w, 3) float32
+    RGB array in [0, 1]; None for compressed/exotic variants (LZW/JPEG-in-
+    TIFF, tiles, planar config 2) — those fall to the PIL gate or the
+    labeled stub, same contract as every other format."""
+    try:
+        if payload[:4] == b"II*\x00":
+            endian = "<"
+        elif payload[:4] == b"MM\x00*":
+            endian = ">"
+        else:
+            return None
+        (ifd_off,) = struct.unpack_from(endian + "I", payload, 4)
+        (n_tags,) = struct.unpack_from(endian + "H", payload, ifd_off)
+        tags: dict[int, list[int]] = {}
+        for i in range(n_tags):
+            base = ifd_off + 2 + 12 * i
+            tag, ttype, count = struct.unpack_from(endian + "HHI", payload, base)
+            size = _TIFF_TYPE_SIZES.get(ttype)
+            if size is None:
+                continue
+            if size * count <= 4:
+                off = base + 8
+            else:
+                (off,) = struct.unpack_from(endian + "I", payload, base + 8)
+            fmt = {1: "B", 2: "B", 3: "H", 4: "I"}.get(ttype)
+            if fmt is None:
+                continue
+            tags[tag] = list(
+                struct.unpack_from(endian + fmt * count, payload, off)
+            )
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        compression = tags.get(259, [1])[0]
+        photometric = tags.get(262, [1])[0]
+        spp = tags.get(277, [1])[0]
+        bits = tags.get(258, [8] * spp)
+        strip_offsets = tags.get(273)
+        strip_counts = tags.get(279)
+        rows_per_strip = tags.get(278, [h])[0] or h
+        planar = tags.get(284, [1])[0]
+        if (
+            w <= 0
+            or h <= 0
+            or compression != 1
+            or planar != 1
+            or spp not in (1, 3)
+            or any(b != 8 for b in bits[:spp])
+            or photometric not in (0, 1, 2)
+            or strip_offsets is None
+        ):
+            return None
+        if strip_counts is None:
+            strip_counts = [w * spp * rows_per_strip] * len(strip_offsets)
+        raw = bytearray()
+        for off, cnt in zip(strip_offsets, strip_counts):
+            raw += payload[off : off + cnt]
+        if len(raw) < w * h * spp:
+            return None
+        arr = np.frombuffer(bytes(raw), np.uint8, w * h * spp).reshape(h, w, spp)
+        px = arr.astype(np.float32) / 255.0
+        if photometric == 0:  # WhiteIsZero: inverted grayscale
+            px = 1.0 - px
+        if spp == 1:
+            return np.repeat(px, 3, axis=2)
+        return px
+    except Exception:  # noqa: BLE001 — malformed payload must not raise
+        return None
+
+
+def encode_tiff(arr: np.ndarray) -> bytes:
+    """Minimal little-endian uncompressed TIFF encoder for TEST FIXTURES
+    (8-bit gray or RGB, one strip)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, spp = arr.shape
+    data = arr.tobytes()
+    # layout: header(8) | pixel data | bits-per-sample array | IFD
+    data_off = 8
+    bps_off = data_off + len(data)
+    ifd_off = bps_off + 2 * spp
+    tags = [
+        (256, 3, 1, w),  # ImageWidth
+        (257, 3, 1, h),  # ImageLength
+        (258, 3, spp, bps_off if spp > 2 else 8),  # BitsPerSample
+        (259, 3, 1, 1),  # Compression: none
+        (262, 3, 1, 2 if spp == 3 else 1),  # Photometric: RGB / BlackIsZero
+        (273, 4, 1, data_off),  # StripOffsets
+        (277, 3, 1, spp),  # SamplesPerPixel
+        (278, 3, 1, h),  # RowsPerStrip
+        (279, 4, 1, len(data)),  # StripByteCounts
+    ]
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", ifd_off)
+    out += data
+    out += struct.pack("<" + "H" * spp, *([8] * spp))
+    out += struct.pack("<H", len(tags))
+    for tag, ttype, count, value in tags:
+        out += struct.pack("<HHII", tag, ttype, count, value)
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)

@@ -6,9 +6,9 @@ parquet. The Spark-side plumbing — schemas, partition-friendly layout,
 Arrow-batched UDF signatures — is real and tested; the codec step is a
 THREE-TIER gate (``decode_image``): Pillow where importable (all formats),
 a pure-numpy/stdlib decoder tier for PPM/BMP (r5) AND the compressed
-PNG/baseline-JPEG/GIF formats (r6, imagecodecs.py — REAL pixel decode, runs and
+PNG/baseline-JPEG/GIF formats plus uncompressed TIFF (r6, imagecodecs.py — REAL pixel decode, runs and
 is tested in this container), and a clearly-marked deterministic stub only
-for formats outside that set with no codec present (WebP/TIFF/...).
+for formats outside that set with no codec present (WebP/...).
 Audio gains real IMA-ADPCM compressed decode (audiocodecs.py) beside PCM;
 compressed video containers (mp4) still need the ffmpeg gate — the dataflow
 is unchanged either way.
@@ -56,7 +56,7 @@ FEATURE_SCHEMA = (
 #: decode_tier values — which codec tier produced (or attempted) the row's
 #: features, so a consumer can audit/filter fake embeddings downstream:
 #: "pil" real decode via Pillow; "numpy" real pure-numpy/stdlib decode
-#: (PPM/BMP/PNG/JPEG/GIF); "stub" deterministic FAKE embedding (format with
+#: (PPM/BMP/PNG/JPEG/GIF/TIFF); "stub" deterministic FAKE embedding (format with
 #: no codec present); "none" nothing attempted (null payload).
 DECODE_TIERS = ("pil", "numpy", "stub", "none")
 
@@ -89,7 +89,7 @@ def _has_pil() -> bool:
 
 def _decode_image_stub(payload: bytes) -> list[float] | None:
     """STUB for the codec step — reached only for formats outside the real
-    numpy tier (PPM/BMP/PNG/JPEG/GIF), e.g. WebP/TIFF, when PIL is absent.
+    numpy tier (PPM/BMP/PNG/JPEG/GIF/TIFF), e.g. WebP, when PIL is absent.
 
     Deterministic fake: 8 floats derived from the sha256 digest — stands in
     for a real decode→resize→embed pipeline while keeping every Spark-side
@@ -213,6 +213,7 @@ def _decode_image_numpy(payload: bytes) -> list[float] | None:
         decode_gif,
         decode_jpeg,
         decode_png,
+        decode_tiff,
     )
 
     arr = (
@@ -226,6 +227,8 @@ def _decode_image_numpy(payload: bytes) -> list[float] | None:
         if payload.startswith(b"\xff\xd8")
         else decode_gif(payload)
         if payload.startswith((b"GIF87a", b"GIF89a"))
+        else decode_tiff(payload)
+        if payload.startswith((b"II*\x00", b"MM\x00*"))
         else False  # sentinel: not a numpy-decodable format at all
     )
     if arr is False:
@@ -243,9 +246,9 @@ def decode_image_tiered(
     ``(features, tier)`` where tier ∈ DECODE_TIERS records which codec
     produced (or attempted) the decode. Three tiers: Pillow when importable
     (all formats); else a pure-numpy/stdlib decoder for PPM/BMP/PNG/baseline-
-    JPEG/GIF (REAL pixels, compressed formats included — this tier runs and is
+    JPEG/GIF/TIFF (REAL pixels, compressed formats included — this tier runs and is
     tested in this container); else the clearly-marked deterministic stub
-    for remaining formats (WebP/TIFF/...) without a codec. A malformed
+    for remaining formats (WebP/...) without a codec. A malformed
     payload keeps its attempting tier's label with
     features None (decoded_ok=False downstream). ``use_pil`` forces the
     first branch on/off for tests."""

@@ -311,3 +311,35 @@ def test_gif_rejects_malformed():
     assert decode_gif(b"notagif") is None
     good = encode_gif(np.zeros((4, 4, 3), dtype=np.uint8))
     assert decode_gif(good[:20]) is None  # truncated mid-structure
+
+
+# ---------------------------------------------------------------- TIFF
+
+
+def test_tiff_roundtrip_rgb_and_gray():
+    from datalakejson_spark.functions.imagecodecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(14, 23, 3), dtype=np.uint8)
+    dec = decode_tiff(encode_tiff(img))
+    assert dec is not None and dec.shape == (14, 23, 3)
+    assert np.abs(dec - img.astype(np.float32) / 255.0).max() < 1e-6
+    g = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    dec = decode_tiff(encode_tiff(g))
+    assert dec.shape == (9, 11, 3)
+    assert np.abs(dec[:, :, 0] - g.astype(np.float32) / 255.0).max() < 1e-6
+
+
+def test_tiff_rejects_compressed_and_malformed():
+    from datalakejson_spark.functions.imagecodecs import decode_tiff, encode_tiff
+
+    assert decode_tiff(b"II*\x00junk") is None
+    assert decode_tiff(b"nottiff") is None
+    good = bytearray(encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8)))
+    # find the Compression tag (259) in the IFD and claim LZW (5) → rejected,
+    # never silently treated as uncompressed
+    raw = bytes(good)
+    i = raw.index(struct.pack("<HH", 259, 3))
+    lzw = bytearray(raw)
+    lzw[i + 8] = 5
+    assert decode_tiff(bytes(lzw)) is None

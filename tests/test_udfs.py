@@ -111,6 +111,7 @@ def test_l5_decode_tier_attribution(spark, tmp_path):
         encode_gif,
         encode_jpeg,
         encode_png,
+        encode_tiff,
     )
 
     px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
@@ -122,15 +123,16 @@ def test_l5_decode_tier_attribution(spark, tmp_path):
             ("png_ok", "image", encode_png(arr), None),
             ("jpeg_ok", "image", encode_jpeg(arr.astype("float32"), quality=95), None),
             ("gif_ok", "image", encode_gif(arr), None),
+            ("tiff_ok", "image", encode_tiff(arr), None),
             ("ppm_bad", "image", b"P6\n2 2\n255\nshort", None),
             ("jpeg_bad", "image", b"\xff\xd8\xff\xe0 fake jpeg", None),
-            ("tiff_nocodec", "image", b"II*\x00 fake tiff", None),
+            ("webp_nocodec", "image", b"RIFF\x00\x00\x00\x00WEBP fake", None),
             ("null_payload", "image", None, None),
         ],
         ASSET_SCHEMA,
     )
     rows = {r.asset_id: r for r in extract_features(assets).collect()}
-    for ok_id in ("ppm_ok", "bmp_ok", "png_ok", "jpeg_ok", "gif_ok"):
+    for ok_id in ("ppm_ok", "bmp_ok", "png_ok", "jpeg_ok", "gif_ok", "tiff_ok"):
         assert rows[ok_id].decode_tier == "numpy" and rows[ok_id].decoded_ok, ok_id
     # PNG and GIF are lossless: their stat embeddings match the PPM tier's
     assert rows["png_ok"].feat == rows["ppm_ok"].feat
@@ -138,15 +140,15 @@ def test_l5_decode_tier_attribution(spark, tmp_path):
     # compressed-but-malformed payloads keep the attempting real tier's label
     assert rows["ppm_bad"].decode_tier == "numpy" and not rows["ppm_bad"].decoded_ok
     assert rows["jpeg_bad"].decode_tier == "numpy" and not rows["jpeg_bad"].decoded_ok
-    # formats with no real decoder (TIFF) still fall to the labeled stub
-    assert rows["tiff_nocodec"].decode_tier == "stub" and rows["tiff_nocodec"].decoded_ok
+    # formats with no real decoder (WebP) still fall to the labeled stub
+    assert rows["webp_nocodec"].decode_tier == "stub" and rows["webp_nocodec"].decoded_ok
     assert rows["null_payload"].decode_tier == "none" and not rows["null_payload"].decoded_ok
     # the audit aggregation a consumer would run
     counts = {
         r.decode_tier: r.n
         for r in extract_features(assets).groupBy("decode_tier").agg(F.count("*").alias("n")).collect()
     }
-    assert counts == {"numpy": 7, "stub": 1, "none": 1}
+    assert counts == {"numpy": 8, "stub": 1, "none": 1}
 
 
 def test_l5_frame_sampling_plan(spark):
@@ -256,8 +258,8 @@ def test_l5_numpy_tier_decodes_real_pixels():
     # also land here rather than in the stub.
     assert decode_image(b"P6\n2 2\n255\nshort", use_pil=False) is None
     assert decode_image(b"\x89PNG...", use_pil=False) is None
-    # Format with no real decoder (TIFF) → the labeled deterministic stub.
-    assert decode_image(b"II*\x00...", use_pil=False) is not None
+    # Format with no real decoder (WebP) → the labeled deterministic stub.
+    assert decode_image(b"RIFF\x00\x00\x00\x00WEBP...", use_pil=False) is not None
 
 
 def test_l5_feature_extraction_mixed_formats(spark, tmp_path):
