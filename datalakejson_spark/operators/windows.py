@@ -212,3 +212,119 @@ def w5_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# W1b: two-phase distributed ranking — the scale path for low-cardinality
+# window partitions (r6; the sf10 bench decade exposed w1 at exponent 1.26)
+# --------------------------------------------------------------------------
+def two_phase_ranking(
+    df: DataFrame,
+    part_cols: list[str],
+    order_exprs: list,
+    num_chunks: int = 64,
+) -> DataFrame:
+    """Distributed ``row_number`` over low-cardinality window partitions.
+
+    ``Window.partitionBy(k)`` puts EVERY row of one key on ONE task: with 5
+    priority classes, sf10's 15M orders sort in exactly 5 single-threaded
+    tasks (visible in the stage view; measured on-box: 9.7s at sf10 and the
+    worst decade-2 scaling of the headline set). 32 local cores mask most
+    of the damage — a 1000-executor cluster would leave 995 idle, and one
+    key's rows must FIT one task. This operator restores parallelism and
+    bounds per-task size with the classic two-phase
+    scheme: ``repartitionByRange`` over (partition keys + order keys) gives
+    globally range-ordered chunks; a local window per (chunk, key) ranks
+    within each chunk in parallel; per-chunk counts (a tiny aggregate,
+    chunks x keys rows) are prefix-summed and broadcast back as offsets.
+    global row_number = local row_number + offset of earlier chunks.
+
+    ``order_exprs`` must end with a unique tiebreaker (the repo-wide window
+    determinism contract) — which also makes rank() and dense_rank() equal
+    to row_number(), so this one primitive covers the W1 ranking family;
+    ntile follows arithmetically (see w1b). Non-unique orderings would need
+    a distinct-value rank table on top; not required anywhere in §2.
+
+    Output: the input columns plus ``rn`` (int) and ``_part_total`` (per-key
+    row count, for ntile arithmetic); ``num_chunks`` bounds the parallelism
+    and the offset-table size (chunks never need to exceed cluster cores)."""
+    rep = df.repartitionByRange(num_chunks, *part_cols, *order_exprs).withColumn(
+        "_chunk", F.spark_partition_id()
+    )
+    counts = rep.groupBy("_chunk", *part_cols).agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_chunk",
+        *part_cols,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    totals = counts.groupBy(*part_cols).agg(F.sum("_cnt").alias("_part_total"))
+    w_local = Window.partitionBy("_chunk", *part_cols).orderBy(*order_exprs)
+    return (
+        rep.withColumn("_rn_local", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["_chunk", *part_cols])
+        .join(F.broadcast(totals), list(part_cols))
+        .withColumn("rn", (F.col("_rn_local") + F.col("_off")).cast("int"))
+        .drop("_chunk", "_rn_local", "_off")
+    )
+
+
+def exact_ntile(rn, total, n: int):
+    """SQL-exact NTILE(n) from a global row_number and the partition row
+    count: the first ``total % n`` buckets take ``total div n + 1`` rows,
+    the rest ``total div n`` (ISO SQL / Spark / DuckDB all agree)."""
+    q = F.floor(total / n)
+    r = total % n
+    big = q + 1
+    return (
+        F.when(rn <= r * big, F.floor((rn - 1) / big) + 1)
+        .otherwise(r + F.floor((rn - 1 - r * big) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )
+
+
+@register(
+    "w1b_distributed_ranking",
+    survey="W1",
+    extended=True,
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def w1b_distributed_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w1's ranking family via two_phase_ranking — IDENTICAL semantics and
+    oracle to w1_ranking, but parallelism num_chunks x keys instead of one
+    task per priority class. The ordering's unique tiebreaker (o_orderkey)
+    makes rank/dense_rank coincide with row_number; ntile(4) is derived
+    arithmetically from (rn, partition total). Measured on-box A/B
+    (best-of-3, noop sink): sf10 6.2s vs w1's 9.7s (and 5 running tasks vs
+    34-64 in the sort stages); at sf1 the two extra broadcast joins make it
+    SLOWER (1.6s vs 1.0s) — this is the >=10M-rows-per-key path, not a
+    universal replacement. The structural win is parallelism num_chunks x
+    keys vs exactly-keys: on a real cluster w1 caps at 5 busy cores forever
+    while w1b scales with the executor count (SCALE.md)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = two_phase_ranking(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "rn",
+        F.col("rn").alias("rnk"),
+        F.col("rn").alias("drnk"),
+        exact_ntile(F.col("rn"), F.col("_part_total"), 4).alias("quartile"),
+    )

@@ -184,3 +184,60 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_two_phase_ranking_matches_window_exec(spark):
+    """W1b scale path (r6): two_phase_ranking must reproduce WindowExec's
+    row_number exactly — including with few keys, skewed key sizes, and a
+    chunk count larger than the row count — while ntile follows the
+    SQL bucket-size rule."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from datalakejson_spark.operators.windows import exact_ntile, two_phase_ranking
+
+    rows = []
+    # skewed: key "a" 900 rows, "b" 7, "c" 1
+    for i in range(900):
+        rows.append(("a", (i * 37) % 1000, i))
+    for i in range(7):
+        rows.append(("b", i % 3, 1000 + i))
+    rows.append(("c", 5, 2000))
+    df = spark.createDataFrame(rows, "k string, v long, uid long")
+
+    order = [F.col("v").desc(), F.col("uid")]
+    got = two_phase_ranking(df, ["k"], order, num_chunks=16)
+    w = Window.partitionBy("k").orderBy(*order)
+    expected = df.select(
+        "k", "uid",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    got_sel = got.select(
+        "k", "uid", "rn",
+        exact_ntile(F.col("rn"), F.col("_part_total"), 4).alias("quartile"),
+    )
+    assert got_sel.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got_sel).isEmpty()
+    # chunk count far above row count: empty chunks must not shift offsets
+    tiny = two_phase_ranking(df.filter("k = 'b'"), ["k"], order, num_chunks=64)
+    assert sorted(r.rn for r in tiny.collect()) == list(range(1, 8))
+
+
+def test_exact_ntile_bucket_rule(spark):
+    """NTILE(n): first (total % n) buckets get one extra row — check the
+    arithmetic against Spark's ntile for every total in 1..12 with n=5."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from datalakejson_spark.operators.windows import exact_ntile
+
+    rows = [(t, i) for t in range(1, 13) for i in range(1, t + 1)]
+    df = spark.createDataFrame(rows, "total int, rn int")
+    w = Window.partitionBy("total").orderBy("rn")
+    out = df.select(
+        "total", "rn",
+        exact_ntile(F.col("rn"), F.col("total"), 5).alias("mine"),
+        F.ntile(5).over(w).alias("spark"),
+    )
+    assert out.filter(F.col("mine") != F.col("spark")).isEmpty()
