@@ -9,9 +9,12 @@ a pure-numpy/stdlib decoder tier for PPM/BMP (r5) AND the compressed
 PNG/baseline-JPEG/GIF formats plus uncompressed TIFF (r6, imagecodecs.py — REAL pixel decode, runs and
 is tested in this container), and a clearly-marked deterministic stub only
 for formats outside that set with no codec present (WebP/...).
-Audio gains real IMA-ADPCM compressed decode (audiocodecs.py) beside PCM;
-compressed video containers (mp4) still need the ffmpeg gate — the dataflow
-is unchanged either way.
+Audio gains real IMA-ADPCM compressed decode (audiocodecs.py) beside PCM.
+Compressed containers (MP4/MP3): the CONTAINER layer — duration, track
+dims, codec fourcc, sample counts — is REAL (containers.py parses ISO-BMFF
+boxes and MPEG audio frame headers from their public specs); only the inner
+H.264/AAC/MP3-granule bitstream decode still needs the ffmpeg/codec gate —
+the dataflow is unchanged either way.
 
 Scale notes: media blobs are large and incompressible — never a shuffle key,
 never broadcast. The pattern is: derive features per-partition (mapInPandas),
@@ -311,7 +314,8 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: expand each asset into (asset_id,
     frame_ts_ms) rows from metadata duration — the decode of each frame is
     the stubbed step. JVM-side sequence(), so the expansion never touches
-    Python."""
+    Python. For payload-derived durations (real MP4 container parse instead
+    of caller metadata) use containers.frame_sample_plan_from_payloads."""
     return assets.filter(F.col("media_type") == "video").select(
         "asset_id",
         F.explode(
@@ -378,6 +382,17 @@ def decode_wav(payload: bytes):
         return None
 
 
+def decode_audio(payload: bytes):
+    """Audio container dispatch: RIFF/WAVE → decode_wav (PCM + IMA ADPCM);
+    fLaC → audiocodecs.decode_flac (real lossless compressed decode, r6).
+    Same (sample_rate, mono float array) contract either way."""
+    if payload[:4] == b"fLaC":
+        from datalakejson_spark.functions.audiocodecs import decode_flac
+
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
 def extract_audio_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched audio features over binary payloads: duration, RMS
     level, zero-crossing rate — the standard cheap audio-quality trio
@@ -394,7 +409,7 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
                 rows["asset_id"].append(asset_id)
                 raw = bytes(payload) if payload is not None else b""
                 rows["n_bytes"].append(len(raw))
-                decoded = decode_wav(raw) if raw else None
+                decoded = decode_audio(raw) if raw else None
                 if decoded is None or len(decoded[1]) == 0:
                     rows["decoded_ok"].append(False)
                     for k in ("sample_rate", "n_samples", "duration_ms",
