@@ -164,3 +164,387 @@ def encode_ima_adpcm_wav(
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ===========================================================================
+# FLAC (RFC 9639 / xiph.org spec) — real lossless compressed-audio decode
+# ===========================================================================
+#
+# The container ships no audio libraries, but FLAC is fully specified and
+# decodable with stdlib + numpy: Rice-coded residuals over fixed or LPC
+# predictors, optional stereo decorrelation. ``decode_flac`` implements the
+# general decoder (all blocksize/samplerate/bps codes, fixed orders 0-4,
+# LPC up to order 32, all four channel assignments, escaped Rice
+# partitions); ``encode_flac`` is a TEST-FIXTURE encoder (mono/stereo
+# 16-bit, fixed predictors, single Rice partition) — spec-valid output with
+# real CRC-8/CRC-16 trailers, but no rate-optimal modeling. Mirror bugs are
+# guarded by hand-built bitstream pins in tests/test_codecs.py.
+
+_FLAC_BLOCKSIZES = {1: 192, **{n: 576 << (n - 2) for n in range(2, 6)},
+                    **{n: 256 << (n - 8) for n in range(8, 16)}}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+               7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+#: fixed-predictor coefficients by order (RFC 9639 §9.2.1)
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+class _FlacBits:
+    """MSB-first bit reader over bytes — the FLAC bitstream convention."""
+
+    def __init__(self, data: bytes, byte_pos: int = 0):
+        self.data = data
+        self.pos = byte_pos  # byte position
+        self.bit = 0  # bits consumed within data[pos]
+
+    def read(self, n: int) -> int:
+        out = 0
+        while n > 0:
+            if self.pos >= len(self.data):
+                raise EOFError
+            avail = 8 - self.bit
+            take = min(n, avail)
+            byte = self.data[self.pos]
+            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            n -= take
+            if self.bit == 8:
+                self.pos += 1
+                self.bit = 0
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if n and v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        count = 0
+        while self.read(1) == 0:
+            count += 1
+            if count > 1 << 20:  # corrupt stream guard
+                raise EOFError
+        return count
+
+    def read_rice(self, param: int) -> int:
+        q = self.read_unary()
+        v = (q << param) | self.read(param)
+        return (v >> 1) ^ -(v & 1)  # zigzag → signed
+
+    def align(self) -> None:
+        if self.bit:
+            self.pos += 1
+            self.bit = 0
+
+
+def _flac_utf8_number(bits: _FlacBits) -> int:
+    """The frame header's UTF-8-style coded number (up to 7 bytes)."""
+    first = bits.read(8)
+    if first < 0x80:
+        return first
+    n_extra = 0
+    mask = 0x40
+    while first & mask:
+        n_extra += 1
+        mask >>= 1
+    if n_extra < 1 or n_extra > 6:
+        raise ValueError("bad UTF-8 coded number")
+    val = first & (mask - 1)
+    for _ in range(n_extra):
+        byte = bits.read(8)
+        if byte & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8 continuation")
+        val = (val << 6) | (byte & 0x3F)
+    return val
+
+
+def _flac_residual(bits: _FlacBits, blocksize: int, order: int) -> list[int]:
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError("reserved residual method")
+    param_bits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    porder = bits.read(4)
+    if blocksize % (1 << porder):
+        raise ValueError("partition does not divide blocksize")
+    out: list[int] = []
+    for p in range(1 << porder):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("predictor order exceeds first partition")
+        param = bits.read(param_bits)
+        if param == escape:
+            raw = bits.read(5)
+            out.extend(bits.read_signed(raw) if raw else 0 for _ in range(n))
+        else:
+            out.extend(bits.read_rice(param) for _ in range(n))
+    return out
+
+
+def _flac_subframe(bits: _FlacBits, blocksize: int, bps: int) -> list[int]:
+    if bits.read(1):
+        raise ValueError("subframe padding bit set")
+    stype = bits.read(6)
+    wasted = 0
+    if bits.read(1):  # wasted-bits-per-sample flag
+        wasted = bits.read_unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        samples = [bits.read_signed(bps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        samples = [bits.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        samples = [bits.read_signed(bps) for _ in range(order)]
+        res = _flac_residual(bits, blocksize, order)
+        coefs = _FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(r + pred)
+    elif stype >= 32:  # LPC, order 1-32
+        order = stype - 31
+        samples = [bits.read_signed(bps) for _ in range(order)]
+        precision = bits.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid qlp precision")
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative qlp shift")
+        coefs = [bits.read_signed(precision) for _ in range(order)]
+        for r in _flac_residual(bits, blocksize, order):
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs)) >> shift
+            samples.append(r + pred)
+    else:
+        raise ValueError("reserved subframe type")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Decode a FLAC stream to (sample_rate, float32 mono array in [-1, 1])
+    — multi-channel downmixed, matching the WAV paths. Returns None for
+    malformed/non-FLAC payloads; one bad blob must never fail a batch."""
+    try:
+        if payload[:4] != b"fLaC":
+            return None
+        pos = 4
+        rate = n_channels = bps = 0
+        total_samples = -1
+        # metadata blocks: 1-bit last flag, 7-bit type, 24-bit length
+        while True:
+            hdr = payload[pos : pos + 4]
+            if len(hdr) < 4:
+                return None
+            last, btype = hdr[0] >> 7, hdr[0] & 0x7F
+            length = int.from_bytes(hdr[1:4], "big")
+            body = payload[pos + 4 : pos + 4 + length]
+            if btype == 0:  # STREAMINFO
+                if length < 34:
+                    return None
+                b = _FlacBits(body)
+                b.read(16), b.read(16), b.read(24), b.read(24)  # block/frame sizes
+                rate = b.read(20)
+                n_channels = b.read(3) + 1
+                bps = b.read(5) + 1
+                total_samples = b.read(36)
+            pos += 4 + length
+            if last:
+                break
+        if rate <= 0 or n_channels < 1:
+            return None
+        bits = _FlacBits(payload, pos)
+        channels_out: list[np.ndarray] = []
+        decoded = 0
+        while bits.pos < len(payload) and (total_samples <= 0 or decoded < total_samples):
+            if bits.read(14) != 0x3FFE:
+                return None  # lost frame sync
+            bits.read(1)  # reserved
+            bits.read(1)  # blocking strategy
+            bs_code = bits.read(4)
+            sr_code = bits.read(4)
+            chan_code = bits.read(4)
+            bps_code = bits.read(3)
+            bits.read(1)  # reserved
+            _flac_utf8_number(bits)
+            if bs_code == 0 or sr_code == 15:
+                return None
+            blocksize = (
+                bits.read(8) + 1 if bs_code == 6
+                else bits.read(16) + 1 if bs_code == 7
+                else _FLAC_BLOCKSIZES[bs_code]
+            )
+            if sr_code == 12:
+                bits.read(8)
+            elif sr_code in (13, 14):
+                bits.read(16)
+            frame_bps = bps if bps_code == 0 else _FLAC_BPS.get(bps_code)
+            if frame_bps is None:
+                return None
+            bits.read(8)  # CRC-8 (fixture-grade: presence, not verification)
+            if chan_code < 8:
+                n_ch = chan_code + 1
+                subs = [_flac_subframe(bits, blocksize, frame_bps) for _ in range(n_ch)]
+            else:
+                # stereo decorrelation; the side channel carries one extra bit
+                extra = [0, 1] if chan_code in (8, 10) else [1, 0]
+                a = _flac_subframe(bits, blocksize, frame_bps + extra[0])
+                b_ = _flac_subframe(bits, blocksize, frame_bps + extra[1])
+                if chan_code == 8:  # left/side
+                    subs = [a, [l - s for l, s in zip(a, b_)]]
+                elif chan_code == 9:  # right/side
+                    subs = [[r + s for s, r in zip(a, b_)], b_]
+                else:  # mid/side
+                    left = [((m << 1) | (s & 1)) + s >> 1 for m, s in zip(a, b_)]
+                    subs = [left, [l - s for l, s in zip(left, b_)]]
+            bits.align()
+            bits.pos += 2  # CRC-16
+            mono = np.mean(
+                np.array(subs, dtype=np.float64), axis=0
+            ) / float(1 << (frame_bps - 1))
+            channels_out.append(mono.astype(np.float32))
+            decoded += blocksize
+        if not channels_out:
+            return None
+        out = np.concatenate(channels_out)
+        if total_samples > 0:
+            out = out[:total_samples]
+        return rate, out
+    except (EOFError, ValueError, IndexError, KeyError):
+        return None
+
+
+# ------------------------------------------------------------------ encoder
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def write_rice(self, v: int, param: int) -> None:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1  # zigzag
+        self.write_unary(u >> param)
+        self.write(u, param)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _best_rice_param(residuals: list[int]) -> int:
+    best, best_bits = 0, None
+    for param in range(15):
+        bits = sum((((abs(r) << 1) - (r < 0)) >> param) + 1 + param for r in residuals)
+        if best_bits is None or bits < best_bits:
+            best, best_bits = param, bits
+    return best
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int, blocksize: int = 4096, order: int = 2
+) -> bytes:
+    """TEST-FIXTURE FLAC encoder: 16-bit mono (or (n, 2) stereo encoded as
+    independent channels), fixed predictor of the given order, one Rice
+    partition per subframe, real CRC-8/CRC-16 trailers. Spec-valid but not
+    rate-optimal — exists so tests can exercise the real decoder without an
+    audio library in the container."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    pcm = np.clip(arr * 32768.0, -32768, 32767).astype(np.int64)
+    n_total, n_ch = pcm.shape
+    bps = 16
+
+    stream = bytearray(b"fLaC")
+    w = _FlacBitWriter()
+    w.write(blocksize, 16), w.write(blocksize, 16)
+    w.write(0, 24), w.write(0, 24)
+    w.write(sample_rate, 20), w.write(n_ch - 1, 3), w.write(bps - 1, 5)
+    w.write(n_total, 36)
+    w.align()
+    body = bytes(w.out) + b"\x00" * 16  # zeroed MD5 (unset per spec)
+    stream += bytes([0x80]) + len(body).to_bytes(3, "big") + body  # last STREAMINFO
+
+    for frame_idx, start in enumerate(range(0, n_total, blocksize)):
+        chunk = pcm[start : start + blocksize]
+        bs = len(chunk)
+        hdr = _FlacBitWriter()
+        hdr.write(0x3FFE, 14), hdr.write(0, 1), hdr.write(0, 1)
+        hdr.write(7, 4)  # blocksize: 16-bit field follows
+        hdr.write(0, 4)  # sample rate: from STREAMINFO
+        hdr.write(n_ch - 1, 4)  # independent channels
+        hdr.write(4, 3)  # bps: 16
+        hdr.write(0, 1)
+        # UTF-8 coded frame number
+        num = frame_idx
+        if num < 0x80:
+            hdr.write(num, 8)
+        else:
+            chunks = []
+            n_bytes = 2
+            while num.bit_length() > 7 - n_bytes + 6 * (n_bytes - 1):
+                n_bytes += 1
+            for _ in range(n_bytes - 1):
+                chunks.append(0x80 | (num & 0x3F))
+                num >>= 6
+            hdr.write(((0xFF << (8 - n_bytes)) & 0xFF) | num, 8)
+            for c in reversed(chunks):
+                hdr.write(c, 8)
+        hdr.write(bs - 1, 16)
+        hdr.align()
+        header_bytes = bytes(hdr.out)
+        frame = _FlacBitWriter()
+        for ch in range(n_ch):
+            sig = chunk[:, ch].tolist()
+            o = min(order, bs - 1, 4)
+            frame.write(0, 1), frame.write(8 + o, 6), frame.write(0, 1)
+            for s in sig[:o]:
+                frame.write(s, bps)
+            coefs = _FIXED_COEFS[o]
+            res = [
+                int(sig[i] - sum(c * sig[i - 1 - j] for j, c in enumerate(coefs)))
+                for i in range(o, bs)
+            ]
+            param = _best_rice_param(res) if res else 0
+            frame.write(0, 2)  # 4-bit Rice method
+            frame.write(0, 4)  # partition order 0
+            frame.write(param, 4)
+            for r in res:
+                frame.write_rice(r, param)
+        frame.align()
+        payload = header_bytes + bytes([_crc8(header_bytes)]) + bytes(frame.out)
+        stream += payload + _crc16(payload).to_bytes(2, "big")
+    return bytes(stream)

@@ -343,3 +343,218 @@ def test_tiff_rejects_compressed_and_malformed():
     lzw = bytearray(raw)
     lzw[i + 8] = 5
     assert decode_tiff(bytes(lzw)) is None
+
+
+# ---------------------------------------------------------------- FLAC
+
+
+def _flac_stream(frame_payloads: list[bytes], n_ch: int, total: int,
+                 rate: int = 8000, bps: int = 16) -> bytes:
+    """Assemble a FLAC stream from hand-built frame payloads: real
+    STREAMINFO, zeroed MD5, each frame gets its CRC-16 trailer appended
+    (the decoder skips CRCs; they're present for layout fidelity)."""
+    from datalakejson_spark.functions.audiocodecs import _crc16, _FlacBitWriter
+
+    w = _FlacBitWriter()
+    w.write(16, 16), w.write(65535, 16), w.write(0, 24), w.write(0, 24)
+    w.write(rate, 20), w.write(n_ch - 1, 3), w.write(bps - 1, 5), w.write(total, 36)
+    w.align()
+    body = bytes(w.out) + b"\x00" * 16
+    out = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    for p in frame_payloads:
+        out += p + _crc16(p).to_bytes(2, "big")
+    return out
+
+
+def _flac_frame_header(w, blocksize: int, chan_code: int) -> None:
+    """Common hand-built frame header: 8-bit blocksize field, STREAMINFO
+    sample rate, 16-bit bps, frame number 0. CRC-8 written by caller."""
+    w.write(0x3FFE, 14), w.write(0, 1), w.write(0, 1)
+    w.write(6, 4)        # blocksize: 8-bit field follows header
+    w.write(0, 4)        # sample rate from STREAMINFO
+    w.write(chan_code, 4)
+    w.write(4, 3)        # bps = 16
+    w.write(0, 1)
+    w.write(0, 8)        # UTF-8 frame number 0
+    w.write(blocksize - 1, 8)
+
+
+def test_flac_roundtrip_lossless_all_fixed_orders():
+    """The fixture encoder (fixed predictors, Rice) must roundtrip
+    BIT-EXACTLY — FLAC is lossless, so any nonzero error is a codec bug."""
+    from datalakejson_spark.functions.audiocodecs import decode_flac, encode_flac
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1234 * t)
+    pcm = np.clip(sig * 32768.0, -32768, 32767).astype(np.int64) / 32768.0
+    sizes = {}
+    for order in (0, 1, 2, 3, 4):
+        payload = encode_flac(sig, rate, blocksize=1024, order=order)
+        r, out = decode_flac(payload)
+        assert r == rate and len(out) == len(pcm)
+        assert np.abs(out - pcm).max() == 0.0, f"order {order} not lossless"
+        sizes[order] = len(payload)
+    # higher-order prediction must actually compress tonal content below
+    # raw 16-bit PCM (order 0 is just Rice over raw samples — no prediction,
+    # so it can't beat raw on full-scale content)
+    assert sizes[4] < sizes[2] < sizes[0]
+    assert sizes[4] < 2 * len(pcm)
+
+
+def test_flac_stereo_independent_roundtrip():
+    from datalakejson_spark.functions.audiocodecs import decode_flac, encode_flac
+
+    rate = 8000
+    t = np.arange(1000) / rate
+    left = 0.4 * np.sin(2 * np.pi * 300 * t)
+    right = -0.2 * np.sin(2 * np.pi * 700 * t)
+    r, out = decode_flac(encode_flac(np.stack([left, right], axis=1), rate))
+    exp = (
+        np.clip(left * 32768, -32768, 32767).astype(np.int64)
+        + np.clip(right * 32768, -32768, 32767).astype(np.int64)
+    ) / 2.0 / 32768.0
+    assert r == rate and np.abs(out - exp).max() == 0.0
+
+
+def test_flac_lpc_subframe_hand_built():
+    """LPC path pinned against the spec recurrence s[i] = res[i] +
+    (sum c_j * s[i-1-j]) >> shift — stream built bit-by-bit by hand,
+    expectation computed independently here."""
+    from datalakejson_spark.functions.audiocodecs import (
+        _crc8,
+        _FlacBitWriter,
+        decode_flac,
+    )
+
+    bs, order, shift, coefs = 8, 2, 1, [3, -1]
+    warm = [100, 110]
+    residuals = [5, -3, 0, 7, -2, 4]
+    w = _FlacBitWriter()
+    _flac_frame_header(w, bs, chan_code=0)
+    w.align()
+    hdr = bytes(w.out)
+    f = _FlacBitWriter()
+    f.write(0, 1), f.write(32 + order - 1, 6), f.write(0, 1)  # LPC order 2
+    for s in warm:
+        f.write(s, 16)
+    f.write(4 - 1, 4)      # qlp precision 4
+    f.write(shift, 5)
+    for c in coefs:
+        f.write(c, 4)
+    f.write(0, 2), f.write(0, 4)   # Rice method 0, partition order 0
+    f.write(3, 4)                  # rice param
+    for r in residuals:
+        f.write_rice(r, 3)
+    f.align()
+    payload = hdr + bytes([_crc8(hdr)]) + bytes(f.out)
+    rate, out = decode_flac(_flac_stream([payload], n_ch=1, total=bs))
+    expected = list(warm)
+    for r in residuals:
+        expected.append(r + ((3 * expected[-1] - 1 * expected[-2]) >> shift))
+    assert np.abs(out * 32768.0 - np.array(expected)).max() < 1e-9
+
+
+def test_flac_mid_side_hand_built():
+    """Mid/side decorrelation: left = ((mid<<1 | side&1) + side) >> 1,
+    right = left - side (libFLAC reconstruction), pinned with constant
+    subframes for odd left+right (the dropped-LSB case)."""
+    from datalakejson_spark.functions.audiocodecs import (
+        _crc8,
+        _FlacBitWriter,
+        decode_flac,
+    )
+
+    left_v, right_v = 1001, 250  # sum odd → side LSB carries the lost bit
+    mid, side = (left_v + right_v) >> 1, left_v - right_v
+    bs = 4
+    w = _FlacBitWriter()
+    _flac_frame_header(w, bs, chan_code=10)  # mid/side
+    w.align()
+    hdr = bytes(w.out)
+    f = _FlacBitWriter()
+    f.write(0, 1), f.write(0, 6), f.write(0, 1)   # CONSTANT mid (16 bits)
+    f.write(mid, 16)
+    f.write(0, 1), f.write(0, 6), f.write(0, 1)   # CONSTANT side (17 bits!)
+    f.write(side, 17)
+    f.align()
+    payload = hdr + bytes([_crc8(hdr)]) + bytes(f.out)
+    rate, out = decode_flac(_flac_stream([payload], n_ch=2, total=bs))
+    assert np.allclose(out * 32768.0, (left_v + right_v) / 2.0)
+
+
+def test_flac_escaped_partition_and_wasted_bits():
+    """Escaped Rice partitions store raw n-bit residuals; wasted-bits
+    subframes shift every decoded sample left. Both hand-built."""
+    from datalakejson_spark.functions.audiocodecs import (
+        _crc8,
+        _FlacBitWriter,
+        decode_flac,
+    )
+
+    bs = 4
+    # fixed order 0, escaped partition with 6-bit raw residuals
+    w = _FlacBitWriter()
+    _flac_frame_header(w, bs, chan_code=0)
+    w.align()
+    hdr = bytes(w.out)
+    f = _FlacBitWriter()
+    f.write(0, 1), f.write(8, 6), f.write(0, 1)   # FIXED order 0
+    f.write(0, 2), f.write(0, 4)                  # method 0, porder 0
+    f.write(0xF, 4)                               # ESCAPE
+    f.write(6, 5)                                 # 6 raw bits per residual
+    for v in (31, -32, 7, -1):
+        f.write(v, 6)
+    f.align()
+    payload = hdr + bytes([_crc8(hdr)]) + bytes(f.out)
+    _, out = decode_flac(_flac_stream([payload], n_ch=1, total=bs))
+    assert np.abs(out * 32768.0 - np.array([31, -32, 7, -1])).max() < 1e-9
+
+    # constant subframe with 3 wasted bits: stored value decodes shifted
+    w = _FlacBitWriter()
+    _flac_frame_header(w, bs, chan_code=0)
+    w.align()
+    hdr = bytes(w.out)
+    f = _FlacBitWriter()
+    f.write(0, 1), f.write(0, 6)
+    f.write(1, 1)            # wasted flag
+    f.write(1, 3)            # unary 2 → wasted = 3
+    f.write(41, 13)          # bps 16 - 3 wasted
+    f.align()
+    payload = hdr + bytes([_crc8(hdr)]) + bytes(f.out)
+    _, out = decode_flac(_flac_stream([payload], n_ch=1, total=bs))
+    assert np.allclose(out * 32768.0, 41 << 3)
+
+
+def test_flac_rejects_malformed():
+    from datalakejson_spark.functions.audiocodecs import decode_flac, encode_flac
+
+    assert decode_flac(b"fLaCjunk") is None
+    assert decode_flac(b"not flac at all") is None
+    good = bytearray(encode_flac(np.zeros(100), 8000))
+    assert decode_flac(bytes(good[:40])) is None      # truncated metadata
+    good[50] ^= 0xFF                                  # break the frame sync
+    assert decode_flac(bytes(good)) is None
+
+
+def test_flac_features_flow_through_spark_path(spark):
+    """End-to-end: FLAC payloads through extract_audio_features — real
+    compressed-audio decode feeding the standard audio-quality features."""
+    from datalakejson_spark.functions.audiocodecs import encode_flac
+    from datalakejson_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        extract_audio_features,
+    )
+
+    rate = 4000
+    t = np.arange(rate) / rate  # 1 s
+    flac = encode_flac(0.4 * np.sin(2 * np.pi * 440 * t), rate)
+    assets = spark.createDataFrame(
+        [("f1", "audio", flac, None), ("f2", "audio", b"fLaCbroken", None)],
+        ASSET_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in extract_audio_features(assets).collect()}
+    assert rows["f1"].decoded_ok and rows["f1"].sample_rate == rate
+    assert rows["f1"].duration_ms == 1000 and rows["f1"].n_samples == rate
+    assert abs(rows["f1"].rms - 0.4 / np.sqrt(2)) < 1e-3  # sine RMS exact-ish
+    assert not rows["f2"].decoded_ok
