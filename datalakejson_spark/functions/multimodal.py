@@ -332,9 +332,39 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
 # Audio tier: real PCM WAV decode + features, numpy only (r5)
 # --------------------------------------------------------------------------
 AUDIO_FEATURE_SCHEMA = (
-    "asset_id string, n_bytes long, decoded_ok boolean, sample_rate int, "
-    "n_samples long, duration_ms long, rms double, zero_cross_rate double"
+    "asset_id string, n_bytes long, decoded_ok boolean, codec string, "
+    "sample_rate int, n_samples long, duration_ms long, rms double, "
+    "zero_cross_rate double"
 )
+
+#: codec values — the audio analogue of DECODE_TIERS: which decoder was
+#: ATTEMPTED for the row (kept on failure, decoded_ok=False, so consumers
+#: can audit failure rates per codec): "pcm"/"adpcm" (RIFF WAV by format
+#: tag), "flac", "unknown" (no decoder for the magic), "none" (null/empty).
+AUDIO_CODECS = ("pcm", "adpcm", "flac", "unknown", "none")
+
+
+def _sniff_audio_codec(payload: bytes) -> str:
+    """Attribute the decoder a payload will route to, without decoding:
+    fLaC magic → flac; RIFF/WAVE → the fmt chunk's format tag (1 → pcm,
+    0x11 → adpcm); anything else → unknown."""
+    import struct
+
+    if not payload:
+        return "none"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"fmt " and pos + 10 <= len(payload):
+                tag = struct.unpack_from("<H", payload, pos + 8)[0]
+                return {1: "pcm", 0x11: "adpcm"}.get(tag, "unknown")
+            pos += 8 + size + (size & 1)
+        return "unknown"
+    return "unknown"
 
 
 def decode_wav(payload: bytes):
@@ -403,12 +433,13 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in ("asset_id", "n_bytes", "decoded_ok",
-                                    "sample_rate", "n_samples", "duration_ms",
-                                    "rms", "zero_cross_rate")}
+                                    "codec", "sample_rate", "n_samples",
+                                    "duration_ms", "rms", "zero_cross_rate")}
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 rows["asset_id"].append(asset_id)
                 raw = bytes(payload) if payload is not None else b""
                 rows["n_bytes"].append(len(raw))
+                rows["codec"].append(_sniff_audio_codec(raw))
                 decoded = decode_audio(raw) if raw else None
                 if decoded is None or len(decoded[1]) == 0:
                     rows["decoded_ok"].append(False)

@@ -252,9 +252,11 @@ def test_adpcm_features_flow_through_spark_path(spark):
     )
     rows = {r.asset_id: r for r in extract_audio_features(assets).collect()}
     assert rows["a1"].decoded_ok and rows["a1"].sample_rate == rate
+    assert rows["a1"].codec == "adpcm"  # attempted-decoder attribution
     assert abs(rows["a1"].duration_ms - 500) < 120  # final-block padding slack
     assert 0.2 < rows["a1"].rms < 0.4  # sine RMS ≈ 0.4/√2 ≈ 0.283
     assert not rows["a2"].decoded_ok
+    assert rows["a2"].codec == "unknown"  # RIFF but no parseable fmt chunk
 
 
 # ---------------------------------------------------------------- GIF
@@ -555,6 +557,8 @@ def test_flac_features_flow_through_spark_path(spark):
     )
     rows = {r.asset_id: r for r in extract_audio_features(assets).collect()}
     assert rows["f1"].decoded_ok and rows["f1"].sample_rate == rate
+    assert rows["f1"].codec == "flac"
     assert rows["f1"].duration_ms == 1000 and rows["f1"].n_samples == rate
     assert abs(rows["f1"].rms - 0.4 / np.sqrt(2)) < 1e-3  # sine RMS exact-ish
     assert not rows["f2"].decoded_ok
+    assert rows["f2"].codec == "flac"  # failed attempt keeps its attribution
