@@ -281,3 +281,47 @@ def test_simhash_pipeline_executes_once(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_runtime_bloom_filter_in_shuffle_join_regime(spark):
+    """At 100 TB a filtered dimension exceeds the broadcast threshold, so
+    star joins run as shuffle joins — and Spark's InjectRuntimeFilter then
+    plants a bloom filter (might_contain) on the FACT side's scan, the
+    semi-join reduction that keeps the big shuffle proportional to the
+    dimension's selectivity. Pin that our declarative join shape qualifies:
+    simulate the regime (broadcast off, thresholds opened) and assert the
+    filter is injected AND results are identical to the broadcast plan."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+
+    def shape():
+        return li.join(
+            orders.filter("o_orderpriority = '1-URGENT'").select("o_orderkey"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+
+    baseline = shape().count()
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0",
+        )
+        df = shape()
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, optimized
+        assert df.count() == baseline  # reduction must not change results
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
