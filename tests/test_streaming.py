@@ -206,3 +206,50 @@ def test_session_window_semantics(spark):
         .collect()
     )
     assert [(r.user_id, r.n) for r in sess] == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_streaming_media_features(spark, tmp_path: Path):
+    """Incremental multimodal drain: media files land, the binaryFile
+    stream feature-extracts them through the SAME batch extractors
+    (decode_tier attribution included), a second drain with a new file
+    processes ONLY the new file (checkpointed offsets — exactly-once per
+    file), and a rerun with nothing new appends nothing."""
+    import numpy as np
+
+    from datalakejson_spark.functions.imagecodecs import encode_png
+    from datalakejson_spark.streaming.media_stream import streaming_media_features
+
+    landing = tmp_path / "media"
+    landing.mkdir()
+    feats = str(tmp_path / "features")
+    ckpt = str(tmp_path / "ckpt")
+
+    def png(i: int) -> bytes:
+        return encode_png(
+            (np.arange(12, dtype=np.int64) + i).astype(np.uint8).reshape(2, 2, 3)
+        )
+
+    (landing / "a.png").write_bytes(png(0))
+    (landing / "b.png").write_bytes(png(7))
+    (landing / "broken.png").write_bytes(b"\x89PNG\r\n\x1a\nbroken")
+
+    streaming_media_features(spark, str(landing), feats, ckpt).awaitTermination()
+    out = {r.asset_id.rsplit("/", 1)[-1]: r for r in spark.read.parquet(feats).collect()}
+    assert len(out) == 3
+    assert out["a.png"].decoded_ok and out["a.png"].decode_tier in ("numpy", "pil")
+    assert not out["broken.png"].decoded_ok
+    assert "payload" not in spark.read.parquet(feats).columns  # blobs stay behind
+
+    # second drain: only the new file enters a batch
+    (landing / "c.png").write_bytes(png(3))
+    streaming_media_features(spark, str(landing), feats, ckpt).awaitTermination()
+    df = spark.read.parquet(feats)
+    assert df.count() == 4
+    batches = {
+        r.asset_id.rsplit("/", 1)[-1]: r.ingest_batch_id for r in df.collect()
+    }
+    assert batches["c.png"] > batches["a.png"]  # strictly a later batch
+
+    # nothing new → no-op drain
+    streaming_media_features(spark, str(landing), feats, ckpt).awaitTermination()
+    assert spark.read.parquet(feats).count() == 4
