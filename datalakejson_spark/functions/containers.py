@@ -332,6 +332,49 @@ def parse_mp3(payload: bytes) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# WebP (RIFF container) — the one image format outside the real-decode tier;
+# its container metadata (dims, lossy/lossless/extended variant) is plain
+# public-spec parsing, so only the VP8 entropy-coded pixels stay gated.
+# ---------------------------------------------------------------------------
+
+
+def parse_webp(payload: bytes) -> dict | None:
+    """Parse WebP container metadata: ``{variant, width, height}`` where
+    variant ∈ vp8 (lossy) / vp8l (lossless) / vp8x (extended). Returns None
+    for non-WebP or malformed payloads."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+            return None
+        pos = 12
+        while pos + 8 <= len(payload):
+            fourcc = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8 : pos + 8 + size]
+            if fourcc == b"VP8X" and len(body) >= 10:
+                w = int.from_bytes(body[4:7], "little") + 1
+                h = int.from_bytes(body[7:10], "little") + 1
+                return {"variant": "vp8x", "width": w, "height": h}
+            if fourcc == b"VP8 " and len(body) >= 10:
+                # keyframe: frame-tag bit 0 clear, start code 9D 01 2A
+                if body[0] & 1 or body[3:6] != b"\x9d\x01\x2a":
+                    return None
+                w = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+                h = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+                return {"variant": "vp8", "width": w, "height": h}
+            if fourcc == b"VP8L" and len(body) >= 5:
+                if body[0] != 0x2F:  # lossless signature byte
+                    return None
+                bits = struct.unpack_from("<I", body, 1)[0]
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+                return {"variant": "vp8l", "width": w, "height": h}
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        return None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+# ---------------------------------------------------------------------------
 # Spark wiring
 # ---------------------------------------------------------------------------
 
@@ -372,6 +415,12 @@ def _container_meta_row(asset_id, payload: bytes | None) -> dict:
                    sample_rate=mp3["sample_rate"],
                    bitrate_kbps=mp3["bitrate_kbps"],
                    n_frames=mp3["n_frames"])
+        return row
+    webp = parse_webp(payload)
+    if webp is not None:
+        row.update(parsed_ok=True, container="webp",
+                   video_codec=webp["variant"],
+                   width=webp["width"], height=webp["height"])
     return row
 
 

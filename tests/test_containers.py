@@ -186,3 +186,67 @@ def test_frame_sample_plan_uses_real_container_duration(spark):
     # 0, 500, 1000, 1500, 2000 for the parsed asset; nothing for garbage
     assert sorted(r.frame_ts_ms for r in rows) == [0, 500, 1000, 1500, 2000]
     assert {r.asset_id for r in rows} == {"v1"}
+
+
+# ------------------------------------------------------------- WebP
+
+
+def _riff_webp(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = b"WEBP"
+    for fourcc, data in chunks:
+        body += fourcc + struct.pack("<I", len(data)) + data
+        if len(data) % 2:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_webp_all_variants_hand_built():
+    from datalakejson_spark.functions.containers import parse_webp
+
+    # VP8L lossless: signature 0x2F, then 14-bit w-1 / h-1 packed LE
+    bits = (33 - 1) | ((17 - 1) << 14)
+    vp8l = _riff_webp([(b"VP8L", bytes([0x2F]) + struct.pack("<I", bits))])
+    assert parse_webp(vp8l) == {"variant": "vp8l", "width": 33, "height": 17}
+
+    # VP8 lossy keyframe: 3-byte frame tag (bit0 clear), 9D 01 2A, w, h
+    vp8 = _riff_webp(
+        [(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", 64, 48))]
+    )
+    assert parse_webp(vp8) == {"variant": "vp8", "width": 64, "height": 48}
+
+    # VP8X extended: 4 flag bytes, 24-bit canvas w-1 / h-1
+    vp8x = _riff_webp(
+        [(b"VP8X", b"\x00\x00\x00\x00"
+          + (639).to_bytes(3, "little") + (359).to_bytes(3, "little"))]
+    )
+    assert parse_webp(vp8x) == {"variant": "vp8x", "width": 640, "height": 360}
+
+
+def test_webp_rejects_malformed():
+    from datalakejson_spark.functions.containers import parse_webp
+
+    assert parse_webp(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert parse_webp(b"RIFF\x04\x00\x00\x00WEBP") is None  # no known chunk
+    # interframe (bit0 set) is not a standalone image
+    bad = _riff_webp([(b"VP8 ", b"\x01\x00\x00\x9d\x01\x2a\x40\x00\x30\x00")])
+    assert parse_webp(bad) is None
+    # broken lossless signature byte
+    bad = _riff_webp([(b"VP8L", b"\x2e\x00\x00\x00\x00")])
+    assert parse_webp(bad) is None
+
+
+def test_webp_flows_through_container_meta(spark):
+    from datalakejson_spark.functions.multimodal import ASSET_SCHEMA
+    from datalakejson_spark.functions.containers import (
+        extract_container_meta,
+        frame_sample_plan_from_payloads,
+    )
+
+    bits = (20 - 1) | ((10 - 1) << 14)
+    webp = _riff_webp([(b"VP8L", bytes([0x2F]) + struct.pack("<I", bits))])
+    assets = spark.createDataFrame([("w1", "image", webp, None)], ASSET_SCHEMA)
+    row = extract_container_meta(assets).collect()[0]
+    assert row.parsed_ok and row.container == "webp"
+    assert (row.width, row.height, row.video_codec) == (20, 10, "vp8l")
+    # a still image has no duration → never enters the frame-sampling plan
+    assert frame_sample_plan_from_payloads(assets).count() == 0
