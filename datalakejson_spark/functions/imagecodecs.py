@@ -12,10 +12,10 @@ embeddings for such payloads instead of the labeled stub.
 All formats are implemented from their public specifications only:
 
 - PNG: RFC 2083 / ISO 15948 — chunk stream, DEFLATE (via stdlib zlib)
-  IDAT, per-scanline filters 0-4 (None/Sub/Up/Average/Paeth), color types
-  0/2/3/4/6 at bit depth 8 and types 0/2/4/6 at depth 16, non-interlaced.
-  Adam7 interlace and sub-byte depths return None (fall to the stub tier's
-  contract: attempted-but-undecodable ⇒ decoded_ok=False).
+  IDAT, per-scanline filters 0-4 (None/Sub/Up/Average/Paeth), every legal
+  depth/color-type pair (sub-byte 1/2/4-bit grays and palettes, 8- and
+  16-bit of all types) and Adam7 interlace (r6; each pass unfiltered
+  independently then scattered onto the grid).
 - JPEG: ITU-T T.81 baseline sequential DCT — DQT/DHT/SOF0/SOS/DRI parse,
   canonical Huffman entropy decode with byte-stuffing and restart markers,
   dequantize → inverse zigzag → 8x8 IDCT (numpy basis-matrix form),
@@ -120,10 +120,63 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
     return out
 
 
+#: Adam7 pass geometry: (x0, y0, dx, dy) per pass, PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+#: legal bit depths per color type, PNG spec table 11.1
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_unpack_row_samples(grid: np.ndarray, pw: int, depth: int, nch: int):
+    """Expand an unfiltered byte grid (rows × stride) into integer samples
+    (rows, pw, nch): 16-bit big-endian pairs, straight bytes, or MSB-first
+    sub-byte bitfields (1/2/4)."""
+    ph = grid.shape[0]
+    if depth == 16:
+        return (
+            grid.reshape(ph, pw, nch, 2).astype(np.uint16) @ np.array([256, 1])
+        )
+    if depth == 8:
+        return grid.reshape(ph, pw, nch).astype(np.uint16)
+    per = 8 // depth
+    shifts = (np.arange(per - 1, -1, -1) * depth)[None, None, :]
+    samples = (grid[:, :, None].astype(np.uint16) >> shifts) & ((1 << depth) - 1)
+    return samples.reshape(ph, -1)[:, : pw * nch].reshape(ph, pw, nch)
+
+
+def _png_decode_passes(raw: bytes, w: int, h: int, depth: int, nch: int,
+                       interlace: int):
+    """Unfilter + unpack the pixel stream — one pass, or the seven Adam7
+    sub-images scattered back onto the full grid (each pass filters its
+    scanlines independently, so unfiltering restarts per pass)."""
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    out = np.zeros((h, w, nch), dtype=np.uint16)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * nch * depth + 7) // 8
+        bpp = max(1, nch * depth // 8)
+        seg = raw[pos : pos + ph * (stride + 1)]
+        pos += ph * (stride + 1)
+        grid = _png_unfilter(seg, ph, stride, bpp)
+        if grid is None:
+            return None
+        out[y0::dy, x0::dx] = _png_unpack_row_samples(grid, pw, depth, nch)
+    return out
+
+
 def decode_png(payload: bytes):
     """Decode a PNG payload to an (h, w, 3) float32 RGB array in [0, 1],
-    or None if malformed/unsupported (interlaced, sub-byte depths). Alpha
-    is composited over white so the stat embedding sees displayed pixels."""
+    or None if malformed. All legal depth/color-type combinations including
+    sub-byte grays/palettes and Adam7 interlace. Alpha is composited over
+    white so the stat embedding sees displayed pixels."""
     try:
         if not payload.startswith(_PNG_SIG):
             return None
@@ -139,31 +192,24 @@ def decode_png(payload: bytes):
         if ihdr is None or not idat:
             return None
         w, h, depth, ctype_n, comp, filt, interlace = ihdr
-        if comp != 0 or filt != 0 or interlace != 0 or w <= 0 or h <= 0:
+        if comp != 0 or filt != 0 or interlace not in (0, 1) or w <= 0 or h <= 0:
             return None
-        if ctype_n not in _PNG_CHANNELS:
-            return None
-        if depth not in (8, 16) or (depth == 16 and ctype_n == 3):
+        if ctype_n not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[ctype_n]:
             return None
         nch = _PNG_CHANNELS[ctype_n]
-        bpp = nch * (depth // 8)
         raw = zlib.decompress(bytes(idat))
-        grid = _png_unfilter(raw, h, w * bpp, bpp)
-        if grid is None:
+        samples = _png_decode_passes(raw, w, h, depth, nch, interlace)
+        if samples is None:
             return None
-        if depth == 16:  # big-endian 16-bit samples
-            px = (
-                grid.reshape(h, w, nch, 2).astype(np.uint16) @ np.array([256, 1])
-            ).astype(np.float32) / 65535.0
-        else:
-            px = grid.reshape(h, w, nch).astype(np.float32) / 255.0
-        if ctype_n == 3:  # palette → RGB
+        if ctype_n == 3:  # palette → RGB (sample IS the index, any depth)
             if plte is None:
                 return None
-            idx = (px[..., 0] * 255.0).round().astype(np.int64)
+            idx = samples[..., 0].astype(np.int64)
             if idx.max() >= len(plte):
                 return None
             return plte[idx].astype(np.float32) / 255.0
+        maxval = float((1 << depth) - 1)
+        px = samples.astype(np.float32) / maxval
         if ctype_n == 0:  # gray
             return np.repeat(px, 3, axis=2)
         if ctype_n == 2:  # RGB

@@ -140,7 +140,8 @@ def test_png_rejects_malformed_and_unsupported():
     good = encode_png(img)
     assert decode_png(b"\x89PNG\r\n\x1a\njunk") is None
     assert decode_png(good[:30]) is None  # truncated
-    # flip the interlace byte inside IHDR → unsupported, not a crash
+    # flip the interlace byte inside IHDR: the stream now claims Adam7 but
+    # carries a non-interlaced (shorter) pixel stream → truncation, not a crash
     bad = bytearray(good)
     bad[8 + 8 + 12] = 1  # IHDR data byte 12 = interlace
     assert decode_png(bytes(bad)) is None
@@ -562,3 +563,68 @@ def test_flac_features_flow_through_spark_path(spark):
     assert abs(rows["f1"].rms - 0.4 / np.sqrt(2)) < 1e-3  # sine RMS exact-ish
     assert not rows["f2"].decoded_ok
     assert rows["f2"].codec == "flac"  # failed attempt keeps its attribution
+
+
+def test_png_adam7_interlace_hand_built():
+    """A 4×4 grayscale Adam7 stream laid out BY HAND from the spec's pass
+    geometry — pass k owns pixels (x0+i·dx, y0+j·dy). Values chosen so
+    every pass is distinguishable; the decoder must scatter each pass back
+    to its true coordinates."""
+    # target image: pixel value = 16*y + x (rows y=0..3)
+    target = np.array([[16 * y + x for x in range(4)] for y in range(4)])
+    # Adam7 on 4×4: pass1 (0,0); pass4 (2,0); pass5 (0,2),(2,2);
+    # pass6 (1,0),(3,0),(1,2),(3,2); pass7 rows 1 and 3 complete
+    def rows(*scanlines):
+        return b"".join(b"\x00" + bytes(s) for s in scanlines)
+
+    raw = (
+        rows([target[0, 0]])                      # pass 1: 1×1
+        + rows([target[0, 2]])                    # pass 4: 1×1
+        + rows([target[2, 0], target[2, 2]])      # pass 5: 1 row × 2
+        + rows([target[0, 1], target[0, 3]],      # pass 6: 2 rows × 2
+               [target[2, 1], target[2, 3]])
+        + rows(list(target[1]), list(target[3]))  # pass 7: rows 1, 3 full
+    )
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # gray, interlaced
+    from datalakejson_spark.functions.imagecodecs import _png_chunk
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    dec = decode_png(payload)
+    assert dec is not None and dec.shape == (4, 4, 3)
+    assert np.abs(dec[:, :, 0] * 255.0 - target).max() < 1e-5
+
+
+def test_png_sub_byte_depths_hand_built():
+    """1-bit gray and 4-bit palette streams, bytes laid out by hand
+    (MSB-first bitfields per the spec)."""
+    from datalakejson_spark.functions.imagecodecs import _png_chunk
+
+    def png(ihdr_fields, chunks, raw):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+            + chunks
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 8×2 1-bit gray: row0 = 0b10110001, row1 = 0b01001110
+    raw = b"\x00\xb1" + b"\x00\x4e"
+    dec = decode_png(png((8, 2, 1, 0, 0, 0, 0), b"", raw))
+    assert dec is not None and dec.shape == (2, 8, 3)
+    exp = np.array([[1, 0, 1, 1, 0, 0, 0, 1], [0, 1, 0, 0, 1, 1, 1, 0]])
+    assert np.array_equal(dec[:, :, 0], exp.astype(np.float32))
+
+    # 3×1 4-bit palette: indices 2, 0, 1 → bytes 0x20, 0x10 (pad nibble)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    raw = b"\x00\x20\x10"
+    dec = decode_png(png((3, 1, 4, 3, 0, 0, 0), _png_chunk(b"PLTE", pal), raw))
+    assert dec is not None and dec.shape == (1, 3, 3)
+    assert np.array_equal(
+        dec[0], np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], dtype=np.float32)
+    )
