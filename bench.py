@@ -263,6 +263,7 @@ def bench_multimodal(spark) -> dict[str, int]:
     from datalakejson_spark.functions.imagecodecs import (
         encode_gif,
         encode_jpeg,
+        encode_jpeg_progressive,
         encode_png,
         encode_tiff,
     )
@@ -278,6 +279,10 @@ def bench_multimodal(spark) -> dict[str, int]:
         rows.append((f"png_{i}", "image", encode_png(pixels(i)), None))
         rows.append(
             (f"jpg_{i}", "image", encode_jpeg(pixels(i).astype("float32")), None)
+        )
+        rows.append(
+            (f"pjpg_{i}", "image",
+             encode_jpeg_progressive(pixels(i).astype("float32")), None)
         )
         rows.append((f"gif_{i}", "image", encode_gif(pixels(i)), None))
         rows.append((f"tif_{i}", "image", encode_tiff(pixels(i)), None))

@@ -19,8 +19,11 @@ All formats are implemented from their public specifications only:
 - JPEG: ITU-T T.81 baseline sequential DCT — DQT/DHT/SOF0/SOS/DRI parse,
   canonical Huffman entropy decode with byte-stuffing and restart markers,
   dequantize → inverse zigzag → 8x8 IDCT (numpy basis-matrix form),
-  chroma upsampling for 4:2:0/4:2:2, YCbCr→RGB (BT.601 full range).
-  Progressive (SOF2) and arithmetic-coded streams return None.
+  chroma upsampling for 4:2:0/4:2:2, YCbCr→RGB (BT.601 full range) — PLUS
+  progressive (SOF2, r6): the full Annex G scan surface (spectral
+  selection, successive approximation with DC/AC refinement, EOB runs),
+  coefficients accumulated across scans and reconstructed at EOI.
+  Arithmetic-coded and hierarchical streams return None.
 - GIF: GIF87a/89a — logical screen + global/local color tables, variable-
   width LSB-first LZW with CLEAR/EOI and 12-bit dictionary cap, Adam-style
   4-pass interlace, transparency composited over white. First frame only.
@@ -406,6 +409,19 @@ _STD_AC_CHROMA = (
 )
 
 
+#: progressive-scan AC Huffman table (encoder fixture): the Annex-K baseline
+#: AC tables contain no EOBn (n≥1) symbols, so progressive streams ship
+#: custom DHTs — this one holds every symbol the progressive encoder can
+#: need (EOB0-14, ZRL, run/size for sizes 1-14), all at code length 8
+#: (Kraft sum 240/256 ≤ 1 → valid canonical table, deliberately non-optimal).
+_PROG_AC_VALS = sorted(
+    {n << 4 for n in range(15)}
+    | {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 15)}
+)
+_PROG_AC_TABLE = ([0] * 7 + [len(_PROG_AC_VALS)] + [0] * 8, _PROG_AC_VALS)
+
+
 def build_huffman_codes(bits, huffval):
     """Canonical Huffman code assignment per T.81 Annex C: returns
     {symbol: (code, length)} — codes of each length are consecutive,
@@ -450,13 +466,13 @@ class _BitReader:
                 nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # marker: pad with 1-bits until restart() consumes it
+                else:
+                    # ANY marker ends the entropy segment: pad with 1-bits
+                    # without advancing, so a multi-scan (progressive)
+                    # stream's next SOS/DHT is never swallowed as data;
+                    # restart() consumes RSTn from here
                     self.bitbuf = (self.bitbuf << 8) | 0xFF
                     self.nbits += 8
-                    continue
-                else:
-                    self.pos += 2  # unexpected marker — skip defensively
                     continue
             else:
                 self.pos += 1
@@ -506,8 +522,11 @@ def _decode_huff(reader: _BitReader, table) -> int | None:
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline-sequential JPEG to an (h, w, 3) float32 RGB array
-    in [0, 1], or None for malformed/progressive/arithmetic streams."""
+    """Decode a baseline-sequential OR progressive (SOF2, r6) JPEG to an
+    (h, w, 3) float32 RGB array in [0, 1], or None for malformed/
+    arithmetic-coded streams. Progressive scans (spectral selection +
+    successive approximation, T.81 Annex G) accumulate coefficients until
+    EOI, then dequantize+IDCT once."""
     try:
         if not payload.startswith(b"\xff\xd8"):
             return None
@@ -515,15 +534,19 @@ def decode_jpeg(payload: bytes):
         huff_dc: dict[int, dict] = {}
         huff_ac: dict[int, dict] = {}
         frame = None
+        progressive = False
+        coefs: dict[int, np.ndarray] = {}
         restart_interval = 0
         pos = 2
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
-            if marker == 0xD8:
-                pos += 2
+            if marker == 0xD8 or marker == 0xFF:  # SOI / fill byte
+                pos += 2 if marker == 0xD8 else 1
                 continue
+            if marker == 0xD9:  # EOI — progressive reconstruction point
+                break
             (seglen,) = struct.unpack_from(">H", payload, pos + 2)
             seg = payload[pos + 4 : pos + 2 + seglen]
             if marker == 0xDB:  # DQT
@@ -549,7 +572,7 @@ def decode_jpeg(payload: bytes):
                     vals = list(seg[sp + 17 : sp + 17 + n])
                     (huff_dc if tclass == 0 else huff_ac)[tid] = _decode_table(bits, vals)
                     sp += 17 + n
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
                 prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
                 if prec != 8:
                     return None
@@ -558,8 +581,9 @@ def decode_jpeg(payload: bytes):
                     cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
                 frame = {"h": h, "w": w, "comps": comps}
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic — unsupported
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # hierarchical / arithmetic — unsupported
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", seg, 0)
             elif marker == 0xDA:  # SOS — scan follows
@@ -571,14 +595,205 @@ def decode_jpeg(payload: bytes):
                     cs, tds = seg[1 + 2 * i : 3 + 2 * i]
                     comp = next(c for c in frame["comps"] if c["id"] == cs)
                     scan.append((comp, tds >> 4, tds & 0xF))
-                return _decode_scan(
-                    payload, pos + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
+                if not progressive:
+                    return _decode_scan(
+                        payload, pos + 2 + seglen, frame, scan, qt, huff_dc,
+                        huff_ac, restart_interval,
+                    )
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                pos = _decode_progressive_scan(
+                    payload, pos + 2 + seglen, frame, scan, coefs,
+                    huff_dc, huff_ac, ss, se, ahal >> 4, ahal & 0xF,
                     restart_interval,
                 )
+                if pos is None:
+                    return None
+                continue
             pos += 2 + seglen
+        if progressive and coefs:
+            return _reconstruct_progressive(frame, coefs, qt)
         return None
     except Exception:  # noqa: BLE001 — malformed payload must not raise
         return None
+
+
+def _jpeg_geometry(frame):
+    """(hmax, vmax, mcux, mcuy) plus per-component padded and true block
+    dims: padded = the interleaved-MCU grid (DC scans, dummy blocks
+    included); true = ceil(scaled dims / 8) (non-interleaved AC scans)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    dims = {}
+    for c in comps:
+        true_w = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+        true_h = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+        dims[c["id"]] = {
+            "pad": (mcuy * c["v"], mcux * c["h"]),
+            "true": (true_h, true_w),
+        }
+    return hmax, vmax, mcux, mcuy, dims
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """First byte offset of the next non-RST, non-stuffing marker at or
+    after ``pos`` (the end of an entropy-coded segment)."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00 and not (
+            0xD0 <= payload[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(payload)
+
+
+def _decode_progressive_scan(
+    payload, start, frame, scan, coefs, huff_dc, huff_ac, ss, se, ah, al,
+    restart_interval,
+):
+    """One progressive scan (T.81 Annex G.2), accumulating into ``coefs``
+    (per-component (bh, bw, 64) zigzag-order arrays). Returns the offset of
+    the next marker, or None on error. Four scan kinds: DC first / DC
+    refine (interleaved MCU walk), AC first / AC refine (single component,
+    non-interleaved true-block walk, EOB runs)."""
+    _, _, mcux, mcuy, dims = _jpeg_geometry(frame)
+    for c in frame["comps"]:
+        if c["id"] not in coefs:
+            ph, pw = dims[c["id"]]["pad"]
+            coefs[c["id"]] = np.zeros((ph, pw, 64), dtype=np.int64)
+    reader = _BitReader(payload, start)
+
+    if ss == 0:  # DC scan (spec: Se must be 0 — a combined band is invalid)
+        if se != 0:
+            return None
+        pred = {comp["id"]: 0 for comp, _, _ in scan}
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    if not reader.restart():
+                        return None
+                    pred = {comp["id"]: 0 for comp, _, _ in scan}
+                for comp, td, _ta in scan:
+                    block_rows = coefs[comp["id"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            cy, cx = my * comp["v"] + by, mx * comp["h"] + bx
+                            if ah == 0:  # DC first
+                                t = _decode_huff(reader, huff_dc.get(td, {}))
+                                if t is None:
+                                    return None
+                                pred[comp["id"]] += _extend(reader.receive(t), t)
+                                block_rows[cy, cx, 0] = pred[comp["id"]] << al
+                            else:  # DC refine: one raw bit per block
+                                if reader.read_bit():
+                                    block_rows[cy, cx, 0] |= 1 << al
+                mcu_count += 1
+        return _next_marker(payload, reader.pos)
+
+    # AC scan: exactly one component, non-interleaved
+    if len(scan) != 1:
+        return None
+    comp, _td, ta = scan[0]
+    table = huff_ac.get(ta)
+    if table is None:
+        return None
+    bh, bw = dims[comp["id"]]["true"]
+    blocks = coefs[comp["id"]]
+    eobrun = 0
+    block_count = 0
+    for cy in range(bh):
+        for cx in range(bw):
+            if restart_interval and block_count and block_count % restart_interval == 0:
+                if not reader.restart():
+                    return None
+                eobrun = 0
+            block_count += 1
+            zz = blocks[cy, cx]
+            if ah == 0:  # AC first (G.2.2 spectral selection)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_huff(reader, table)
+                    if rs is None:
+                        return None
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1 + (reader.receive(r) if r else 0)
+                        break
+                    k += r
+                    if k > se:
+                        return None
+                    zz[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+            else:  # AC refine (G.2.2 successive approximation)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_huff(reader, table)
+                        if rs is None:
+                            return None
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) + (reader.receive(r) if r else 0)
+                                break
+                            # ZRL: skip 16 zero-history positions
+                        else:
+                            if s != 1:
+                                return None
+                            newval = (1 << al) if reader.read_bit() else -(1 << al)
+                        while k <= se:
+                            if zz[k] != 0:
+                                if reader.read_bit() and not (abs(zz[k]) & (1 << al)):
+                                    zz[k] += (1 << al) if zz[k] > 0 else -(1 << al)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if newval and k <= se:
+                            zz[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and not (abs(zz[k]) & (1 << al)):
+                                zz[k] += (1 << al) if zz[k] > 0 else -(1 << al)
+                        k += 1
+                    eobrun -= 1
+    return _next_marker(payload, reader.pos)
+
+
+def _reconstruct_progressive(frame, coefs, qt):
+    """Dequantize + IDCT every accumulated block, then the shared
+    upsample/color-convert tail."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax, _, _, _ = _jpeg_geometry(frame)
+    planes = {}
+    for c in comps:
+        q = qt.get(c["tq"])
+        zz = coefs.get(c["id"])
+        if q is None or zz is None:
+            return None
+        bh, bw = zz.shape[:2]
+        raster = np.zeros_like(zz)
+        raster[:, :, ZIGZAG] = zz
+        blocks = raster.reshape(bh, bw, 8, 8) * q
+        spatial = np.einsum("ij,xyjk,kl->xyil", _DCT_A.T, blocks, _DCT_A) + 128.0
+        planes[c["id"]] = (
+            spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8).astype(np.float32)
+        )
+    return _assemble_rgb(planes, comps, h, w, hmax, vmax)
 
 
 def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
@@ -639,7 +854,12 @@ def _decode_scan(payload, start, frame, scan, qt, huff_dc, huff_ac, restart_inte
                         px = (mx * comp["h"] + bx) * 8
                         planes[comp["id"]][py : py + 8, px : px + 8] = block
             mcu_count += 1
-    # upsample each component to full resolution, crop, stack
+    return _assemble_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble_rgb(planes: dict, comps, h: int, w: int, hmax: int, vmax: int):
+    """Upsample each component plane to full resolution, crop to the frame,
+    and YCbCr→RGB (BT.601) — shared by the baseline and progressive paths."""
     out = []
     for c in comps:
         plane = planes[c["id"]]
@@ -711,10 +931,10 @@ def _pad_plane(p: np.ndarray, mult: int) -> np.ndarray:
     return pp
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> bytes:
-    """Minimal baseline JPEG encoder for TEST FIXTURES: grayscale or color
-    at 4:4:4 / 4:2:0 (``subsample``), Annex K quant/Huffman tables, no
-    restart markers."""
+def _jpeg_prepare(arr: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front end: RGB→YCbCr, chroma downsample, MCU-grid
+    padding, quality-scaled quant tables. Returns
+    (gray, h, w, qtabs, padded planes, per-component (h, v) factors)."""
     arr = np.asarray(arr, dtype=np.float32)
     gray = arr.ndim == 2 or arr.shape[2] == 1
     if arr.ndim == 2:
@@ -733,8 +953,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> b
     luma_q = _quality_scale(_STD_LUMA_Q, quality).reshape(8, 8)
     chroma_q = _quality_scale(_STD_CHROMA_Q, quality).reshape(8, 8)
     qtabs = [luma_q] + ([chroma_q] if not gray else [])
-    dc_codes = [build_huffman_codes(*_STD_DC_LUMA), build_huffman_codes(*_STD_DC_CHROMA)]
-    ac_codes = [build_huffman_codes(*_STD_AC_LUMA), build_huffman_codes(*_STD_AC_CHROMA)]
 
     # pad luma to the MCU grid (8·sub); chroma planes downsampled by 2x2 mean
     padded = [_pad_plane(planes[0], 8 * sub)]
@@ -745,6 +963,41 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> b
         padded.append(pp)
     # per-component sampling factors: luma sub×sub blocks per MCU, chroma 1×1
     factors = [(sub, sub)] + [(1, 1)] * (len(planes) - 1)
+    return gray, h, w, qtabs, padded, factors
+
+
+def _jpeg_headers(gray: bool, h: int, w: int, qtabs, factors, sof_marker: int) -> bytearray:
+    """SOI + DQT + SOF + DHT header bytes shared by both encoders."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tid, q in enumerate(qtabs):
+        out += seg(0xDB, bytes([tid]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        hv = (factors[ci][1] << 4) | factors[ci][0]
+        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+    out += seg(sof_marker, sof)
+    tables = [(_STD_DC_LUMA, 0x00), (_STD_AC_LUMA, 0x10)]
+    if not gray:
+        tables += [(_STD_DC_CHROMA, 0x01), (_STD_AC_CHROMA, 0x11)]
+    for (bits, vals), tclass_id in tables:
+        out += seg(0xC4, bytes([tclass_id]) + bytes(bits) + bytes(vals))
+    return out
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> bytes:
+    """Minimal baseline JPEG encoder for TEST FIXTURES: grayscale or color
+    at 4:4:4 / 4:2:0 (``subsample``), Annex K quant/Huffman tables, no
+    restart markers."""
+    gray, h, w, qtabs, padded, factors = _jpeg_prepare(arr, quality, subsample)
+    dc_codes = [build_huffman_codes(*_STD_DC_LUMA), build_huffman_codes(*_STD_DC_CHROMA)]
+    ac_codes = [build_huffman_codes(*_STD_AC_LUMA), build_huffman_codes(*_STD_AC_CHROMA)]
+    sub = factors[0][0]
+    planes = padded
 
     def encode_block(block: np.ndarray, tsel: int, ci: int):
         q = qtabs[tsel if not gray else 0]
@@ -796,20 +1049,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> b
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    out = bytearray(b"\xff\xd8")
-    for tid, q in enumerate(qtabs):
-        out += seg(0xDB, bytes([tid]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out = _jpeg_headers(gray, h, w, qtabs, factors, 0xC0)
     nc = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        hv = (factors[ci][1] << 4) | factors[ci][0]
-        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
-    tables = [(_STD_DC_LUMA, 0x00), (_STD_AC_LUMA, 0x10)]
-    if not gray:
-        tables += [(_STD_DC_CHROMA, 0x01), (_STD_AC_CHROMA, 0x11)]
-    for (bits, vals), tclass_id in tables:
-        out += seg(0xC4, bytes([tclass_id]) + bytes(bits) + bytes(vals))
     sos = bytes([nc])
     for ci in range(nc):
         tsel = 0 if ci == 0 else 1
@@ -817,6 +1058,235 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> b
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsample: str = "444",
+    dc_al: int = 1, ac_al: int = 1,
+) -> bytes:
+    """Progressive (SOF2) JPEG encoder for TEST FIXTURES, exercising the
+    full Annex G surface the decoder implements: an interleaved DC-first
+    scan at Al=1, a DC refinement scan, per-component AC spectral-selection
+    scans over two bands at Al=1 (EOB runs, ZRL), and per-component AC
+    refinement scans back to Al=0 (correction bits, refinement EOB runs).
+    Because every bit of every quantized coefficient is delivered by the
+    scan ladder, the decoded image must be IDENTICAL to the baseline
+    encoding at the same quality — pinned in tests/test_codecs.py."""
+    gray, h, w, qtabs, padded, factors = _jpeg_prepare(arr, quality, subsample)
+    prog_ac = build_huffman_codes(*_PROG_AC_TABLE)  # shared by every AC scan
+    dc_codes = [build_huffman_codes(*_STD_DC_LUMA), build_huffman_codes(*_STD_DC_CHROMA)]
+    nc = 1 if gray else 3
+
+    # quantized zigzag coefficients for every (padded-grid) block
+    coefs = []
+    for ci, plane in enumerate(padded):
+        q = qtabs[0 if ci == 0 else 1]
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        zz = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for cy in range(bh):
+            for cx in range(bw_):
+                block = plane[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8]
+                quant = np.round((_DCT_A @ (block - 128.0) @ _DCT_A.T) / q).astype(
+                    np.int64
+                )
+                zz[cy, cx] = quant.reshape(-1)[ZIGZAG]
+        coefs.append(zz)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos_header(comp_ids_tsels, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids_tsels)])
+        for cid, tsel in comp_ids_tsels:
+            body += bytes([cid, (tsel << 4) | tsel])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def trunc(v: int, al: int) -> int:
+        return -((-v) >> al) if v < 0 else v >> al  # AC point transform
+
+    out = _jpeg_headers(gray, h, w, qtabs, factors, 0xC2)
+
+    # --- scan 1: DC first, interleaved, Al=dc_al (DC point transform = >>)
+    bw = _BitWriter()
+    pred = [0] * nc
+    sub = factors[0][0]
+    mcuy, mcux = padded[0].shape[0] // (8 * sub), padded[0].shape[1] // (8 * sub)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                ch, cw = factors[ci]
+                for by in range(ch):
+                    for bx in range(cw):
+                        v = int(coefs[ci][my * ch + by, mx * cw + bx, 0]) >> dc_al
+                        size, bits = _magnitude(v - pred[ci])
+                        pred[ci] = v
+                        code, length = dc_codes[0 if ci == 0 else 1][size]
+                        bw.write(code, length)
+                        bw.write(bits, size)
+    bw.flush()
+    out += sos_header(
+        [(ci + 1, 0 if ci == 0 else 1) for ci in range(nc)], 0, 0, 0, dc_al
+    )
+    out += bw.out
+
+    if dc_al:
+        # --- scan 2: DC refine to Al=0 (raw bits, no Huffman)
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    ch, cw = factors[ci]
+                    for by in range(ch):
+                        for bx in range(cw):
+                            bw.write(
+                                int(coefs[ci][my * ch + by, mx * cw + bx, 0]) & 1, 1
+                            )
+        bw.flush()
+        out += sos_header(
+            [(ci + 1, 0 if ci == 0 else 1) for ci in range(nc)], 0, 0, 1, 0
+        )
+        out += bw.out
+
+    # non-interleaved true block dims per component
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    true_dims = []
+    for ci in range(nc):
+        ch, cv = factors[ci]
+        true_dims.append((
+            (((h * cv + vmax - 1) // vmax) + 7) // 8,
+            (((w * ch + hmax - 1) // hmax) + 7) // 8,
+        ))
+
+    bands = [(1, 20), (21, 63)]
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        codes = prog_ac
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, length = codes[n << 4]
+                bw.write(code, length)
+                bw.write(eobrun - (1 << n), n)
+                eobrun = 0
+
+        bh, bw_t = true_dims[ci]
+        for cy in range(bh):
+            for cx in range(bw_t):
+                band = [trunc(int(v), al) for v in coefs[ci][cy, cx, ss : se + 1]]
+                nz = [i for i, v in enumerate(band) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = codes[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    code, length = codes[(run << 4) | size]
+                    bw.write(code, length)
+                    bw.write(bits, size)
+                    run = 0
+                if nz[-1] < se - ss:
+                    eobrun += 1
+        flush_eob()
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        """Ah = al+1 → Al = al: newly-nonzero coefficients (|v| == 1 at this
+        precision) are run-length coded; already-nonzero ones contribute
+        buffered correction bits flushed after each Huffman symbol."""
+        bw = _BitWriter()
+        codes = prog_ac
+        eobrun = 0
+        pending: list[int] = []
+
+        def emit(sym: int, extra_bits: int = 0, extra_n: int = 0):
+            code, length = codes[sym]
+            bw.write(code, length)
+            if extra_n:
+                bw.write(extra_bits, extra_n)
+            for b in pending:
+                bw.write(b, 1)
+            pending.clear()
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                run, eobrun = eobrun, 0
+                emit(n << 4, run - (1 << n), n)
+
+        bh, bw_t = true_dims[ci]
+        for cy in range(bh):
+            for cx in range(bw_t):
+                band = [int(v) for v in coefs[ci][cy, cx, ss : se + 1]]
+                hist = [trunc(v, al + 1) for v in band]
+                cur = [trunc(v, al) for v in band]
+                newnz = [i for i in range(len(band)) if hist[i] == 0 and cur[i] != 0]
+                if not newnz:
+                    pending.extend((abs(v) >> al) & 1 for v, h_ in zip(band, hist) if h_)
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(len(band)):
+                    if i <= newnz[-1]:
+                        if hist[i] == 0 and cur[i] == 0:
+                            run += 1
+                            continue
+                        # ZRL check at EVERY nonzero position (libjpeg
+                        # structure): keeps the decoder's 16-slot walk and
+                        # the buffered correction bits aligned
+                        while run > 15:
+                            emit(0xF0)
+                            run -= 16
+                        if hist[i] != 0:
+                            pending.append((abs(band[i]) >> al) & 1)
+                        else:  # newly nonzero: |cur| == 1 by construction
+                            sign = 1 if cur[i] > 0 else 0
+                            emit((run << 4) | 1, sign, 1)
+                            run = 0
+                    elif hist[i] != 0:
+                        pending.append((abs(band[i]) >> al) & 1)
+                if newnz[-1] < se - ss:
+                    eobrun += 1
+        flush_eob()
+        bw.flush()
+        return bytes(bw.out)
+
+    # custom AC DHT (class 1, id 0) for every AC scan — overrides the
+    # baseline table, as real progressive encoders do
+    bits_, vals_ = _PROG_AC_TABLE
+    out += seg(0xC4, bytes([0x10]) + bytes(bits_) + bytes(vals_))
+    for ci in range(nc):
+        for ss, se in bands:
+            out += sos_header([(ci + 1, 0)], ss, se, 0, ac_al)
+            out += ac_first_scan(ci, ss, se, ac_al)
+    if ac_al:
+        for ci in range(nc):
+            for ss, se in bands:
+                out += sos_header([(ci + 1, 0)], ss, se, 1, 0)
+                out += ac_refine_scan(ci, ss, se, 0)
+
     out += b"\xff\xd9"
     return bytes(out)
 

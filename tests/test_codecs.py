@@ -196,12 +196,18 @@ def test_jpeg_uniform_block_exact():
     assert np.abs(dec * 255.0 - expected).max() < 0.75  # chroma rounding slack
 
 
-def test_jpeg_rejects_malformed_and_progressive():
+def test_jpeg_rejects_malformed_and_mislabeled():
     assert decode_jpeg(b"\xff\xd8\xff\xe0 fake") is None
     good = bytearray(encode_jpeg(_gradient(8, 8), quality=80))
-    # rewrite SOF0 marker (FFC0) to SOF2 (progressive) → unsupported
+    # rewrite SOF0 to SOF2: the stream now CLAIMS progressive but carries a
+    # baseline combined scan (Ss=0, Se=63), which Annex G forbids → None
     i = bytes(good).index(b"\xff\xc0")
     good[i + 1] = 0xC2
+    assert decode_jpeg(bytes(good)) is None
+    # arithmetic-coded SOF (0xC9) stays unsupported
+    good = bytearray(encode_jpeg(_gradient(8, 8), quality=80))
+    i = bytes(good).index(b"\xff\xc0")
+    good[i + 1] = 0xC9
     assert decode_jpeg(bytes(good)) is None
 
 
@@ -628,3 +634,58 @@ def test_png_sub_byte_depths_hand_built():
     assert np.array_equal(
         dec[0], np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], dtype=np.float32)
     )
+
+
+# ----------------------------------------------------- progressive JPEG
+
+
+def test_progressive_jpeg_bit_exact_vs_baseline():
+    """The progressive scan ladder (DC first at Al=1 → DC refine → AC
+    spectral bands at Al=1 → AC refine) delivers every bit of every
+    quantized coefficient, so the decoded image must be IDENTICAL to the
+    baseline encoding at the same quality — any nonzero diff means a scan
+    decoder bug. Covers color/gray, 4:2:0, odd dims, noise (refine-heavy),
+    and flat content (maximal EOB runs)."""
+    from datalakejson_spark.functions.imagecodecs import encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    cases = [
+        (_gradient(24, 40), 75, "444"),
+        (_gradient(24, 40), 90, "420"),
+        (_gradient(17, 19), 85, "420"),  # odd dims + subsampling
+        (rng.uniform(0, 255, size=(33, 29)).astype(np.float32), 88, "444"),
+        (np.full((64, 64, 3), 130.0, np.float32), 95, "444"),  # giant EOB runs
+    ]
+    for img, q, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q, subsample=sub))
+        assert prog is not None
+        assert np.abs(prog - base).max() == 0.0, (q, sub)
+
+
+def test_progressive_jpeg_scan_layers_decode_independently():
+    """Each successive-approximation layer must be decodable on its own:
+    dc_al/ac_al=0 skips the refinement scans entirely (pure spectral
+    selection) and still reconstructs exactly."""
+    from datalakejson_spark.functions.imagecodecs import encode_jpeg_progressive
+
+    img = _gradient(16, 24)
+    base = decode_jpeg(encode_jpeg(img, quality=80))
+    for dc_al, ac_al in ((0, 0), (1, 0), (0, 1)):
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=80, dc_al=dc_al, ac_al=ac_al)
+        )
+        assert np.abs(prog - base).max() == 0.0, (dc_al, ac_al)
+
+
+def test_progressive_jpeg_rejects_malformed():
+    from datalakejson_spark.functions.imagecodecs import encode_jpeg_progressive
+
+    good = bytearray(encode_jpeg_progressive(_gradient(8, 8), quality=80))
+    # truncate mid-scan → None, not an exception
+    assert decode_jpeg(bytes(good[: len(good) // 2])) is None
+    # a baseline-style combined scan (Ss=0, Se=63) is illegal in progressive
+    i = bytes(good).index(b"\xff\xda")
+    ns = good[i + 4]
+    good[i + 5 + 2 * ns + 1] = 63  # Se byte of the DC scan
+    assert decode_jpeg(bytes(good)) is None
