@@ -325,3 +325,44 @@ def test_runtime_bloom_filter_in_shuffle_join_regime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The hot-key posture at 100 TB: when one join key dominates, AQE's
+    OptimizeSkewedJoin must split the oversized shuffle partition instead
+    of serializing it through one task (SortMergeJoin(skew=true) +
+    'AQEShuffleRead coalesced and skewed'). Pin it with a synthetic hot key
+    at test-scale thresholds — and note the operational trap this test
+    encodes: a downstream exchange-requiring op (e.g. count()'s aggregate)
+    suppresses the split unless forceOptimizeSkewedJoin is on, so the
+    assertion drives the join through collect()."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(20000).select(
+            (F.col("id") % 1000 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(1001).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = hot.union(cold).join(right, "k")
+        rows = j.collect()
+        assert len(rows) == 220000  # splitting must not change results
+        final = j._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "skew=true" in final, final
+        assert "coalesced and skewed" in final, final
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
