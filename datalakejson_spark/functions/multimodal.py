@@ -6,9 +6,11 @@ parquet. The Spark-side plumbing — schemas, partition-friendly layout,
 Arrow-batched UDF signatures — is real and tested; the codec step is a
 THREE-TIER gate (``decode_image``): Pillow where importable (all formats),
 a pure-numpy/stdlib decoder tier for PPM/BMP (r5) AND the compressed
-PNG/baseline-JPEG/GIF formats plus uncompressed TIFF (r6, imagecodecs.py — REAL pixel decode, runs and
+PNG (all depths, Adam7) / JPEG (baseline AND progressive) / GIF formats
+plus uncompressed TIFF (r6, imagecodecs.py — REAL pixel decode, runs and
 is tested in this container), and a clearly-marked deterministic stub only
-for formats outside that set with no codec present (WebP/...).
+for formats outside that set with no codec present (WebP — whose container
+metadata is still real, containers.py).
 Audio gains real IMA-ADPCM compressed decode (audiocodecs.py) beside PCM.
 Compressed containers (MP4/MP3): the CONTAINER layer — duration, track
 dims, codec fourcc, sample counts — is REAL (containers.py parses ISO-BMFF
@@ -208,7 +210,7 @@ def _decode_image_numpy(payload: bytes) -> list[float] | None:
     """Middle codec tier: REAL pixel decode with only numpy + stdlib —
     available in any PySpark worker. Uncompressed formats (PPM P6, 24-bit
     BMP) plus, since r6, the COMPRESSED formats PNG (stdlib zlib DEFLATE +
-    numpy unfiltering) and baseline JPEG (numpy Huffman/IDCT) via
+    numpy unfiltering) and JPEG, baseline + progressive (numpy Huffman/IDCT) via
     imagecodecs.py. A payload that CLAIMS one of these formats but is
     malformed returns None (decoded_ok=False), same contract as the PIL
     tier."""
@@ -248,10 +250,11 @@ def decode_image_tiered(
     """The L5 codec gate (ADVICE r03) with tier attribution: returns
     ``(features, tier)`` where tier ∈ DECODE_TIERS records which codec
     produced (or attempted) the decode. Three tiers: Pillow when importable
-    (all formats); else a pure-numpy/stdlib decoder for PPM/BMP/PNG/baseline-
-    JPEG/GIF/TIFF (REAL pixels, compressed formats included — this tier runs and is
-    tested in this container); else the clearly-marked deterministic stub
-    for remaining formats (WebP/...) without a codec. A malformed
+    (all formats); else a pure-numpy/stdlib decoder for PPM/BMP/PNG/JPEG
+    (baseline + progressive)/GIF/TIFF (REAL pixels, compressed formats
+    included — this tier runs and is tested in this container); else the
+    clearly-marked deterministic stub for remaining formats (WebP/...)
+    without a codec. A malformed
     payload keeps its attempting tier's label with
     features None (decoded_ok=False downstream). ``use_pil`` forces the
     first branch on/off for tests."""
