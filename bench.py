@@ -321,10 +321,19 @@ def bench_containers(spark) -> dict[str, int]:
     )
     from datalakejson_spark.functions.multimodal import ASSET_SCHEMA
 
+    import struct as _struct
+
     rows = []
     for i in range(8):
         rows.append((f"v{i}", "video", build_mp4(duration_ms=1000 + 500 * i), None))
         rows.append((f"a{i}", "audio", build_mp3(n_frames=20 + i), None))
+        bits = (16 + i) | ((9 + i) << 14)  # VP8L dims header
+        webp = (
+            b"RIFF" + _struct.pack("<I", 17) + b"WEBP"
+            + b"VP8L" + _struct.pack("<I", 5)
+            + bytes([0x2F]) + _struct.pack("<I", bits) + b"\x00"
+        )
+        rows.append((f"w{i}", "image", webp, None))
         rows.append((f"x{i}", "video", b"\x00garbage" + bytes([i]) * 32, None))
     assets = spark.createDataFrame(rows, ASSET_SCHEMA)
     import pyspark.sql.functions as F
