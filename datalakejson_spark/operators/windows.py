@@ -251,6 +251,16 @@ def two_phase_ranking(
     rep = df.repartitionByRange(num_chunks, *part_cols, *order_exprs).withColumn(
         "_chunk", F.spark_partition_id()
     )
+    # CORRECTNESS-CRITICAL materialization: three subtrees (counts, totals,
+    # the ranked branch) each contain this range exchange, and Spark does
+    # not reuse it here — three executions of a SAMPLED partitioner can
+    # draw different chunk boundaries, making the offsets disagree with
+    # the local ranks (caught by the sf1 cross-engine sweep as a
+    # nondeterministic off-by-small rn shift; sf0.01 fit one chunk and
+    # masked it). A lazy localCheckpoint pins one materialized chunking
+    # that every branch reads. At cluster scale this is one extra write of
+    # the data being ranked — the price of a consistent global order.
+    rep = rep.localCheckpoint(eager=False)
     counts = rep.groupBy("_chunk", *part_cols).agg(F.count("*").alias("_cnt"))
     w_off = (
         Window.partitionBy(*part_cols)
