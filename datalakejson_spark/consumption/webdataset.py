@@ -115,6 +115,51 @@ def write_webdataset_shards(
     return df.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA)
 
 
+def read_webdataset(spark, shards_dir: str) -> "DataFrame":
+    """Ingest WebDataset shards INTO Spark: a binaryFile scan over
+    ``shard-*.tar`` plus a mapInPandas tar parse, one output row per sample
+    ``(shard_path, key, exts: map<string, binary>)``. This is how a corpus
+    published in the WebDataset convention (the common public multimodal
+    training format) enters the curated lake: each tar parses wholly inside
+    its scan task, samples are rows, payload entries stay binary until a
+    codec tier (functions/multimodal.py) runs downstream. Scale posture:
+    parallelism = number of shards, no shuffle until the caller adds one."""
+    import pyspark.sql.functions as F
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"shard_path": [], "key": [], "exts": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    current, sample = None, {}
+                    for member in tar:
+                        if not member.isfile():
+                            continue
+                        base, _, ext = member.name.rpartition(".")
+                        if current is not None and base != current:
+                            out["shard_path"].append(path)
+                            out["key"].append(current)
+                            out["exts"].append(sample)
+                            sample = {}
+                        current = base
+                        sample[ext] = tar.extractfile(member).read()
+                    if current is not None:
+                        out["shard_path"].append(path)
+                        out["key"].append(current)
+                        out["exts"].append(sample)
+            yield pd.DataFrame(out, columns=["shard_path", "key", "exts"])
+
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(shards_dir)
+        .select("path", "content")
+    )
+    return scan.mapInPandas(
+        run, schema="shard_path string, key string, exts map<string, binary>"
+    ).withColumn("n_entries", F.size("exts"))
+
+
 def read_webdataset_samples(path: str) -> Iterator[tuple[str, dict[str, bytes]]]:
     """Stream samples back from one shard tar: yields ``(key, {ext: bytes})``
     with entries grouped by basename, in tar (= key) order. Pure-Python —

@@ -101,3 +101,20 @@ def test_tar_metadata_zeroed(spark, tmp_path):
             for m in tar:
                 assert (m.mtime, m.uid, m.gid) == (0, 0, 0)
     assert os.path.basename(r.path) == "shard-000000.tar"
+
+
+def test_read_webdataset_back_into_spark(spark, tmp_path):
+    """Full Spark roundtrip: export shards, re-ingest with read_webdataset,
+    and recover every sample byte-exactly — the LAION-style ingestion path."""
+    from datalakejson_spark.consumption.webdataset import read_webdataset
+
+    corpus = _corpus(spark, n=25)
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(corpus, out, "key", n_shards=3)
+    back = read_webdataset(spark, out)
+    rows = back.collect()
+    assert len(rows) == 25
+    expected = {r.key: (bytes(r.image), r.caption.encode()) for r in corpus.collect()}
+    for r in rows:
+        assert r.n_entries == 2
+        assert (bytes(r.exts["bin"]), bytes(r.exts["txt"])) == expected[r.key]
