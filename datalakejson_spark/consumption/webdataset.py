@@ -61,9 +61,14 @@ def write_webdataset_shards(
     Every row becomes one sample: for each payload column, a tar entry
     ``{key}.{ext}`` (bytes columns verbatim; everything else UTF-8 text).
     Keys must be unique — duplicate keys would silently merge samples, so
-    the writer raises inside the task if a shard sees a repeated key."""
+    the writer raises inside the task if a shard sees a repeated key.
+
+    ``out_dir`` must be visible to every executor (a shared filesystem /
+    fuse-mounted object store): each shard tar streams to disk INSIDE its
+    task — on a cluster, a node-local path would scatter shards across
+    machines. The task creates the directory itself, so a fresh shared
+    mount needs no driver-side preparation."""
     cols = payload_cols or [c for c in df.columns if c != key_col]
-    os.makedirs(out_dir, exist_ok=True)
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["_shard"].iloc[0])
@@ -72,9 +77,11 @@ def write_webdataset_shards(
         if keys.duplicated().any():
             dup = keys[keys.duplicated()].iloc[0]
             raise ValueError(f"duplicate sample key {dup!r} in shard {shard_id}")
+        os.makedirs(out_dir, exist_ok=True)  # task-side: runs where it writes
         path = os.path.join(out_dir, f"shard-{shard_id:06d}.tar")
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w") as tar:
+        # stream the tar straight to the file — no second in-memory copy of
+        # a potentially-GB shard
+        with tarfile.open(path, mode="w") as tar:
             for _, row in pdf.iterrows():
                 for col in cols:
                     value = row[col]
@@ -91,14 +98,11 @@ def write_webdataset_shards(
                     info.size = len(data)
                     info.mtime = 0  # zeroed metadata → reproducible bytes
                     tar.addfile(info, io.BytesIO(data))
-        payload = buf.getvalue()
-        with open(path, "wb") as f:
-            f.write(payload)
         return pd.DataFrame(
             {
                 "shard_id": [shard_id],
                 "n_samples": [len(pdf)],
-                "n_bytes": [len(payload)],
+                "n_bytes": [os.path.getsize(path)],
                 "path": [path],
             }
         )
@@ -124,28 +128,14 @@ def read_webdataset(spark, shards_dir: str) -> "DataFrame":
     its scan task, samples are rows, payload entries stay binary until a
     codec tier (functions/multimodal.py) runs downstream. Scale posture:
     parallelism = number of shards, no shuffle until the caller adds one."""
-    import pyspark.sql.functions as F
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"shard_path": [], "key": [], "exts": []}
             for path, content in zip(pdf["path"], pdf["content"]):
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
-                    current, sample = None, {}
-                    for member in tar:
-                        if not member.isfile():
-                            continue
-                        base, _, ext = member.name.rpartition(".")
-                        if current is not None and base != current:
-                            out["shard_path"].append(path)
-                            out["key"].append(current)
-                            out["exts"].append(sample)
-                            sample = {}
-                        current = base
-                        sample[ext] = tar.extractfile(member).read()
-                    if current is not None:
+                    for key, sample in _iter_tar_samples(tar):
                         out["shard_path"].append(path)
-                        out["key"].append(current)
+                        out["key"].append(key)
                         out["exts"].append(sample)
             yield pd.DataFrame(out, columns=["shard_path", "key", "exts"])
 
@@ -160,22 +150,29 @@ def read_webdataset(spark, shards_dir: str) -> "DataFrame":
     ).withColumn("n_entries", F.size("exts"))
 
 
+def _iter_tar_samples(tar) -> Iterator[tuple[str, dict[str, bytes]]]:
+    """Group a tar's file members by basename into ``(key, {ext: bytes})``
+    samples, in tar (= key) order — the single grouping implementation
+    shared by the Spark re-ingest and the per-tar reader."""
+    current_key: str | None = None
+    sample: dict[str, bytes] = {}
+    for member in tar:
+        if not member.isfile():
+            continue
+        base, _, ext = member.name.rpartition(".")
+        if current_key is not None and base != current_key:
+            yield current_key, sample
+            sample = {}
+        current_key = base
+        sample[ext] = tar.extractfile(member).read()
+    if current_key is not None:
+        yield current_key, sample
+
+
 def read_webdataset_samples(path: str) -> Iterator[tuple[str, dict[str, bytes]]]:
     """Stream samples back from one shard tar: yields ``(key, {ext: bytes})``
     with entries grouped by basename, in tar (= key) order. Pure-Python —
     this is the consumer-side contract check, mirroring what a WebDataset
     loader does; training loops should mount the tars directly."""
     with tarfile.open(path, mode="r") as tar:
-        current_key: str | None = None
-        sample: dict[str, bytes] = {}
-        for member in tar:
-            if not member.isfile():
-                continue
-            base, _, ext = member.name.rpartition(".")
-            if current_key is not None and base != current_key:
-                yield current_key, sample
-                sample = {}
-            current_key = base
-            sample[ext] = tar.extractfile(member).read()
-        if current_key is not None:
-            yield current_key, sample
+        yield from _iter_tar_samples(tar)

@@ -381,6 +381,8 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray] | None:
             if frame_bps is None:
                 return None
             bits.read(8)  # CRC-8 (fixture-grade: presence, not verification)
+            if chan_code > 10:
+                return None  # 11-15 are reserved (RFC 9639)
             if chan_code < 8:
                 n_ch = chan_code + 1
                 subs = [_flac_subframe(bits, blocksize, frame_bps) for _ in range(n_ch)]

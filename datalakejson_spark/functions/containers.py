@@ -156,10 +156,14 @@ def parse_mp4(payload: bytes) -> dict | None:
     n_samples, width, height, channels, sample_rate}]}`` or None for
     payloads that are not a well-formed MP4 (no ftyp/moov)."""
     try:
-        if len(payload) < 16 or payload[4:8] != b"ftyp":
+        if len(payload) < 16:
             return None
         end = len(payload)
+        # ftyp need not be the FIRST box (free/skip/wide may precede it);
+        # requiring ftyp + moov to parse as boxes is the format gate
         ftyp = _find_box(payload, 0, end, b"ftyp")
+        if ftyp is None:
+            return None
         brand = payload[ftyp[0] : ftyp[0] + 4].decode("latin-1").strip()
         moov = _find_box(payload, 0, end, b"moov")
         if moov is None:
@@ -172,7 +176,14 @@ def parse_mp4(payload: bytes) -> dict | None:
             return None
         out = {
             "brand": brand,
-            "duration_ms": duration * 1000 // timescale,
+            # all-1s duration = "cannot be determined" (ISO 14496-12) —
+            # surface None, not a bogus ~49-day value that a sampling plan
+            # would explode into millions of frame rows
+            "duration_ms": (
+                None
+                if duration in (0xFFFFFFFF, 0xFFFFFFFFFFFFFFFF)
+                else duration * 1000 // timescale
+            ),
             "tracks": [],
         }
         for t, b, e in _iter_boxes(payload, *moov):
@@ -196,7 +207,7 @@ def parse_mp4(payload: bytes) -> dict | None:
             mts = mdur = 0
             if mdhd:
                 mts, mdur = _parse_mdhd(payload, mdhd[0])
-                if mts > 0:
+                if mts > 0 and mdur not in (0xFFFFFFFF, 0xFFFFFFFFFFFFFFFF):
                     track["duration_ms"] = mdur * 1000 // mts
             minf = _find_box(payload, *mdia, b"minf")
             stbl = _find_box(payload, *minf, b"stbl") if minf else None
@@ -210,8 +221,7 @@ def parse_mp4(payload: bytes) -> dict | None:
                     track["n_samples"] = n
             if tkhd and kind == "vide":
                 w, h = _parse_tkhd(payload, tkhd[0])
-                track.setdefault("width", None)
-                if w and h:
+                if w and h:  # tkhd display dims override stsd coded dims
                     track["width"], track["height"] = int(w), int(h)
             out["tracks"].append(track)
         return out
@@ -290,7 +300,25 @@ def parse_mp3(payload: bytes) -> dict | None:
     constant rate for CBR streams); ``vbr`` flags rate changes."""
     try:
         pos = _id3v2_size(payload)
-        first = _mp3_frame(payload, pos)
+        # resync: real-world MP3s often carry padding / tag quirks before
+        # the first frame — scan (bounded) for a sync position where a
+        # frame parses AND is followed by another valid frame or stream end
+        first = None
+        for cand in range(pos, min(len(payload) - 3, pos + 65536)):
+            if payload[cand] != 0xFF or (payload[cand + 1] & 0xE0) != 0xE0:
+                continue
+            frame = _mp3_frame(payload, cand)
+            if frame is None:
+                continue
+            nxt = cand + frame[0]
+            if nxt == len(payload) or (
+                nxt + 4 <= len(payload)
+                and (n2 := _mp3_frame(payload, nxt)) is not None
+                and n2[1] == frame[1]
+                and n2[2] == frame[2]
+            ):
+                first, pos = frame, cand
+                break
         if first is None:
             return None
         _, version, layer, _, rate, spf = first

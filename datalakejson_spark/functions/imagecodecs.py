@@ -670,28 +670,51 @@ def _decode_progressive_scan(
         if se != 0:
             return None
         pred = {comp["id"]: 0 for comp, _, _ in scan}
-        mcu_count = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                    if not reader.restart():
+
+        def dc_block(comp, td, cy, cx):
+            block_rows = coefs[comp["id"]]
+            if ah == 0:  # DC first
+                t = _decode_huff(reader, huff_dc.get(td, {}))
+                if t is None:
+                    return False
+                pred[comp["id"]] += _extend(reader.receive(t), t)
+                block_rows[cy, cx, 0] = pred[comp["id"]] << al
+            else:  # DC refine: one raw bit per block
+                if reader.read_bit():
+                    block_rows[cy, cx, 0] |= 1 << al
+            return True
+
+        if len(scan) == 1:
+            # T.81 A.2.2: a single-component scan is NON-interleaved — walk
+            # the component's true block raster, no MCU dummy blocks
+            comp, td, _ta = scan[0]
+            bh_t, bw_t = dims[comp["id"]]["true"]
+            count = 0
+            for cy in range(bh_t):
+                for cx in range(bw_t):
+                    if restart_interval and count and count % restart_interval == 0:
+                        if not reader.restart():
+                            return None
+                        pred = {comp["id"]: 0}
+                    count += 1
+                    if not dc_block(comp, td, cy, cx):
                         return None
-                    pred = {comp["id"]: 0 for comp, _, _ in scan}
-                for comp, td, _ta in scan:
-                    block_rows = coefs[comp["id"]]
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            cy, cx = my * comp["v"] + by, mx * comp["h"] + bx
-                            if ah == 0:  # DC first
-                                t = _decode_huff(reader, huff_dc.get(td, {}))
-                                if t is None:
+        else:
+            mcu_count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                        if not reader.restart():
+                            return None
+                        pred = {comp["id"]: 0 for comp, _, _ in scan}
+                    for comp, td, _ta in scan:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                if not dc_block(
+                                    comp, td, my * comp["v"] + by, mx * comp["h"] + bx
+                                ):
                                     return None
-                                pred[comp["id"]] += _extend(reader.receive(t), t)
-                                block_rows[cy, cx, 0] = pred[comp["id"]] << al
-                            else:  # DC refine: one raw bit per block
-                                if reader.read_bit():
-                                    block_rows[cy, cx, 0] |= 1 << al
-                mcu_count += 1
+                    mcu_count += 1
         return _next_marker(payload, reader.pos)
 
     # AC scan: exactly one component, non-interleaved
@@ -966,11 +989,14 @@ def _jpeg_prepare(arr: np.ndarray, quality: int, subsample: str):
     return gray, h, w, qtabs, padded, factors
 
 
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    """One marker segment: FF <marker> <length+2> <body>."""
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
 def _jpeg_headers(gray: bool, h: int, w: int, qtabs, factors, sof_marker: int) -> bytearray:
     """SOI + DQT + SOF + DHT header bytes shared by both encoders."""
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+    seg = _jpeg_seg
 
     out = bytearray(b"\xff\xd8")
     for tid, q in enumerate(qtabs):
@@ -1046,8 +1072,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> b
                         encode_block(plane[py : py + 8, px : px + 8], tsel, ci)
     bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+    seg = _jpeg_seg
 
     out = _jpeg_headers(gray, h, w, qtabs, factors, 0xC0)
     nc = 1 if gray else 3
@@ -1064,7 +1089,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> b
 
 def encode_jpeg_progressive(
     arr: np.ndarray, quality: int = 85, subsample: str = "444",
-    dc_al: int = 1, ac_al: int = 1,
+    dc_al: int = 1, ac_al: int = 1, dc_interleaved: bool = True,
 ) -> bytes:
     """Progressive (SOF2) JPEG encoder for TEST FIXTURES, exercising the
     full Annex G surface the decoder implements: an interleaved DC-first
@@ -1094,8 +1119,7 @@ def encode_jpeg_progressive(
                 zz[cy, cx] = quant.reshape(-1)[ZIGZAG]
         coefs.append(zz)
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+    seg = _jpeg_seg
 
     def sos_header(comp_ids_tsels, ss, se, ah, al) -> bytes:
         body = bytes([len(comp_ids_tsels)])
@@ -1108,48 +1132,8 @@ def encode_jpeg_progressive(
 
     out = _jpeg_headers(gray, h, w, qtabs, factors, 0xC2)
 
-    # --- scan 1: DC first, interleaved, Al=dc_al (DC point transform = >>)
-    bw = _BitWriter()
-    pred = [0] * nc
-    sub = factors[0][0]
-    mcuy, mcux = padded[0].shape[0] // (8 * sub), padded[0].shape[1] // (8 * sub)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci in range(nc):
-                ch, cw = factors[ci]
-                for by in range(ch):
-                    for bx in range(cw):
-                        v = int(coefs[ci][my * ch + by, mx * cw + bx, 0]) >> dc_al
-                        size, bits = _magnitude(v - pred[ci])
-                        pred[ci] = v
-                        code, length = dc_codes[0 if ci == 0 else 1][size]
-                        bw.write(code, length)
-                        bw.write(bits, size)
-    bw.flush()
-    out += sos_header(
-        [(ci + 1, 0 if ci == 0 else 1) for ci in range(nc)], 0, 0, 0, dc_al
-    )
-    out += bw.out
-
-    if dc_al:
-        # --- scan 2: DC refine to Al=0 (raw bits, no Huffman)
-        bw = _BitWriter()
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci in range(nc):
-                    ch, cw = factors[ci]
-                    for by in range(ch):
-                        for bx in range(cw):
-                            bw.write(
-                                int(coefs[ci][my * ch + by, mx * cw + bx, 0]) & 1, 1
-                            )
-        bw.flush()
-        out += sos_header(
-            [(ci + 1, 0 if ci == 0 else 1) for ci in range(nc)], 0, 0, 1, 0
-        )
-        out += bw.out
-
-    # non-interleaved true block dims per component
+    # non-interleaved true block dims per component (AC scans always; DC
+    # scans too when dc_interleaved=False — the T.81 A.2.2 raster)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     true_dims = []
@@ -1159,6 +1143,87 @@ def encode_jpeg_progressive(
             (((h * cv + vmax - 1) // vmax) + 7) // 8,
             (((w * ch + hmax - 1) // hmax) + 7) // 8,
         ))
+
+    sub = factors[0][0]
+    mcuy, mcux = padded[0].shape[0] // (8 * sub), padded[0].shape[1] // (8 * sub)
+
+    def dc_block_order(ci: int):
+        """(cy, cx) walk for one component's DC scan: padded MCU grid when
+        interleaved (dummy blocks included), true raster otherwise."""
+        if dc_interleaved:
+            ch, cw = factors[ci]
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for by in range(ch):
+                        for bx in range(cw):
+                            yield my * ch + by, mx * cw + bx
+        else:
+            bh_t, bw_t = true_dims[ci]
+            for cy in range(bh_t):
+                for cx in range(bw_t):
+                    yield cy, cx
+
+    # --- DC first scans at Al=dc_al (DC point transform = >>): one
+    # interleaved scan over all components, or one Ns=1 scan per component
+    dc_groups = (
+        [list(range(nc))] if dc_interleaved else [[ci] for ci in range(nc)]
+    )
+    for group in dc_groups:
+        bw = _BitWriter()
+        pred = [0] * nc
+        if dc_interleaved:
+            # component-interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in group:
+                        ch, cw = factors[ci]
+                        for by in range(ch):
+                            for bx in range(cw):
+                                v = int(coefs[ci][my * ch + by, mx * cw + bx, 0]) >> dc_al
+                                size, bits = _magnitude(v - pred[ci])
+                                pred[ci] = v
+                                code, length = dc_codes[0 if ci == 0 else 1][size]
+                                bw.write(code, length)
+                                bw.write(bits, size)
+        else:
+            ci = group[0]
+            for cy, cx in dc_block_order(ci):
+                v = int(coefs[ci][cy, cx, 0]) >> dc_al
+                size, bits = _magnitude(v - pred[ci])
+                pred[ci] = v
+                code, length = dc_codes[0 if ci == 0 else 1][size]
+                bw.write(code, length)
+                bw.write(bits, size)
+        bw.flush()
+        out += sos_header(
+            [(ci + 1, 0 if ci == 0 else 1) for ci in group], 0, 0, 0, dc_al
+        )
+        out += bw.out
+
+    if dc_al:
+        # --- DC refine to Al=0 (raw bits, no Huffman), same scan shapes
+        for group in dc_groups:
+            bw = _BitWriter()
+            if dc_interleaved:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in group:
+                            ch, cw = factors[ci]
+                            for by in range(ch):
+                                for bx in range(cw):
+                                    bw.write(
+                                        int(coefs[ci][my * ch + by, mx * cw + bx, 0]) & 1,
+                                        1,
+                                    )
+            else:
+                ci = group[0]
+                for cy, cx in dc_block_order(ci):
+                    bw.write(int(coefs[ci][cy, cx, 0]) & 1, 1)
+            bw.flush()
+            out += sos_header(
+                [(ci + 1, 0 if ci == 0 else 1) for ci in group], 0, 0, 1, 0
+            )
+            out += bw.out
 
     bands = [(1, 20), (21, 63)]
 

@@ -689,3 +689,35 @@ def test_progressive_jpeg_rejects_malformed():
     ns = good[i + 4]
     good[i + 5 + 2 * ns + 1] = 63  # Se byte of the DC scan
     assert decode_jpeg(bytes(good)) is None
+
+
+def test_progressive_jpeg_noninterleaved_dc_scans():
+    """T.81 A.2.2: a single-component (Ns=1) DC scan walks the component's
+    TRUE block raster, not the padded MCU grid — spec-valid per-component
+    DC scan scripts (mozjpeg/jpegtran custom scans) must decode bit-exact.
+    The 24x8 4:2:0 case has true luma grid 3x1 vs padded 4x2, the shape
+    that desynced the pre-fix decoder (review finding, reproduced)."""
+    from datalakejson_spark.functions.imagecodecs import encode_jpeg_progressive
+
+    for h, w, sub in ((24, 8, "420"), (24, 40, "420"), (17, 19, "444")):
+        img = _gradient(h, w)
+        base = decode_jpeg(encode_jpeg(img, quality=80, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, quality=80, subsample=sub, dc_interleaved=False
+            )
+        )
+        assert prog is not None, (h, w, sub)
+        assert np.abs(prog - base).max() == 0.0, (h, w, sub)
+
+
+def test_flac_reserved_channel_code_rejected():
+    """Channel-assignment codes 11-15 are reserved (RFC 9639): a frame
+    carrying one must decode to None, not garbage right/side stereo
+    (review finding, reproduced)."""
+    from datalakejson_spark.functions.audiocodecs import decode_flac, encode_flac
+
+    good = bytearray(encode_flac(np.zeros(192), 8000, blocksize=192))
+    idx = bytes(good).index(b"\xff\xf8")  # frame sync
+    good[idx + 3] = (11 << 4) | (good[idx + 3] & 0x0F)  # chan code → reserved 11
+    assert decode_flac(bytes(good)) is None

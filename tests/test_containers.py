@@ -52,9 +52,11 @@ def test_mp3_id3v2_syncsafe_skip():
     frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
     tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0x01, 0x7F]) + b"\x00" * 255
     assert parse_mp3(tag + frame)["n_frames"] == 1
-    # a non-syncsafe size byte (high bit set) is not a valid tag
+    # a non-syncsafe size byte (high bit set) is not a valid ID3v2 tag —
+    # the tag is treated as leading garbage and the resync scan still
+    # recovers the frame behind it (the ffmpeg/mpg123 behavior)
     bad = b"ID3\x04\x00\x00" + bytes([0, 0, 0x81, 0x7F]) + b"\x00" * 255
-    assert parse_mp3(bad + frame) is None
+    assert parse_mp3(bad + frame)["n_frames"] == 1
 
 
 def test_mp4_mvhd_hand_layout():
@@ -250,3 +252,51 @@ def test_webp_flows_through_container_meta(spark):
     assert (row.width, row.height, row.video_codec) == (20, 10, "vp8l")
     # a still image has no duration → never enters the frame-sampling plan
     assert frame_sample_plan_from_payloads(assets).count() == 0
+
+
+def test_mp4_unknown_duration_sentinel_is_none():
+    """mvhd/mdhd duration of all 1s means 'cannot be determined'
+    (ISO 14496-12, fragmented/live captures) — must surface None, not a
+    ~49-day value a sampling plan would explode into millions of rows."""
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">IIII", 0, 0, 1000, 0xFFFFFFFF)
+        + b"\x00" * 80,
+    )
+    payload = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(b"moov", mvhd)
+    assert parse_mp4(payload)["duration_ms"] is None
+
+
+def test_mp4_leading_free_box_accepted():
+    """ISO-BMFF permits boxes before ftyp (free/skip/wide from some
+    muxers) — the parser must scan for ftyp, not require it first."""
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 1000, 500) + b"\x00" * 80,
+    )
+    payload = (
+        box(b"free", b"\x00" * 4)
+        + box(b"ftyp", b"isom\x00\x00\x02\x00")
+        + box(b"moov", mvhd)
+    )
+    assert parse_mp4(payload)["duration_ms"] == 500
+
+
+def test_mp3_resyncs_past_leading_garbage():
+    """Real-world MP3s carry padding/tag quirks before the first frame;
+    parsers resync on the 0xFFE pattern (validated by a second frame)
+    instead of giving up at byte 0."""
+    stream = build_mp3(n_frames=5)
+    assert parse_mp3(b"\x00" * 37 + stream)["n_frames"] == 5
+    # a false sync inside garbage must not derail the walk: 0xFF 0xFB with
+    # an invalid bitrate index (0xF) parses as no frame and scanning continues
+    assert parse_mp3(b"\xff\xfb\xf0\x00" + b"\x00" * 10 + stream)["n_frames"] == 5
