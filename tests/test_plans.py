@@ -366,3 +366,50 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_curated_layout(spark, tmp_path):
+    """Dynamic Partition Pruning: joining a hive-partitioned fact table to
+    a FILTERED dimension must prune fact partitions by the dimension's
+    runtime key set ('dynamicpruningexpression(k IN ...)' surviving into
+    the FINAL plan's PartitionFilters, plus a measured partial scan) — at
+    100 TB this turns a star join over the curated lake's partition layout
+    into a read of the few matching partitions. Static pruning
+    (test_partition_pruning_on_curated_lake) cannot do this: the surviving
+    keys only exist at runtime.
+
+    TWO traps this test encodes: (1) with reuseBroadcastOnly (default) the
+    dimension broadcast must be STATICALLY planned — an AQE-converted
+    broadcast comes too late and the executed filter degrades to
+    dynamicpruningexpression(true), silently scanning everything (observed
+    without the hint on this fixture); the engine's star joins qualify
+    because dimension sides are statically broadcastable. (2) The partition
+    column's inferred type must match the join key's type or the inserted
+    cast also blocks the reuse."""
+    import pyspark.sql.functions as F
+
+    fact = spark.range(10000).select(
+        (F.col("id") % 10).cast("int").alias("k"), F.col("id").alias("v")
+    )
+    fact.write.partitionBy("k").parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [(i, "a" if i < 2 else "b") for i in range(10)], "k int, grp string"
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    j = f.join(F.broadcast(dim.filter("grp = 'a'")), "k")
+    rows = j.collect()  # collect: metrics attach to THIS QueryExecution
+    assert len(rows) == 2000  # keys 0 and 1 × 1000 rows each
+    final = j._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    scan_line = next(
+        line for line in final.split("\n") if "PartitionFilters" in line
+    )
+    assert "dynamicpruningexpression(k" in scan_line, scan_line  # not (true)
+    assert "SubqueryBroadcast" in final, final
+    # and the pruning actually happened: of 10k fact rows only the 2
+    # surviving keys' partitions were ever scanned (2000 + the 10 dim rows)
+    from datalakejson_spark.plans.metrics import executed_summary
+
+    s = executed_summary(j)
+    assert s["scan_rows"] == 2010, s
