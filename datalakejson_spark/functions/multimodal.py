@@ -475,10 +475,10 @@ FRAME_FEATURE_SCHEMA = (
 
 
 def decode_y4m(payload: bytes):
-    """Pure-numpy YUV4MPEG2 parse (C420 planar): returns (w, h, [luma
-    planes]) or None. The uncompressed-video analogue of the PPM/WAV tiers —
-    compressed containers (mp4 etc.) need the ffmpeg gate and fall to the
-    metadata-driven plan (frame_sample_plan)."""
+    """Pure-numpy YUV4MPEG2 parse (C420/C422/C444 planar, plus Cmono):
+    returns (w, h, [luma planes]) or None. The uncompressed-video analogue
+    of the PPM/WAV tiers — compressed containers (mp4 etc.) need the
+    ffmpeg gate and fall to the metadata-driven plan (frame_sample_plan)."""
     import numpy as np
 
     try:
@@ -487,16 +487,28 @@ def decode_y4m(payload: bytes):
         if not header.startswith("YUV4MPEG2"):
             return None
         w = h = None
+        chroma = "420"
         for tok in header.split()[1:]:
             if tok[0] == "W":
                 w = int(tok[1:])
             elif tok[0] == "H":
                 h = int(tok[1:])
-            elif tok[0] == "C" and not tok.startswith("C420"):
-                return None  # only 4:2:0 subsampling supported
+            elif tok[0] == "C":
+                if tok.startswith("C420"):
+                    chroma = "420"  # incl. C420jpeg/C420paldv — same layout
+                elif tok[1:] in ("422", "444", "mono"):
+                    chroma = tok[1:]
+                else:
+                    return None
         if not w or not h:
             return None
-        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+        chroma_bytes = {
+            "420": 2 * ((w // 2) * (h // 2)),
+            "422": 2 * ((w // 2) * h),
+            "444": 2 * (w * h),
+            "mono": 0,
+        }[chroma]
+        frame_bytes = w * h + chroma_bytes
         lumas, pos = [], end + 1
         while pos < len(payload):
             nl = payload.index(b"\n", pos)

@@ -721,3 +721,30 @@ def test_flac_reserved_channel_code_rejected():
     idx = bytes(good).index(b"\xff\xf8")  # frame sync
     good[idx + 3] = (11 << 4) | (good[idx + 3] & 0x0F)  # chan code → reserved 11
     assert decode_flac(bytes(good)) is None
+
+
+# ---------------------------------------------------------------- Y4M
+
+
+def test_y4m_chroma_modes():
+    """C420 / C422 / C444 / Cmono planar layouts all parse; luma is
+    byte-identical across modes (only the chroma plane sizes differ)."""
+    from datalakejson_spark.functions.multimodal import decode_y4m
+
+    w, h = 6, 4
+    luma = bytes(range(w * h))
+    for mode, chroma_bytes in (
+        ("C420", 2 * (3 * 2)), ("C422", 2 * (3 * 4)),
+        ("C444", 2 * (6 * 4)), ("Cmono", 0),
+    ):
+        payload = (
+            f"YUV4MPEG2 W{w} H{h} F25:1 {mode}\n".encode()
+            + b"FRAME\n" + luma + b"\x55" * chroma_bytes
+        )
+        decoded = decode_y4m(payload)
+        assert decoded is not None, mode
+        dw, dh, lumas = decoded
+        assert (dw, dh, len(lumas)) == (w, h, 1)
+        assert lumas[0].tobytes() == luma
+    # unknown chroma mode still rejected
+    assert decode_y4m(b"YUV4MPEG2 W2 H2 C411\nFRAME\n" + b"\x00" * 6) is None
