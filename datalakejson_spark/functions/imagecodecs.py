@@ -1566,12 +1566,115 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
 _TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
+def _tiff_lzw_decode(data: bytes) -> bytes | None:
+    """TIFF 6.0 LZW: MSB-first variable-width codes (9-12 bits), ClearCode
+    256, EOI 257, dictionary from 258, and the spec's EARLY CHANGE (code
+    width grows one entry sooner than GIF-LZW). Returns None for streams
+    without a terminating EOI or with out-of-range codes."""
+    table: list[bytes] = []
+    prev: bytes | None = None
+    width = 9
+    acc = nbits = pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    out = bytearray()
+    while True:
+        while nbits < width and pos < len(data):
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits < width:
+            return None  # ran out of bits before EOI
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            if code > 255:
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by one entry, so it widens at (1<<width)-2 where the
+        # encoder widens at (1<<width)-1 — the famous TIFF-LZW off-by-one
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Matching fixture encoder (greedy string table, CLEAR restart at the
+    12-bit ceiling, early width change)."""
+    outbits = bytearray()
+    acc = nbits = 0
+
+    def write(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            outbits.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    base = {bytes([i]): i for i in range(256)}
+    dict_ = dict(base)
+    next_code, width = 258, 9
+    write(256, width)  # initial CLEAR per spec
+    s = b""
+    for b in data:
+        c = s + bytes([b])
+        if c in dict_:
+            s = c
+            continue
+        write(dict_[s], width)
+        dict_[c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change, mirror of the decoder
+        if next_code == 4094:
+            write(256, width)
+            dict_ = dict(base)
+            next_code, width = 258, 9
+        s = bytes([b])
+    if s:
+        write(dict_[s], width)
+    write(257, width)
+    if nbits:
+        outbits.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(outbits)
+
+
+def _tiff_undo_predictor(arr: np.ndarray) -> np.ndarray:
+    """Inverse of TIFF predictor 2 (horizontal differencing): cumulative
+    sum along each row per channel lane, mod 256."""
+    return np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+
+
 def decode_tiff(payload: bytes):
-    """Decode a baseline UNCOMPRESSED TIFF (compression=1, 8 bits/sample,
-    grayscale or RGB, strip layout, first IFD only) to an (h, w, 3) float32
-    RGB array in [0, 1]; None for compressed/exotic variants (LZW/JPEG-in-
-    TIFF, tiles, planar config 2) — those fall to the PIL gate or the
-    labeled stub, same contract as every other format."""
+    """Decode a baseline TIFF — uncompressed (compression=1) or LZW
+    (compression=5, r6: real TIFF-6.0 LZW with early change + horizontal-
+    differencing predictor), 8 bits/sample, grayscale or RGB, strip layout,
+    first IFD only — to an (h, w, 3) float32 RGB array in [0, 1]; None for
+    remaining variants (JPEG-in-TIFF, tiles, planar config 2) — those fall
+    to the PIL gate or the labeled stub, same contract as every format."""
     try:
         if payload[:4] == b"II*\x00":
             endian = "<"
@@ -1608,14 +1711,16 @@ def decode_tiff(payload: bytes):
         strip_counts = tags.get(279)
         rows_per_strip = tags.get(278, [h])[0] or h
         planar = tags.get(284, [1])[0]
+        predictor = tags.get(317, [1])[0]
         if (
             w <= 0
             or h <= 0
-            or compression != 1
+            or compression not in (1, 5)
             or planar != 1
             or spp not in (1, 3)
             or any(b != 8 for b in bits[:spp])
             or photometric not in (0, 1, 2)
+            or predictor not in (1, 2)
             or strip_offsets is None
         ):
             return None
@@ -1623,10 +1728,17 @@ def decode_tiff(payload: bytes):
             strip_counts = [w * spp * rows_per_strip] * len(strip_offsets)
         raw = bytearray()
         for off, cnt in zip(strip_offsets, strip_counts):
-            raw += payload[off : off + cnt]
+            strip = payload[off : off + cnt]
+            if compression == 5:  # LZW state resets per strip
+                strip = _tiff_lzw_decode(strip)
+                if strip is None:
+                    return None
+            raw += strip
         if len(raw) < w * h * spp:
             return None
         arr = np.frombuffer(bytes(raw), np.uint8, w * h * spp).reshape(h, w, spp)
+        if predictor == 2:  # horizontal differencing
+            arr = _tiff_undo_predictor(arr)
         px = arr.astype(np.float32) / 255.0
         if photometric == 0:  # WhiteIsZero: inverted grayscale
             px = 1.0 - px
@@ -1637,14 +1749,24 @@ def decode_tiff(payload: bytes):
         return None
 
 
-def encode_tiff(arr: np.ndarray) -> bytes:
-    """Minimal little-endian uncompressed TIFF encoder for TEST FIXTURES
-    (8-bit gray or RGB, one strip)."""
+def encode_tiff(
+    arr: np.ndarray, compression: int = 1, predictor: int = 1
+) -> bytes:
+    """Minimal little-endian TIFF encoder for TEST FIXTURES (8-bit gray or
+    RGB, one strip; compression 1=none or 5=LZW, predictor 1=none or
+    2=horizontal differencing)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, spp = arr.shape
-    data = arr.tobytes()
+    if predictor == 2:
+        diff = arr.astype(np.int64)
+        diff[:, 1:] -= arr[:, :-1].astype(np.int64)
+        data = (diff % 256).astype(np.uint8).tobytes()
+    else:
+        data = arr.tobytes()
+    if compression == 5:
+        data = _tiff_lzw_encode(data)
     # layout: header(8) | pixel data | bits-per-sample array | IFD
     data_off = 8
     bps_off = data_off + len(data)
@@ -1653,12 +1775,13 @@ def encode_tiff(arr: np.ndarray) -> bytes:
         (256, 3, 1, w),  # ImageWidth
         (257, 3, 1, h),  # ImageLength
         (258, 3, spp, bps_off if spp > 2 else 8),  # BitsPerSample
-        (259, 3, 1, 1),  # Compression: none
+        (259, 3, 1, compression),  # Compression
         (262, 3, 1, 2 if spp == 3 else 1),  # Photometric: RGB / BlackIsZero
         (273, 4, 1, data_off),  # StripOffsets
         (277, 3, 1, spp),  # SamplesPerPixel
         (278, 3, 1, h),  # RowsPerStrip
         (279, 4, 1, len(data)),  # StripByteCounts
+        (317, 3, 1, predictor),  # Predictor
     ]
     out = bytearray(b"II*\x00")
     out += struct.pack("<I", ifd_off)

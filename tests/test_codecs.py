@@ -345,12 +345,15 @@ def test_tiff_rejects_compressed_and_malformed():
     assert decode_tiff(b"II*\x00junk") is None
     assert decode_tiff(b"nottiff") is None
     good = bytearray(encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8)))
-    # find the Compression tag (259) in the IFD and claim LZW (5) → rejected,
-    # never silently treated as uncompressed
+    # claim LZW (5) over an uncompressed strip: the strip is then parsed as
+    # LZW and fails (no EOI) — never silently treated as uncompressed
     raw = bytes(good)
     i = raw.index(struct.pack("<HH", 259, 3))
     lzw = bytearray(raw)
     lzw[i + 8] = 5
+    assert decode_tiff(bytes(lzw)) is None
+    # JPEG-in-TIFF (7) stays rejected outright
+    lzw[i + 8] = 7
     assert decode_tiff(bytes(lzw)) is None
 
 
@@ -748,3 +751,68 @@ def test_y4m_chroma_modes():
         assert lumas[0].tobytes() == luma
     # unknown chroma mode still rejected
     assert decode_y4m(b"YUV4MPEG2 W2 H2 C411\nFRAME\n" + b"\x00" * 6) is None
+
+
+def test_tiff_lzw_roundtrip_and_predictor():
+    """TIFF 6.0 LZW (MSB-first, early change) + horizontal-differencing
+    predictor: every compression/predictor combination roundtrips exactly,
+    including payloads large enough to cross the width bumps (511/1023/
+    2047) and the 4094-entry dictionary reset."""
+    from datalakejson_spark.functions.imagecodecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(7)
+    for data in (
+        b"",
+        b"A",
+        b"TOBEORNOTTOBEORTOBEORNOT" * 50,
+        bytes(rng.integers(0, 256, 60000, dtype=np.uint8)),  # crosses reset
+        b"\x00" * 30000,
+    ):
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data, len(data)
+    img = rng.integers(0, 256, size=(14, 23, 3), dtype=np.uint8)
+    for comp in (1, 5):
+        for pred in (1, 2):
+            dec = decode_tiff(encode_tiff(img, compression=comp, predictor=pred))
+            assert dec is not None, (comp, pred)
+            assert np.abs(dec - img.astype(np.float32) / 255.0).max() < 1e-6
+    # LZW must actually compress repetitive content
+    big = np.tile(img[:1], (40, 1, 1))
+    assert len(encode_tiff(big, compression=5)) < len(encode_tiff(big)) / 2
+
+
+def test_tiff_lzw_early_change_hand_pinned():
+    """The early-change boundary, pinned independently of the encoder: a
+    stream whose dictionary reaches exactly 510 entries must read its NEXT
+    code at 10 bits — the decoder's one-entry lag behind the encoder is
+    the famous TIFF-LZW off-by-one."""
+    from datalakejson_spark.functions.imagecodecs import _tiff_lzw_decode
+
+    # build codes by hand: CLEAR, then 253 literals (dict grows to 510
+    # after the 253rd — entries appended from the 2nd literal on), then one
+    # 10-bit literal, then EOI at 10 bits.
+    def pack(codes_widths):
+        acc = nbits = 0
+        out = bytearray()
+        for code, width in codes_widths:
+            acc = (acc << width) | code
+            nbits += width
+            while nbits >= 8:
+                nbits -= 8
+                out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    lits = [i % 251 for i in range(253)]
+    codes = [(256, 9)] + [(v, 9) for v in lits]
+    # after 253 literals the decoder's table holds 258+252=510 entries →
+    # width is now 10 for everything that follows
+    codes += [(77, 10), (257, 10)]
+    out = _tiff_lzw_decode(pack(codes))
+    assert out == bytes(lits) + bytes([77])
