@@ -254,7 +254,7 @@ def bench_dedup(spark, sf_dir: str, batch_factor: int = 1) -> tuple[int, float]:
 def bench_multimodal(spark) -> dict[str, int]:
     """Decode-tier counts over a synthetic asset mix — real uncompressed
     PPM plus, since r6, real COMPRESSED formats (PNG via stdlib zlib,
-    baseline JPEG, GIF-LZW, uncompressed TIFF via numpy — imagecodecs.py),
+    baseline+progressive JPEG, GIF-LZW, TIFF incl. LZW via numpy — imagecodecs.py),
     a no-codec format (WebP), malformed payloads, and nulls. Keys are ``tier`` or
     ``tier_failed`` so a consumer can audit how many embeddings are real
     decodes vs labeled stubs vs failed attempts in this environment."""

@@ -7,7 +7,7 @@ Arrow-batched UDF signatures — is real and tested; the codec step is a
 THREE-TIER gate (``decode_image``): Pillow where importable (all formats),
 a pure-numpy/stdlib decoder tier for PPM/BMP (r5) AND the compressed
 PNG (all depths, Adam7) / JPEG (baseline AND progressive) / GIF formats
-plus uncompressed TIFF (r6, imagecodecs.py — REAL pixel decode, runs and
+plus TIFF, uncompressed AND LZW (r6, imagecodecs.py — REAL pixel decode, runs and
 is tested in this container), and a clearly-marked deterministic stub only
 for formats outside that set with no codec present (WebP — whose container
 metadata is still real, containers.py).
