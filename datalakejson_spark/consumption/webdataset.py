@@ -71,6 +71,13 @@ def write_webdataset_shards(
     cols = payload_cols or [c for c in df.columns if c != key_col]
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[key_col].isnull().any():
+            # a null key hashes to a null shard and would otherwise surface
+            # as an opaque int(NaN) TypeError below — name the contract
+            raise ValueError(
+                f"write_webdataset_shards: null {key_col!r} key(s) in input — "
+                "every sample needs a non-null key"
+            )
         shard_id = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values(key_col, kind="mergesort")
         keys = pdf[key_col].astype(str)
@@ -127,16 +134,32 @@ def read_webdataset(spark, shards_dir: str) -> "DataFrame":
     training format) enters the curated lake: each tar parses wholly inside
     its scan task, samples are rows, payload entries stay binary until a
     codec tier (functions/multimodal.py) runs downstream. Scale posture:
-    parallelism = number of shards, no shuffle until the caller adds one."""
+    parallelism = number of shards, no shuffle until the caller adds one.
+
+    Externally published corpora contain corrupt/truncated tars; one bad
+    shard must never fail the batch (same contract as every codec tier), so
+    a shard whose tar parse raises yields ONE marker row — ``key`` null,
+    ``exts`` null, ``shard_path`` set — and the good shards' samples flow
+    through. Filter ``key IS NULL`` to audit or drop the failures."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"shard_path": [], "key": [], "exts": []}
             for path, content in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
-                    for key, sample in _iter_tar_samples(tar):
-                        out["shard_path"].append(path)
-                        out["key"].append(key)
-                        out["exts"].append(sample)
+                try:
+                    rows = []
+                    with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                        for key, sample in _iter_tar_samples(tar):
+                            rows.append((key, sample))
+                except (tarfile.TarError, OSError, EOFError):
+                    # parse-failed marker row; never fail the whole scan task
+                    out["shard_path"].append(path)
+                    out["key"].append(None)
+                    out["exts"].append(None)
+                    continue
+                for key, sample in rows:
+                    out["shard_path"].append(path)
+                    out["key"].append(key)
+                    out["exts"].append(sample)
             yield pd.DataFrame(out, columns=["shard_path", "key", "exts"])
 
     scan = (

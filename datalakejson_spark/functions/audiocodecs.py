@@ -69,6 +69,11 @@ def decode_ima_adpcm(data: bytes, n_channels: int, block_align: int) -> np.ndarr
     Returns None for malformed block structure."""
     if n_channels < 1 or block_align < 4 * n_channels:
         return None
+    # multi-channel data areas interleave channels in 4-byte groups — a
+    # block whose body isn't whole groups would ValueError at the reshape
+    # below (mono decodes nibble-linearly, no group constraint)
+    if n_channels > 1 and (block_align - 4 * n_channels) % (4 * n_channels) != 0:
+        return None
     chunks = []
     for base in range(0, len(data) - block_align + 1, block_align):
         block = data[base : base + block_align]

@@ -596,6 +596,13 @@ def decode_jpeg(payload: bytes):
                     comp = next(c for c in frame["comps"] if c["id"] == cs)
                     scan.append((comp, tds >> 4, tds & 0xF))
                 if not progressive:
+                    # spec-legal multi-scan BASELINE (non-interleaved, one
+                    # scan per component) isn't implemented: returning after
+                    # the first scan would leave the other components as
+                    # zero planes with decoded_ok=true. Fall through to the
+                    # failed-decode contract instead of silently-wrong pixels.
+                    if len(scan) != len(frame["comps"]):
+                        return None
                     return _decode_scan(
                         payload, pos + 2 + seglen, frame, scan, qt, huff_dc,
                         huff_ac, restart_interval,

@@ -211,6 +211,20 @@ def test_jpeg_rejects_malformed_and_mislabeled():
     assert decode_jpeg(bytes(good)) is None
 
 
+def test_jpeg_multiscan_baseline_refused_not_silently_wrong():
+    """A baseline SOS covering fewer components than the frame (spec-legal
+    non-interleaved multi-scan, T.81 B.2.3) is unimplemented: decoding only
+    the first scan would yield zero planes for the rest with decoded_ok
+    true. The guard must return None (failed-decode contract) instead."""
+    data = bytearray(encode_jpeg(_gradient(8, 8), quality=80))
+    i = bytes(data).index(b"\xff\xda")
+    seg = bytes(data[i + 2 : i + 14])  # len(2) ns(1) 3×(cs,td/ta) ss se ah/al
+    assert seg[2] == 3
+    single = bytes([0, 8, 1, seg[3], seg[4], seg[9], seg[10], seg[11]])
+    data[i + 2 : i + 14] = single
+    assert decode_jpeg(bytes(data)) is None
+
+
 # ---------------------------------------------------------------- IMA ADPCM
 
 
@@ -241,6 +255,21 @@ def test_adpcm_malformed_rejected():
     data_off = bytes(wav).index(b"data") + 8
     wav[data_off + 2] = 99
     assert decode_wav(bytes(wav)) is None
+
+
+def test_adpcm_stereo_nonintegral_group_returns_none():
+    """A stereo block whose data area isn't whole 4-byte-per-channel
+    interleave groups must return None per the docstring contract — not
+    raise ValueError from the nibble reshape (direct-call probe; only
+    decode_wav's broad except used to mask this)."""
+    from datalakejson_spark.functions.audiocodecs import decode_ima_adpcm
+
+    # block_align 14 → data area 6 bytes, not a multiple of 4*2
+    assert decode_ima_adpcm(bytes(28), n_channels=2, block_align=14) is None
+    # well-formed stereo block (data area exactly one group per channel)
+    out = decode_ima_adpcm(bytes(16), n_channels=2, block_align=16)
+    # downmixed mono: 1 header + 8 coded samples per channel
+    assert out is not None and len(out) == 9
 
 
 def test_adpcm_features_flow_through_spark_path(spark):

@@ -118,3 +118,35 @@ def test_read_webdataset_back_into_spark(spark, tmp_path):
     for r in rows:
         assert r.n_entries == 2
         assert (bytes(r.exts["bin"]), bytes(r.exts["txt"])) == expected[r.key]
+
+
+def test_read_webdataset_corrupt_shard_marker_row(spark, tmp_path):
+    """One corrupt/truncated tar must not fail the scan (externally
+    published corpora contain them): the bad shard yields a single
+    key-null marker row; every good shard's samples still flow through."""
+    from datalakejson_spark.consumption.webdataset import read_webdataset
+
+    corpus = _corpus(spark, n=25)
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(corpus, out, "key", n_shards=3)
+    victim = os.path.join(out, "shard-000001.tar")
+    with open(victim, "rb") as f:
+        blob = f.read()
+    with open(victim, "wb") as f:
+        f.write(b"\x00garbage" + blob[: len(blob) // 3])
+    rows = read_webdataset(spark, out).collect()
+    bad = [r for r in rows if r.key is None]
+    good = [r for r in rows if r.key is not None]
+    assert len(bad) == 1 and bad[0].shard_path.endswith("shard-000001.tar")
+    assert bad[0].exts is None
+    assert len(good) > 0 and all(r.n_entries == 2 for r in good)
+
+
+def test_write_webdataset_null_key_raises_descriptive(spark, tmp_path):
+    """A null key hashes to a null shard; the writer must name the
+    contract instead of dying with an opaque int(NaN) TypeError."""
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "y")], "key string, caption string"
+    )
+    with pytest.raises(Exception, match="null 'key'"):
+        write_webdataset_shards(df, str(tmp_path / "w"), "key", n_shards=2)
