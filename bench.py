@@ -43,6 +43,68 @@ HEADLINE = [
 ]
 
 
+def calibrate(n_threads: int) -> dict[str, float]:
+    """Fixed synthetic machine-speed kernel, run before the queries.
+
+    Cross-round bench numbers come from whatever box the driver runs on
+    that day; r5→r6 showed a uniform +15-45% drift on UNCHANGED queries
+    with no way to distinguish box slowdown from regression. These three
+    constants make rounds comparable: divide any query time by
+    ``numpy_mt_sec`` (the constant that matches Spark's profile — parallel
+    compute + memory bandwidth) to get box-normalized units.
+
+    - ``numpy_st_sec``: single-thread numpy sum/multiply over a 32 MB
+      array, 30 passes — memory-bandwidth + SIMD speed.
+    - ``numpy_mt_sec``: the same per-thread kernel on ``n_threads``
+      threads concurrently (numpy releases the GIL) — the parallel
+      throughput under bandwidth contention a 32-core Spark local mode
+      actually experiences.
+    - ``python_st_sec``: a pure-Python int loop — interpreter speed
+      (driver-side planning, Pandas-UDF glue).
+
+    Workload sizes are FIXED constants; never tune them, or history breaks.
+    """
+    import concurrent.futures
+
+    import numpy as np
+
+    def numpy_kernel() -> float:
+        a = np.arange(4_000_000, dtype=np.float64)  # 32 MB
+        s = 0.0
+        for _ in range(30):
+            s += float((a * 1.0000001 + 0.5).sum())
+        return s
+
+    def python_kernel() -> int:
+        s = 0
+        for i in range(2_000_000):
+            s += i ^ (i >> 3)
+        return s
+
+    def timed(fn) -> float:
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+    def mt_pass() -> None:
+        with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+            list(ex.map(lambda _: numpy_kernel(), range(n_threads)))
+
+    # Best-of-3 per measure: the first mt pass page-faults ~n_threads×32 MB
+    # of fresh allocations (measured 9s vs 1.2s steady) — min is the
+    # machine's speed, not the allocator's cold start.
+    numpy_kernel()  # warm caches once, untimed
+    st = min(timed(numpy_kernel) for _ in range(3))
+    mt = min(timed(mt_pass) for _ in range(5))  # noisiest measure: 5 reps
+    py = min(timed(python_kernel) for _ in range(3))
+    return {
+        "numpy_st_sec": round(st, 4),
+        "numpy_mt_sec": round(mt, 4),
+        "python_st_sec": round(py, 4),
+        "n_threads": n_threads,
+    }
+
+
 def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.time()
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -378,6 +440,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    try:
+        # Machine calibration + normalized times: query_sec / numpy_mt_sec
+        # is box-independent (unitless "calibration units"); compare THOSE
+        # across rounds, not raw seconds.
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        cal = calibrate(cpus)
+        payload["calibration"] = cal
+        payload["queries_calibrated"] = {
+            n: round(t / cal["numpy_mt_sec"], 2) for n, t in timings.items()
+        }
+    except Exception:  # noqa: BLE001
+        pass
     try:  # extra keys; never allowed to break the primary metric line
         payload["ingest_files_per_sec"] = bench_ingest(spark)
     except Exception:  # noqa: BLE001
