@@ -33,6 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datalakejson_spark.functions.dedup import band_table, minhash_signatures
+from datalakejson_spark.plans.killpoints import fire
 from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table
 
@@ -282,11 +283,14 @@ def ingest_batch_dedup(
     exact_hash_index(kept, text_col).write.mode("overwrite").parquet(
         os.path.join(stage, "hashes")
     )
+    fire("dedup:after_hash_stage")  # half-staged pair: must never publish
     band_table(minhash_signatures(kept, text_col, id_col), id_col).write.mode(
         "overwrite"
     ).parquet(os.path.join(stage, "bands"))
+    fire("dedup:before_commit_marker")  # both staged, marker missing
     with open(os.path.join(stage, "_COMMITTED"), "w") as marker:
         marker.write("ok")
+    fire("dedup:after_commit_marker")  # committed, not yet published
     _publish_staged(index_dir)
     return kept
 

@@ -49,7 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 from datalakejson_spark.session import local_df
 from pyspark.sql import types as T
 
-from datalakejson_spark.plans.ledger import Ledger, LedgerStatus
+from datalakejson_spark.plans.killpoints import fire
+from datalakejson_spark.plans.ledger import PROCESSING_LEASE_S, Ledger, LedgerStatus
 from datalakejson_spark.plans.schema_evolution import (
     RawSchemaRegistry,
     merge_schemas,
@@ -85,6 +86,11 @@ class IngestConfig:
     # local parquet-snapshot store. Locally: "jdbc:derby:<dir>;create=true"
     # (embedded, in Spark's JVM); production: a PostgreSQL URL.
     jdbc_url: str | None = None
+    # Seconds before a PROCESSING claim is considered orphaned (its runner
+    # died) and becomes reclaimable. The production default (30 min) must
+    # exceed the slowest healthy batch; crash tests set 0 to reclaim
+    # immediately.
+    stale_lease_s: float = PROCESSING_LEASE_S
 
 
 @dataclass
@@ -323,6 +329,7 @@ def _move_idempotent(src: str, dst: str) -> None:
         tmp = f"{dst}.__inflight_{uuid.uuid4().hex[:8]}"
         shutil.copy2(src, tmp)
         os.replace(tmp, dst)  # atomic: dst is all-or-nothing
+    fire("ingest:mid_archive_move")  # after copy, before landing delete
     if os.path.exists(src):
         os.remove(src)
 
@@ -366,10 +373,11 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
     ledger = make_ledger(spark, conf)
     result = IngestResult(run_id=run_id)
 
-    paths = ledger.claim_batch(conf.batch_size, run_id)
+    paths = ledger.claim_batch(conf.batch_size, run_id, stale_lease_s=conf.stale_lease_s)
     result.claimed = len(paths)
     if not paths:
         return result
+    fire("ingest:after_claim")
     # Files may have been archived by a crashed-after-write run; treat the
     # already-moved ones as their archive copies were... they are SUCCEEDED
     # work whose ledger commit was lost. Re-check existence defensively.
@@ -446,6 +454,7 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                     _norm(r[0])
                     for r in corrupt.select("source_s3_path").distinct().collect()
                 }
+                fire("ingest:after_dlq_write")
 
             result.good_rows = good.count()
             if result.good_rows:
@@ -462,6 +471,7 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                     _norm(r[0])
                     for r in good.select("source_s3_path").distinct().collect()
                 }
+                fire("ingest:after_curated_append")
             raw.unpersist()
 
         # Per-file outcome classification (sudo_code.txt:202-224). A file with
@@ -533,6 +543,7 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                 p for p in result.quarantined_files if p not in fenced_set
             ]
             result.lost_files = [p for p in result.lost_files if p not in fenced_set]
+        fire("ingest:after_commit_pre_archive")
         # Archive good files (copy+delete, sudo_code.txt:196-215) in parallel.
         # Failures land in archive_deferred, NOT the crash-recovery handler:
         # the batch is already committed and must not be flipped to FAILED
