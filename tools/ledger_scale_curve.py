@@ -1,0 +1,99 @@
+"""Measured ingest-plane ledger scaling curve (VERDICT r6 #4).
+
+SCALE.md's ledger claims ("anti-join broadcastable to ~10^8 files",
+"snapshot overwrite fine to ~10^7, then partition-by-status") were design
+assertions. This measures them: synthetic metadata-only ledgers at 10^4 /
+10^5 / 10^6 files (no payloads — the ledger never touches payload bytes),
+timing each phase of the real per-batch cycle:
+
+- register N        (initial discovery: anti-join against empty, snapshot write)
+- register +N/10    (incremental discovery: anti-join against N existing)
+- claim 10k         (status filter + lease check + fenced flip + snapshot write)
+- commit 10k        (apply_outcomes SUCCEEDED + snapshot write)
+
+Every phase after the first carries the O(N) snapshot read+overwrite term —
+the curve shows where that term starts to dominate the per-batch constant.
+
+Usage: python tools/ledger_scale_curve.py [max_exponent]   (default 6)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    from datalakejson_spark.plans.ledger import Ledger, LedgerStatus
+    from datalakejson_spark.session import get_spark
+
+    max_exp = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    spark = get_spark("ledger-scale-curve")
+    root = tempfile.mkdtemp(prefix="ledger_curve_")
+    out = {}
+    for exp in range(4, max_exp + 1):
+        n = 10**exp
+        led = Ledger(spark, f"{root}/ledger_{n}")
+
+        def synth(lo: int, hi: int):
+            return spark.range(lo, hi).select(
+                F.concat(F.lit("s3://lake/landing/part/f"), F.col("id")).alias(
+                    "s3_key"
+                ),
+                F.lit(1000).alias("file_size_bytes").cast("long"),
+            )
+
+        row = {}
+        t0 = time.time()
+        assert led.register(synth(0, n)) == n
+        row["register_initial_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        assert led.register(synth(n, n + n // 10)) == n // 10
+        row["register_incremental_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        claimed = led.claim_batch(10_000, "run-curve-1")
+        row["claim_10k_sec"] = round(time.time() - t0, 2)
+        assert len(claimed) == 10_000
+
+        t0 = time.time()
+        led.apply_outcomes(
+            [(claimed, LedgerStatus.SUCCEEDED, None)], run_id="run-curve-1"
+        )
+        row["commit_10k_sec"] = round(time.time() - t0, 2)
+
+        # steady-state batch = claim + commit (the per-batch cycle cost once
+        # discovery has amortized)
+        t0 = time.time()
+        claimed2 = led.claim_batch(10_000, "run-curve-2")
+        led.apply_outcomes(
+            [(claimed2, LedgerStatus.SUCCEEDED, None)], run_id="run-curve-2"
+        )
+        row["steady_batch_sec"] = round(time.time() - t0, 2)
+
+        snap = max(
+            (p for p in Path(f"{root}/ledger_{n}").iterdir() if p.is_dir()),
+            key=lambda p: p.name,
+        )
+        row["snapshot_bytes"] = sum(
+            f.stat().st_size for f in snap.rglob("*.parquet")
+        )
+        out[f"1e{exp}"] = row
+        print(json.dumps({f"1e{exp}": row}), flush=True)
+    print(json.dumps({"ledger_scale_curve": out}))
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
