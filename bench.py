@@ -315,9 +315,10 @@ def bench_dedup(spark, sf_dir: str, batch_factor: int = 1) -> tuple[int, float]:
 
 def bench_multimodal(spark) -> dict[str, int]:
     """Decode-tier counts over a synthetic asset mix — real uncompressed
-    PPM plus, since r6, real COMPRESSED formats (PNG via stdlib zlib,
-    baseline+progressive JPEG, GIF-LZW, TIFF incl. LZW via numpy — imagecodecs.py),
-    a no-codec format (WebP), malformed payloads, and nulls. Keys are ``tier`` or
+    PPM plus real COMPRESSED formats (PNG via stdlib zlib,
+    baseline+progressive JPEG, GIF-LZW, TIFF incl. LZW — imagecodecs.py —
+    and, since r7, WebP-lossless VP8L — webpcodec.py), a no-codec format
+    (lossy/garbage WebP), malformed payloads, and nulls. Keys are ``tier`` or
     ``tier_failed`` so a consumer can audit how many embeddings are real
     decodes vs labeled stubs vs failed attempts in this environment."""
     import numpy as np
@@ -330,6 +331,7 @@ def bench_multimodal(spark) -> dict[str, int]:
         encode_tiff,
     )
     from datalakejson_spark.functions.multimodal import ASSET_SCHEMA, extract_features
+    from datalakejson_spark.functions.webpcodec import encode_webp_lossless
 
     def pixels(i: int) -> "np.ndarray":
         return np.arange(i, i + 4 * 4 * 3, dtype=np.int64).astype(np.uint8).reshape(4, 4, 3)
@@ -348,8 +350,10 @@ def bench_multimodal(spark) -> dict[str, int]:
         )
         rows.append((f"gif_{i}", "image", encode_gif(pixels(i)), None))
         rows.append((f"tif_{i}", "image", encode_tiff(pixels(i)), None))
+        rows.append((f"webpl_{i}", "image", encode_webp_lossless(pixels(i)), None))
     for i in range(8):
         rows.append((f"jpeg_bad_{i}", "image", b"\xff\xd8\xff\xe0" + bytes([i]) * 64, None))
+        # lossy/garbage WebP: container sniffs but no VP8L chunk → stub tier
         rows.append((f"webp_{i}", "image", b"RIFF\x00\x00\x00\x00WEBP" + bytes([i]) * 64, None))
     rows.append(("null", "image", None, None))
     assets = spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -8,9 +8,10 @@ THREE-TIER gate (``decode_image``): Pillow where importable (all formats),
 a pure-numpy/stdlib decoder tier for PPM/BMP (r5) AND the compressed
 PNG (all depths, Adam7) / JPEG (baseline AND progressive) / GIF formats
 plus TIFF, uncompressed AND LZW (r6, imagecodecs.py — REAL pixel decode, runs and
-is tested in this container), and a clearly-marked deterministic stub only
-for formats outside that set with no codec present (WebP — whose container
-metadata is still real, containers.py).
+is tested in this container), WebP-lossless VP8L (r7, webpcodec.py), and a
+clearly-marked deterministic stub only for formats outside that set with no
+codec present (lossy-VP8 WebP — whose container metadata is still real,
+containers.py).
 Audio gains real IMA-ADPCM compressed decode (audiocodecs.py) beside PCM.
 Compressed containers (MP4/MP3): the CONTAINER layer — duration, track
 dims, codec fourcc, sample counts — is REAL (containers.py parses ISO-BMFF
@@ -61,8 +62,9 @@ FEATURE_SCHEMA = (
 #: decode_tier values — which codec tier produced (or attempted) the row's
 #: features, so a consumer can audit/filter fake embeddings downstream:
 #: "pil" real decode via Pillow; "numpy" real pure-numpy/stdlib decode
-#: (PPM/BMP/PNG/JPEG/GIF/TIFF); "stub" deterministic FAKE embedding (format with
-#: no codec present); "none" nothing attempted (null payload).
+#: (PPM/BMP/PNG/JPEG/GIF/TIFF/WebP-lossless); "stub" deterministic FAKE
+#: embedding (format with no codec present); "none" nothing attempted (null
+#: payload).
 DECODE_TIERS = ("pil", "numpy", "stub", "none")
 
 
@@ -94,7 +96,8 @@ def _has_pil() -> bool:
 
 def _decode_image_stub(payload: bytes) -> list[float] | None:
     """STUB for the codec step — reached only for formats outside the real
-    numpy tier (PPM/BMP/PNG/JPEG/GIF/TIFF), e.g. WebP, when PIL is absent.
+    numpy tier (PPM/BMP/PNG/JPEG/GIF/TIFF/WebP-lossless), e.g. lossy-VP8
+    WebP, when PIL is absent.
 
     Deterministic fake: 8 floats derived from the sha256 digest — stands in
     for a real decode→resize→embed pipeline while keeping every Spark-side
@@ -220,6 +223,10 @@ def _decode_image_numpy(payload: bytes) -> list[float] | None:
         decode_png,
         decode_tiff,
     )
+    from datalakejson_spark.functions.webpcodec import (
+        _find_vp8l_chunk,
+        decode_webp,
+    )
 
     arr = (
         _decode_ppm_numpy(payload)
@@ -234,6 +241,13 @@ def _decode_image_numpy(payload: bytes) -> list[float] | None:
         if payload.startswith((b"GIF87a", b"GIF89a"))
         else decode_tiff(payload)
         if payload.startswith((b"II*\x00", b"MM\x00*"))
+        # WebP: only LOSSLESS (VP8L) has a real decoder; lossy VP8 needs the
+        # boolean arithmetic decoder + full VP8 intra stack (codec-library
+        # territory), so payloads without a VP8L chunk fall to the stub tier
+        else decode_webp(payload)
+        if payload.startswith(b"RIFF")
+        and payload[8:12] == b"WEBP"
+        and _find_vp8l_chunk(payload) is not None
         else False  # sentinel: not a numpy-decodable format at all
     )
     if arr is False:
@@ -251,9 +265,9 @@ def decode_image_tiered(
     ``(features, tier)`` where tier ∈ DECODE_TIERS records which codec
     produced (or attempted) the decode. Three tiers: Pillow when importable
     (all formats); else a pure-numpy/stdlib decoder for PPM/BMP/PNG/JPEG
-    (baseline + progressive)/GIF/TIFF (REAL pixels, compressed formats
-    included — this tier runs and is tested in this container); else the
-    clearly-marked deterministic stub for remaining formats (WebP/...)
+    (baseline + progressive)/GIF/TIFF/WebP-lossless (REAL pixels, compressed
+    formats included — this tier runs and is tested in this container); else
+    the clearly-marked deterministic stub for remaining formats (lossy VP8/...)
     without a codec. A malformed
     payload keeps its attempting tier's label with
     features None (decoded_ok=False downstream). ``use_pil`` forces the

