@@ -247,6 +247,174 @@ def test_color_transform_delta_signed():
     assert _ct_delta(0x10, 0xF0) == (16 * -16) >> 5  # -8
 
 
+def _simple_code_2(w: _W, s0: int, s1: int) -> None:
+    """Two-symbol simple code: first listed symbol = code 0, second = 1."""
+    w.u(1, 1)  # simple
+    w.u(1, 1)  # num_symbols - 1 = 1
+    if s0 >= 2:
+        w.u(1, 1)
+        w.u(s0, 8)
+    else:
+        w.u(0, 1)
+        w.u(s0, 1)
+    w.u(s1, 8)
+
+
+def _literal_group_stream(w: _W, pixels: list[tuple[int, int, int, int]]) -> None:
+    """Emit one code group + pixel bits for an entropy image whose every
+    channel has ≤2 distinct values (simple codes). The caller emits the
+    cache bit (and meta bit where applicable) first.
+    pixels = [(a, r, g, b), ...]."""
+    chans = list(zip(*pixels))  # g index 2 in ARGB order → greens, etc.
+    order = [2, 1, 3, 0]  # green, red, blue, alpha code order in the stream
+    tables = []
+    for ch in order:
+        vals = sorted(set(chans[ch]))
+        assert len(vals) <= 2
+        if len(vals) == 1:
+            _simple_code_1(w, vals[0])
+            tables.append({vals[0]: (0, 0)})
+        else:
+            _simple_code_2(w, vals[0], vals[1])
+            tables.append({vals[0]: (0, 1), vals[1]: (1, 1)})
+    _simple_code_1(w, 0)  # distance
+    for px in pixels:
+        for ch, table in zip(order, tables):
+            code, nbits = table[px[ch]]
+            if nbits:
+                w.code(code, nbits)
+
+
+def test_hand_built_predictor_transform():
+    """End-to-end PREDICTOR transform: 4×2 image, one tile (bits=2) with
+    mode 2 (T). Expected pixels hand-derived from the spec's edge rules
+    ((0,0)=black, row 0 = L, column 0 = T) + per-channel mod-256 adds."""
+    w = _W()
+    _header(w, 4, 2)
+    w.u(1, 1)  # a transform follows
+    w.u(0, 2)  # PREDICTOR
+    w.u(0, 3)  # size_bits - 2 = 0 → tile 4 → 1×1 tile image
+    # tile subimage (1×1): green channel = predictor mode 2
+    w.u(0, 1)  # tile image: no cache
+    _literal_group_stream(w, [(255, 0, 2, 0)])
+    w.u(0, 1)  # end of transforms
+    w.u(0, 1)  # no cache
+    w.u(0, 1)  # no meta
+    residuals = [
+        (0, 10, 20, 30), (0, 1, 1, 1), (0, 2, 2, 2), (0, 3, 3, 3),
+        (0, 5, 5, 5), (0, 1, 0, 1), (0, 0, 1, 0), (0, 2, 0, 2),
+    ]
+    # residual channels have >2 distinct values → use a small normal code
+    # per channel via the module-independent writer: simpler to widen
+    # _literal_group_stream is ≤2-distinct, so emit channels via 8 literal
+    # pixels with a 2-bit canonical code… instead, reuse the proven
+    # normal-form emission: per channel build lengths manually.
+    _multi_literal_stream(w, residuals)
+    out = decode_webp(w.payload())
+    assert out is not None and out.shape == (2, 4, 3)
+    expected = (
+        np.array(
+            [
+                [[10, 20, 30], [11, 21, 31], [13, 23, 33], [16, 26, 36]],
+                [[15, 25, 35], [12, 21, 32], [13, 24, 33], [18, 26, 38]],
+            ],
+            dtype=np.float32,
+        )
+        / 255.0
+    )
+    assert np.abs(out - expected).max() < 1e-6
+
+
+def _multi_literal_stream(w: _W, pixels: list[tuple[int, int, int, int]]) -> None:
+    """Normal-form literal emission for arbitrary channel alphabets: each
+    channel gets equal-length canonical codes over its distinct values,
+    emitted through a {0:len1, L:len2}-style code-length code."""
+    order = [2, 1, 3, 0]  # green, red, blue, alpha
+    sizes = [280, 256, 256, 256]
+    chans = list(zip(*pixels))
+    tables = []
+    for ch, alpha_size in zip(order, sizes):
+        vals = sorted(set(chans[ch]))
+        if len(vals) == 1:
+            _simple_code_1(w, vals[0])
+            tables.append({vals[0]: (0, 0)})
+            continue
+        if len(vals) == 2:
+            _simple_code_2(w, vals[0], vals[1])
+            tables.append({vals[0]: (0, 1), vals[1]: (1, 1)})
+            continue
+        eq = max(1, (len(vals) - 1).bit_length())
+        w.u(0, 1)  # normal form
+        w.u(19 - 4, 4)
+        clc = {0: 1, eq: 2} if eq != 0 else {0: 1}
+        for slot in (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                     13, 14, 15):
+            w.u(clc.get(slot, 0), 3)
+        w.u(0, 1)  # no max_symbol bound
+        clc_codes = {0: (0b0, 1), eq: (0b10, 2)}
+        lengths = [eq if s in vals else 0 for s in range(alpha_size)]
+        for ln in lengths:
+            w.code(*clc_codes[ln])
+        tables.append({v: (i, eq) for i, v in enumerate(vals)})
+    _simple_code_1(w, 0)  # distance
+    for px in pixels:
+        for ch, table in zip(order, tables):
+            code, nbits = table[px[ch]]
+            if nbits:
+                w.code(code, nbits)
+
+
+def test_hand_built_color_transform():
+    """End-to-end COLOR transform: one tile with green_to_red=2,
+    green_to_blue=0x80 (−128), red_to_blue=3. Hand-derived: residual
+    (255,100,64,50) → r=100+((2·64)>>5)=104; b=(50+((−128·64)>>5)
+    +((3·104)>>5)) mod 256 = (50−256+9)&255 = 59."""
+    w = _W()
+    _header(w, 1, 1)
+    w.u(1, 1)
+    w.u(1, 2)  # COLOR transform
+    w.u(0, 3)  # size_bits - 2 = 0
+    # cte pixel: red=red_to_blue=3, green=green_to_blue=0x80, blue=g2r=2
+    w.u(0, 1)  # tile image: no cache
+    _literal_group_stream(w, [(255, 3, 0x80, 2)])
+    w.u(0, 1)  # end of transforms
+    w.u(0, 1)  # no cache
+    w.u(0, 1)  # no meta
+    _literal_group_stream(w, [(255, 100, 64, 50)])
+    out = decode_webp(w.payload())
+    assert out is not None
+    assert np.array_equal(
+        np.round(out[0, 0] * 255.0).astype(int), [104, 64, 59]
+    )
+
+
+def test_hand_built_meta_prefix_groups():
+    """Meta-prefix (entropy) image: 8×1 pixels, hbits=2 → two 4px tiles
+    mapping to two code groups with different single-symbol greens. Pins
+    the (r<<8|g) group index and per-tile group selection."""
+    w = _W()
+    _header(w, 8, 1)
+    w.u(0, 1)  # no transforms
+    w.u(0, 1)  # no cache
+    w.u(1, 1)  # meta-prefix image present
+    w.u(0, 3)  # huffman_bits - 2 = 0 → tile size 4 → meta image 2×1
+    # meta image (entropy-coded, no meta of its own): greens 0 and 1
+    w.u(0, 1)  # meta image: no cache
+    _literal_group_stream(w, [(255, 0, 0, 0), (255, 0, 1, 0)])
+    # group 0: green 40; group 1: green 90 (both single-symbol codes)
+    for g in (40, 90):
+        _simple_code_1(w, g)  # green
+        _simple_code_1(w, 10)  # red
+        _simple_code_1(w, 20)  # blue
+        _simple_code_1(w, 255)  # alpha
+        _simple_code_1(w, 0)  # distance
+    # all codes 0-bit → no pixel bits at all
+    out = decode_webp(w.payload())
+    assert out is not None and out.shape == (1, 8, 3)
+    greens = np.round(out[0, :, 1] * 255.0).astype(int)
+    assert list(greens) == [40] * 4 + [90] * 4
+
+
 # ---------------------------------------------------------------------------
 # Round-trips (fixture encoder) — shapes × transforms × cache
 # ---------------------------------------------------------------------------

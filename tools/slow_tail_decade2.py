@@ -51,12 +51,17 @@ def main() -> None:
     spark = get_spark("slow-tail-decade2")
     specs = all_specs()
     out = {}
+    log_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/slow_tail_decade2.jsonl"
+    log = open(log_path, "a", buffering=1)  # line-buffered: survives a kill
     for name in SLOW_TAIL:
         fn = specs[name].fn
         row = {}
-        for label, d in (("sf1", sf1_dir), ("sf10", sf10_dir)):
+        # sf1: warm-up rep (codegen) + best-of-2 steady; sf10: the warm-up
+        # already happened at sf1 (same plan), so warm-up + 1 is enough and
+        # keeps the slowest queries (~100s+/rep at sf10) affordable.
+        for label, d, n_reps in (("sf1", sf1_dir, 3), ("sf10", sf10_dir, 2)):
             reps = []
-            for i in range(3):  # rep 0 = warm-up (codegen), best of the rest
+            for _ in range(n_reps):
                 t0 = time.time()
                 fn(spark, d).write.mode("overwrite").format("noop").save()
                 reps.append(time.time() - t0)
@@ -65,7 +70,9 @@ def main() -> None:
             math.log10(max(row["sf10"], 0.001) / max(row["sf1"], 0.001)), 2
         )
         out[name] = row
+        log.write(json.dumps({name: row}) + "\n")
         print(json.dumps({name: row}), flush=True)
+    log.write(json.dumps({"slow_tail_decade2": out}) + "\n")
     print(json.dumps({"slow_tail_decade2": out}))
     spark.stop()
 
