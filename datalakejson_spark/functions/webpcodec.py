@@ -763,7 +763,7 @@ def encode_webp_lossless(
         ]
     bw.bit(0)  # end of transforms
 
-    _encode_entropy_image(bw, flat, cache_bits)
+    _encode_entropy_image(bw, flat, cache_bits, width=enc_w)
 
     body = b"\x2f" + bw.to_bytes()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
@@ -773,18 +773,43 @@ def encode_webp_lossless(
 
 
 def _encode_entropy_image(
-    bw: _BitWriter, flat: list[int], cache_bits: int, with_meta_bit: bool = True
+    bw: _BitWriter,
+    flat: list[int],
+    cache_bits: int,
+    with_meta_bit: bool = True,
+    width: int = 0,
 ) -> None:
-    """Token stream (greedy distance-1 runs + cache hits) + code emission
-    for one group covering the whole image. ``with_meta_bit``: only the
-    top-level spatially-coded image carries the meta-prefix presence bit —
-    subresolution images (palette, tiles) do not."""
+    """Token stream (greedy distance-1 / distance-``width`` runs + cache
+    hits) + code emission for one group covering the whole image.
+    ``with_meta_bit``: only the top-level spatially-coded image carries the
+    meta-prefix presence bit — subresolution images (palette, tiles) do not.
+    ``width`` > 1 enables copy-from-above runs via 2D plane code 1
+    ((0, 1) in the distance map), so round-trips exercise the mapped-
+    distance decode path, not just plain codes."""
     cache = [None] * (1 << cache_bits) if cache_bits else None
     tokens: list[tuple] = []  # (kind, payload)
     i = 0
     n = len(flat)
     while i < n:
         px = flat[i]
+        # prefer the vertical run (plane code 1 → distance = width): it
+        # exercises the 2D distance map; horizontal runs use the plain code
+        if width > 1 and i >= width and px == flat[i - width]:
+            run = 1
+            while (
+                i + run < n
+                and flat[i + run] == flat[i + run - width]
+                and run < 4096
+            ):
+                run += 1
+            tokens.append(("ref", run, 1))  # dist_code 1 → map[0] = (0, 1)
+            if cache is not None:
+                for j in range(run):
+                    cache[_cache_index(flat[i + j - width], cache_bits)] = flat[
+                        i + j - width
+                    ]
+            i += run
+            continue
         if i > 0 and px == flat[i - 1]:
             run = 1
             while i + run < n and flat[i + run] == flat[i - 1] and run < 4096:

@@ -457,6 +457,19 @@ def test_roundtrip_palette_bundling(n_colors):
     assert np.abs(out - img.astype(np.float32) / 255.0).max() == 0.0
 
 
+def test_roundtrip_vertical_runs_use_distance_map():
+    """Row-identical images route through 2D plane code 1 ((0,1) → distance
+    = width) in the encoder, so the mapped-distance decode path round-trips
+    end-to-end, not just plain codes."""
+    img = np.tile(
+        (np.arange(8, dtype=np.uint8) * 30).reshape(1, 8, 1), (10, 1, 3)
+    )
+    payload = encode_webp_lossless(img)
+    out = decode_webp(payload)
+    assert np.abs(out - img.astype(np.float32) / 255.0).max() == 0.0
+    assert len(payload) < 200  # rows collapse via copy-from-above runs
+
+
 def test_flat_image_uses_runs():
     img = np.full((16, 16, 3), 200, np.uint8)
     payload = encode_webp_lossless(img)
