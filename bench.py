@@ -44,7 +44,10 @@ HEADLINE = [
 
 
 def calibrate(n_threads: int) -> dict[str, float]:
-    """Fixed synthetic machine-speed kernel, run before the queries.
+    """Fixed synthetic machine-speed kernel. Runs in the SAME session right
+    after the headline query block (the Spark JVM is alive and holding
+    memory) — that placement is part of the measurement definition; moving
+    it would shift the constants and break cross-round comparability.
 
     Cross-round bench numbers come from whatever box the driver runs on
     that day; r5→r6 showed a uniform +15-45% drift on UNCHANGED queries
@@ -62,7 +65,8 @@ def calibrate(n_threads: int) -> dict[str, float]:
     - ``python_st_sec``: a pure-Python int loop — interpreter speed
       (driver-side planning, Pandas-UDF glue).
 
-    Workload sizes are FIXED constants; never tune them, or history breaks.
+    Workload sizes, rep counts (3/5/3), and the after-the-queries placement
+    are FIXED; never tune them, or history breaks.
     """
     import concurrent.futures
 

@@ -72,8 +72,10 @@ def write_webdataset_shards(
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf[key_col].isnull().any():
-            # a null key hashes to a null shard and would otherwise surface
-            # as an opaque int(NaN) TypeError below — name the contract
+            # xxhash64(NULL) returns the hash seed, so a null key lands in a
+            # real shard and — without this guard — astype(str) silently
+            # writes it into the tar as the literal key "None"; name the
+            # contract instead of corrupting the shard
             raise ValueError(
                 f"write_webdataset_shards: null {key_col!r} key(s) in input — "
                 "every sample needs a non-null key"

@@ -132,8 +132,12 @@ def _canonical_decoder(lengths: list[int], symbols: list[int] | None = None):
             raise ValueError("code length overflow")
         table[(ln, code)] = symbols[i]
         code += 1
-    if code > (1 << prev_len):
-        raise ValueError("over-subscribed code")
+    # spec-strict: the code must be COMPLETE (Kraft sum exactly 1, like
+    # libwebp's table builder requires). Accepting an incomplete code could
+    # decode corrupted payloads into wrong pixels with decoded_ok=True,
+    # violating the malformed→None contract.
+    if code != (1 << prev_len):
+        raise ValueError("incomplete or over-subscribed code")
     return table
 
 
@@ -621,9 +625,17 @@ def _build_lengths(
         heapq.heappush(heap, (f1 + f2, tick, s1 + s2))
         tick += 1
     if max(depth.values()) > max_len:
-        eq = max(1, (len(used) - 1).bit_length())
-        for s in used:
-            lengths[s] = eq
+        # complete (Kraft sum = 1) two-length fallback: with L = ⌈log2 k⌉,
+        # give (2^L − k) symbols length L−1 and the rest length L — the
+        # decoder rejects incomplete codes, so plain equal lengths with
+        # k < 2^L would not round-trip. Shorter codes go to the most
+        # frequent symbols.
+        k = len(used)
+        eq = max(1, (k - 1).bit_length())
+        by_freq = sorted(used, key=lambda s: (-freqs[s], s))
+        n_short = (1 << eq) - k
+        for rank, s in enumerate(by_freq):
+            lengths[s] = eq - 1 if rank < n_short and eq > 1 else eq
         return lengths
     for s, d in depth.items():
         lengths[s] = d
@@ -656,10 +668,18 @@ def _write_code(bw: _BitWriter, lengths: list[int]):
         clc_freq[ln] = clc_freq.get(ln, 0) + 1
     clc_lengths = _build_lengths(clc_freq, 19, max_len=7)  # 3-bit fields
     if len(clc_freq) == 1:
-        # degenerate: all code lengths equal — give the single clc symbol a
-        # 1-bit code (the normal form has no simple variant)
+        # degenerate: every position shares one length value (e.g. a full
+        # 256-value channel at uniform depth 8). The decoder's one-symbol
+        # clc reads ZERO bits per length, so the encoder must emit none —
+        # a 1-bit-per-length emission desyncs the whole stream (found by
+        # round-7 review at 256×256 random fixtures).
         clc_lengths = [0] * 19
         clc_lengths[next(iter(clc_freq))] = 1
+        bw.write(19 - 4, 4)
+        for slot in _CLC_ORDER:
+            bw.write(clc_lengths[slot], 3)
+        bw.bit(0)  # no max_symbol bound; zero bits follow for the lengths
+        return _encoder_table(lengths)
     # emit all 19 slots in permuted order (num_clc = 19 → read 15 + 4)
     bw.write(19 - 4, 4)
     for slot in _CLC_ORDER:
@@ -702,6 +722,8 @@ def encode_webp_lossless(
     transform, one code group. ``arr`` is (h, w, 3) or (h, w, 4) uint8."""
     arr = np.asarray(arr, dtype=np.uint8)
     h, w = arr.shape[0], arr.shape[1]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L dims are 14-bit: width/height must be 1..16384")
     has_alpha = arr.shape[2] == 4
     flat = [
         _pack(

@@ -143,8 +143,8 @@ def test_hand_built_backref_and_cache():
     mapping (code 121 → distance 1), the length prefix code, and that
     backref copies populate the cache."""
     # P = ARGB 0xFF804020 (a=255, r=128, g=64, b=32). Green alphabet is
-    # 256+24+32; used symbols all get 2-bit codes, canonical by symbol:
-    # 64→0b00, 257 (length code 1)→0b01, 280+idx (cache)→0b10.
+    # 256+24+32; COMPLETE code over the three used symbols — lengths
+    # {64:1, 257:2, 290:2}, canonical: 64→0b0, 257→0b10, 290 (cache)→0b11.
     idx = _cache_index(0xFF804020, 5)
     assert idx == 10  # precomputed: (0x1E35A7BD*0xFF804020)>>27
     w = _W()
@@ -153,18 +153,20 @@ def test_hand_built_backref_and_cache():
     w.u(1, 1)
     w.u(5, 4)
     w.u(0, 1)
-    used = {64: 2, 257: 2, 280 + idx: 2}
+    used = {64: 1, 257: 2, 280 + idx: 2}
     w.u(0, 1)
     w.u(19 - 4, 4)
+    # clc over lengths present {0 (many), 1 (once), 2 (twice)} — complete:
+    # {0:1, 1:2, 2:2} → codes 0→0b0, 1→0b10, 2→0b11
     for slot in (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
-        w.u({0: 1, 2: 2}.get(slot, 0), 3)
+        w.u({0: 1, 1: 2, 2: 2}.get(slot, 0), 3)
     w.u(0, 1)
     lengths = [0] * (256 + 24 + 32)
     for s, ln in used.items():
         lengths[s] = ln
     for ln in lengths:
-        w.code(*{0: (0b0, 1), 2: (0b10, 2)}[ln])
-    green_codes = {64: (0b00, 2), 257: (0b01, 2), 280 + idx: (0b10, 2)}
+        w.code(*{0: (0b0, 1), 1: (0b10, 2), 2: (0b11, 2)}[ln])
+    green_codes = {64: (0b0, 1), 257: (0b10, 2), 280 + idx: (0b11, 2)}
     _simple_code_1(w, 128)  # red
     _simple_code_1(w, 32)  # blue
     _simple_code_1(w, 255)  # alpha
@@ -176,10 +178,8 @@ def test_hand_built_backref_and_cache():
     w.code(*green_codes[64])  # literal P
     w.code(*green_codes[257])  # length code 1 → prefix value: code 1 → 2
     w.u(24, 5)  # distance extra bits (code 13, 5 extra bits, value 24)
-    w.code(*green_codes[280 + idx])  # cache hit of P
-    # wait: cache emission order — rebuilt expectation: [P, P, P, P-cache]
-    # pixels so far: 1 literal + run of 2 + 1 cache = 4; add a 5th literal
-    w.code(*green_codes[64])
+    w.code(*green_codes[280 + idx])  # cache hit of P (4th pixel)
+    w.code(*green_codes[64])  # 5th pixel: plain literal P again
     out = decode_webp(w.payload())
     assert out is not None and out.shape == (1, 5, 3)
     expected = np.array([[128, 64, 32]] * 5, dtype=np.float32) / 255.0
@@ -325,10 +325,26 @@ def test_hand_built_predictor_transform():
     assert np.abs(out - expected).max() < 1e-6
 
 
+def _canon(length_by_symbol: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Canonical (DEFLATE-style) code assignment over {symbol: length},
+    mirroring the spec's (length, symbol)-ordered numbering."""
+    items = sorted((ln, s) for s, ln in length_by_symbol.items() if ln > 0)
+    out: dict[int, tuple[int, int]] = {}
+    code, prev = 0, items[0][0]
+    for ln, s in items:
+        code <<= ln - prev
+        prev = ln
+        out[s] = (code, ln)
+        code += 1
+    assert code == 1 << prev, "test helper built an incomplete code"
+    return out
+
+
 def _multi_literal_stream(w: _W, pixels: list[tuple[int, int, int, int]]) -> None:
-    """Normal-form literal emission for arbitrary channel alphabets: each
-    channel gets equal-length canonical codes over its distinct values,
-    emitted through a {0:len1, L:len2}-style code-length code."""
+    """Normal-form literal emission for arbitrary channel alphabets. Codes
+    are COMPLETE (Kraft sum 1, as the spec requires): with k distinct
+    values and L = ceil(log2 k), the first (2^L − k) values take length
+    L−1 and the rest L."""
     order = [2, 1, 3, 0]  # green, red, blue, alpha
     sizes = [280, 256, 256, 256]
     chans = list(zip(*pixels))
@@ -344,18 +360,26 @@ def _multi_literal_stream(w: _W, pixels: list[tuple[int, int, int, int]]) -> Non
             tables.append({vals[0]: (0, 1), vals[1]: (1, 1)})
             continue
         eq = max(1, (len(vals) - 1).bit_length())
+        n_short = (1 << eq) - len(vals)
+        sym_len = {
+            v: (eq - 1 if i < n_short and eq > 1 else eq)
+            for i, v in enumerate(vals)
+        }
         w.u(0, 1)  # normal form
         w.u(19 - 4, 4)
-        clc = {0: 1, eq: 2} if eq != 0 else {0: 1}
+        clc_used = sorted({0, *sym_len.values()})
+        if len(clc_used) == 2:
+            clc = {clc_used[0]: 1, clc_used[1]: 1}
+        else:
+            clc = {0: 1, clc_used[1]: 2, clc_used[2]: 2}
         for slot in (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
                      13, 14, 15):
             w.u(clc.get(slot, 0), 3)
         w.u(0, 1)  # no max_symbol bound
-        clc_codes = {0: (0b0, 1), eq: (0b10, 2)}
-        lengths = [eq if s in vals else 0 for s in range(alpha_size)]
-        for ln in lengths:
-            w.code(*clc_codes[ln])
-        tables.append({v: (i, eq) for i, v in enumerate(vals)})
+        clc_codes = _canon(clc)
+        for s in range(alpha_size):
+            w.code(*clc_codes[sym_len.get(s, 0)])
+        tables.append(_canon(sym_len))
     _simple_code_1(w, 0)  # distance
     for px in pixels:
         for ch, table in zip(order, tables):
@@ -470,6 +494,40 @@ def test_roundtrip_vertical_runs_use_distance_map():
     assert len(payload) < 200  # rows collapse via copy-from-above runs
 
 
+def test_roundtrip_full_channel_alphabet():
+    """Regression (round-7 review): a fixture whose channels use all 256
+    values at uniform Huffman depth hits the degenerate one-symbol
+    code-length-code; the encoder must emit ZERO bits per length (the
+    decoder's single-symbol clc reads none) or the stream desyncs."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+    out = decode_webp(encode_webp_lossless(img))
+    assert out is not None
+    assert np.abs(out - img.astype(np.float32) / 255.0).max() == 0.0
+
+
+def test_incomplete_code_rejected():
+    """Spec-strict completeness: a code-length section that decodes to a
+    consistent but Kraft-incomplete prefix code (three symbols all at
+    length 2) must yield None, not a chance at silently-wrong pixels."""
+    w = _W()
+    _header(w, 1, 1)
+    w.u(0, 1)  # no transforms
+    w.u(0, 1)  # no cache
+    w.u(0, 1)  # no meta
+    w.u(0, 1)  # green: normal form
+    w.u(19 - 4, 4)
+    for slot in (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
+        w.u({0: 1, 2: 2}.get(slot, 0), 3)  # clc itself incomplete too
+    w.u(0, 1)
+    assert decode_webp(w.payload()) is None
+
+
+def test_encoder_rejects_oversized_dims():
+    with pytest.raises(ValueError, match="14-bit"):
+        encode_webp_lossless(np.zeros((1, 20000, 3), np.uint8))
+
+
 def test_flat_image_uses_runs():
     img = np.full((16, 16, 3), 200, np.uint8)
     payload = encode_webp_lossless(img)
@@ -488,7 +546,7 @@ def test_malformed_rejected():
     # VP8L body starts after RIFF(12) + chunk header(8): signature at [20]
     assert bad[20] == 0x2F
     bad[24] |= 0xE0  # stomp high bits where the 3 version bits land
-    assert decode_webp(bytes(bad)) in (None,) or True  # must not raise
+    assert decode_webp(bytes(bad)) is None
 
 
 def test_vp8x_container_walk():
