@@ -15,6 +15,12 @@ Every phase after the first carries the O(N) snapshot read+overwrite term —
 the curve shows where that term starts to dominate the per-batch constant.
 
 Usage: python tools/ledger_scale_curve.py [max_exponent]   (default 6)
+       python tools/ledger_scale_curve.py [max_exponent] jdbc
+           — measure the JDBC ledger (embedded Derby) instead: its per-row
+           transactional updates have NO O(N) snapshot term, so the steady
+           batch cost should be ~flat in N (the documented fix for the
+           parquet ledger's measured ~10^6-file crossover). Derby seeding is
+           per-row over py4j, so the jdbc mode caps at 10^5.
 """
 
 from __future__ import annotations
@@ -35,12 +41,18 @@ def main() -> None:
     from datalakejson_spark.session import get_spark
 
     max_exp = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    use_jdbc = len(sys.argv) > 2 and sys.argv[2] == "jdbc"
     spark = get_spark("ledger-scale-curve")
     root = tempfile.mkdtemp(prefix="ledger_curve_")
     out = {}
-    for exp in range(4, max_exp + 1):
+    for exp in range(4, min(max_exp, 5 if use_jdbc else 99) + 1):
         n = 10**exp
-        led = Ledger(spark, f"{root}/ledger_{n}")
+        if use_jdbc:
+            from datalakejson_spark.plans.jdbc_ledger import JdbcLedger
+
+            led = JdbcLedger(spark, f"jdbc:derby:{root}/derby_{n};create=true")
+        else:
+            led = Ledger(spark, f"{root}/ledger_{n}")
 
         def synth(lo: int, hi: int):
             return spark.range(lo, hi).select(
@@ -79,13 +91,14 @@ def main() -> None:
         )
         row["steady_batch_sec"] = round(time.time() - t0, 2)
 
-        snap = max(
-            (p for p in Path(f"{root}/ledger_{n}").iterdir() if p.is_dir()),
-            key=lambda p: p.name,
-        )
-        row["snapshot_bytes"] = sum(
-            f.stat().st_size for f in snap.rglob("*.parquet")
-        )
+        if not use_jdbc:
+            snap = max(
+                (p for p in Path(f"{root}/ledger_{n}").iterdir() if p.is_dir()),
+                key=lambda p: p.name,
+            )
+            row["snapshot_bytes"] = sum(
+                f.stat().st_size for f in snap.rglob("*.parquet")
+            )
         out[f"1e{exp}"] = row
         print(json.dumps({f"1e{exp}": row}), flush=True)
     print(json.dumps({"ledger_scale_curve": out}))
