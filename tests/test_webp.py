@@ -536,6 +536,34 @@ def test_flat_image_uses_runs():
     assert np.abs(out - 200 / 255.0).max() == 0.0
 
 
+def test_bitflip_fuzz_never_raises():
+    """One corrupted blob must never fail a batch: 300 seeded single-byte
+    mutations over valid payloads (plain, cache, palette) must each return
+    either None or a well-formed float array — never raise. Deterministic
+    (fixed seed), so a regression is reproducible."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    pal = (rng.integers(0, 5, size=(9, 9, 1)) * np.array([[[50, 40, 30]]])).astype(
+        np.uint8
+    )
+    payloads = [
+        encode_webp_lossless(img),
+        encode_webp_lossless(img, cache_bits=4),
+        encode_webp_lossless(pal, use_palette=True),
+    ]
+    for payload in payloads:
+        buf = np.frombuffer(payload, dtype=np.uint8).copy()
+        for _ in range(100):
+            i = int(rng.integers(12, len(buf)))  # keep the RIFF magic
+            orig = buf[i]
+            buf[i] = int(rng.integers(0, 256))
+            out = decode_webp(buf.tobytes())
+            assert out is None or (
+                out.ndim == 3 and out.shape[2] == 3 and np.isfinite(out).all()
+            )
+            buf[i] = orig
+
+
 def test_malformed_rejected():
     assert decode_webp(b"") is None
     assert decode_webp(b"RIFF\x00\x00\x00\x00WEBP" + b"\x01" * 64) is None
