@@ -274,6 +274,13 @@ def l13_top_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 DECON_COSINE_THRESHOLD = 0.90
 
+#: Fixed-size eval-suite bound for the l7b/l7c harnesses: a real benchmark
+#: suite is a few MBs while the corpus grows without bound. Binds nothing at
+#: driver scales (max vec_id 1999 at sf0.1); keeps the harness linear in
+#: corpus at sf1/sf10 (the unbounded slice measured decade-2 exponent 1.64).
+#: Interpolated into BOTH engines' queries — edit here only.
+EVAL_MAX_VEC_ID = 2000
+
 _EMB_DOT = (
     "list_aggregate([CAST(c.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) "
     "for i in range(1, len(c.embedding) + 1)], 'sum')"
@@ -294,7 +301,7 @@ _L7B_SQL = f"""
     -- harness linear-in-corpus at sf1/sf10 instead of O(n^2/97).
     WITH ev AS (
         SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id % 97 = 0 AND vec_id < 2000
+        WHERE vec_id % 97 = 0 AND vec_id < {EVAL_MAX_VEC_ID}
     ),
     corpus AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0
@@ -326,7 +333,9 @@ def l7b_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings")
     # fixed-size eval suite (see _L7B_SQL note): cap binds nothing at
     # driver scales, keeps the harness linear-in-corpus at sf1/sf10
-    ev = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 2000)).select(
+    ev = emb.filter(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < EVAL_MAX_VEC_ID)
+    ).select(
         F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
     )
     corpus = emb.filter(F.col("vec_id") % 97 != 0).select(
@@ -397,7 +406,7 @@ _L7C_SQL = f"""
     -- effect at driver scales where max vec_id is 1999).
     WITH ev AS (
         SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id % 97 = 0 AND vec_id < 2000
+        WHERE vec_id % 97 = 0 AND vec_id < {EVAL_MAX_VEC_ID}
     ),
     corpus AS (
         SELECT vec_id, embedding FROM embeddings
@@ -434,7 +443,9 @@ def l7c_decontamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides growing makes the exact-oracle crossJoin AND the bucket
     # collisions O(n²/97). A real benchmark suite is fixed-size; the cap
     # binds nothing at driver scales.
-    ev = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 2000))
+    ev = emb.filter(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < EVAL_MAX_VEC_ID)
+    )
     corpus = emb  # leakage scenario: benchmark rows live in the corpus
     exact = (
         corpus.select("vec_id", F.col("embedding").alias("c_emb"))

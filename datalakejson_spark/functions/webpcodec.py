@@ -667,25 +667,19 @@ def _write_code(bw: _BitWriter, lengths: list[int]):
     for ln in lengths:
         clc_freq[ln] = clc_freq.get(ln, 0) + 1
     clc_lengths = _build_lengths(clc_freq, 19, max_len=7)  # 3-bit fields
+    # emit all 19 slots in permuted order (num_clc = 19 → read 15 + 4)
+    bw.write(19 - 4, 4)
+    for slot in _CLC_ORDER:
+        bw.write(clc_lengths[slot], 3)
+    bw.bit(0)  # no max_symbol bound: every length emitted explicitly
     if len(clc_freq) == 1:
         # degenerate: every position shares one length value (e.g. a full
         # 256-value channel at uniform depth 8). The decoder's one-symbol
         # clc reads ZERO bits per length, so the encoder must emit none —
         # a 1-bit-per-length emission desyncs the whole stream (found by
         # round-7 review at 256×256 random fixtures).
-        clc_lengths = [0] * 19
-        clc_lengths[next(iter(clc_freq))] = 1
-        bw.write(19 - 4, 4)
-        for slot in _CLC_ORDER:
-            bw.write(clc_lengths[slot], 3)
-        bw.bit(0)  # no max_symbol bound; zero bits follow for the lengths
         return _encoder_table(lengths)
-    # emit all 19 slots in permuted order (num_clc = 19 → read 15 + 4)
-    bw.write(19 - 4, 4)
-    for slot in _CLC_ORDER:
-        bw.write(clc_lengths[slot], 3)
     clc_table = _encoder_table(clc_lengths)
-    bw.bit(0)  # no max_symbol bound: every length emitted explicitly
     for ln in lengths:
         code, nbits = clc_table[ln]
         _write_msb(bw, code, nbits)

@@ -507,9 +507,13 @@ def test_roundtrip_full_channel_alphabet():
 
 
 def test_incomplete_code_rejected():
-    """Spec-strict completeness: a code-length section that decodes to a
-    consistent but Kraft-incomplete prefix code (three symbols all at
-    length 2) must yield None, not a chance at silently-wrong pixels."""
+    """Spec-strict completeness: a stream whose green code is a consistent
+    but Kraft-incomplete prefix code (three symbols all at length 2, sum
+    3/4) must yield None. The clc is COMPLETE and the pixel bits WOULD
+    decode under a lenient reader — only the completeness check can fail
+    this stream, so weakening it back to over-subscription-only breaks
+    this test (round-7 review: the first version truncated the stream and
+    passed via bit exhaustion even without the check)."""
     w = _W()
     _header(w, 1, 1)
     w.u(0, 1)  # no transforms
@@ -517,9 +521,24 @@ def test_incomplete_code_rejected():
     w.u(0, 1)  # no meta
     w.u(0, 1)  # green: normal form
     w.u(19 - 4, 4)
+    # clc over lengths {0 (many), 2 (three times)}: COMPLETE {0:1, 2:1}
     for slot in (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
-        w.u({0: 1, 2: 2}.get(slot, 0), 3)  # clc itself incomplete too
-    w.u(0, 1)
+        w.u({0: 1, 2: 1}.get(slot, 0), 3)
+    w.u(0, 1)  # no max_symbol bound
+    # 280 green lengths: symbols 10/20/30 at length 2 (Kraft 3/4 →
+    # incomplete), everything else 0. clc codes: 0→0b0, 2→0b1.
+    green_lengths = [0] * 280
+    green_lengths[10] = green_lengths[20] = green_lengths[30] = 2
+    for ln in green_lengths:
+        w.code(*{0: (0b0, 1), 2: (0b1, 1)}[ln])
+    _simple_code_1(w, 7)  # red
+    _simple_code_1(w, 8)  # blue
+    _simple_code_1(w, 255)  # alpha
+    _simple_code_1(w, 0)  # distance
+    # one pixel whose green would decode to symbol 10 (code 0b00) under a
+    # lenient canonical reader — plenty of bits present
+    w.code(0b00, 2)
+    w.u(0, 8)  # trailing slack so exhaustion can't be the failure mode
     assert decode_webp(w.payload()) is None
 
 
