@@ -116,6 +116,41 @@ def test_ingest_kill_matrix(spark, conf, point):
     assert read_curated(spark, conf.curated_dir).count() == expect_curated_raw
 
 
+@pytest.mark.parametrize(
+    "point", ["ingest:after_claim", "ingest:after_curated_append"]
+)
+def test_ingest_kill_matrix_jdbc_ledger(spark, tmp_path, landing, point):
+    """The JDBC ledger claims drop-in parity with the parquet ledger, so
+    the crash contract must hold through it too: hard death at the two
+    highest-traffic points, then the standard recovery, exactly-once."""
+    from datalakejson_spark.plans.jdbc_ledger import JdbcLedger
+
+    conf = IngestConfig(
+        landing_dir=str(landing),
+        curated_dir=str(tmp_path / "curated"),
+        dlq_dir=str(tmp_path / "dlq"),
+        archive_dir=str(tmp_path / "archive"),
+        ledger_dir=str(tmp_path / "ledger"),
+        jdbc_url=f"jdbc:derby:{tmp_path}/killdb;create=true",
+        batch_size=100,
+        stale_lease_s=0,
+    )
+    discover(spark, conf)
+    killpoints.kill_once(point)
+    with pytest.raises(InjectedKill):
+        ingest_batch(spark, conf)
+    assert discover(spark, conf) == 0
+    ingest_batch(spark, conf)
+    deduped = deduplicate_replays(read_curated(spark, conf.curated_dir))
+    assert deduped.count() == 20
+    assert deduped.select("record_id").distinct().count() == 20
+    counts = JdbcLedger(spark, conf.jdbc_url).counts()
+    assert counts == {LedgerStatus.SUCCEEDED: 3, LedgerStatus.QUARANTINED: 1}
+    discover(spark, conf)
+    landing_left = {p.name for p in Path(conf.landing_dir).rglob("*.json")}
+    assert landing_left == {"corrupt_mixed.json"}
+
+
 # ---------------------------------------------------------------------------
 # Incremental-dedup staged index commit (functions/incremental_dedup.py)
 # ---------------------------------------------------------------------------
