@@ -104,3 +104,65 @@ def test_progressive_equals_baseline_any_image(h, w, quality, seed):
     prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
     assert prog is not None
     assert np.abs(prog - base).max() == 0.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    nch=st.sampled_from([3, 4]),
+    cache_bits=st.sampled_from([0, 2, 5]),
+    subtract_green=st.booleans(),
+    low_entropy=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_webp_vp8l_roundtrip_any_shape(
+    h, w, nch, cache_bits, subtract_green, low_entropy, seed
+):
+    """VP8L is lossless: any shape × cache × subtract-green combination must
+    round-trip EXACTLY. ``low_entropy`` biases toward repeated pixels so the
+    run/backref token paths get real coverage, not just literals."""
+    from datalakejson_spark.functions.webpcodec import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(seed)
+    hi = 4 if low_entropy else 256
+    img = (rng.integers(0, hi, size=(h, w, nch)) * (64 if low_entropy else 1)).astype(
+        np.uint8
+    )
+    dec = decode_webp(
+        encode_webp_lossless(img, cache_bits=cache_bits, subtract_green=subtract_green)
+    )
+    assert dec is not None and dec.shape == (h, w, 3)
+    if nch == 3:
+        exp = img.astype(np.float32) / 255.0
+    else:
+        rgb = img[:, :, :3].astype(np.float32) / 255.0
+        a = img[:, :, 3:].astype(np.float32) / 255.0
+        exp = rgb * a + (1 - a)
+    assert np.abs(dec - exp).max() == 0.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    ncolors=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_webp_vp8l_palette_roundtrip(h, w, ncolors, seed):
+    """COLOR_INDEXING at arbitrary palette sizes (crosses every pixel-
+    bundling width as ncolors passes 2/4/16) must stay exact."""
+    from datalakejson_spark.functions.webpcodec import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(seed)
+    lut = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    img = lut[rng.integers(0, ncolors, size=(h, w))]
+    dec = decode_webp(encode_webp_lossless(img, use_palette=True))
+    assert dec is not None
+    assert np.abs(dec - img.astype(np.float32) / 255.0).max() == 0.0
