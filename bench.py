@@ -494,15 +494,15 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
     try:
-        # Compact executed-SQLMetrics history for the three queries whose
-        # runtime behavior matters most at scale (full table in METRICS.md;
-        # this keeps a per-round trace in the recorded bench line). collect()
-        # so each df's own QueryExecution carries the populated metrics.
+        # Compact executed-SQLMetrics history for EVERY headliner (full
+        # table in METRICS.md; this keeps a per-round trace in the recorded
+        # bench line — shuffle/spill/scan drift is visible round-over-round
+        # without re-deriving it). collect() so each df's own QueryExecution
+        # carries the populated metrics.
         from datalakejson_spark.plans.metrics import executed_summary
 
         em = {}
-        for name in ("g3_flagship_pricing_summary", "j3_star_join_revenue",
-                     "l2_minhash_lsh_pairs"):
+        for name in HEADLINE:
             df = specs[name].fn(spark, sf_dir)
             df.collect()
             s = executed_summary(df)
