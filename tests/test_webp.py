@@ -609,6 +609,30 @@ def test_vp8x_container_walk():
     assert np.abs(out - img.astype(np.float32) / 255.0).max() == 0.0
 
 
+def test_real_third_party_lossy_webp_routed_correctly():
+    """A REAL libwebp-encoded file (CPython's test-suite python.webp — a
+    VP8X container wrapping ALPH + lossy VP8) must parse its container
+    metadata and route to the labeled stub tier, never crash and never
+    claim a real decode. The only third-party WebP available in this
+    container is lossy, so this pins the gate on genuine foreign bytes."""
+    import glob
+
+    from datalakejson_spark.functions.containers import parse_webp
+    from datalakejson_spark.functions.multimodal import decode_image_tiered
+
+    candidates = glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/test_email/data/python.webp"
+    ) + glob.glob("/root/.pyenv/versions/*/lib/python*/test/imghdrdata/python.webp")
+    if not candidates:
+        pytest.skip("no stdlib webp fixture in this environment")
+    payload = open(candidates[0], "rb").read()
+    meta = parse_webp(payload)
+    assert meta == {"variant": "vp8x", "width": 16, "height": 16}
+    assert decode_webp(payload) is None  # no VP8L chunk inside
+    feat, tier = decode_image_tiered(payload, use_pil=False)
+    assert tier == "stub" and feat is not None  # labeled fake, not a crash
+
+
 def test_lossy_vp8_stays_gated():
     lossy = (
         b"RIFF" + struct.pack("<I", 20) + b"WEBP"
