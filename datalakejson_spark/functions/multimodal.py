@@ -385,11 +385,15 @@ def _sniff_audio_codec(payload: bytes) -> str:
 
 
 def decode_wav(payload: bytes):
-    """Pure-numpy WAV decode: PCM (RIFF/WAVE format 1, 8/16-bit) and, since
-    r6, COMPRESSED IMA ADPCM (format 0x11, audiocodecs.py — real 4:1
-    compressed-audio decode). Returns (sample_rate, mono float array in
-    [-1, 1]) or None for malformed/unsupported payloads — the audio analogue
-    of the PPM/BMP/PNG/JPEG image tier."""
+    """Pure-numpy WAV decode: integer PCM at 8/16/24/32 bits, IEEE float32
+    (format 3), WAVE_FORMAT_EXTENSIBLE (0xFFFE — the real format code lives
+    in the SubFormat GUID's first two bytes; what every DAW writes for
+    >16-bit or multichannel), and COMPRESSED IMA ADPCM (format 0x11,
+    audiocodecs.py — real 4:1 compressed-audio decode). 24/32-bit support
+    added r7 after real CPython test WAVs (pluck-pcm24/32) exposed the gap.
+    Returns (sample_rate, mono float array in [-1, 1]) or None for
+    malformed/unsupported payloads — the audio analogue of the
+    PPM/BMP/PNG/JPEG image tier."""
     import struct
 
     import numpy as np
@@ -397,12 +401,13 @@ def decode_wav(payload: bytes):
     try:
         if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
             return None
-        pos, fmt, data = 12, None, None
+        pos, fmt, fmt_body, data = 12, None, b"", None
         while pos + 8 <= len(payload):
             cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
             body = payload[pos + 8 : pos + 8 + size]
             if cid == b"fmt ":
                 fmt = struct.unpack_from("<HHIIHH", body, 0)
+                fmt_body = body
             elif cid == b"data":
                 data = body
             pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -411,17 +416,31 @@ def decode_wav(payload: bytes):
         audio_fmt, n_ch, rate, _, block_align, bits = fmt
         if n_ch < 1 or rate <= 0:
             return None
+        if audio_fmt == 0xFFFE and len(fmt_body) >= 26:
+            # EXTENSIBLE: real format code = SubFormat GUID bytes 0-1
+            audio_fmt = struct.unpack_from("<H", fmt_body, 24)[0]
         if audio_fmt == 0x11:  # IMA ADPCM — real compressed-audio decode
             from datalakejson_spark.functions.audiocodecs import decode_ima_adpcm
 
             mono = decode_ima_adpcm(data, n_ch, block_align)
             return None if mono is None else (rate, mono)
-        if audio_fmt != 1 or bits not in (8, 16):
-            return None
-        if bits == 16:
+        if audio_fmt == 3 and bits == 32:  # IEEE float
+            arr = np.frombuffer(data, dtype="<f4").astype("float32")
+        elif audio_fmt == 1 and bits == 16:
             arr = np.frombuffer(data, dtype="<i2").astype("float32") / 32768.0
-        else:
+        elif audio_fmt == 1 and bits == 8:
             arr = (np.frombuffer(data, dtype="u1").astype("float32") - 128.0) / 128.0
+        elif audio_fmt == 1 and bits == 24:
+            # no 3-byte numpy dtype: widen LE triplets to int32, sign via
+            # arithmetic shift of the value placed in the top 3 bytes
+            b = np.frombuffer(data[: len(data) - len(data) % 3], dtype="u1")
+            tri = b.reshape(-1, 3).astype(np.uint32)
+            raw = (tri[:, 0] << 8) | (tri[:, 1] << 16) | (tri[:, 2] << 24)
+            arr = (raw.astype(np.int32) >> 8).astype("float32") / 8388608.0
+        elif audio_fmt == 1 and bits == 32:
+            arr = np.frombuffer(data, dtype="<i4").astype("float32") / 2147483648.0
+        else:
+            return None
         if n_ch > 1:
             arr = arr[: len(arr) - len(arr) % n_ch].reshape(-1, n_ch).mean(axis=1)
         return rate, arr

