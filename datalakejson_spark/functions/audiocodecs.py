@@ -555,3 +555,144 @@ def encode_flac(
         payload = header_bytes + bytes([_crc8(header_bytes)]) + bytes(frame.out)
         stream += payload + _crc16(payload).to_bytes(2, "big")
     return bytes(stream)
+
+
+# --------------------------------------------------------------------------
+# Sun/NeXT AU (.snd) and AIFF/AIFC containers with G.711 companding (r7)
+# --------------------------------------------------------------------------
+# Public specs: the AU header layout (Sun audio file format), AIFF-1.3 /
+# AIFF-C (Apple, 1989/1991), and ITU-T G.711 mu-law/A-law expansion. These
+# are the classic legacy corpora containers; CPython's own test audio data
+# ships the same waveform in all three, which the test suite uses as a REAL
+# cross-container agreement check (tests/test_real_files.py).
+
+
+def ulaw_to_linear(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law expansion, vectorized; float32 in [-1, 1]."""
+    u = (~codes.astype(np.uint8)) & 0xFF
+    t = ((((u & 0x0F) << 3).astype(np.int32)) + 0x84) << ((u >> 4) & 7).astype(
+        np.int32
+    )
+    lin = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    return lin.astype(np.float32) / 32768.0
+
+
+def alaw_to_linear(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law expansion, vectorized; float32 in [-1, 1]."""
+    a = (codes.astype(np.uint8) ^ 0x55).astype(np.int32)
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 7
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    lin = np.where(a & 0x80, t, -t)
+    return lin.astype(np.float32) / 32768.0
+
+
+def _be_pcm_to_float(data: bytes, bits: int) -> np.ndarray | None:
+    """Big-endian integer PCM → float32 [-1, 1] (8-bit is SIGNED in both
+    AU and AIFF, unlike WAV's unsigned 8-bit)."""
+    if bits == 8:
+        return np.frombuffer(data, dtype="i1").astype(np.float32) / 128.0
+    if bits == 16:
+        return np.frombuffer(data, dtype=">i2").astype(np.float32) / 32768.0
+    if bits == 24:
+        b = np.frombuffer(data[: len(data) - len(data) % 3], dtype="u1")
+        tri = b.reshape(-1, 3).astype(np.uint32)
+        raw = (tri[:, 0] << 24) | (tri[:, 1] << 16) | (tri[:, 2] << 8)
+        return (raw.astype(np.int32) >> 8).astype(np.float32) / 8388608.0
+    if bits == 32:
+        return np.frombuffer(data, dtype=">i4").astype(np.float32) / 2147483648.0
+    return None
+
+
+def _downmix(arr: np.ndarray, n_ch: int) -> np.ndarray:
+    if n_ch > 1:
+        arr = arr[: len(arr) - len(arr) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return arr
+
+
+def decode_au(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Sun/NeXT .au decode: header ``.snd`` + 5 big-endian u32 fields
+    (data offset, data size, encoding, rate, channels). Encodings: 1
+    mu-law, 2-5 linear PCM 8/16/24/32, 6 float32, 7 float64, 27 A-law.
+    Returns (sample_rate, mono float array) or None."""
+    try:
+        if payload[:4] != b".snd" or len(payload) < 24:
+            return None
+        offset, size, enc, rate, n_ch = struct.unpack_from(">IIIII", payload, 4)
+        if offset < 24 or rate <= 0 or n_ch < 1:
+            return None
+        end = len(payload) if size == 0xFFFFFFFF else min(offset + size, len(payload))
+        data = payload[offset:end]
+        if enc == 1:
+            arr = ulaw_to_linear(np.frombuffer(data, dtype="u1"))
+        elif enc in (2, 3, 4, 5):
+            arr = _be_pcm_to_float(data, 8 * (enc - 1))
+        elif enc == 6:
+            arr = np.frombuffer(data, dtype=">f4").astype(np.float32)
+        elif enc == 7:
+            arr = np.frombuffer(data, dtype=">f8").astype(np.float32)
+        elif enc == 27:
+            arr = alaw_to_linear(np.frombuffer(data, dtype="u1"))
+        else:
+            return None
+        if arr is None:
+            return None
+        return rate, _downmix(arr, n_ch)
+    except Exception:  # noqa: BLE001 — malformed payload must not raise
+        return None
+
+
+def _extended_float(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF's sample-rate field)."""
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    if se & 0x7FFF == 0 and mant == 0:
+        return 0.0
+    sign = -1.0 if se & 0x8000 else 1.0
+    return sign * mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)
+
+
+def decode_aiff(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """AIFF / AIFF-C decode: FORM container, COMM (channels, frames,
+    bits, 80-bit-float rate, and for AIFC a compression fourcc) + SSND
+    (offset, blocksize, big-endian frames). Compression: NONE, sowt
+    (little-endian 16-bit), ulaw/ULAW, alaw/ALAW. Returns
+    (sample_rate, mono float array) or None."""
+    try:
+        if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+            return None
+        is_aifc = payload[8:12] == b"AIFC"
+        pos, comm, frames_data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from(">I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"COMM":
+                n_ch, n_frames, bits = struct.unpack_from(">HIH", body, 0)
+                rate = _extended_float(body[8:18])
+                comp = body[18:22] if is_aifc and len(body) >= 22 else b"NONE"
+                comm = (n_ch, n_frames, bits, rate, comp)
+            elif cid == b"SSND":
+                (off, _blk) = struct.unpack_from(">II", body, 0)
+                frames_data = body[8 + off :]
+            pos += 8 + size + (size & 1)
+        if comm is None or frames_data is None:
+            return None
+        n_ch, n_frames, bits, rate, comp = comm
+        if n_ch < 1 or rate <= 0:
+            return None
+        if comp in (b"ulaw", b"ULAW"):
+            arr = ulaw_to_linear(np.frombuffer(frames_data, dtype="u1"))
+        elif comp in (b"alaw", b"ALAW"):
+            arr = alaw_to_linear(np.frombuffer(frames_data, dtype="u1"))
+        elif comp == b"sowt":  # little-endian 16-bit PCM
+            arr = np.frombuffer(frames_data, dtype="<i2").astype(np.float32) / 32768.0
+        elif comp in (b"NONE",):
+            arr = _be_pcm_to_float(frames_data, bits)
+        else:
+            return None
+        if arr is None:
+            return None
+        return int(round(rate)), _downmix(arr, n_ch)
+    except Exception:  # noqa: BLE001 — malformed payload must not raise
+        return None

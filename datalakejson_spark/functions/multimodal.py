@@ -364,13 +364,18 @@ AUDIO_CODECS = ("pcm", "adpcm", "flac", "unknown", "none")
 def _sniff_audio_codec(payload: bytes) -> str:
     """Attribute the decoder a payload will route to, without decoding:
     fLaC magic → flac; RIFF/WAVE → the fmt chunk's format tag (1 → pcm,
-    0x11 → adpcm); anything else → unknown."""
+    3 → float, 0x11 → adpcm, 0xFFFE → extensible); ``.snd`` → au;
+    FORM/AIFF|AIFC → aiff; anything else → unknown."""
     import struct
 
     if not payload:
         return "none"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:4] == b".snd":
+        return "au"
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pos = 12
         while pos + 8 <= len(payload):
@@ -378,7 +383,8 @@ def _sniff_audio_codec(payload: bytes) -> str:
             size = struct.unpack_from("<I", payload, pos + 4)[0]
             if cid == b"fmt " and pos + 10 <= len(payload):
                 tag = struct.unpack_from("<H", payload, pos + 8)[0]
-                return {1: "pcm", 0x11: "adpcm"}.get(tag, "unknown")
+                return {1: "pcm", 3: "pcm_float", 0x11: "adpcm",
+                        0xFFFE: "pcm_ext"}.get(tag, "unknown")
             pos += 8 + size + (size & 1)
         return "unknown"
     return "unknown"
@@ -449,13 +455,23 @@ def decode_wav(payload: bytes):
 
 
 def decode_audio(payload: bytes):
-    """Audio container dispatch: RIFF/WAVE → decode_wav (PCM + IMA ADPCM);
-    fLaC → audiocodecs.decode_flac (real lossless compressed decode, r6).
-    Same (sample_rate, mono float array) contract either way."""
+    """Audio container dispatch: RIFF/WAVE → decode_wav (PCM at every
+    depth + IMA ADPCM); fLaC → audiocodecs.decode_flac (real lossless
+    compressed decode, r6); ``.snd`` → Sun/NeXT AU (PCM/float + G.711
+    mu-law/A-law, r7); FORM/AIFF|AIFC → AIFF (BE PCM, sowt, ulaw, alaw,
+    r7). Same (sample_rate, mono float array) contract throughout."""
     if payload[:4] == b"fLaC":
         from datalakejson_spark.functions.audiocodecs import decode_flac
 
         return decode_flac(payload)
+    if payload[:4] == b".snd":
+        from datalakejson_spark.functions.audiocodecs import decode_au
+
+        return decode_au(payload)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        from datalakejson_spark.functions.audiocodecs import decode_aiff
+
+        return decode_aiff(payload)
     return decode_wav(payload)
 
 
