@@ -192,3 +192,34 @@ def test_real_sun_ulaw_phone_audio():
     assert rate == 8012 and len(arr) == 28110
     assert np.isfinite(arr).all() and float(np.abs(arr).max()) <= 1.0
     assert float(np.sqrt((arr ** 2).mean())) > 0.001  # real signal, not DC
+
+
+def test_real_au_aiff_flow_through_spark_path(spark):
+    """End-to-end Spark path: REAL AU (Sun mu-law) and AIFF (BE PCM)
+    payloads flow through extract_audio_features with correct codec
+    attribution and real sample-level features."""
+    from datalakejson_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        extract_audio_features,
+    )
+
+    au = _first("/root/.pyenv/versions/3.10*/lib/python*/test/audiodata/pluck-ulaw.au")
+    aiff = _first(
+        "/root/.pyenv/versions/3.10*/lib/python*/test/audiodata/pluck-pcm16.aiff"
+    )
+    if au is None or aiff is None:
+        pytest.skip("no python3.10 audiodata in this environment")
+    assets = spark.createDataFrame(
+        [
+            ("au1", "audio", open(au, "rb").read(), None),
+            ("af1", "audio", open(aiff, "rb").read(), None),
+        ],
+        ASSET_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in extract_audio_features(assets).collect()}
+    assert rows["au1"].decoded_ok and rows["au1"].codec == "au"
+    assert rows["af1"].decoded_ok and rows["af1"].codec == "aiff"
+    for r in rows.values():
+        assert r.sample_rate == 11025
+        assert abs(r.duration_ms - 300) < 5  # 3307 / 11025 ≈ 300 ms
+        assert 0.10 < r.rms < 0.15  # the pluck's measured RMS ≈ 0.123
