@@ -377,6 +377,81 @@ def bench_multimodal(spark) -> dict[str, int]:
     }
 
 
+def bench_audio(spark) -> dict[str, int]:
+    """Per-codec decoded_ok counts over a synthetic audio mix — PCM WAV,
+    IMA-ADPCM, FLAC, Sun AU (mu-law, r7), AIFF (BE PCM, r7), malformed,
+    null — the audio analogue of multimodal_tier_counts: how many audio
+    features are real decodes per container/codec this round."""
+    import struct as S
+
+    import numpy as np
+
+    from datalakejson_spark.functions.audiocodecs import (
+        encode_flac,
+        encode_ima_adpcm_wav,
+    )
+    from datalakejson_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        extract_audio_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate // 4) / rate
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t)
+    pcm16 = np.clip(sig * 32768, -32768, 32767).astype("<i2").tobytes()
+
+    def wav_pcm16() -> bytes:
+        fmt = S.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (b"WAVE" + b"fmt " + S.pack("<I", len(fmt)) + fmt
+                + b"data" + S.pack("<I", len(pcm16)) + pcm16)
+        return b"RIFF" + S.pack("<I", len(body)) + body
+
+    def au_ulaw() -> bytes:
+        # mu-law COMPRESS (G.711 segment search) — fixture-only inline
+        out = bytearray()
+        for s in np.clip(sig * 32768, -32635, 32635).astype(int):
+            sign = 0x80 if s < 0 else 0
+            s = abs(int(s)) + 0x84
+            exp = max(0, s.bit_length() - 8)
+            mant = (s >> (exp + 3)) & 0x0F
+            out.append(~(sign | (exp << 4) | mant) & 0xFF)
+        return (b".snd" + S.pack(">IIIII", 24, len(out), 1, rate, 1)
+                + bytes(out))
+
+    def aiff_pcm16() -> bytes:
+        # 80-bit extended float: for integer rate, exponent = 16383 +
+        # (bit_length - 1), mantissa = rate left-justified to 64 bits
+        ext = S.pack(
+            ">HQ",
+            16383 + rate.bit_length() - 1,
+            rate << (64 - rate.bit_length()),
+        )
+        comm = S.pack(">HIH", 1, len(sig), 16) + ext
+        be = np.clip(sig * 32768, -32768, 32767).astype(">i2").tobytes()
+        ssnd = S.pack(">II", 0, 0) + be
+        body = (b"AIFF" + b"COMM" + S.pack(">I", len(comm)) + comm
+                + b"SSND" + S.pack(">I", len(ssnd)) + ssnd)
+        return b"FORM" + S.pack(">I", len(body)) + body
+
+    rows = [
+        ("wav", "audio", wav_pcm16(), None),
+        ("adpcm", "audio", encode_ima_adpcm_wav(sig, rate), None),
+        ("flac", "audio", encode_flac(sig, rate), None),
+        ("au", "audio", au_ulaw(), None),
+        ("aiff", "audio", aiff_pcm16(), None),
+        ("bad", "audio", b"RIFFjunk" + bytes(32), None),
+        ("null", "audio", None, None),
+    ]
+    feats = extract_audio_features(
+        spark.createDataFrame(rows, ASSET_SCHEMA)
+    ).collect()
+    out: dict[str, int] = {}
+    for r in feats:
+        key = f"{r.codec}_{'ok' if r.decoded_ok else 'failed'}"
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
 def bench_containers(spark) -> dict[str, int]:
     """Compressed-container metadata parse counts (containers.py, r6): real
     ISO-BMFF box walks and MPEG-audio frame-header walks over a synthetic
@@ -487,6 +562,10 @@ def main() -> None:
         pass
     try:
         payload["multimodal_tier_counts"] = bench_multimodal(spark)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        payload["audio_codec_counts"] = bench_audio(spark)
     except Exception:  # noqa: BLE001
         pass
     try:
