@@ -576,8 +576,12 @@ def main() -> None:
         # Compact executed-SQLMetrics history for EVERY headliner (full
         # table in METRICS.md; this keeps a per-round trace in the recorded
         # bench line — shuffle/spill/scan drift is visible round-over-round
-        # without re-deriving it). collect() so each df's own QueryExecution
-        # carries the populated metrics.
+        # without re-deriving it). This is one EXTRA execution per query:
+        # the timing reps run through DataFrameWriter (noop), whose
+        # QueryExecution is internal to the writer and unreachable from the
+        # df, so a collect() on the df's OWN QueryExecution is the only way
+        # to read populated metrics without changing the frozen timing
+        # definition. ~8 s/round, accepted for the observability.
         from datalakejson_spark.plans.metrics import executed_summary
 
         em = {}

@@ -587,21 +587,53 @@ def alaw_to_linear(codes: np.ndarray) -> np.ndarray:
     return lin.astype(np.float32) / 32768.0
 
 
-def _be_pcm_to_float(data: bytes, bits: int) -> np.ndarray | None:
-    """Big-endian integer PCM → float32 [-1, 1] (8-bit is SIGNED in both
-    AU and AIFF, unlike WAV's unsigned 8-bit)."""
+def pcm_to_float(
+    data: bytes, bits: int, *, little_endian: bool = False, unsigned8: bool = False
+) -> np.ndarray | None:
+    """Integer PCM → float32 [-1, 1], SHARED by the WAV (LE, unsigned
+    8-bit) and AU/AIFF (BE, signed 8-bit) containers so the trickiest
+    widening lives once. Trailing bytes short of a whole sample (buggy
+    writers counting the pad byte) are truncated consistently at EVERY
+    width, not just 24-bit."""
     if bits == 8:
-        return np.frombuffer(data, dtype="i1").astype(np.float32) / 128.0
+        raw8 = np.frombuffer(data, dtype="u1" if unsigned8 else "i1")
+        if unsigned8:
+            return (raw8.astype(np.float32) - 128.0) / 128.0
+        return raw8.astype(np.float32) / 128.0
+    e = "<" if little_endian else ">"
     if bits == 16:
-        return np.frombuffer(data, dtype=">i2").astype(np.float32) / 32768.0
+        data = data[: len(data) - len(data) % 2]
+        return np.frombuffer(data, dtype=f"{e}i2").astype(np.float32) / 32768.0
     if bits == 24:
         b = np.frombuffer(data[: len(data) - len(data) % 3], dtype="u1")
         tri = b.reshape(-1, 3).astype(np.uint32)
-        raw = (tri[:, 0] << 24) | (tri[:, 1] << 16) | (tri[:, 2] << 8)
+        if little_endian:
+            raw = (tri[:, 0] << 8) | (tri[:, 1] << 16) | (tri[:, 2] << 24)
+        else:
+            raw = (tri[:, 0] << 24) | (tri[:, 1] << 16) | (tri[:, 2] << 8)
         return (raw.astype(np.int32) >> 8).astype(np.float32) / 8388608.0
     if bits == 32:
-        return np.frombuffer(data, dtype=">i4").astype(np.float32) / 2147483648.0
+        data = data[: len(data) - len(data) % 4]
+        return np.frombuffer(data, dtype=f"{e}i4").astype(np.float32) / 2147483648.0
     return None
+
+
+def float_pcm_to_float(data: bytes, bits: int, *, little_endian: bool = False):
+    """IEEE float PCM → float32 clamped to [-1, 1] with NaN/Inf scrubbed —
+    real DAW float exports routinely exceed full scale, and an unclamped
+    NaN would poison downstream RMS/zero-cross features while
+    decoded_ok=True (round-7 review find)."""
+    width = bits // 8
+    data = data[: len(data) - len(data) % width]
+    e = "<" if little_endian else ">"
+    arr = np.frombuffer(data, dtype=f"{e}f{width}").astype(np.float32)
+    return np.clip(np.nan_to_num(arr, nan=0.0, posinf=1.0, neginf=-1.0), -1.0, 1.0)
+
+
+def _be_pcm_to_float(data: bytes, bits: int) -> np.ndarray | None:
+    """Big-endian integer PCM → float32 [-1, 1] (8-bit is SIGNED in both
+    AU and AIFF, unlike WAV's unsigned 8-bit)."""
+    return pcm_to_float(data, bits, little_endian=False, unsigned8=False)
 
 
 def _downmix(arr: np.ndarray, n_ch: int) -> np.ndarray:
@@ -628,9 +660,9 @@ def decode_au(payload: bytes) -> tuple[int, np.ndarray] | None:
         elif enc in (2, 3, 4, 5):
             arr = _be_pcm_to_float(data, 8 * (enc - 1))
         elif enc == 6:
-            arr = np.frombuffer(data, dtype=">f4").astype(np.float32)
+            arr = float_pcm_to_float(data, 32)
         elif enc == 7:
-            arr = np.frombuffer(data, dtype=">f8").astype(np.float32)
+            arr = float_pcm_to_float(data, 64)
         elif enc == 27:
             arr = alaw_to_linear(np.frombuffer(data, dtype="u1"))
         else:
@@ -681,12 +713,18 @@ def decode_aiff(payload: bytes) -> tuple[int, np.ndarray] | None:
         n_ch, n_frames, bits, rate, comp = comm
         if n_ch < 1 or rate <= 0:
             return None
+        # honor COMM's frame count: SSND may carry block-alignment padding
+        # (blockSize > 0) or trailing bytes that are NOT samples
+        if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+            frames_data = frames_data[: n_frames * n_ch]
+        else:
+            frames_data = frames_data[: n_frames * n_ch * (bits // 8)]
         if comp in (b"ulaw", b"ULAW"):
             arr = ulaw_to_linear(np.frombuffer(frames_data, dtype="u1"))
         elif comp in (b"alaw", b"ALAW"):
             arr = alaw_to_linear(np.frombuffer(frames_data, dtype="u1"))
         elif comp == b"sowt":  # little-endian 16-bit PCM
-            arr = np.frombuffer(frames_data, dtype="<i2").astype(np.float32) / 32768.0
+            arr = pcm_to_float(frames_data, 16, little_endian=True)
         elif comp in (b"NONE",):
             arr = _be_pcm_to_float(frames_data, bits)
         else:

@@ -356,16 +356,21 @@ AUDIO_FEATURE_SCHEMA = (
 
 #: codec values — the audio analogue of DECODE_TIERS: which decoder was
 #: ATTEMPTED for the row (kept on failure, decoded_ok=False, so consumers
-#: can audit failure rates per codec): "pcm"/"adpcm" (RIFF WAV by format
-#: tag), "flac", "unknown" (no decoder for the magic), "none" (null/empty).
-AUDIO_CODECS = ("pcm", "adpcm", "flac", "unknown", "none")
+#: can audit failure rates per codec): "pcm"/"pcm_float"/"adpcm" (RIFF WAV
+#: by RESOLVED format tag — EXTENSIBLE's SubFormat is unwrapped so the
+#: attribution names the decoder that actually runs), "flac", "au", "aiff",
+#: "unknown" (no decoder for the magic), "none" (null/empty).
+AUDIO_CODECS = ("pcm", "pcm_float", "adpcm", "flac", "au", "aiff",
+                "unknown", "none")
 
 
 def _sniff_audio_codec(payload: bytes) -> str:
     """Attribute the decoder a payload will route to, without decoding:
-    fLaC magic → flac; RIFF/WAVE → the fmt chunk's format tag (1 → pcm,
-    3 → float, 0x11 → adpcm, 0xFFFE → extensible); ``.snd`` → au;
-    FORM/AIFF|AIFC → aiff; anything else → unknown."""
+    fLaC magic → flac; RIFF/WAVE → the fmt chunk's RESOLVED format tag
+    (1 → pcm, 3 → pcm_float, 0x11 → adpcm; EXTENSIBLE 0xFFFE is unwrapped
+    to its SubFormat code so the label matches the decoder that actually
+    runs); ``.snd`` → au; FORM/AIFF|AIFC → aiff; anything else →
+    unknown."""
     import struct
 
     if not payload:
@@ -383,8 +388,12 @@ def _sniff_audio_codec(payload: bytes) -> str:
             size = struct.unpack_from("<I", payload, pos + 4)[0]
             if cid == b"fmt " and pos + 10 <= len(payload):
                 tag = struct.unpack_from("<H", payload, pos + 8)[0]
-                return {1: "pcm", 3: "pcm_float", 0x11: "adpcm",
-                        0xFFFE: "pcm_ext"}.get(tag, "unknown")
+                if tag == 0xFFFE and size >= 26 and pos + 8 + 26 <= len(payload):
+                    # SubFormat GUID bytes 0-1 at fmt-body offset 24
+                    tag = struct.unpack_from("<H", payload, pos + 8 + 24)[0]
+                return {1: "pcm", 3: "pcm_float", 0x11: "adpcm"}.get(
+                    tag, "unknown"
+                )
             pos += 8 + size + (size & 1)
         return "unknown"
     return "unknown"
@@ -430,26 +439,26 @@ def decode_wav(payload: bytes):
 
             mono = decode_ima_adpcm(data, n_ch, block_align)
             return None if mono is None else (rate, mono)
-        if audio_fmt == 3 and bits == 32:  # IEEE float
-            arr = np.frombuffer(data, dtype="<f4").astype("float32")
-        elif audio_fmt == 1 and bits == 16:
-            arr = np.frombuffer(data, dtype="<i2").astype("float32") / 32768.0
-        elif audio_fmt == 1 and bits == 8:
-            arr = (np.frombuffer(data, dtype="u1").astype("float32") - 128.0) / 128.0
-        elif audio_fmt == 1 and bits == 24:
-            # no 3-byte numpy dtype: widen LE triplets to int32, sign via
-            # arithmetic shift of the value placed in the top 3 bytes
-            b = np.frombuffer(data[: len(data) - len(data) % 3], dtype="u1")
-            tri = b.reshape(-1, 3).astype(np.uint32)
-            raw = (tri[:, 0] << 8) | (tri[:, 1] << 16) | (tri[:, 2] << 24)
-            arr = (raw.astype(np.int32) >> 8).astype("float32") / 8388608.0
-        elif audio_fmt == 1 and bits == 32:
-            arr = np.frombuffer(data, dtype="<i4").astype("float32") / 2147483648.0
+        # PCM widening + downmix are SHARED with the AU/AIFF containers
+        # (audiocodecs.py) — one copy of the sign-extension and odd-length
+        # truncation logic, WAV's dialect being little-endian + unsigned 8
+        from datalakejson_spark.functions.audiocodecs import (
+            _downmix,
+            float_pcm_to_float,
+            pcm_to_float,
+        )
+
+        if audio_fmt == 3 and bits in (32, 64):  # IEEE float, clamped
+            arr = float_pcm_to_float(data, bits, little_endian=True)
+        elif audio_fmt == 1 and bits in (8, 16, 24, 32):
+            arr = pcm_to_float(
+                data, bits, little_endian=True, unsigned8=(bits == 8)
+            )
         else:
             return None
-        if n_ch > 1:
-            arr = arr[: len(arr) - len(arr) % n_ch].reshape(-1, n_ch).mean(axis=1)
-        return rate, arr
+        if arr is None:
+            return None
+        return rate, _downmix(arr, n_ch)
     except Exception:  # noqa: BLE001
         return None
 

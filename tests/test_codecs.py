@@ -845,3 +845,59 @@ def test_tiff_lzw_early_change_hand_pinned():
     codes += [(77, 10), (257, 10)]
     out = _tiff_lzw_decode(pack(codes))
     assert out == bytes(lits) + bytes([77])
+
+
+def test_wav_float_clamped_and_nan_scrubbed():
+    """IEEE-float WAVs from real DAWs exceed full scale and can carry NaN;
+    decode must stay in [-1, 1] with NaN scrubbed or downstream RMS/ZCR
+    features are silently poisoned while decoded_ok=True (r7 review)."""
+    import struct as S
+
+    from datalakejson_spark.functions.multimodal import decode_wav
+
+    bad = np.array([0.5, 1.5, -2.0, np.nan], dtype="<f4").tobytes()
+    fmt = S.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + b"fmt " + S.pack("<I", len(fmt)) + fmt
+            + b"data" + S.pack("<I", len(bad)) + bad)
+    out = decode_wav(b"RIFF" + S.pack("<I", len(body)) + body)
+    assert out is not None
+    arr = out[1]
+    assert np.isfinite(arr).all() and float(np.abs(arr).max()) <= 1.0
+    assert list(arr) == [0.5, 1.0, -1.0, 0.0]
+
+
+def test_wav_odd_length_data_truncates_consistently():
+    """A data chunk one byte short of whole samples (buggy writers counting
+    the pad byte) must truncate at EVERY width, not None out at 16/32-bit
+    while 24-bit truncates (r7 review)."""
+    import struct as S
+
+    from datalakejson_spark.functions.multimodal import decode_wav
+
+    for bits, sample in ((16, b"\x00\x10"), (24, b"\x00\x00\x10"),
+                         (32, b"\x00\x00\x00\x10")):
+        data = sample * 3 + b"\x00"  # 3 whole samples + 1 stray byte
+        fmt = S.pack("<HHIIHH", 1, 1, 8000, 8000 * bits // 8, bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + S.pack("<I", len(fmt)) + fmt
+                + b"data" + S.pack("<I", len(data)) + data)
+        out = decode_wav(b"RIFF" + S.pack("<I", len(body)) + body)
+        assert out is not None and len(out[1]) == 3, bits
+
+
+def test_aiff_ssnd_padding_not_decoded_as_samples():
+    """COMM's frame count bounds the samples: SSND block-alignment padding
+    or trailing bytes must not skew n_samples/duration/rms (r7 review)."""
+    import struct as S
+
+    from datalakejson_spark.functions.audiocodecs import decode_aiff
+
+    pcm = np.array([1000, -1000, 2000, -2000], dtype=">i2").tobytes()
+    ext = S.pack(">HQ", 16383 + 13 - 1, 8000 << (64 - 13))  # rate 8000
+    comm = S.pack(">HIH", 1, 4, 16) + ext
+    ssnd = S.pack(">II", 0, 0) + pcm + b"\x00" * 6  # 3 bogus trailing samples
+    body = (b"AIFF" + b"COMM" + S.pack(">I", len(comm)) + comm
+            + b"SSND" + S.pack(">I", len(ssnd)) + ssnd)
+    out = decode_aiff(b"FORM" + S.pack(">I", len(body)) + body)
+    assert out is not None
+    rate, arr = out
+    assert rate == 8000 and len(arr) == 4  # not 7
