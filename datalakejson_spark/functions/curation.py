@@ -593,3 +593,128 @@ def l16_source_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_emitted"),
     )
+
+
+# --------------------------------------------------------------------------
+# L19: C4-style cross-document line-level boilerplate removal (round 7)
+# --------------------------------------------------------------------------
+#: words per synthesized line (the fixture corpus has no newlines; real
+#: corpora pass their own line split) and the C4 threshold: a normalized
+#: line occurring >= 3 times across the corpus is boilerplate
+LINE_WORDS = 4
+BOILER_MIN_COUNT = 3
+
+
+def line_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = LINE_WORDS,
+) -> DataFrame:
+    """(id, line_no, line) — one row per fixed-width word window. The
+    explode is over the EXPRESSION, not a projected column, so Catalyst's
+    InferFiltersFromGenerate cannot duplicate the split pipeline at the
+    scan (the l2 round-6 trap). Real corpora with newlines should split on
+    those instead; the downstream counting/removal is line-source-agnostic."""
+    lines_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) /"
+        f" {line_words}.0) as int) - 1),"
+        f" g -> array_join(slice(split({text_col}, ' '),"
+        f" g * {line_words} + 1, {line_words}), ' '))"
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(lines_expr).alias("line_no", "line")
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = LINE_WORDS,
+    min_count: int = BOILER_MIN_COUNT,
+) -> DataFrame:
+    """C4's line-wise dedup rule (also RefinedWeb): drop every line that
+    occurs ``min_count``+ times ACROSS the corpus (navigation chrome,
+    cookie banners, license footers), keeping survivors in document order.
+    Returns (id, n_lines, n_boiler_lines, cleaned_text) — cleaned_text is
+    NULL when every line was boilerplate.
+
+    100 TB shape: the classic TWO-PASS design (C4's own): pass 1 scans +
+    explodes to count lines (the count side is pruned to the 32-byte
+    ``md5(line)`` key, so its shuffle carries hashes only); pass 2 scans +
+    explodes again and joins the counts back. Two corpus scans by design —
+    the single-scan alternative would persist the exploded line table
+    (larger than the input) across both consumers. The boilerplate set is
+    NOT broadcastable at scale (it grows with the corpus); the count-join
+    is a plain shuffle join whose skew ceiling is the hottest line's
+    frequency — AQE skew-split territory, same posture as l13. Exact
+    integer counts + array_sort on (line_no) keep the result
+    engine-deterministic."""
+    lines = line_table(docs, text_col, id_col, line_words).withColumn(
+        "line_hash", F.md5("line")
+    )
+    counts = lines.groupBy("line_hash").agg(F.count("*").alias("cnt"))
+    tagged = lines.join(counts, "line_hash")
+    kept = F.when(
+        F.col("cnt") < min_count, F.struct("line_no", "line")
+    )  # collect_list skips the NULLs (boilerplate rows)
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("cnt") >= min_count).cast("long")).alias(
+                "n_boiler_lines"
+            ),
+            F.array_sort(F.collect_list(kept)).alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_boiler_lines",
+            F.when(F.size("_kept") == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.array_join(F.expr("transform(_kept, x -> x.line)"), " ")
+            )
+            .alias("cleaned_text"),
+        )
+    )
+
+
+_L19_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, g,
+               array_to_string(
+                   w[(g * {LINE_WORDS} + 1):(g * {LINE_WORDS} + {LINE_WORDS})],
+                   ' ') AS line
+        FROM tok,
+             UNNEST(range(CAST(ceil(len(w) / {LINE_WORDS}.0) AS BIGINT))) AS t(g)
+    ),
+    counted AS (
+        SELECT doc_id, g, line,
+               count(*) OVER (PARTITION BY md5(line)) AS cnt
+        FROM lines
+    )
+    SELECT doc_id,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN cnt >= {BOILER_MIN_COUNT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler_lines,
+           string_agg(CASE WHEN cnt < {BOILER_MIN_COUNT} THEN line END, ' '
+                      ORDER BY g) AS cleaned_text
+    FROM counted
+    GROUP BY doc_id
+"""
+
+
+@register("l19_line_boilerplate", survey="L6,L2,G3", extended=True, sql=_L19_SQL)
+def l19_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-wise boilerplate removal over the documents table:
+    per-document line counts, boilerplate counts (corpus-wide frequency >=
+    {BOILER_MIN_COUNT}), and the cleaned text with survivors rejoined in
+    order. The fixture corpus has no newlines, so lines are synthesized as
+    fixed 4-word windows — the counting/removal pipeline is identical to
+    the real-newline case (line_table's docstring)."""
+    return remove_boilerplate_lines(load_table(spark, sf_dir, "documents"))
