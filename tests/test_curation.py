@@ -111,3 +111,34 @@ def test_lsh_decontamination_recall(spark):
     if near:  # probabilistic tier: hold the docstring's recall claim
         recall = len(near & flagged) / len(near)
         assert recall >= 0.9, (recall, len(near))
+
+
+def test_boilerplate_removal_semantic(spark):
+    """Planted-banner semantics for the C4 line rule: a 4-word banner
+    repeated across >= 3 docs is stripped from every doc; unique content
+    survives in order; a doc that is ALL banner cleans to NULL."""
+    from datalakejson_spark.functions.curation import remove_boilerplate_lines
+
+    banner = "accept all cookies now"
+    rows = [
+        (1, f"{banner} alpha bravo charlie delta"),
+        (2, f"{banner} echo foxtrot golf hotel"),
+        (3, f"{banner} india juliet kilo lima"),
+        (4, "mike november oscar papa quebec romeo sierra tango"),
+        (5, banner),  # all-boilerplate doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(docs, line_words=4).collect()
+    }
+    assert out[1].cleaned_text == "alpha bravo charlie delta"
+    assert out[2].cleaned_text == "echo foxtrot golf hotel"
+    assert out[3].cleaned_text == "india juliet kilo lima"
+    assert out[1].n_boiler_lines == 1 and out[1].n_lines == 2
+    # untouched doc: both lines unique, text preserved in order
+    assert out[4].cleaned_text == rows[3][1]
+    assert out[4].n_boiler_lines == 0
+    # all-boilerplate doc cleans to NULL (matches the SQL oracle's
+    # string_agg-over-no-rows semantics)
+    assert out[5].cleaned_text is None and out[5].n_boiler_lines == 1
