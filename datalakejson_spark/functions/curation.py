@@ -24,7 +24,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table
@@ -718,3 +718,86 @@ def l19_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed 4-word windows — the counting/removal pipeline is identical to
     the real-newline case (line_table's docstring)."""
     return remove_boilerplate_lines(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = LINE_WORDS,
+) -> DataFrame:
+    """Gopher/RefinedWeb's WITHIN-document rule (the complement of
+    remove_boilerplate_lines' cross-corpus rule): drop repeated lines
+    inside a single document, keeping each line's FIRST occurrence in
+    order. Returns (id, n_lines, n_dup_lines, cleaned_text).
+
+    100 TB shape: entirely document-local — the only shuffle keys are
+    (id, line_hash) and then id, so parallelism is document count and no
+    global state exists at all; the corpus-frequency pass of the
+    cross-corpus rule is what this variant deliberately avoids."""
+    lines = line_table(docs, text_col, id_col, line_words).withColumn(
+        "line_hash", F.md5("line")
+    )
+    first = F.min("line_no").over(
+        Window.partitionBy(id_col, "line_hash")
+    )
+    tagged = lines.withColumn("is_first", F.col("line_no") == first)
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((~F.col("is_first")).cast("long")).alias("n_dup_lines"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("is_first"), F.struct("line_no", "line"))
+                )
+            ).alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_dup_lines",
+            F.array_join(F.expr("transform(_kept, x -> x.line)"), " ").alias(
+                "cleaned_text"
+            ),
+        )
+    )
+
+
+_L20_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, g,
+               array_to_string(
+                   w[(g * {LINE_WORDS} + 1):(g * {LINE_WORDS} + {LINE_WORDS})],
+                   ' ') AS line
+        FROM tok,
+             UNNEST(range(CAST(ceil(len(w) / {LINE_WORDS}.0) AS BIGINT))) AS t(g)
+    ),
+    tagged AS (
+        SELECT doc_id, g, line,
+               g = min(g) OVER (PARTITION BY doc_id, md5(line)) AS is_first
+        FROM lines
+    )
+    SELECT doc_id,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dup_lines,
+           string_agg(CASE WHEN is_first THEN line END, ' ' ORDER BY g)
+               AS cleaned_text
+    FROM tagged
+    GROUP BY doc_id
+"""
+
+
+@register("l20_within_doc_line_dedup", survey="L6,L2,W1", extended=True, sql=_L20_SQL)
+def l20_within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line removal (Gopher rule) over the
+    documents table: keep each line's first occurrence, report dup counts.
+    Document-local window — no global state, parallelism = documents.
+    cleaned_text is never NULL here: a doc always keeps its first line
+    (unlike the cross-corpus rule, which can empty a fully-boilerplate
+    doc)."""
+    return dedup_lines_within_doc(load_table(spark, sf_dir, "documents"))

@@ -142,3 +142,24 @@ def test_boilerplate_removal_semantic(spark):
     # all-boilerplate doc cleans to NULL (matches the SQL oracle's
     # string_agg-over-no-rows semantics)
     assert out[5].cleaned_text is None and out[5].n_boiler_lines == 1
+
+
+def test_within_doc_line_dedup_semantic(spark):
+    """Gopher's within-document rule: a paragraph repeated INSIDE one doc
+    collapses to its first occurrence; the same paragraph in ANOTHER doc is
+    untouched (no cross-document state, unlike remove_boilerplate_lines)."""
+    from datalakejson_spark.functions.curation import dedup_lines_within_doc
+
+    para = "one two three four"
+    rows = [
+        (1, f"{para} alpha bravo charlie delta {para}"),  # internal repeat
+        (2, f"{para} echo foxtrot golf hotel"),  # same para, other doc: kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r for r in dedup_lines_within_doc(docs, line_words=4).collect()
+    }
+    assert out[1].cleaned_text == f"{para} alpha bravo charlie delta"
+    assert out[1].n_dup_lines == 1 and out[1].n_lines == 3
+    assert out[2].cleaned_text == rows[1][1]
+    assert out[2].n_dup_lines == 0
