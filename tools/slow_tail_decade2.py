@@ -33,6 +33,8 @@ SLOW_TAIL = [
     "l3b_ann_lsh_topk",
     "l3c_ann_ivf_topk",
     "w1b_distributed_ranking",
+    "l19_line_boilerplate",
+    "l20_within_doc_line_dedup",
 ]
 
 
