@@ -600,9 +600,11 @@ def l16_source_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 #: words per synthesized line (the fixture corpus has no newlines; real
 #: corpora pass their own line split) and the C4 threshold: a normalized
-#: line occurring >= 3 times across the corpus is boilerplate
+#: line occurring in >= 3 DISTINCT documents is boilerplate (document
+#: frequency, not raw occurrences — a refrain repeated inside one document
+#: is l20's territory, not cross-corpus chrome)
 LINE_WORDS = 4
-BOILER_MIN_COUNT = 3
+BOILER_MIN_DOCS = 3
 
 
 def line_table(
@@ -611,11 +613,14 @@ def line_table(
     id_col: str = "doc_id",
     line_words: int = LINE_WORDS,
 ) -> DataFrame:
-    """(id, line_no, line) — one row per fixed-width word window. The
-    explode is over the EXPRESSION, not a projected column, so Catalyst's
-    InferFiltersFromGenerate cannot duplicate the split pipeline at the
-    scan (the l2 round-6 trap). Real corpora with newlines should split on
-    those instead; the downstream counting/removal is line-source-agnostic."""
+    """(id, line_no, line) — one row per fixed-width word window; NULL and
+    empty texts yield ZERO rows (phantom empty lines must not participate
+    in corpus-wide counting), and callers that need every document re-join
+    onto the doc table. The explode is over the EXPRESSION, not a projected
+    column, so Catalyst's InferFiltersFromGenerate cannot duplicate the
+    split pipeline at the scan (the l2 round-6 trap). Real corpora with
+    newlines should split on those instead; the downstream
+    counting/removal is line-source-agnostic."""
     lines_expr = F.expr(
         f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) /"
         f" {line_words}.0) as int) - 1),"
@@ -624,6 +629,33 @@ def line_table(
     )
     return docs.select(
         F.col(id_col), F.posexplode(lines_expr).alias("line_no", "line")
+    ).filter(F.col("line") != "")
+
+
+def _reassemble_kept(tagged: DataFrame, id_col: str, keep: "F.Column",
+                     boiler_count_col: str) -> DataFrame:
+    """Shared per-document reassembly for the two line rules: count lines,
+    count dropped ones, and rejoin the kept lines in original order.
+    ``keep`` is the boolean keep-predicate column; cleaned_text is NULL
+    when nothing survives (matches the oracle's string_agg-over-no-rows)."""
+    kept_struct = F.when(keep, F.struct("line_no", "line"))
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((~keep).cast("long")).alias(boiler_count_col),
+            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            boiler_count_col,
+            F.when(F.size("_kept") == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.array_join(F.expr("transform(_kept, x -> x.line)"), " ")
+            )
+            .alias("cleaned_text"),
+        )
     )
 
 
@@ -632,52 +664,45 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_words: int = LINE_WORDS,
-    min_count: int = BOILER_MIN_COUNT,
+    min_docs: int = BOILER_MIN_DOCS,
 ) -> DataFrame:
     """C4's line-wise dedup rule (also RefinedWeb): drop every line that
-    occurs ``min_count``+ times ACROSS the corpus (navigation chrome,
-    cookie banners, license footers), keeping survivors in document order.
-    Returns (id, n_lines, n_boiler_lines, cleaned_text) — cleaned_text is
-    NULL when every line was boilerplate.
+    occurs in ``min_docs``+ DISTINCT documents (navigation chrome, cookie
+    banners, license footers), keeping survivors in document order. A line
+    repeated only WITHIN one document does not qualify — that is
+    :func:`dedup_lines_within_doc`'s rule. Returns one row per input
+    document — (id, n_lines, n_boiler_lines, cleaned_text) — including
+    NULL/empty-text documents (n_lines=0, cleaned_text NULL).
 
     100 TB shape: the classic TWO-PASS design (C4's own): pass 1 scans +
-    explodes to count lines (the count side is pruned to the 32-byte
-    ``md5(line)`` key, so its shuffle carries hashes only); pass 2 scans +
-    explodes again and joins the counts back. Two corpus scans by design —
-    the single-scan alternative would persist the exploded line table
-    (larger than the input) across both consumers. The boilerplate set is
-    NOT broadcastable at scale (it grows with the corpus); the count-join
-    is a plain shuffle join whose skew ceiling is the hottest line's
-    frequency — AQE skew-split territory, same posture as l13. Exact
-    integer counts + array_sort on (line_no) keep the result
-    engine-deterministic."""
+    explodes to count per-line document frequency (the count side is
+    pruned to the 32-byte ``md5(line)`` key + doc id, distinct'd with
+    map-side partial aggregation); pass 2 scans + explodes again and joins
+    the counts back. Two corpus scans by design — the single-scan
+    alternative would persist the exploded line table (larger than the
+    input) across both consumers. The boilerplate set is NOT broadcastable
+    at scale (it grows with the corpus); the count-join is a plain shuffle
+    join whose skew ceiling is the hottest line's frequency — AQE
+    skew-split territory, same posture as l13. Exact integer counts +
+    array_sort on (line_no) keep the result engine-deterministic."""
     lines = line_table(docs, text_col, id_col, line_words).withColumn(
         "line_hash", F.md5("line")
     )
-    counts = lines.groupBy("line_hash").agg(F.count("*").alias("cnt"))
-    tagged = lines.join(counts, "line_hash")
-    kept = F.when(
-        F.col("cnt") < min_count, F.struct("line_no", "line")
-    )  # collect_list skips the NULLs (boilerplate rows)
-    return (
-        tagged.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum((F.col("cnt") >= min_count).cast("long")).alias(
-                "n_boiler_lines"
-            ),
-            F.array_sort(F.collect_list(kept)).alias("_kept"),
-        )
-        .select(
-            id_col,
-            "n_lines",
-            "n_boiler_lines",
-            F.when(F.size("_kept") == 0, F.lit(None).cast("string"))
-            .otherwise(
-                F.array_join(F.expr("transform(_kept, x -> x.line)"), " ")
-            )
-            .alias("cleaned_text"),
-        )
+    doc_freq = (
+        lines.select("line_hash", id_col)
+        .distinct()
+        .groupBy("line_hash")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tagged = lines.join(doc_freq, "line_hash")
+    per_doc = _reassemble_kept(
+        tagged, id_col, F.col("n_docs") < min_docs, "n_boiler_lines"
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_boiler_lines", F.lit(0)).alias("n_boiler_lines"),
+        "cleaned_text",
     )
 
 
@@ -693,27 +718,34 @@ _L19_SQL = f"""
         FROM tok,
              UNNEST(range(CAST(ceil(len(w) / {LINE_WORDS}.0) AS BIGINT))) AS t(g)
     ),
-    counted AS (
-        SELECT doc_id, g, line,
-               count(*) OVER (PARTITION BY md5(line)) AS cnt
-        FROM lines
+    nonempty AS (SELECT * FROM lines WHERE line <> ''),
+    doc_freq AS (
+        SELECT md5(line) AS lh, count(DISTINCT doc_id) AS n_docs
+        FROM nonempty GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT l.doc_id,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN f.n_docs >= {BOILER_MIN_DOCS} THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+               string_agg(CASE WHEN f.n_docs < {BOILER_MIN_DOCS} THEN l.line
+                          END, ' ' ORDER BY l.g) AS cleaned_text
+        FROM nonempty l JOIN doc_freq f ON md5(l.line) = f.lh
+        GROUP BY l.doc_id
     )
-    SELECT doc_id,
-           count(*) AS n_lines,
-           CAST(sum(CASE WHEN cnt >= {BOILER_MIN_COUNT} THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_boiler_lines,
-           string_agg(CASE WHEN cnt < {BOILER_MIN_COUNT} THEN line END, ' '
-                      ORDER BY g) AS cleaned_text
-    FROM counted
-    GROUP BY doc_id
+    SELECT d.doc_id,
+           COALESCE(p.n_lines, 0) AS n_lines,
+           COALESCE(p.n_boiler_lines, 0) AS n_boiler_lines,
+           p.cleaned_text
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
 @register("l19_line_boilerplate", survey="L6,L2,G3", extended=True, sql=_L19_SQL)
 def l19_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-wise boilerplate removal over the documents table:
-    per-document line counts, boilerplate counts (corpus-wide frequency >=
-    {BOILER_MIN_COUNT}), and the cleaned text with survivors rejoined in
+    per-document line counts, boilerplate counts (corpus-wide DOCUMENT
+    frequency >= 3), and the cleaned text with survivors rejoined in
     order. The fixture corpus has no newlines, so lines are synthesized as
     fixed 4-word windows — the counting/removal pipeline is identical to
     the real-newline case (line_table's docstring)."""
@@ -729,7 +761,9 @@ def dedup_lines_within_doc(
     """Gopher/RefinedWeb's WITHIN-document rule (the complement of
     remove_boilerplate_lines' cross-corpus rule): drop repeated lines
     inside a single document, keeping each line's FIRST occurrence in
-    order. Returns (id, n_lines, n_dup_lines, cleaned_text).
+    order. Returns one row per input document —
+    (id, n_lines, n_dup_lines, cleaned_text) — including NULL/empty-text
+    documents (n_lines=0, cleaned_text NULL).
 
     100 TB shape: entirely document-local — the only shuffle keys are
     (id, line_hash) and then id, so parallelism is document count and no
@@ -738,29 +772,16 @@ def dedup_lines_within_doc(
     lines = line_table(docs, text_col, id_col, line_words).withColumn(
         "line_hash", F.md5("line")
     )
-    first = F.min("line_no").over(
-        Window.partitionBy(id_col, "line_hash")
+    first = F.min("line_no").over(Window.partitionBy(id_col, "line_hash"))
+    tagged = lines.withColumn("_first", first)
+    per_doc = _reassemble_kept(
+        tagged, id_col, F.col("line_no") == F.col("_first"), "n_dup_lines"
     )
-    tagged = lines.withColumn("is_first", F.col("line_no") == first)
-    return (
-        tagged.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum((~F.col("is_first")).cast("long")).alias("n_dup_lines"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("is_first"), F.struct("line_no", "line"))
-                )
-            ).alias("_kept"),
-        )
-        .select(
-            id_col,
-            "n_lines",
-            "n_dup_lines",
-            F.array_join(F.expr("transform(_kept, x -> x.line)"), " ").alias(
-                "cleaned_text"
-            ),
-        )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_dup_lines", F.lit(0)).alias("n_dup_lines"),
+        "cleaned_text",
     )
 
 
@@ -776,19 +797,27 @@ _L20_SQL = f"""
         FROM tok,
              UNNEST(range(CAST(ceil(len(w) / {LINE_WORDS}.0) AS BIGINT))) AS t(g)
     ),
+    nonempty AS (SELECT * FROM lines WHERE line <> ''),
     tagged AS (
         SELECT doc_id, g, line,
                g = min(g) OVER (PARTITION BY doc_id, md5(line)) AS is_first
-        FROM lines
+        FROM nonempty
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_dup_lines,
+               string_agg(CASE WHEN is_first THEN line END, ' ' ORDER BY g)
+                   AS cleaned_text
+        FROM tagged
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-           count(*) AS n_lines,
-           CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
-               AS n_dup_lines,
-           string_agg(CASE WHEN is_first THEN line END, ' ' ORDER BY g)
-               AS cleaned_text
-    FROM tagged
-    GROUP BY doc_id
+    SELECT d.doc_id,
+           COALESCE(p.n_lines, 0) AS n_lines,
+           COALESCE(p.n_dup_lines, 0) AS n_dup_lines,
+           p.cleaned_text
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
@@ -796,8 +825,5 @@ _L20_SQL = f"""
 def l20_within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document duplicate-line removal (Gopher rule) over the
     documents table: keep each line's first occurrence, report dup counts.
-    Document-local window — no global state, parallelism = documents.
-    cleaned_text is never NULL here: a doc always keeps its first line
-    (unlike the cross-corpus rule, which can empty a fully-boilerplate
-    doc)."""
+    Document-local window — no global state, parallelism = documents."""
     return dedup_lines_within_doc(load_table(spark, sf_dir, "documents"))

@@ -163,3 +163,32 @@ def test_within_doc_line_dedup_semantic(spark):
     assert out[1].n_dup_lines == 1 and out[1].n_lines == 3
     assert out[2].cleaned_text == rows[1][1]
     assert out[2].n_dup_lines == 0
+
+
+def test_boilerplate_is_document_frequency_not_occurrences(spark):
+    """The cross-corpus rule counts DISTINCT documents: a refrain repeated
+    3x inside ONE doc is not chrome and must survive l19 (it is l20's rule
+    to collapse); NULL/empty-text docs still appear in the output."""
+    from datalakejson_spark.functions.curation import (
+        dedup_lines_within_doc,
+        remove_boilerplate_lines,
+    )
+
+    refrain = "row row row boat"
+    rows = [
+        (1, f"{refrain} {refrain} {refrain}"),  # internal-only repetition
+        (2, "unique words here friend"),
+        (3, None),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_boilerplate_lines(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}  # every doc present, incl. null/empty
+    assert out[1].n_boiler_lines == 0  # doc-frequency 1 < 3: kept
+    assert out[1].cleaned_text == rows[0][1]
+    assert out[3].n_lines == 0 and out[3].cleaned_text is None
+    assert out[4].n_lines == 0 and out[4].cleaned_text is None
+    # ...and l20 is the rule that collapses the internal refrain
+    within = {r.doc_id: r for r in dedup_lines_within_doc(docs).collect()}
+    assert within[1].cleaned_text == refrain and within[1].n_dup_lines == 2
+    assert set(within) == {1, 2, 3, 4}
