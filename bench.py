@@ -1,9 +1,17 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+on local[$SPARK_GRAFT_CPUS] and prints JSON lines ending with ONE compact line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <scale factor>}
+     "queries": {name: sec, ...}, "sf": <scale factor>, ...}
+
+EMISSION CONTRACT (round 8, after BENCH_r07 parsed=null): the driver records
+only the LAST ~2000 characters of stdout and parses the last JSON line it
+finds there. The full payload (extras: ingest/stream/feed/dedup/multimodal/
+metrics/sf1 blocks) is printed FIRST on its own line; the cross-round-critical
+fields (headline total, per-query sf0.1, calibration, queries_calibrated,
+sf1 total) are re-emitted LAST as a compact line guaranteed to fit the tail.
+The last line is the contract — never append anything after it.
 
 Each query executes fully via the ``noop`` sink (computes every row, writes
 nothing), which is the honest cost of the query without collect()-to-driver
@@ -660,7 +668,29 @@ def main() -> None:
                 }
     except Exception:  # noqa: BLE001
         pass
+    # Full payload first (humans + local records), compact contract line LAST:
+    # the driver keeps only the last ~2000 chars of stdout, so the final line
+    # must carry every cross-round-critical field and stay under that budget.
     print(json.dumps(payload))
+    summary = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "queries": payload["queries"],
+    }
+    for k in ("calibration", "queries_calibrated"):
+        if k in payload:
+            summary[k] = payload[k]
+    if "sf1" in payload:
+        summary["sf1_total_sec"] = payload["sf1"]["value"]
+    if "sf10" in payload:
+        summary["sf10_total_sec"] = payload["sf10"]["value"]
+    line = json.dumps(summary)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the driver's tail
+        summary.pop("queries_calibrated", None)
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

@@ -50,6 +50,13 @@ import struct
 
 import numpy as np
 
+# Decode budget: refuse payloads whose claimed dims exceed this many pixels
+# (returned as None, same contract as malformed). 2^24 = 4096×4096 covers
+# the realistic training-asset mix; the 14-bit dims field would otherwise
+# let one 5-byte hostile blob allocate a 268M-entry list and run the
+# pure-Python decode loop for hours (ADVICE r7).
+MAX_PIXELS = 1 << 24
+
 # --------------------------------------------------------------------------
 # Bit I/O — VP8L is LSB-first within bytes (like DEFLATE)
 # --------------------------------------------------------------------------
@@ -533,6 +540,15 @@ def decode_webp(payload: bytes):
         br = _Bits(data, 8)
         width = br.read(14) + 1
         height = br.read(14) + 1
+        # Pixel budget BEFORE any allocation: the 14-bit dims allow a
+        # crafted 5-byte payload to claim 16384×16384 (268M entries —
+        # multi-GB of Python ints and an hours-long pure-Python loop).
+        # read_webdataset feeds untrusted external corpora through this
+        # tier, and "one bad payload never fails the batch" must also mean
+        # "never stalls/OOMs the batch". 2^24 px (= 4096×4096) covers the
+        # realistic training-asset mix; larger claims decode to None.
+        if width * height > MAX_PIXELS:
+            return None
         br.bit()  # alpha_is_used hint — informational
         if br.read(3) != 0:  # version must be 0
             return None
@@ -661,6 +677,17 @@ def _write_code(bw: _BitWriter, lengths: list[int]):
         if len(used) == 1:
             return {used[0]: (0, 0)}
         return {used[0]: (0, 1), used[1]: (1, 1)}
+    # Latent-desync guard (ADVICE r7): a single used symbol ≥256 is
+    # ineligible for the simple form above, but in normal form the decoder's
+    # one-symbol path reads ZERO bits per occurrence while _encoder_table
+    # would assign it a 1-bit code — an undecodable stream. No current
+    # fixture shape reaches this (every token stream starts with a literal,
+    # and the distance code has the df[0]=1 fallback); fail loudly if a
+    # future one does.
+    assert len(used) >= 2, (
+        "fixture encoder: single-symbol code with symbol >= 256 would "
+        f"desync (used={used}); pad with a second symbol"
+    )
     bw.bit(0)  # normal form
     # code-length-code over the lengths actually present (plus 0)
     clc_freq: dict[int, int] = {}

@@ -671,3 +671,27 @@ def test_extract_features_webp_tier(spark):
     assert got["wl_pal"] == ("numpy", True)
     assert got["lossy"] == ("stub", True)  # labeled fake, documented gate
     assert got["torn"][1] is False  # truncated → failed decode, not a crash
+
+
+def test_pixel_budget_cap_rejects_hostile_dims():
+    """A tiny payload claiming 16384x16384 (268M px) must return None
+    FAST, before any allocation — the hostile-blob budget from ADVICE r7.
+    Claims just inside the cap proceed past the dims check (they then fail
+    on the truncated stream, which is fine — the point is the cap binds
+    only above MAX_PIXELS)."""
+    import time
+
+    from datalakejson_spark.functions.webpcodec import MAX_PIXELS
+
+    w = _W()
+    _header(w, 16384, 16384)
+    t0 = time.time()
+    assert decode_webp(w.payload()) is None
+    assert time.time() - t0 < 0.5  # never entered the decode loop
+    assert 16384 * 16384 > MAX_PIXELS
+    # a 4096x4096 claim (== cap) is not rejected by the budget: it reads
+    # past the dims and dies on the empty stream instead — also None, but
+    # that's the malformed path, proving the cap itself binds only above.
+    w2 = _W()
+    _header(w2, 4096, 4096)
+    assert decode_webp(w2.payload()) is None
