@@ -612,32 +612,43 @@ def line_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_words: int = LINE_WORDS,
+    newlines: bool = False,
 ) -> DataFrame:
-    """(id, line_no, line) — one row per fixed-width word window; NULL and
-    empty texts yield ZERO rows (phantom empty lines must not participate
-    in corpus-wide counting), and callers that need every document re-join
-    onto the doc table. The explode is over the EXPRESSION, not a projected
-    column, so Catalyst's InferFiltersFromGenerate cannot duplicate the
-    split pipeline at the scan (the l2 round-6 trap). Real corpora with
-    newlines should split on those instead; the downstream
-    counting/removal is line-source-agnostic."""
-    lines_expr = F.expr(
-        f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) /"
-        f" {line_words}.0) as int) - 1),"
-        f" g -> array_join(slice(split({text_col}, ' '),"
-        f" g * {line_words} + 1, {line_words}), ' '))"
-    )
+    """(id, line_no, line) — one row per line; NULL and empty texts yield
+    ZERO rows (phantom empty lines must not participate in corpus-wide
+    counting), and callers that need every document re-join onto the doc
+    table. The explode is over the EXPRESSION, not a projected column, so
+    Catalyst's InferFiltersFromGenerate cannot duplicate the split pipeline
+    at the scan (the l2 round-6 trap).
+
+    ``newlines=True`` is the real-corpus mode: lines are the text split on
+    ``\\n`` (empty lines — e.g. blank separators between paragraphs — are
+    excluded from counting AND from reassembly, like C4's rule which
+    operates on non-empty lines only). The default synthesizes fixed
+    ``line_words``-word windows because the fixture corpus has no newlines;
+    the downstream counting/removal is line-source-agnostic."""
+    if newlines:
+        lines_expr = F.split(F.col(text_col), "\n")
+    else:
+        lines_expr = F.expr(
+            f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) /"
+            f" {line_words}.0) as int) - 1),"
+            f" g -> array_join(slice(split({text_col}, ' '),"
+            f" g * {line_words} + 1, {line_words}), ' '))"
+        )
     return docs.select(
         F.col(id_col), F.posexplode(lines_expr).alias("line_no", "line")
     ).filter(F.col("line") != "")
 
 
 def _reassemble_kept(tagged: DataFrame, id_col: str, keep: "F.Column",
-                     boiler_count_col: str) -> DataFrame:
+                     boiler_count_col: str, sep: str = " ") -> DataFrame:
     """Shared per-document reassembly for the two line rules: count lines,
-    count dropped ones, and rejoin the kept lines in original order.
-    ``keep`` is the boolean keep-predicate column; cleaned_text is NULL
-    when nothing survives (matches the oracle's string_agg-over-no-rows)."""
+    count dropped ones, and rejoin the kept lines in original order with
+    ``sep`` (space for the synthesized word-window mode, newline for real
+    corpora). ``keep`` is the boolean keep-predicate column; cleaned_text is
+    NULL when nothing survives (matches the oracle's
+    string_agg-over-no-rows)."""
     kept_struct = F.when(keep, F.struct("line_no", "line"))
     return (
         tagged.groupBy(id_col)
@@ -652,7 +663,7 @@ def _reassemble_kept(tagged: DataFrame, id_col: str, keep: "F.Column",
             boiler_count_col,
             F.when(F.size("_kept") == 0, F.lit(None).cast("string"))
             .otherwise(
-                F.array_join(F.expr("transform(_kept, x -> x.line)"), " ")
+                F.array_join(F.expr("transform(_kept, x -> x.line)"), sep)
             )
             .alias("cleaned_text"),
         )
@@ -665,6 +676,7 @@ def remove_boilerplate_lines(
     id_col: str = "doc_id",
     line_words: int = LINE_WORDS,
     min_docs: int = BOILER_MIN_DOCS,
+    newlines: bool = False,
 ) -> DataFrame:
     """C4's line-wise dedup rule (also RefinedWeb): drop every line that
     occurs in ``min_docs``+ DISTINCT documents (navigation chrome, cookie
@@ -684,8 +696,11 @@ def remove_boilerplate_lines(
     at scale (it grows with the corpus); the count-join is a plain shuffle
     join whose skew ceiling is the hottest line's frequency — AQE
     skew-split territory, same posture as l13. Exact integer counts +
-    array_sort on (line_no) keep the result engine-deterministic."""
-    lines = line_table(docs, text_col, id_col, line_words).withColumn(
+    array_sort on (line_no) keep the result engine-deterministic.
+
+    ``newlines=True`` splits on real ``\\n``s and rejoins survivors with
+    ``\\n`` (blank separator lines are dropped — see line_table)."""
+    lines = line_table(docs, text_col, id_col, line_words, newlines).withColumn(
         "line_hash", F.md5("line")
     )
     doc_freq = (
@@ -696,7 +711,8 @@ def remove_boilerplate_lines(
     )
     tagged = lines.join(doc_freq, "line_hash")
     per_doc = _reassemble_kept(
-        tagged, id_col, F.col("n_docs") < min_docs, "n_boiler_lines"
+        tagged, id_col, F.col("n_docs") < min_docs, "n_boiler_lines",
+        sep="\n" if newlines else " ",
     )
     return docs.select(id_col).join(per_doc, id_col, "left").select(
         id_col,
@@ -757,6 +773,7 @@ def dedup_lines_within_doc(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_words: int = LINE_WORDS,
+    newlines: bool = False,
 ) -> DataFrame:
     """Gopher/RefinedWeb's WITHIN-document rule (the complement of
     remove_boilerplate_lines' cross-corpus rule): drop repeated lines
@@ -768,14 +785,18 @@ def dedup_lines_within_doc(
     100 TB shape: entirely document-local — the only shuffle keys are
     (id, line_hash) and then id, so parallelism is document count and no
     global state exists at all; the corpus-frequency pass of the
-    cross-corpus rule is what this variant deliberately avoids."""
-    lines = line_table(docs, text_col, id_col, line_words).withColumn(
+    cross-corpus rule is what this variant deliberately avoids.
+
+    ``newlines=True`` splits on real ``\\n``s and rejoins survivors with
+    ``\\n`` (blank separator lines are dropped — see line_table)."""
+    lines = line_table(docs, text_col, id_col, line_words, newlines).withColumn(
         "line_hash", F.md5("line")
     )
     first = F.min("line_no").over(Window.partitionBy(id_col, "line_hash"))
     tagged = lines.withColumn("_first", first)
     per_doc = _reassemble_kept(
-        tagged, id_col, F.col("line_no") == F.col("_first"), "n_dup_lines"
+        tagged, id_col, F.col("line_no") == F.col("_first"), "n_dup_lines",
+        sep="\n" if newlines else " ",
     )
     return docs.select(id_col).join(per_doc, id_col, "left").select(
         id_col,

@@ -192,3 +192,58 @@ def test_boilerplate_is_document_frequency_not_occurrences(spark):
     within = {r.doc_id: r for r in dedup_lines_within_doc(docs).collect()}
     assert within[1].cleaned_text == refrain and within[1].n_dup_lines == 2
     assert set(within) == {1, 2, 3, 4}
+
+
+def test_line_rules_real_newlines_end_to_end(spark):
+    """The real-corpus path (VERDICT r7 'what's wrong #2'): documents with
+    actual \n-separated lines, a banner repeated across >= 3 docs, an
+    internal refrain inside one doc, and blank separator lines between
+    paragraphs. l19's rule (newlines=True) drops ONLY the cross-document
+    banner, rejoins survivors with \n, and blank lines never count; l20's
+    rule collapses ONLY the internal refrain to its first occurrence."""
+    from datalakejson_spark.functions.curation import (
+        dedup_lines_within_doc,
+        remove_boilerplate_lines,
+    )
+
+    banner = "Accept all cookies to continue"
+    refrain = "chorus line repeats here"
+    rows = [
+        (1, f"{banner}\nalpha paragraph one\n\nbeta paragraph two"),
+        (2, f"{banner}\ngamma unique content"),
+        (3, f"{banner}\n\n\ndelta after blanks"),
+        # internal refrain 3x in ONE doc: not cross-corpus chrome
+        (4, f"{refrain}\nmiddle verse text\n{refrain}\n\n{refrain}"),
+        (5, banner),  # all-banner doc
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(docs, newlines=True).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # banner stripped, survivors rejoined with \n, blank lines not counted
+    assert out[1].cleaned_text == "alpha paragraph one\nbeta paragraph two"
+    assert out[1].n_lines == 3 and out[1].n_boiler_lines == 1
+    assert out[2].cleaned_text == "gamma unique content"
+    assert out[3].cleaned_text == "delta after blanks"
+    assert out[3].n_lines == 2  # the three blank lines never participate
+    # the internal refrain is NOT boilerplate (document frequency 1)
+    assert out[4].n_boiler_lines == 0
+    assert out[4].cleaned_text == f"{refrain}\nmiddle verse text\n{refrain}\n{refrain}"
+    assert out[5].cleaned_text is None and out[5].n_boiler_lines == 1
+    assert out[6].n_lines == 0 and out[6].cleaned_text is None
+
+    within = {
+        r.doc_id: r
+        for r in dedup_lines_within_doc(docs, newlines=True).collect()
+    }
+    # only the internal refrain collapses; first occurrence kept in order
+    assert within[4].cleaned_text == f"{refrain}\nmiddle verse text"
+    assert within[4].n_dup_lines == 2 and within[4].n_lines == 4
+    # the cross-document banner is untouched by the within-doc rule
+    assert within[1].cleaned_text == f"{banner}\nalpha paragraph one\nbeta paragraph two"
+    assert within[1].n_dup_lines == 0
+    assert within[6].n_lines == 0 and within[6].cleaned_text is None
