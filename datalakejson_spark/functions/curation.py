@@ -848,3 +848,176 @@ def l20_within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table: keep each line's first occurrence, report dup counts.
     Document-local window — no global state, parallelism = documents."""
     return dedup_lines_within_doc(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# L21: Gopher repetition-signal battery
+# --------------------------------------------------------------------------
+_L21_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, g,
+               array_to_string(
+                   w[(g * {LINE_WORDS} + 1):(g * {LINE_WORDS} + {LINE_WORDS})],
+                   ' ') AS line
+        FROM tok,
+             UNNEST(range(CAST(ceil(len(w) / {LINE_WORDS}.0) AS BIGINT))) AS t(g)
+    ),
+    nonempty AS (SELECT * FROM lines WHERE line <> ''),
+    per_line AS (
+        SELECT doc_id, line, count(*) AS c, len(line) AS chars,
+               CASE WHEN regexp_matches(line, '^[-*•]') THEN 1 ELSE 0 END
+                   AS bullet,
+               CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)$') THEN 1 ELSE 0 END
+                   AS ellipsis
+        FROM nonempty GROUP BY doc_id, line
+    ),
+    line_stats AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_lines,
+               CAST(sum(c - 1) AS BIGINT) AS n_dup_lines,
+               CAST(sum(c * chars) AS BIGINT) AS n_chars,
+               CAST(sum((c - 1) * chars) AS BIGINT) AS n_dup_chars,
+               CAST(sum(c * bullet) AS BIGINT) AS n_bullet,
+               CAST(sum(c * ellipsis) AS BIGINT) AS n_ellipsis
+        FROM per_line GROUP BY doc_id
+    ),
+    g2 AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram, count(*) AS c
+        FROM tok, UNNEST(range(1, len(w))) AS t(i)
+        GROUP BY doc_id, gram
+    ),
+    g2_stats AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_2gram_share
+        FROM g2 GROUP BY doc_id
+    ),
+    g3 AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram,
+               count(*) AS c
+        FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i)
+        GROUP BY doc_id, gram
+    ),
+    g3_stats AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_3gram_share
+        FROM g3 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(l.n_lines, 0) AS n_lines,
+           COALESCE(l.n_dup_lines, 0) AS n_dup_lines,
+           CAST(l.n_dup_lines AS DOUBLE) / l.n_lines AS dup_line_frac,
+           CAST(l.n_dup_chars AS DOUBLE) / l.n_chars AS dup_char_frac,
+           g2s.top_2gram_share,
+           g3s.top_3gram_share,
+           CAST(l.n_bullet AS DOUBLE) / l.n_lines AS bullet_line_frac,
+           CAST(l.n_ellipsis AS DOUBLE) / l.n_lines AS ellipsis_line_frac
+    FROM documents d
+    LEFT JOIN line_stats l USING (doc_id)
+    LEFT JOIN g2_stats g2s USING (doc_id)
+    LEFT JOIN g3_stats g3s USING (doc_id)
+"""
+
+
+def repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = LINE_WORDS,
+    newlines: bool = False,
+) -> DataFrame:
+    """Gopher's repetition-signal battery (the *fraction* signals real
+    pipelines threshold on, complementing l19/l20's removal rules): per
+    document —
+
+    - ``dup_line_frac`` / ``dup_char_frac``: fraction of line occurrences
+      (and of line CHARACTERS) beyond each distinct line's first occurrence
+      (Gopher filters docs with >30% duplicate-line chars);
+    - ``top_2gram_share`` / ``top_3gram_share``: share of all word 2-/3-gram
+      occurrences taken by the most frequent one (NULL when the doc is too
+      short to form a gram) — the share needs only max(c)/sum(c), so tie
+      ambiguity over WHICH gram is top never enters the result
+      (deterministic without a tie-break);
+    - ``bullet_line_frac`` / ``ellipsis_line_frac``: fraction of lines
+      starting with a bullet (-, *, •) or ending in an ellipsis (... or …)
+      (Gopher drops docs with >90% bullet or >30% ellipsis lines).
+
+    NULL/empty docs stay in the output (counts 0, fractions NULL).
+
+    100 TB shape: three scans of (id, text) — lines, 2-grams, 3-grams —
+    each exploding to an aggregate whose shuffle key INCLUDES the doc id,
+    so skew is bounded per-document and parallelism is document count; the
+    three per-doc summaries (each one row per doc) then join back on the id.
+    All counts are exact integers; every float is a final row-local
+    division (the l13 determinism pattern)."""
+    lines = line_table(docs, text_col, id_col, line_words, newlines)
+    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("c"))
+    chars = F.length("line")
+    bullet = F.col("line").rlike("^[-*•]").cast("long")
+    ellipsis = F.col("line").rlike("(\\.\\.\\.|…)$").cast("long")
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.col("c") - 1).alias("n_dup_lines"),
+        F.sum(F.col("c") * chars).alias("n_chars"),
+        F.sum((F.col("c") - 1) * chars).alias("n_dup_chars"),
+        F.sum(F.col("c") * bullet).alias("n_bullet"),
+        F.sum(F.col("c") * ellipsis).alias("n_ellipsis"),
+    )
+
+    def top_share(n: int, out_col: str) -> DataFrame:
+        # Guard the sequence(hi < lo) descending trap: a doc too short to
+        # form a gram yields an empty array (→ zero exploded rows → NULL
+        # share via the left join), never a descending sequence.
+        grams = docs.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN"
+                    f" transform(sequence(0, size(split({text_col}, ' ')) - {n}),"
+                    f" i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), ' '))"
+                    f" ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+        per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+        return per_gram.groupBy(id_col).agg(
+            (F.max("c").cast("double") / F.sum("c")).alias(out_col)
+        )
+
+    g2 = top_share(2, "top_2gram_share")
+    g3 = top_share(3, "top_3gram_share")
+    return (
+        docs.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(g2, id_col, "left")
+        .join(g3, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_dup_lines", F.lit(0)).alias("n_dup_lines"),
+            (F.col("n_dup_lines").cast("double") / F.col("n_lines")).alias(
+                "dup_line_frac"
+            ),
+            (F.col("n_dup_chars").cast("double") / F.col("n_chars")).alias(
+                "dup_char_frac"
+            ),
+            "top_2gram_share",
+            "top_3gram_share",
+            (F.col("n_bullet").cast("double") / F.col("n_lines")).alias(
+                "bullet_line_frac"
+            ),
+            (F.col("n_ellipsis").cast("double") / F.col("n_lines")).alias(
+                "ellipsis_line_frac"
+            ),
+        )
+    )
+
+
+@register("l21_repetition_signals", survey="L6,L4,G3", extended=True, sql=_L21_SQL)
+def l21_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-signal battery over the documents table: duplicate
+    line/char fractions, top 2-/3-gram shares, bullet/ellipsis line
+    fractions (see :func:`repetition_signals`). Lines are the synthesized
+    4-word windows (fixture corpus has no newlines); the signal math is
+    line-source-agnostic."""
+    return repetition_signals(load_table(spark, sf_dir, "documents"))

@@ -247,3 +247,40 @@ def test_line_rules_real_newlines_end_to_end(spark):
     assert within[1].cleaned_text == f"{banner}\nalpha paragraph one\nbeta paragraph two"
     assert within[1].n_dup_lines == 0
     assert within[6].n_lines == 0 and within[6].cleaned_text is None
+
+
+def test_repetition_signals_semantic(spark):
+    """Hand-computed Gopher signals on planted docs: duplicate-line char
+    fraction, top-gram shares, bullet/ellipsis fractions, NULL handling."""
+    from datalakejson_spark.functions.curation import repetition_signals
+
+    rows = [
+        # doc 1 (newline mode): line A (5 chars) x3, line B (7 chars) x1
+        # dup_line_frac = 2/4; dup_char_frac = 10/22
+        (1, "aa bb\naa bb\naa bb\ncc dd e"),
+        # doc 2: bullets + ellipsis: 2 of 3 lines bullet, 1 of 3 ellipsis
+        (2, "- first item\n* second item\nwait for it..."),
+        # doc 3: "x y" bigram appears 3x of 4 bigrams -> top_2gram_share .75
+        (3, "x y x y x"),
+        # doc 4: one word: no bigram -> NULL shares
+        (4, "solo"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r for r in repetition_signals(docs, newlines=True).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].n_lines == 4 and out[1].n_dup_lines == 2
+    assert abs(out[1].dup_line_frac - 0.5) < 1e-12
+    assert abs(out[1].dup_char_frac - 10 / 22) < 1e-12
+    assert abs(out[2].bullet_line_frac - 2 / 3) < 1e-12
+    assert abs(out[2].ellipsis_line_frac - 1 / 3) < 1e-12
+    assert out[1].bullet_line_frac == 0.0 and out[1].ellipsis_line_frac == 0.0
+    # doc 3 bigrams: "x y","y x","x y","y x" -> wait: "x y x y x" has 4
+    # bigrams: (x y)(y x)(x y)(y x) -> top share 2/4; trigrams: (x y x)
+    # (y x y)(x y x) -> 2/3
+    assert abs(out[3].top_2gram_share - 0.5) < 1e-12
+    assert abs(out[3].top_3gram_share - 2 / 3) < 1e-12
+    assert out[4].top_2gram_share is None and out[4].top_3gram_share is None
+    assert out[5].n_lines == 0 and out[5].dup_line_frac is None
