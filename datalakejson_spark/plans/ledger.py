@@ -12,10 +12,21 @@ parquet snapshots plus a ``_LATEST`` pointer file. Updates write a new
 snapshot and atomically swap the pointer (single-file os.replace — POSIX
 atomic), so a crash mid-update leaves the previous snapshot intact: the
 reference's transactional UPDATE+COMMIT becomes snapshot-and-swap. Ledger
-DataFrame ops (anti-join registration, claim, status upsert) are plain Spark;
-at reference scale (~10^6 files, sudo_code.txt:7) a snapshot is a few MB —
-at 10^9 files, partition snapshots by status so claims read only
-PENDING/FAILED (the reference's ``idx_processing_status``, sudo_code.txt:49).
+DataFrame ops (anti-join registration, claim, status upsert) are plain Spark.
+
+Status-partitioned snapshot (round 8 — the measured fix for the ~4x10^6-file
+crossover in SCALE.md's ledger curve): the state is split into an ACTIVE part
+(PENDING/PROCESSING/FAILED — the working set, fully rewritten per batch) and
+append-only TERMINAL segments (SUCCEEDED/QUARANTINED — the steady-state
+majority, written once when a row completes and never rewritten). The
+``_LATEST`` pointer names both parts in one JSON line, so the swap is still a
+single atomic os.replace. A steady batch therefore writes O(active)+O(batch)
+instead of O(all files); claims read ONLY the active part (the reference's
+``idx_processing_status``, sudo_code.txt:49). The rare operational move of a
+key OUT of a terminal segment (e.g. re-enqueueing a SUCCEEDED file as FAILED)
+falls back to one full compaction write; segment count is bounded by
+compaction at MAX_TERMINAL_SEGMENTS. Legacy single-snapshot pointers are read
+transparently and migrate to the split layout on their next write.
 
 Multi-runner semantics: the reference serializes concurrent claims with
 ``FOR UPDATE SKIP LOCKED`` (psuedo_code.txt:170-181). The filesystem analogue
@@ -31,6 +42,7 @@ broken after ``LOCK_STALE_S``. Files orphaned in PROCESSING by a hard crash
 from __future__ import annotations
 
 import contextlib
+import json
 import os
 import shutil
 import threading
@@ -53,6 +65,20 @@ class LedgerStatus:
     # Declared in the reference's enum (sudo_code.txt:35) for rows whose file
     # was corrupt in its entirety and routed to the DLQ.
     QUARANTINED = "QUARANTINED"
+
+
+# Snapshot split: the working set (rewritten per batch) vs completed rows
+# (append-only segments, never rewritten in steady state).
+ACTIVE_STATUSES = (
+    LedgerStatus.PENDING,
+    LedgerStatus.PROCESSING,
+    LedgerStatus.FAILED,
+)
+TERMINAL_STATUSES = (LedgerStatus.SUCCEEDED, LedgerStatus.QUARANTINED)
+
+# One terminal segment is appended per completing batch; above this many the
+# next write folds them into one (amortized O(terminal/64) per batch).
+MAX_TERMINAL_SEGMENTS = 64
 
 
 # Mirrors sudo_code.txt:25-49 minus DB-isms (SERIAL id -> none needed;
@@ -222,17 +248,37 @@ class Ledger:
     def _pointer(self) -> Path:
         return self.root / "_LATEST"
 
-    def _current_version(self) -> str | None:
+    def _current_parts(self) -> tuple[str | None, list[str], bool]:
+        """(active_version, terminal_segments, is_legacy). A legacy pointer
+        (pre-split: one bare version name) reads as the active part holding
+        ALL rows — including terminal ones — and migrates to the split
+        layout on its next write."""
         try:
-            return self._pointer.read_text().strip() or None
+            txt = self._pointer.read_text().strip()
         except FileNotFoundError:
-            return None
+            return None, [], False
+        if not txt:
+            return None, [], False
+        if txt.startswith("{"):
+            d = json.loads(txt)
+            return d.get("active"), list(d.get("terminal", [])), False
+        return txt, [], True
+
+    def _read_dirs(self, names: list[str]) -> DataFrame:
+        paths = [str(self.root / n) for n in names]
+        if not paths:
+            return local_df(self.spark, [], LEDGER_SCHEMA)
+        return self.spark.read.schema(LEDGER_SCHEMA).parquet(*paths)
 
     def read(self) -> DataFrame:
-        version = self._current_version()
-        if version is None:
-            return local_df(self.spark, [], LEDGER_SCHEMA)
-        return self.spark.read.schema(LEDGER_SCHEMA).parquet(str(self.root / version))
+        active, segs, _legacy = self._current_parts()
+        return self._read_dirs(([active] if active else []) + segs)
+
+    def _active_part(self) -> DataFrame:
+        """Contents of the active DIR (unfiltered: under a legacy pointer it
+        still holds terminal rows until the next write migrates them)."""
+        active, _segs, _legacy = self._current_parts()
+        return self._read_dirs([active] if active else [])
 
     def _owns_lock(self) -> bool:
         """Does the lockfile still carry this thread's mutex token? Outside a
@@ -246,30 +292,67 @@ class Ledger:
             return False  # renamed/unlinked — dispossessed either way
 
     def overwrite(self, df: DataFrame) -> None:
-        """Write a new snapshot, atomically swap the pointer, prune old ones.
+        """Full-state last-writer-wins write (kept public; used by the rare
+        paths — terminal re-enqueue compaction, tools). Splits ``df`` by
+        status group into a fresh active part + ONE terminal segment: this
+        is also what compacts legacy layouts and folds accumulated
+        segments."""
+        df = df.persist()
+        try:
+            self._publish(
+                df.filter(F.col("status").isin(*ACTIVE_STATUSES)),
+                [],
+                df.filter(F.col("status").isin(*TERMINAL_STATUSES)),
+            )
+        finally:
+            df.unpersist()
+
+    def _publish(
+        self,
+        active_df: DataFrame,
+        segments: list[str],
+        new_segment_df: DataFrame | None = None,
+    ) -> None:
+        """Write the active part (and optionally one appended terminal
+        segment), fold segments when over MAX_TERMINAL_SEGMENTS, then
+        atomically swap the pointer and prune unreferenced dirs.
 
         Dispossession guard (the _break_if_stale restore race): immediately
         before the pointer swap, re-verify the lockfile still carries our
         token. A holder whose fresh lock was renamed away by a staleness
         probe and lost to a new acquirer must NOT publish — its snapshot is
-        whole-state last-writer-wins and would erase the new holder's
-        transitions. Raising here (nothing published yet; the orphan version
-        directory is pruned by later snapshots) lets the operation retry its
-        whole read-modify-write under a fresh acquisition."""
-        version = f"v{time.time_ns()}"
-        out = self.root / version
-        df.select([f.name for f in LEDGER_SCHEMA.fields]).repartition(1).write.mode(
-            "overwrite"
-        ).parquet(str(out))
+        last-writer-wins and would erase the new holder's transitions.
+        Raising here (nothing published yet; the orphan directories are
+        pruned by later publishes) lets the operation retry its whole
+        read-modify-write under a fresh acquisition."""
+        ns = time.time_ns()
+        version = f"v{ns}"
+        cols = [f.name for f in LEDGER_SCHEMA.fields]
+        active_df.select(cols).repartition(1).write.mode("overwrite").parquet(
+            str(self.root / version)
+        )
+        segs = list(segments)
+        if new_segment_df is not None:
+            seg = f"t{ns}"
+            new_segment_df.select(cols).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(str(self.root / seg))
+            segs.append(seg)
+        if len(segs) > MAX_TERMINAL_SEGMENTS:
+            merged = f"t{ns}c"
+            self._read_dirs(segs).select(cols).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(str(self.root / merged))
+            segs = [merged]
         if not self._owns_lock():
             raise LedgerLockLost(
                 f"ledger lock {self._lockfile} stolen mid-write; snapshot "
                 f"{version} aborted before publish"
             )
         tmp = self.root / "_LATEST.tmp"
-        tmp.write_text(version)
+        tmp.write_text(json.dumps({"active": version, "terminal": segs}))
         os.replace(tmp, self._pointer)  # atomic commit point
-        self._prune(keep=3, current=version)
+        self._prune(keep=3, current=version, segments=segs)
 
     def _retrying(self, body, attempts: int = 5):
         """Run ``body`` inside the mutex, retrying the whole read-modify-write
@@ -285,7 +368,11 @@ class Ledger:
                 last = exc
         raise last
 
-    def _prune(self, keep: int, current: str) -> None:
+    def _prune(self, keep: int, current: str, segments: list[str]) -> None:
+        """Delete old active versions (keep the newest ``keep`` so lock-free
+        readers holding a slightly stale pointer never lose their dirs) and
+        terminal segments that are unreferenced AND older than the oldest
+        kept version (same grace window)."""
         snaps = sorted(
             (p for p in self.root.iterdir() if p.is_dir() and p.name.startswith("v")),
             key=lambda p: p.name,
@@ -293,6 +380,18 @@ class Ledger:
         for stale in snaps[:-keep]:
             if stale.name != current:
                 shutil.rmtree(stale, ignore_errors=True)
+        kept = snaps[-keep:]
+        if not kept:
+            return
+        cutoff = min(int(p.name[1:]) for p in kept)
+        referenced = set(segments)
+        for p in self.root.iterdir():
+            if not (p.is_dir() and p.name.startswith("t")):
+                continue
+            if p.name in referenced:
+                continue
+            if int(p.name[1:].rstrip("c")) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
 
     # -- reference operations ----------------------------------------------
     def register(self, discovered: DataFrame) -> int:
@@ -301,6 +400,9 @@ class Ledger:
         Returns the number of newly registered files."""
 
         def body() -> int:
+            # The anti-join reads ALL keys (active + terminal — a completed
+            # file must not re-register), column-pruned to s3_key; the WRITE
+            # touches only the active part (new rows are all PENDING).
             current = self.read()
             now = F.current_timestamp()
             fresh = (
@@ -313,11 +415,17 @@ class Ledger:
                 .withColumn("first_discovered_at", now)
                 .withColumn("last_updated_at", now)
                 .withColumn("run_id", F.lit(None).cast("string"))
-            ).persist()  # count + overwrite: one anti-join execution
+            ).persist()  # count + publish: one anti-join execution
             try:
                 n_new = fresh.count()
                 if n_new:
-                    self.overwrite(current.unionByName(fresh))
+                    _active, segs, legacy = self._current_parts()
+                    if legacy:
+                        self.overwrite(current.unionByName(fresh))
+                    else:
+                        self._publish(
+                            self._active_part().unionByName(fresh), segs
+                        )
             finally:
                 fresh.unpersist()
             return n_new
@@ -339,9 +447,13 @@ class Ledger:
         under the ledger mutex, so a concurrent runner's claim sees this
         batch already PROCESSING and takes the next files instead. PROCESSING
         rows whose lease expired (runner died between claim and commit) are
-        claimable again — nothing is stranded by a SIGKILL."""
+        claimable again — nothing is stranded by a SIGKILL.
+
+        Reads ONLY the active part of the split snapshot — the terminal
+        majority never participates in a claim (the reference's
+        ``idx_processing_status`` index, sudo_code.txt:49)."""
         with self._mutex():
-            current = self.read()
+            current = self._active_part()
             stale = (F.col("status") == LedgerStatus.PROCESSING) & (
                 F.col("last_updated_at")
                 < F.current_timestamp() - F.expr(f"INTERVAL {int(stale_lease_s)} SECONDS")
@@ -361,6 +473,7 @@ class Ledger:
                     LedgerStatus.PROCESSING,
                     run_id=run_id,
                     increment_retry=True,
+                    _keys_known_active=True,  # picked from the active part
                 )
             return paths
 
@@ -393,6 +506,20 @@ class Ledger:
                 fence_run_id=fence_run_id,
             )
 
+    def _terminal_hit(self, segs: list[str], keys: DataFrame) -> bool:
+        """Does any requested key currently live in a terminal segment?
+        Read-only key-pruned probe; True routes the operation to the rare
+        full-compaction path (a terminal row is being touched)."""
+        if not segs:
+            return False
+        return (
+            self._read_dirs(segs)
+            .join(F.broadcast(keys.select("s3_key")), "s3_key", "left_semi")
+            .limit(1)
+            .count()
+            > 0
+        )
+
     def _set_status_unlocked(
         self,
         paths: list[str] | DataFrame,
@@ -401,8 +528,8 @@ class Ledger:
         run_id: str | None = None,
         increment_retry: bool = False,
         fence_run_id: str | None = None,
+        _keys_known_active: bool = False,
     ) -> list[str]:
-        current = self.read()
         if isinstance(paths, DataFrame):
             keys = paths.select(F.col(paths.columns[0]).alias("s3_key"))
         else:
@@ -417,7 +544,8 @@ class Ledger:
             # same driver-side cardinality as the claim itself.
             fenced_out = [
                 r.s3_key
-                for r in current.join(F.broadcast(keys), "s3_key", "left_semi")
+                for r in self.read()
+                .join(F.broadcast(keys), "s3_key", "left_semi")
                 .filter(
                     F.col("run_id").isNull()
                     | (F.col("run_id") != F.lit(fence_run_id))
@@ -425,37 +553,81 @@ class Ledger:
                 .select("s3_key")
                 .collect()
             ]
-        updated = (
-            current.join(
-                F.broadcast(keys.withColumn("_hit", F.lit(1))), "s3_key", "left"
+
+        def transform(df: DataFrame) -> DataFrame:
+            return (
+                df.join(
+                    F.broadcast(keys.withColumn("_hit", F.lit(1))),
+                    "s3_key",
+                    "left",
+                )
+                .withColumn(
+                    "status",
+                    F.when(hit, F.lit(status)).otherwise(F.col("status")),
+                )
+                .withColumn(
+                    "retry_count",
+                    F.when(
+                        hit & F.lit(increment_retry), F.col("retry_count") + 1
+                    ).otherwise(F.col("retry_count")),
+                )
+                .withColumn(
+                    "error_message",
+                    F.when(hit, F.lit(error_message)).otherwise(
+                        F.col("error_message")
+                    ),
+                )
+                .withColumn(
+                    "last_updated_at",
+                    F.when(hit, F.current_timestamp()).otherwise(
+                        F.col("last_updated_at")
+                    ),
+                )
+                .withColumn(
+                    "run_id",
+                    F.when(
+                        hit & F.lit(run_id is not None), F.lit(run_id)
+                    ).otherwise(F.col("run_id")),
+                )
+                .drop("_hit")
             )
-            .withColumn(
-                "status", F.when(hit, F.lit(status)).otherwise(F.col("status"))
-            )
-            .withColumn(
-                "retry_count",
-                F.when(hit & F.lit(increment_retry), F.col("retry_count") + 1).otherwise(
-                    F.col("retry_count")
-                ),
-            )
-            .withColumn(
-                "error_message",
-                F.when(hit, F.lit(error_message)).otherwise(F.col("error_message")),
-            )
-            .withColumn(
-                "last_updated_at",
-                F.when(hit, F.current_timestamp()).otherwise(F.col("last_updated_at")),
-            )
-            .withColumn(
-                "run_id",
-                F.when(hit & F.lit(run_id is not None), F.lit(run_id)).otherwise(
-                    F.col("run_id")
-                ),
-            )
-            .drop("_hit")
+
+        _active, segs, legacy = self._current_parts()
+        if not _keys_known_active and not legacy and self._terminal_hit(segs, keys):
+            # Rare path: a terminal row is being transitioned (operational
+            # re-enqueue). One full compaction write restores the invariant.
+            self.overwrite(transform(self.read()))
+            return fenced_out
+        self._commit_active_update(
+            transform(self._active_part()),
+            segs,
+            # Rows can land in terminal only when this transition targets a
+            # terminal status; a legacy active dir may also still hold old
+            # terminal rows (migrating them out is this same split).
+            may_move=(status in TERMINAL_STATUSES) or legacy,
         )
-        self.overwrite(updated)
         return fenced_out
+
+    def _commit_active_update(
+        self, updated: DataFrame, segs: list[str], may_move: bool
+    ) -> None:
+        """Publish an updated ACTIVE part: rows whose new status is terminal
+        move to an appended segment; the rest rewrite the active part.
+        ``may_move=False`` (statically no terminal-bound rows — e.g. a
+        claim's PROCESSING flip) skips the segment write entirely. The
+        persist keeps the two filtered writes consistent (one evaluation of
+        current_timestamp)."""
+        if not may_move:
+            self._publish(updated, segs)
+            return
+        is_terminal = F.col("status").isin(*TERMINAL_STATUSES)
+        updated = updated.persist()
+        try:
+            self._publish(
+                updated.filter(~is_terminal), segs, updated.filter(is_terminal)
+            )
+        finally:
+            updated.unpersist()
 
     def apply_outcomes(
         self,
@@ -491,14 +663,14 @@ class Ledger:
     def _apply_updates_unlocked(
         self, updates: DataFrame, run_id: str, fence_run_id: str | None = None
     ) -> list[str]:
-        current = self.read()
         hit = F.col("new_status").isNotNull()
         fenced_out: list[str] = []
         if fence_run_id is not None:
             hit = hit & (F.col("run_id") == F.lit(fence_run_id))
             fenced_out = [
                 r.s3_key
-                for r in current.join(
+                for r in self.read()
+                .join(
                     F.broadcast(updates.select("s3_key")), "s3_key", "left_semi"
                 )
                 .filter(
@@ -508,25 +680,40 @@ class Ledger:
                 .select("s3_key")
                 .collect()
             ]
-        merged = (
-            current.join(F.broadcast(updates), "s3_key", "left")
-            .withColumn(
-                "status", F.when(hit, F.col("new_status")).otherwise(F.col("status"))
+
+        def transform(df: DataFrame) -> DataFrame:
+            return (
+                df.join(F.broadcast(updates), "s3_key", "left")
+                .withColumn(
+                    "status",
+                    F.when(hit, F.col("new_status")).otherwise(F.col("status")),
+                )
+                .withColumn(
+                    "error_message",
+                    F.when(hit, F.col("new_error")).otherwise(
+                        F.col("error_message")
+                    ),
+                )
+                .withColumn(
+                    "last_updated_at",
+                    F.when(hit, F.current_timestamp()).otherwise(
+                        F.col("last_updated_at")
+                    ),
+                )
+                .withColumn(
+                    "run_id",
+                    F.when(hit, F.lit(run_id)).otherwise(F.col("run_id")),
+                )
+                .drop("new_status", "new_error")
             )
-            .withColumn(
-                "error_message",
-                F.when(hit, F.col("new_error")).otherwise(F.col("error_message")),
-            )
-            .withColumn(
-                "last_updated_at",
-                F.when(hit, F.current_timestamp()).otherwise(F.col("last_updated_at")),
-            )
-            .withColumn(
-                "run_id", F.when(hit, F.lit(run_id)).otherwise(F.col("run_id"))
-            )
-            .drop("new_status", "new_error")
+
+        _active, segs, legacy = self._current_parts()
+        if not legacy and self._terminal_hit(segs, updates):
+            self.overwrite(transform(self.read()))
+            return fenced_out
+        self._commit_active_update(
+            transform(self._active_part()), segs, may_move=True
         )
-        self.overwrite(merged)
         return fenced_out
 
     def owned_by(self, paths: list[str], run_id: str) -> set[str]:

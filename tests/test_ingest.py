@@ -544,3 +544,109 @@ def test_archive_failure_after_commit_is_swept_by_discover(spark, ingest_conf, m
     assert ledger.counts()[LedgerStatus.SUCCEEDED] == 3
     # and a re-run claims nothing new (no replay happened)
     assert ingest_batch(spark, ingest_conf).claimed == 0
+
+
+def _synth_files(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("s3://lake/f"), F.col("id")).alias("s3_key"),
+        F.lit(100).cast("long").alias("file_size_bytes"),
+    )
+
+
+def test_split_snapshot_segments_append_only(spark, tmp_path):
+    """The status-partitioned snapshot (round 8): completed rows land in
+    append-only terminal segments that later batches never rewrite; claims
+    and commits rewrite only the active part; a terminal re-enqueue takes
+    the full-compaction path and stays correct."""
+    import json as J
+
+    led = Ledger(spark, str(tmp_path / "led"))
+    led.register(_synth_files(spark, 0, 20))
+
+    c1 = led.claim_batch(10, "r1")
+    led.apply_outcomes([(c1, LedgerStatus.SUCCEEDED, None)], run_id="r1")
+    ptr1 = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    assert len(ptr1["terminal"]) == 1
+    seg1 = tmp_path / "led" / ptr1["terminal"][0]
+    sig1 = sorted((f.name, f.stat().st_mtime_ns) for f in seg1.rglob("*.parquet"))
+
+    c2 = led.claim_batch(10, "r2")
+    led.apply_outcomes([(c2, LedgerStatus.SUCCEEDED, None)], run_id="r2")
+    ptr2 = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    # second commit APPENDED a segment; the first segment's files untouched
+    assert ptr1["terminal"][0] in ptr2["terminal"] and len(ptr2["terminal"]) == 2
+    assert sig1 == sorted(
+        (f.name, f.stat().st_mtime_ns) for f in seg1.rglob("*.parquet")
+    )
+    assert led.counts() == {LedgerStatus.SUCCEEDED: 20}
+
+    # claims read ONLY the active part: nothing claimable now
+    assert led.claim_batch(10, "r3") == []
+
+    # rare path: re-enqueue a completed file -> full compaction, one segment
+    victim = sorted(c1)[0]
+    led.set_status([victim], LedgerStatus.FAILED, error_message="requeue")
+    ptr3 = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    assert len(ptr3["terminal"]) == 1
+    rows = {r.s3_key: r.status for r in led.read().collect()}
+    assert rows[victim] == LedgerStatus.FAILED
+    assert sum(1 for s in rows.values() if s == LedgerStatus.SUCCEEDED) == 19
+    assert led.claim_batch(10, "r4") == [victim]
+
+
+def test_split_snapshot_segment_compaction_bound(spark, tmp_path, monkeypatch):
+    """Segment count is bounded: pushing past MAX_TERMINAL_SEGMENTS folds
+    all segments into one, with no row lost or duplicated."""
+    import json as J
+
+    from datalakejson_spark.plans import ledger as L
+
+    monkeypatch.setattr(L, "MAX_TERMINAL_SEGMENTS", 3)
+    led = Ledger(spark, str(tmp_path / "led"))
+    led.register(_synth_files(spark, 0, 6))
+    for i in range(6):
+        c = led.claim_batch(1, f"r{i}")
+        led.apply_outcomes([(c, LedgerStatus.SUCCEEDED, None)], run_id=f"r{i}")
+    ptr = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    assert len(ptr["terminal"]) <= 3
+    assert led.counts() == {LedgerStatus.SUCCEEDED: 6}
+    assert led.read().select("s3_key").distinct().count() == 6
+
+
+def test_legacy_single_snapshot_pointer_migrates(spark, tmp_path):
+    """A pre-split ledger (bare version-name pointer, one dir holding every
+    status) reads transparently and migrates to the split layout on its
+    next write."""
+    import json as J
+
+    led = Ledger(spark, str(tmp_path / "led"))
+    led.register(_synth_files(spark, 0, 8))
+    c = led.claim_batch(4, "r1")
+    led.apply_outcomes([(c, LedgerStatus.SUCCEEDED, None)], run_id="r1")
+
+    # Rewrite the state as a LEGACY layout: one dir, bare pointer.
+    full = led.read().persist()
+    legacy_dir = tmp_path / "led" / "v1"
+    full.write.mode("overwrite").parquet(str(legacy_dir))
+    full.unpersist()
+    ptr_file = tmp_path / "led" / "_LATEST"
+    ptr_file.write_text("v1")
+
+    led2 = Ledger(spark, str(tmp_path / "led"))
+    assert led2.counts() == {
+        LedgerStatus.SUCCEEDED: 4,
+        LedgerStatus.PENDING: 4,
+    }
+    # next write migrates: terminal rows move out of the active dir
+    c2 = led2.claim_batch(2, "r2")
+    led2.apply_outcomes([(c2, LedgerStatus.SUCCEEDED, None)], run_id="r2")
+    ptr = J.loads(ptr_file.read_text())
+    assert ptr["terminal"]
+    active_rows = spark.read.parquet(
+        str(tmp_path / "led" / ptr["active"])
+    ).collect()
+    assert all(r.status != LedgerStatus.SUCCEEDED for r in active_rows)
+    assert led2.counts() == {
+        LedgerStatus.SUCCEEDED: 6,
+        LedgerStatus.PENDING: 2,
+    }

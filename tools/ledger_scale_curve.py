@@ -92,6 +92,28 @@ def main() -> None:
         row["steady_batch_sec"] = round(time.time() - t0, 2)
 
         if not use_jdbc:
+            # Terminal-majority steady state — the real-world shape (most
+            # files long done) that the round-8 status-partitioned snapshot
+            # targets: flip all but 50k rows to SUCCEEDED (setup, untimed;
+            # one bulk write), then measure the per-batch cycle again. Under
+            # the split snapshot this batch rewrites only the ~50k-row
+            # active part + an O(batch) segment, not all N rows.
+            if n > 50_000:
+                led.set_status(
+                    synth(0, n - 50_000).select("s3_key"),
+                    LedgerStatus.SUCCEEDED,
+                )
+                t0 = time.time()
+                claimed3 = led.claim_batch(10_000, "run-curve-3")
+                led.apply_outcomes(
+                    [(claimed3, LedgerStatus.SUCCEEDED, None)],
+                    run_id="run-curve-3",
+                )
+                row["steady_batch_terminal_majority_sec"] = round(
+                    time.time() - t0, 2
+                )
+
+        if not use_jdbc:
             snap = max(
                 (p for p in Path(f"{root}/ledger_{n}").iterdir() if p.is_dir()),
                 key=lambda p: p.name,
