@@ -486,10 +486,9 @@ _L14_SQL = """
     )
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(
-               (CAST(sum(CAST(round(-ln(CAST(f.c AS DOUBLE) / tot.n) * 10000.0)
-                              AS BIGINT)) AS DOUBLE) / 10000.0) / count(*),
-               6) AS avg_surprisal
+           (CAST(sum(CAST(round(-ln(CAST(f.c AS DOUBLE) / tot.n) * 10000.0)
+                          AS BIGINT)) AS DOUBLE) / 10000.0) / count(*)
+               AS avg_surprisal
     FROM tok t JOIN freq f USING (token) CROSS JOIN tot
     GROUP BY t.doc_id
 """
@@ -510,7 +509,16 @@ def l14_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/deterministic.py) so the per-doc mean is bit-stable across
     partitionings and engines; the grid is deliberately coarse because
     ln() carries one ULP of cross-engine noise and a fine grid lands
-    tokens on rounding half-boundaries (seen at sf1)."""
+    tokens on rounding half-boundaries (seen at sf1).
+
+    The mean itself is emitted UNROUNDED: the two integer inputs make the
+    double division chain bit-identical cross-engine (IEEE divisions are
+    correctly rounded), while a final decimal round(x, 6) is the thing that
+    BREAKS parity — Spark rounds the exact binary expansion via BigDecimal,
+    DuckDB rounds via float multiply, and they disagree whenever the
+    quotient's decimal expansion sits on a half-boundary at digit 7, which
+    real integer ratios hit regularly (caught by the sf10 oracle sweep:
+    spark=8.003938 vs duck=8.003937 on ~1500 docs)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     freq = tok.groupBy("token").agg(F.count("*").alias("c"))
@@ -529,9 +537,9 @@ def l14_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
-                (F.sum(scaled).cast("double") / 10000.0) / F.count("*"), 6
-            ).alias("avg_surprisal"),
+            ((F.sum(scaled).cast("double") / 10000.0) / F.count("*")).alias(
+                "avg_surprisal"
+            ),
         )
     )
 

@@ -11,6 +11,7 @@ Usage: python tools/verify_oracle.py [name_filter ...]
 from __future__ import annotations
 
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -120,6 +121,15 @@ def main() -> int:
     else:
         spark = get_spark("verify-oracle")
     con = duckdb.connect()
+    # Decade-2 posture (sf10 sweeps): an EXPLICIT memory limit makes DuckDB
+    # raise a catchable OutOfMemoryException instead of hard-aborting the
+    # whole sweep on an OS-level failed allocation (seen at sf10: l20's
+    # window+string_agg oracle killed the process with rc=134, losing every
+    # result after it alphabetically); the temp directory lets spillable
+    # operators spill instead of dying at all.
+    spill = Path(tempfile.mkdtemp(prefix="duck_spill_"))
+    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet"
