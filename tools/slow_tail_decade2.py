@@ -35,6 +35,7 @@ SLOW_TAIL = [
     "w1b_distributed_ranking",
     "l19_line_boilerplate",
     "l20_within_doc_line_dedup",
+    "l21_repetition_signals",
 ]
 
 

@@ -120,21 +120,31 @@ def main() -> int:
         )
     else:
         spark = get_spark("verify-oracle")
-    con = duckdb.connect()
     # Decade-2 posture (sf10 sweeps): an EXPLICIT memory limit makes DuckDB
     # raise a catchable OutOfMemoryException instead of hard-aborting the
     # whole sweep on an OS-level failed allocation (seen at sf10: l20's
     # window+string_agg oracle killed the process with rc=134, losing every
     # result after it alphabetically); the temp directory lets spillable
-    # operators spill instead of dying at all.
+    # operators spill instead of dying; and each query gets a FRESH
+    # connection because buffer-pool state left by one big oracle was seen
+    # to push the NEXT one over the limit (l20 passed standalone at sf10 but
+    # OOM'd mid-sweep right after l19/l15's large plans).
     spill = Path(tempfile.mkdtemp(prefix="duck_spill_"))
-    con.execute("SET memory_limit='24GB'")
-    con.execute(f"SET temp_directory='{spill}'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet"
-            + ("/*.parquet')" if Path(f"{SF_DIR}/{t}.parquet").is_dir() else "')")
-        )
+
+    def fresh_con() -> "duckdb.DuckDBPyConnection":
+        c = duckdb.connect()
+        c.execute("SET memory_limit='48GB'")
+        c.execute(f"SET temp_directory='{spill}'")
+        # The compare() sorts rows anyway; dropping insertion-order
+        # preservation lets big oracles stream instead of materializing
+        # (l20's window+string_agg at sf10 sat right at the memory edge).
+        c.execute("SET preserve_insertion_order=false")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet"
+                + ("/*.parquet')" if Path(f"{SF_DIR}/{t}.parquet").is_dir() else "')")
+            )
+        return c
 
     n_pass = n_soft = n_fail = n_rows_only = 0
     for name, spec in sorted(specs.items()):
@@ -150,7 +160,11 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            duck_pdf = con.execute(spec.sql).fetchdf()
+            con = fresh_con()
+            try:
+                duck_pdf = con.execute(spec.sql).fetchdf()
+            finally:
+                con.close()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(exc).__name__}: {exc}")
             n_fail += 1
