@@ -972,6 +972,17 @@ def repetition_signals(
         F.sum(F.col("c") * ellipsis).alias("n_ellipsis"),
     )
 
+    # Word stream for the gram signals: in newline mode a \n separates words
+    # exactly like a space (otherwise words across line boundaries would
+    # glue into bogus tokens and under-count repeated grams), and empty
+    # words from blank lines are dropped. The default stays a plain
+    # space-split, byte-identical to the registered oracle.
+    words = (
+        f"filter(split({text_col}, '[ \\n]'), w -> w != '')"
+        if newlines
+        else f"split({text_col}, ' ')"
+    )
+
     def top_share(n: int, out_col: str) -> DataFrame:
         # Guard the sequence(hi < lo) descending trap: a doc too short to
         # form a gram yields an empty array (→ zero exploded rows → NULL
@@ -980,9 +991,9 @@ def repetition_signals(
             F.col(id_col),
             F.explode(
                 F.expr(
-                    f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN"
-                    f" transform(sequence(0, size(split({text_col}, ' ')) - {n}),"
-                    f" i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), ' '))"
+                    f"CASE WHEN size({words}) >= {n} THEN"
+                    f" transform(sequence(0, size({words}) - {n}),"
+                    f" i -> array_join(slice({words}, i + 1, {n}), ' '))"
                     f" ELSE array() END"
                 )
             ).alias("gram"),

@@ -684,10 +684,11 @@ def _write_code(bw: _BitWriter, lengths: list[int]):
     # fixture shape reaches this (every token stream starts with a literal,
     # and the distance code has the df[0]=1 fallback); fail loudly if a
     # future one does.
-    assert len(used) >= 2, (
-        "fixture encoder: single-symbol code with symbol >= 256 would "
-        f"desync (used={used}); pad with a second symbol"
-    )
+    if len(used) < 2:  # explicit raise: must survive python -O
+        raise ValueError(
+            "fixture encoder: single-symbol code with symbol >= 256 would "
+            f"desync (used={used}); pad with a second symbol"
+        )
     bw.bit(0)  # normal form
     # code-length-code over the lengths actually present (plus 0)
     clc_freq: dict[int, int] = {}

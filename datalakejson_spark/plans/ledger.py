@@ -371,8 +371,19 @@ class Ledger:
     def _prune(self, keep: int, current: str, segments: list[str]) -> None:
         """Delete old active versions (keep the newest ``keep`` so lock-free
         readers holding a slightly stale pointer never lose their dirs) and
-        terminal segments that are unreferenced AND older than the oldest
-        kept version (same grace window)."""
+        RETIRED terminal segments after the same grace window.
+
+        A segment's own timestamp says when it was CREATED, not when it was
+        dropped from the pointer (a fold retires segments that are many
+        publishes old), so deletion-by-age would yank dirs out from under a
+        lock-free reader holding the immediately-previous pointer
+        (monitor counts, owned_by, _finish_interrupted_archives). Instead,
+        an unreferenced segment is first recorded in the advisory
+        ``_RETIRED`` journal with the timestamp it was SEEN unreferenced,
+        and deleted only once that retirement timestamp falls behind the
+        oldest kept active version — i.e. after >= ``keep`` further
+        publishes, the identical grace the active versions get. The journal
+        is advisory (corruption → grace restarts, segments merely linger)."""
         snaps = sorted(
             (p for p in self.root.iterdir() if p.is_dir() and p.name.startswith("v")),
             key=lambda p: p.name,
@@ -385,13 +396,37 @@ class Ledger:
             return
         cutoff = min(int(p.name[1:]) for p in kept)
         referenced = set(segments)
+        retired_path = self.root / "_RETIRED"
+        try:
+            retired: dict[str, int] = json.loads(retired_path.read_text())
+        except (FileNotFoundError, ValueError):
+            retired = {}
+        now = time.time_ns()
+        changed = False
+        live = set()
         for p in self.root.iterdir():
             if not (p.is_dir() and p.name.startswith("t")):
                 continue
+            live.add(p.name)
             if p.name in referenced:
+                if p.name in retired:  # defensive: re-referenced
+                    retired.pop(p.name)
+                    changed = True
                 continue
-            if int(p.name[1:].rstrip("c")) < cutoff:
+            ts = retired.get(p.name)
+            if ts is None:
+                retired[p.name] = now  # grace starts at retirement
+                changed = True
+            elif ts < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
+                retired.pop(p.name)
+                changed = True
+        for name in list(retired):  # drop entries whose dir is gone
+            if name not in live:
+                retired.pop(name)
+                changed = True
+        if changed:
+            retired_path.write_text(json.dumps(retired))
 
     # -- reference operations ----------------------------------------------
     def register(self, discovered: DataFrame) -> int:
@@ -506,18 +541,63 @@ class Ledger:
                 fence_run_id=fence_run_id,
             )
 
-    def _terminal_hit(self, segs: list[str], keys: DataFrame) -> bool:
-        """Does any requested key currently live in a terminal segment?
-        Read-only key-pruned probe; True routes the operation to the rare
-        full-compaction path (a terminal row is being touched)."""
+    def _terminal_hit(
+        self, segs: list[str], keys: DataFrame, fence_run_id: str | None
+    ) -> bool:
+        """Does any requested key currently live in a terminal segment AND
+        could its transition actually apply? Read-only key-pruned probe;
+        True routes the operation to the rare full-compaction path (a
+        terminal row is genuinely being transitioned). Under a fence only
+        terminal rows CARRYING the fence run_id can transition — a row
+        reclaimed-and-completed by another runner carries that runner's id,
+        is fenced out untouched, and must NOT trigger a spurious O(N)
+        rewrite (a routine lease-expiry race, not an operator action)."""
         if not segs:
             return False
-        return (
-            self._read_dirs(segs)
+        term = self._read_dirs(segs).join(
+            F.broadcast(keys.select("s3_key")), "s3_key", "left_semi"
+        )
+        if fence_run_id is not None:
+            term = term.filter(F.col("run_id") == F.lit(fence_run_id))
+        return term.limit(1).count() > 0
+
+    def _fenced_out(self, keys: DataFrame, fence_run_id: str) -> list[str]:
+        """Requested keys whose current row does NOT carry the fence run_id
+        (lost claims). Bounded by the batch's key list; reads the full state
+        because a reclaimed row may already sit in a terminal segment."""
+        return [
+            r.s3_key
+            for r in self.read()
             .join(F.broadcast(keys.select("s3_key")), "s3_key", "left_semi")
-            .limit(1)
-            .count()
-            > 0
+            .filter(
+                F.col("run_id").isNull()
+                | (F.col("run_id") != F.lit(fence_run_id))
+            )
+            .select("s3_key")
+            .collect()
+        ]
+
+    def _route_update(
+        self,
+        keys: DataFrame,
+        transform,
+        fence_run_id: str | None,
+        may_move: bool,
+        skip_probe: bool = False,
+    ) -> None:
+        """Shared routing tail of the two update paths (set_status /
+        apply_outcomes): fast active-part publish, or the rare full
+        compaction when a terminal row is genuinely being transitioned."""
+        _active, segs, legacy = self._current_parts()
+        if (
+            not skip_probe
+            and not legacy
+            and self._terminal_hit(segs, keys, fence_run_id)
+        ):
+            self.overwrite(transform(self.read()))
+            return
+        self._commit_active_update(
+            transform(self._active_part()), segs, may_move or legacy
         )
 
     def _set_status_unlocked(
@@ -540,19 +620,7 @@ class Ledger:
         fenced_out: list[str] = []
         if fence_run_id is not None:
             hit = hit & (F.col("run_id") == F.lit(fence_run_id))
-            # Requested-but-not-ours rows: bounded by the batch's path list,
-            # same driver-side cardinality as the claim itself.
-            fenced_out = [
-                r.s3_key
-                for r in self.read()
-                .join(F.broadcast(keys), "s3_key", "left_semi")
-                .filter(
-                    F.col("run_id").isNull()
-                    | (F.col("run_id") != F.lit(fence_run_id))
-                )
-                .select("s3_key")
-                .collect()
-            ]
+            fenced_out = self._fenced_out(keys, fence_run_id)
 
         def transform(df: DataFrame) -> DataFrame:
             return (
@@ -592,19 +660,14 @@ class Ledger:
                 .drop("_hit")
             )
 
-        _active, segs, legacy = self._current_parts()
-        if not _keys_known_active and not legacy and self._terminal_hit(segs, keys):
-            # Rare path: a terminal row is being transitioned (operational
-            # re-enqueue). One full compaction write restores the invariant.
-            self.overwrite(transform(self.read()))
-            return fenced_out
-        self._commit_active_update(
-            transform(self._active_part()),
-            segs,
+        self._route_update(
+            keys,
+            transform,
+            fence_run_id,
             # Rows can land in terminal only when this transition targets a
-            # terminal status; a legacy active dir may also still hold old
-            # terminal rows (migrating them out is this same split).
-            may_move=(status in TERMINAL_STATUSES) or legacy,
+            # terminal status (legacy migration is handled by the router).
+            may_move=status in TERMINAL_STATUSES,
+            skip_probe=_keys_known_active,
         )
         return fenced_out
 
@@ -657,29 +720,30 @@ class Ledger:
         ).dropDuplicates(["s3_key"])
         with self._mutex():
             return self._apply_updates_unlocked(
-                updates, run_id, fence_run_id=run_id if fence else None
+                updates,
+                run_id,
+                fence_run_id=run_id if fence else None,
+                # Statuses are known driver-side: a commit carrying only
+                # active outcomes (e.g. all-FAILED retry batch) must not
+                # append an empty terminal segment per batch.
+                may_move=any(
+                    paths and status in TERMINAL_STATUSES
+                    for paths, status, _ in outcomes
+                ),
             )
 
     def _apply_updates_unlocked(
-        self, updates: DataFrame, run_id: str, fence_run_id: str | None = None
+        self,
+        updates: DataFrame,
+        run_id: str,
+        fence_run_id: str | None = None,
+        may_move: bool = True,
     ) -> list[str]:
         hit = F.col("new_status").isNotNull()
         fenced_out: list[str] = []
         if fence_run_id is not None:
             hit = hit & (F.col("run_id") == F.lit(fence_run_id))
-            fenced_out = [
-                r.s3_key
-                for r in self.read()
-                .join(
-                    F.broadcast(updates.select("s3_key")), "s3_key", "left_semi"
-                )
-                .filter(
-                    F.col("run_id").isNull()
-                    | (F.col("run_id") != F.lit(fence_run_id))
-                )
-                .select("s3_key")
-                .collect()
-            ]
+            fenced_out = self._fenced_out(updates, fence_run_id)
 
         def transform(df: DataFrame) -> DataFrame:
             return (
@@ -707,13 +771,7 @@ class Ledger:
                 .drop("new_status", "new_error")
             )
 
-        _active, segs, legacy = self._current_parts()
-        if not legacy and self._terminal_hit(segs, updates):
-            self.overwrite(transform(self.read()))
-            return fenced_out
-        self._commit_active_update(
-            transform(self._active_part()), segs, may_move=True
-        )
+        self._route_update(updates, transform, fence_run_id, may_move)
         return fenced_out
 
     def owned_by(self, paths: list[str], run_id: str) -> set[str]:

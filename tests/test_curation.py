@@ -274,6 +274,9 @@ def test_repetition_signals_semantic(spark):
     assert out[1].n_lines == 4 and out[1].n_dup_lines == 2
     assert abs(out[1].dup_line_frac - 0.5) < 1e-12
     assert abs(out[1].dup_char_frac - 10 / 22) < 1e-12
+    # grams tokenize ACROSS newlines (\n is a word separator): doc 1's
+    # words are [aa bb aa bb aa bb cc dd e] -> 8 bigrams, top "aa bb" x3
+    assert abs(out[1].top_2gram_share - 3 / 8) < 1e-12
     assert abs(out[2].bullet_line_frac - 2 / 3) < 1e-12
     assert abs(out[2].ellipsis_line_frac - 1 / 3) < 1e-12
     assert out[1].bullet_line_frac == 0.0 and out[1].ellipsis_line_frac == 0.0

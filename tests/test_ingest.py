@@ -650,3 +650,72 @@ def test_legacy_single_snapshot_pointer_migrates(spark, tmp_path):
         LedgerStatus.SUCCEEDED: 6,
         LedgerStatus.PENDING: 2,
     }
+
+
+def test_retired_segments_get_grace_window(spark, tmp_path, monkeypatch):
+    """Segments dropped from the pointer by a fold are NOT deleted in that
+    same publish (a lock-free reader holding the previous pointer still
+    references them); they are retired first and deleted only after the
+    same multi-publish grace the active versions get."""
+    import json as J
+
+    from datalakejson_spark.plans import ledger as L
+
+    monkeypatch.setattr(L, "MAX_TERMINAL_SEGMENTS", 2)
+    led = Ledger(spark, str(tmp_path / "led"))
+    led.register(_synth_files(spark, 0, 8))
+    seg_names = []
+    for i in range(3):  # third commit folds (2+1 > 2)
+        c = led.claim_batch(1, f"r{i}")
+        led.apply_outcomes([(c, LedgerStatus.SUCCEEDED, None)], run_id=f"r{i}")
+        ptr = J.loads((tmp_path / "led" / "_LATEST").read_text())
+        seg_names.append(set(ptr["terminal"]))
+    dropped = seg_names[1] - seg_names[2]
+    assert dropped, "third commit must have folded the first two segments"
+    # immediately after the fold every dropped dir still exists (grace)
+    for name in dropped:
+        assert (tmp_path / "led" / name).is_dir()
+    # a reader that loaded the PRE-fold pointer can still read its dirs
+    pre_fold = spark.read.parquet(
+        *[str(tmp_path / "led" / n) for n in seg_names[1]]
+    )
+    assert pre_fold.count() == 2
+    # after >= 3 further publishes the retired dirs are gone
+    for i in range(3, 7):
+        c = led.claim_batch(1, f"r{i}")
+        led.apply_outcomes([(c, LedgerStatus.SUCCEEDED, None)], run_id=f"r{i}")
+    assert not any((tmp_path / "led" / n).is_dir() for n in dropped)
+    assert led.counts() == {
+        LedgerStatus.SUCCEEDED: 7,
+        LedgerStatus.PENDING: 1,
+    }
+
+
+def test_fenced_lost_claim_does_not_trigger_compaction(spark, tmp_path):
+    """A slow runner committing a file that another runner reclaimed and
+    completed must be fenced out WITHOUT a full-compaction rewrite: the
+    routine lease-expiry race stays O(active), and the winner's terminal
+    segment stays referenced untouched."""
+    import json as J
+
+    led = Ledger(spark, str(tmp_path / "led"))
+    led.register(_synth_files(spark, 0, 4))
+    slow = led.claim_batch(2, "slow", stale_lease_s=0.0)
+    # lease 0: runner B immediately reclaims and completes the same files
+    fast = led.claim_batch(2, "fast", stale_lease_s=0.0)
+    assert set(fast) == set(slow)
+    led.apply_outcomes([(fast, LedgerStatus.SUCCEEDED, None)], run_id="fast")
+    ptr_before = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    # slow runner's commit: everything fenced out, winner's segment intact
+    fenced = led.apply_outcomes(
+        [(slow, LedgerStatus.SUCCEEDED, None)], run_id="slow"
+    )
+    assert set(fenced) == set(slow)
+    ptr_after = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    assert set(ptr_before["terminal"]) <= set(ptr_after["terminal"]), (
+        "full compaction replaced the winner's segment — the fenced "
+        "lost-claim path must stay O(active)"
+    )
+    rows = {r.s3_key: r for r in led.read().collect()}
+    assert all(rows[p].status == LedgerStatus.SUCCEEDED for p in fast)
+    assert all(rows[p].run_id == "fast" for p in fast)

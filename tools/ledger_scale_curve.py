@@ -114,12 +114,16 @@ def main() -> None:
                 )
 
         if not use_jdbc:
-            snap = max(
-                (p for p in Path(f"{root}/ledger_{n}").iterdir() if p.is_dir()),
-                key=lambda p: p.name,
-            )
+            # Total LIVE state bytes: active part + every segment the
+            # pointer references (measuring only the newest dir would read
+            # ~20x small under the split layout once the terminal majority
+            # leaves the active part — a phantom cross-round improvement).
+            ptr = json.loads((Path(f"{root}/ledger_{n}") / "_LATEST").read_text())
+            live = [ptr["active"], *ptr["terminal"]]
             row["snapshot_bytes"] = sum(
-                f.stat().st_size for f in snap.rglob("*.parquet")
+                f.stat().st_size
+                for d in live
+                for f in (Path(f"{root}/ledger_{n}") / d).rglob("*.parquet")
             )
         out[f"1e{exp}"] = row
         print(json.dumps({f"1e{exp}": row}), flush=True)

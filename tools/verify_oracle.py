@@ -147,6 +147,16 @@ def main() -> int:
         return c
 
     n_pass = n_soft = n_fail = n_rows_only = 0
+    try:
+        return _sweep(spark, specs, fresh_con)
+    finally:
+        import shutil
+
+        shutil.rmtree(spill, ignore_errors=True)
+
+
+def _sweep(spark, specs, fresh_con) -> int:
+    n_pass = n_soft = n_fail = n_rows_only = 0
     for name, spec in sorted(specs.items()):
         t0 = time.time()
         try:
