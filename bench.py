@@ -687,8 +687,17 @@ def main() -> None:
     if "sf10" in payload:
         summary["sf10_total_sec"] = payload["sf10"]["value"]
     line = json.dumps(summary)
-    if len(line) > 1900:  # belt-and-braces: never outgrow the driver's tail
-        summary.pop("queries_calibrated", None)
+    # Belt-and-braces: never outgrow the driver's ~2000-char tail. Drop
+    # optional keys in increasing order of cross-round value until it fits;
+    # metric/value/queries are the non-negotiable core.
+    for optional in ("queries_calibrated", "sf10_total_sec", "sf1_total_sec", "calibration"):
+        if len(line) <= 1900:
+            break
+        summary.pop(optional, None)
+        line = json.dumps(summary)
+    if len(line) > 1900:
+        # Last resort: keep the line parseable rather than truncated.
+        summary["queries"] = {"_truncated": len(payload["queries"])}
         line = json.dumps(summary)
     print(line)
     spark.stop()

@@ -636,7 +636,12 @@ def line_table(
     ``line_words``-word windows because the fixture corpus has no newlines;
     the downstream counting/removal is line-source-agnostic."""
     if newlines:
-        lines_expr = F.split(F.col(text_col), "\n")
+        # \r?\n, not bare \n: CRLF corpora would otherwise leave a trailing
+        # \r on every line, so identical lines with mixed endings fail to
+        # match in boilerplate/dedup counting and survivors rejoin with
+        # stray \r characters. Survivors are rejoined with \n (LF-normalized
+        # output is the documented contract).
+        lines_expr = F.split(F.col(text_col), "\r?\n")
     else:
         lines_expr = F.expr(
             f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) /"
@@ -972,13 +977,14 @@ def repetition_signals(
         F.sum(F.col("c") * ellipsis).alias("n_ellipsis"),
     )
 
-    # Word stream for the gram signals: in newline mode a \n separates words
-    # exactly like a space (otherwise words across line boundaries would
-    # glue into bogus tokens and under-count repeated grams), and empty
-    # words from blank lines are dropped. The default stays a plain
-    # space-split, byte-identical to the registered oracle.
+    # Word stream for the gram signals: in newline mode a \n (or CRLF \r\n,
+    # matching line_table's \r?\n split) separates words exactly like a
+    # space (otherwise words across line boundaries would glue into bogus
+    # tokens and under-count repeated grams), and empty words from blank
+    # lines are dropped. The default stays a plain space-split,
+    # byte-identical to the registered oracle.
     words = (
-        f"filter(split({text_col}, '[ \\n]'), w -> w != '')"
+        f"filter(split({text_col}, '[ \\n\\r]'), w -> w != '')"
         if newlines
         else f"split({text_col}, ' ')"
     )
@@ -1040,3 +1046,302 @@ def l21_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-word windows (fixture corpus has no newlines); the signal math is
     line-source-agnostic."""
     return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# L19b/L21b: the line rules in REAL newline mode, oracle-registered (round 9)
+# --------------------------------------------------------------------------
+# The fixture corpus has no newlines, so the registered l19/l20/l21 oracles
+# only ever exercised the synthesized 4-word-window mode; the real-\n path
+# was pytest-proven but never cross-engine-verified (VERDICT r8 "what's
+# missing #3"). These variants DERIVE a multi-line text inside the query —
+# the same regexp_replace in both engines inserts a \n after every 4th word
+# — and then run the newlines=True path end-to-end, so the \r?\n split,
+# empty-line exclusion, \n-rejoin, and across-line gram tokenization are all
+# value-compared against DuckDB. The derivation regex uses only \S and a
+# literal space, which Java regex and RE2 match identically (ASCII-only \s
+# in both defaults).
+_NEWLINE_DERIVE_RE = r"(\S+ \S+ \S+ \S+) "
+_NEWLINE_DERIVE_SQL = (
+    "regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g')"
+)
+
+
+def _derived_newline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", _NEWLINE_DERIVE_RE, "$1\n")
+    )
+
+
+_L19B_SQL = f"""
+    WITH derived AS (
+        SELECT doc_id, {_NEWLINE_DERIVE_SQL} AS text FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ln FROM derived
+    ),
+    lines AS (
+        SELECT doc_id, g, ln[g + 1] AS line
+        FROM tok, UNNEST(range(len(ln))) AS t(g)
+    ),
+    nonempty AS (SELECT * FROM lines WHERE line <> ''),
+    doc_freq AS (
+        SELECT md5(line) AS lh, count(DISTINCT doc_id) AS n_docs
+        FROM nonempty GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT l.doc_id,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN f.n_docs >= {BOILER_MIN_DOCS} THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+               string_agg(CASE WHEN f.n_docs < {BOILER_MIN_DOCS} THEN l.line
+                          END, chr(10) ORDER BY l.g) AS cleaned_text
+        FROM nonempty l JOIN doc_freq f ON md5(l.line) = f.lh
+        GROUP BY l.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_lines, 0) AS n_lines,
+           COALESCE(p.n_boiler_lines, 0) AS n_boiler_lines,
+           p.cleaned_text
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("l19b_line_boilerplate_newlines", survey="L6,L2,G3", extended=True,
+          sql=_L19B_SQL)
+def l19b_line_boilerplate_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal in REAL newline mode: text derived by
+    inserting \\n after every 4th word (identically in both engines), then
+    the ``newlines=True`` path — split on \\r?\\n, blank lines excluded,
+    survivors rejoined with \\n."""
+    return remove_boilerplate_lines(
+        _derived_newline_docs(spark, sf_dir), newlines=True
+    )
+
+
+_L21B_SQL = f"""
+    WITH derived AS (
+        SELECT doc_id, {_NEWLINE_DERIVE_SQL} AS text FROM documents
+    ),
+    ltok AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ln FROM derived
+    ),
+    lines AS (
+        SELECT doc_id, g, ln[g + 1] AS line
+        FROM ltok, UNNEST(range(len(ln))) AS t(g)
+    ),
+    nonempty AS (SELECT * FROM lines WHERE line <> ''),
+    per_line AS (
+        SELECT doc_id, line, count(*) AS c, len(line) AS chars,
+               CASE WHEN regexp_matches(line, '^[-*•]') THEN 1 ELSE 0 END
+                   AS bullet,
+               CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)$') THEN 1 ELSE 0 END
+                   AS ellipsis
+        FROM nonempty GROUP BY doc_id, line
+    ),
+    line_stats AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_lines,
+               CAST(sum(c - 1) AS BIGINT) AS n_dup_lines,
+               CAST(sum(c * chars) AS BIGINT) AS n_chars,
+               CAST(sum((c - 1) * chars) AS BIGINT) AS n_dup_chars,
+               CAST(sum(c * bullet) AS BIGINT) AS n_bullet,
+               CAST(sum(c * ellipsis) AS BIGINT) AS n_ellipsis
+        FROM per_line GROUP BY doc_id
+    ),
+    wtok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[ \\n]'),
+                           x -> x <> '') AS w
+        FROM derived
+    ),
+    g2 AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram, count(*) AS c
+        FROM wtok, UNNEST(range(1, len(w))) AS t(i)
+        GROUP BY doc_id, gram
+    ),
+    g2_stats AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_2gram_share
+        FROM g2 GROUP BY doc_id
+    ),
+    g3 AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram,
+               count(*) AS c
+        FROM wtok, UNNEST(range(1, len(w) - 1)) AS t(i)
+        GROUP BY doc_id, gram
+    ),
+    g3_stats AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_3gram_share
+        FROM g3 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(l.n_lines, 0) AS n_lines,
+           COALESCE(l.n_dup_lines, 0) AS n_dup_lines,
+           CAST(l.n_dup_lines AS DOUBLE) / l.n_lines AS dup_line_frac,
+           CAST(l.n_dup_chars AS DOUBLE) / l.n_chars AS dup_char_frac,
+           g2s.top_2gram_share,
+           g3s.top_3gram_share,
+           CAST(l.n_bullet AS DOUBLE) / l.n_lines AS bullet_line_frac,
+           CAST(l.n_ellipsis AS DOUBLE) / l.n_lines AS ellipsis_line_frac
+    FROM documents d
+    LEFT JOIN line_stats l USING (doc_id)
+    LEFT JOIN g2_stats g2s USING (doc_id)
+    LEFT JOIN g3_stats g3s USING (doc_id)
+"""
+
+
+@register("l21b_repetition_signals_newlines", survey="L6,L4,G3", extended=True,
+          sql=_L21B_SQL)
+def l21b_repetition_signals_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals in REAL newline mode (derived multi-line
+    text, see l19b): lines from the \\r?\\n split, words tokenized ACROSS
+    newlines with empties dropped — the whole newline code path
+    cross-engine-verified, not just pytest-pinned."""
+    return repetition_signals(_derived_newline_docs(spark, sf_dir), newlines=True)
+
+
+# --------------------------------------------------------------------------
+# L22: composite quality gate — the actual keep/drop verdict (round 9)
+# --------------------------------------------------------------------------
+# Published Gopher repetition cutoffs (Rae et al. 2021, table A1) plus the
+# l6 shape rules; each failed rule sets one bit in a reason-code bitmask so
+# downstream audits can ask "WHY was this dropped" without re-running the
+# signals. A doc is kept iff no rule fires.
+QG_MIN_CHARS = 100  # l6: minimum document size
+QG_MIN_TOKENS = 20  # l6: minimum token count
+QG_WORD_LEN_LO = 2.0  # l6: sane mean word length band
+QG_WORD_LEN_HI = 12.0
+QG_DUP_LINE_FRAC = 0.30  # Gopher: duplicate-line fraction
+QG_DUP_CHAR_FRAC = 0.20  # Gopher: duplicate-line CHARACTER fraction
+QG_TOP_2GRAM = 0.20  # Gopher: top 2-gram share
+QG_TOP_3GRAM = 0.18  # Gopher: top 3-gram share
+QG_BULLET_FRAC = 0.90  # Gopher: bullet-point line fraction
+QG_ELLIPSIS_FRAC = 0.30  # Gopher: ellipsis line fraction
+
+#: reason-code bit assignments (stable public contract — append, never
+#: renumber: stored bitmasks in curated outputs must stay decodable)
+QG_REASONS = {
+    "too_short": 1 << 0,
+    "too_few_tokens": 1 << 1,
+    "word_len": 1 << 2,
+    "dup_lines": 1 << 3,
+    "dup_chars": 1 << 4,
+    "top_2gram": 1 << 5,
+    "top_3gram": 1 << 6,
+    "bullets": 1 << 7,
+    "ellipsis": 1 << 8,
+}
+
+
+def quality_gate(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    newlines: bool = False,
+) -> DataFrame:
+    """Per-document keep/drop verdict with a reason-code bitmask: combines
+    the l6 shape rules (size, token count, mean word length) with Gopher's
+    published repetition cutoffs over :func:`repetition_signals`. NULL
+    signal values (doc too short to form a gram, NULL text) never fire a
+    repetition rule — the shape rules are what reject degenerate docs.
+
+    100 TB shape: the signals pass is l21 (explained-linear, doc-keyed
+    shuffles); everything on top is a row-local expression over one row per
+    document. The verdict is deterministic: integer counts, IEEE quotients
+    of identical integers, published constants."""
+    text = F.col(text_col)
+    n_tokens = F.when(text.isNull(), F.lit(0)).otherwise(
+        F.size(F.split(text, " "))
+    )
+    avg_word_len = F.coalesce(
+        F.length(F.replace(text, F.lit(" "), F.lit(""))), F.lit(0)
+    ).cast("double") / F.greatest(n_tokens, F.lit(1))
+    shaped = docs.select(
+        id_col,
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_word_len.alias("avg_word_len"),
+    )
+    sig = repetition_signals(docs, text_col, id_col, newlines=newlines)
+    j = shaped.join(sig, id_col)
+
+    def bit(cond, name: str):
+        return F.when(
+            F.coalesce(cond, F.lit(False)), F.lit(QG_REASONS[name])
+        ).otherwise(F.lit(0))
+
+    reasons = (
+        bit(F.col("n_chars") < QG_MIN_CHARS, "too_short")
+        + bit(F.col("n_tokens") < QG_MIN_TOKENS, "too_few_tokens")
+        + bit(
+            ~F.col("avg_word_len").between(QG_WORD_LEN_LO, QG_WORD_LEN_HI),
+            "word_len",
+        )
+        + bit(F.col("dup_line_frac") > QG_DUP_LINE_FRAC, "dup_lines")
+        + bit(F.col("dup_char_frac") > QG_DUP_CHAR_FRAC, "dup_chars")
+        + bit(F.col("top_2gram_share") > QG_TOP_2GRAM, "top_2gram")
+        + bit(F.col("top_3gram_share") > QG_TOP_3GRAM, "top_3gram")
+        + bit(F.col("bullet_line_frac") > QG_BULLET_FRAC, "bullets")
+        + bit(F.col("ellipsis_line_frac") > QG_ELLIPSIS_FRAC, "ellipsis")
+    ).cast("long")
+    return j.select(
+        id_col,
+        reasons.alias("reasons"),
+        (reasons == 0).alias("keep"),
+        F.bit_count(reasons).cast("long").alias("n_reasons"),
+    )
+
+
+_L22_SQL = f"""
+    WITH sig AS ({_L21_SQL}),
+    shaped AS (
+        SELECT doc_id,
+               COALESCE(n_chars, 0) AS n_chars,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(string_split(text, ' ')) END AS n_tokens,
+               CAST(COALESCE(length(replace(text, ' ', '')), 0) AS DOUBLE)
+                   / greatest(CASE WHEN text IS NULL THEN 0
+                              ELSE len(string_split(text, ' ')) END, 1)
+                   AS avg_word_len
+        FROM documents
+    ),
+    verdict AS (
+        SELECT s.doc_id,
+               CAST(
+                 CASE WHEN s.n_chars < {QG_MIN_CHARS}
+                      THEN {QG_REASONS['too_short']} ELSE 0 END
+               + CASE WHEN s.n_tokens < {QG_MIN_TOKENS}
+                      THEN {QG_REASONS['too_few_tokens']} ELSE 0 END
+               + CASE WHEN s.avg_word_len NOT BETWEEN {QG_WORD_LEN_LO}
+                           AND {QG_WORD_LEN_HI}
+                      THEN {QG_REASONS['word_len']} ELSE 0 END
+               + CASE WHEN COALESCE(g.dup_line_frac > {QG_DUP_LINE_FRAC},
+                                    FALSE)
+                      THEN {QG_REASONS['dup_lines']} ELSE 0 END
+               + CASE WHEN COALESCE(g.dup_char_frac > {QG_DUP_CHAR_FRAC},
+                                    FALSE)
+                      THEN {QG_REASONS['dup_chars']} ELSE 0 END
+               + CASE WHEN COALESCE(g.top_2gram_share > {QG_TOP_2GRAM}, FALSE)
+                      THEN {QG_REASONS['top_2gram']} ELSE 0 END
+               + CASE WHEN COALESCE(g.top_3gram_share > {QG_TOP_3GRAM}, FALSE)
+                      THEN {QG_REASONS['top_3gram']} ELSE 0 END
+               + CASE WHEN COALESCE(g.bullet_line_frac > {QG_BULLET_FRAC},
+                                    FALSE)
+                      THEN {QG_REASONS['bullets']} ELSE 0 END
+               + CASE WHEN COALESCE(g.ellipsis_line_frac > {QG_ELLIPSIS_FRAC},
+                                    FALSE)
+                      THEN {QG_REASONS['ellipsis']} ELSE 0 END
+               AS BIGINT) AS reasons
+        FROM shaped s JOIN sig g USING (doc_id)
+    )
+    SELECT doc_id, reasons, reasons = 0 AS keep,
+           CAST(bit_count(reasons) AS BIGINT) AS n_reasons
+    FROM verdict
+"""
+
+
+@register("l22_quality_gate", survey="L6,L4,F7", extended=True, sql=_L22_SQL)
+def l22_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop quality verdict over the documents table: l6
+    shape rules + Gopher repetition cutoffs, each failure a bit in a
+    reason-code bitmask (see :data:`QG_REASONS`). The decision real
+    pipelines actually make from the l21 signal battery."""
+    return quality_gate(load_table(spark, sf_dir, "documents"))

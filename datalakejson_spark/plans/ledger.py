@@ -80,6 +80,20 @@ TERMINAL_STATUSES = (LedgerStatus.SUCCEEDED, LedgerStatus.QUARANTINED)
 # next write folds them into one (amortized O(terminal/64) per batch).
 MAX_TERMINAL_SEGMENTS = 64
 
+# Adaptive split deferral (round 9 — the backfill-phase fix): while terminal
+# rows are at most this fraction of the active dir, a commit keeps them IN
+# the active part (one plain write, exactly the legacy cost model) instead of
+# paying the two-pass split + segment append + probe machinery. The
+# reference's opening act is an all-PENDING backfill where the terminal
+# fraction is ~0 and the split bought nothing (r8: 9.0 vs legacy 6.7 s at
+# 10^6); once deferred terminal rows reach the threshold — or the working
+# set shrinks toward the terminal-majority steady state, where each batch's
+# completions easily exceed it — the next commit splits ALL accumulated
+# terminal rows out in one segment write and the active part returns to the
+# pure working set. Write amplification of deferral is bounded by the
+# threshold itself (each deferred rewrite carries <= 5% extra rows).
+TERMINAL_SPLIT_MIN_FRAC = 0.05
+
 
 # Mirrors sudo_code.txt:25-49 minus DB-isms (SERIAL id -> none needed;
 # TIMESTAMP WITH TIME ZONE -> TimestampType, session tz pinned UTC).
@@ -274,6 +288,53 @@ class Ledger:
         active, segs, _legacy = self._current_parts()
         return self._read_dirs(([active] if active else []) + segs)
 
+    # -- per-segment key-range sidecars (round 9) ----------------------------
+    # Written INSIDE the segment dir as ``_RANGE.json`` (the leading
+    # underscore makes Spark's parquet reader treat it as metadata), so the
+    # sidecar travels with the segment through folds and prunes. Advisory:
+    # a missing/corrupt sidecar merely means the probe must include that
+    # segment (legacy segments keep working). This is the reference's
+    # ``idx_processing_status``+pkey analogue for the terminal majority: a
+    # commit-path probe over 10^8 terminal rows touches only segments whose
+    # [min,max] s3_key range can contain a batch key, so probe cost tracks
+    # batch locality instead of total history.
+    def _write_seg_range(self, seg: str, kmin: str | None, kmax: str | None) -> None:
+        if kmin is None or kmax is None:
+            return  # empty segment (never published in practice) — no sidecar
+        tmp = self.root / seg / "_RANGE.json.tmp"
+        try:
+            tmp.write_text(json.dumps({"min": kmin, "max": kmax}))
+            os.replace(tmp, self.root / seg / "_RANGE.json")
+        except OSError:
+            tmp.unlink(missing_ok=True)  # advisory — probe stays conservative
+
+    def _seg_range(self, seg: str) -> tuple[str, str] | None:
+        try:
+            d = json.loads((self.root / seg / "_RANGE.json").read_text())
+            return str(d["min"]), str(d["max"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _key_bounds(self, keys: DataFrame) -> tuple[str | None, str | None]:
+        row = keys.agg(
+            F.min("s3_key").alias("kmin"), F.max("s3_key").alias("kmax")
+        ).first()
+        return (row.kmin, row.kmax) if row else (None, None)
+
+    def _segs_for_keys(
+        self, segs: list[str], kmin: str | None, kmax: str | None
+    ) -> list[str]:
+        """Segments whose key range can intersect [kmin, kmax]; segments
+        without a sidecar are conservatively included."""
+        if kmin is None or kmax is None:
+            return []  # no keys — nothing can hit
+        out = []
+        for s in segs:
+            r = self._seg_range(s)
+            if r is None or (r[0] <= kmax and kmin <= r[1]):
+                out.append(s)
+        return out
+
     def _active_part(self) -> DataFrame:
         """Contents of the active DIR (unfiltered: under a legacy pointer it
         still holds terminal rows until the next write migrates them)."""
@@ -296,13 +357,15 @@ class Ledger:
         paths — terminal re-enqueue compaction, tools). Splits ``df`` by
         status group into a fresh active part + ONE terminal segment: this
         is also what compacts legacy layouts and folds accumulated
-        segments."""
+        segments. A state with zero terminal rows publishes no segment
+        (ADVICE r8: never create empty segment dirs)."""
         df = df.persist()
         try:
+            terminal = df.filter(F.col("status").isin(*TERMINAL_STATUSES))
             self._publish(
                 df.filter(F.col("status").isin(*ACTIVE_STATUSES)),
                 [],
-                df.filter(F.col("status").isin(*TERMINAL_STATUSES)),
+                terminal if terminal.limit(1).count() else None,
             )
         finally:
             df.unpersist()
@@ -337,12 +400,27 @@ class Ledger:
             new_segment_df.select(cols).repartition(1).write.mode(
                 "overwrite"
             ).parquet(str(self.root / seg))
+            self._write_seg_range(
+                seg, *self._key_bounds(new_segment_df)
+            )
             segs.append(seg)
         if len(segs) > MAX_TERMINAL_SEGMENTS:
             merged = f"t{ns}c"
-            self._read_dirs(segs).select(cols).repartition(1).write.mode(
+            folded = self._read_dirs(segs)
+            folded.select(cols).repartition(1).write.mode(
                 "overwrite"
             ).parquet(str(self.root / merged))
+            # Fold the sidecars driver-side when every input has one; only a
+            # legacy (pre-sidecar) segment forces a re-scan of the merge.
+            ranges = [self._seg_range(s) for s in segs]
+            if all(r is not None for r in ranges):
+                self._write_seg_range(
+                    merged,
+                    min(r[0] for r in ranges),
+                    max(r[1] for r in ranges),
+                )
+            else:
+                self._write_seg_range(merged, *self._key_bounds(folded))
             segs = [merged]
         if not self._owns_lock():
             raise LedgerLockLost(
@@ -379,11 +457,17 @@ class Ledger:
         lock-free reader holding the immediately-previous pointer
         (monitor counts, owned_by, _finish_interrupted_archives). Instead,
         an unreferenced segment is first recorded in the advisory
-        ``_RETIRED`` journal with the timestamp it was SEEN unreferenced,
-        and deleted only once that retirement timestamp falls behind the
-        oldest kept active version — i.e. after >= ``keep`` further
-        publishes, the identical grace the active versions get. The journal
-        is advisory (corruption → grace restarts, segments merely linger)."""
+        ``_RETIRED`` journal with the active VERSION NAME current at
+        retirement, and deleted only once that version has fallen out of
+        the kept set — i.e. after >= ``keep`` further publishes, the
+        identical grace the active versions get. Publish-count-based, NOT
+        wall-clock-based (ADVICE r8): version names are minted by whichever
+        runner machine publishes, so comparing a LOCAL time.time_ns() stamp
+        against them collapses the grace window to a single publish under
+        cross-machine clock skew. Counting publishes by name needs no clock
+        agreement at all. The journal is advisory (corruption → grace
+        restarts, segments merely linger) and written atomically
+        (tmp + os.replace) so a crash mid-write can never truncate it."""
         snaps = sorted(
             (p for p in self.root.iterdir() if p.is_dir() and p.name.startswith("v")),
             key=lambda p: p.name,
@@ -394,14 +478,14 @@ class Ledger:
         kept = snaps[-keep:]
         if not kept:
             return
-        cutoff = min(int(p.name[1:]) for p in kept)
+        kept_names = {p.name for p in kept}
+        oldest_kept = min(kept_names)
         referenced = set(segments)
         retired_path = self.root / "_RETIRED"
         try:
-            retired: dict[str, int] = json.loads(retired_path.read_text())
+            retired: dict[str, object] = json.loads(retired_path.read_text())
         except (FileNotFoundError, ValueError):
             retired = {}
-        now = time.time_ns()
         changed = False
         live = set()
         for p in self.root.iterdir():
@@ -413,11 +497,18 @@ class Ledger:
                     retired.pop(p.name)
                     changed = True
                 continue
-            ts = retired.get(p.name)
-            if ts is None:
-                retired[p.name] = now  # grace starts at retirement
+            stamp = retired.get(p.name)
+            if not isinstance(stamp, str):
+                # New retirement — or a legacy integer-timestamp entry, whose
+                # grace restarts under the publish-count scheme (advisory:
+                # the segment merely lingers a few more publishes).
+                retired[p.name] = current  # grace starts at retirement
                 changed = True
-            elif ts < cutoff:
+            elif stamp not in kept_names and stamp < oldest_kept:
+                # The version current at retirement has aged out of the kept
+                # set: >= ``keep`` publishes have happened since, so no
+                # lock-free reader can still hold a pointer naming this
+                # segment.
                 shutil.rmtree(p, ignore_errors=True)
                 retired.pop(p.name)
                 changed = True
@@ -426,7 +517,9 @@ class Ledger:
                 retired.pop(name)
                 changed = True
         if changed:
-            retired_path.write_text(json.dumps(retired))
+            tmp = self.root / "_RETIRED.tmp"
+            tmp.write_text(json.dumps(retired))
+            os.replace(tmp, retired_path)
 
     # -- reference operations ----------------------------------------------
     def register(self, discovered: DataFrame) -> int:
@@ -551,7 +644,14 @@ class Ledger:
         terminal rows CARRYING the fence run_id can transition — a row
         reclaimed-and-completed by another runner carries that runner's id,
         is fenced out untouched, and must NOT trigger a spurious O(N)
-        rewrite (a routine lease-expiry race, not an operator action)."""
+        rewrite (a routine lease-expiry race, not an operator action).
+
+        Range-pruned (round 9): only segments whose ``_RANGE.json`` sidecar
+        can contain a batch key are scanned, so the probe cost tracks batch
+        key locality, not total terminal history."""
+        if not segs:
+            return False
+        segs = self._segs_for_keys(segs, *self._key_bounds(keys))
         if not segs:
             return False
         term = self._read_dirs(segs).join(
@@ -563,11 +663,18 @@ class Ledger:
 
     def _fenced_out(self, keys: DataFrame, fence_run_id: str) -> list[str]:
         """Requested keys whose current row does NOT carry the fence run_id
-        (lost claims). Bounded by the batch's key list; reads the full state
-        because a reclaimed row may already sit in a terminal segment."""
+        (lost claims). Bounded by the batch's key list; reads the active
+        part plus only the terminal segments whose key range can contain a
+        batch key (a reclaimed row may already sit in a terminal segment,
+        but the ``_RANGE.json`` sidecars exclude the segments that cannot
+        hold one — the commit path stays O(active + touched segments), not
+        O(all history)."""
+        active, segs, _legacy = self._current_parts()
+        segs = self._segs_for_keys(segs, *self._key_bounds(keys))
+        state = self._read_dirs(([active] if active else []) + segs)
         return [
             r.s3_key
-            for r in self.read()
+            for r in state
             .join(F.broadcast(keys.select("s3_key")), "s3_key", "left_semi")
             .filter(
                 F.col("run_id").isNull()
@@ -679,16 +786,31 @@ class Ledger:
         ``may_move=False`` (statically no terminal-bound rows — e.g. a
         claim's PROCESSING flip) skips the segment write entirely. The
         persist keeps the two filtered writes consistent (one evaluation of
-        current_timestamp)."""
+        current_timestamp).
+
+        Adaptive deferral (round 9): even when terminal-bound rows are
+        possible, the split is paid only once they exceed
+        TERMINAL_SPLIT_MIN_FRAC of the active dir. Below that — the
+        all-PENDING backfill phase, or a fully fenced-out / no-match commit
+        whose terminal delta is ZERO rows (ADVICE r8: such a commit used to
+        append an EMPTY segment per batch, burning segment slots) — the
+        commit is one plain legacy-cost write and terminal rows simply ride
+        along in the active part until the fraction crosses the threshold,
+        at which point one segment write drains them all."""
         if not may_move:
             self._publish(updated, segs)
             return
         is_terminal = F.col("status").isin(*TERMINAL_STATUSES)
         updated = updated.persist()
         try:
-            self._publish(
-                updated.filter(~is_terminal), segs, updated.filter(is_terminal)
-            )
+            n_total = updated.count()
+            n_term = updated.filter(is_terminal).count()
+            if n_term == 0 or (n_total and n_term / n_total <= TERMINAL_SPLIT_MIN_FRAC):
+                self._publish(updated, segs)
+            else:
+                self._publish(
+                    updated.filter(~is_terminal), segs, updated.filter(is_terminal)
+                )
         finally:
             updated.unpersist()
 

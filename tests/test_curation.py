@@ -287,3 +287,98 @@ def test_repetition_signals_semantic(spark):
     assert abs(out[3].top_3gram_share - 2 / 3) < 1e-12
     assert out[4].top_2gram_share is None and out[4].top_3gram_share is None
     assert out[5].n_lines == 0 and out[5].dup_line_frac is None
+
+
+def test_crlf_corpora_match_lf(spark):
+    """CRLF corpora (ADVICE r8): a \\r\\n-separated document must behave
+    identically to its \\n twin — same line identities (so cross-document
+    boilerplate matching works across mixed line endings), no stray \\r in
+    survivors, and identical repetition signals. Output is LF-normalized."""
+    from datalakejson_spark.functions.curation import (
+        dedup_lines_within_doc,
+        remove_boilerplate_lines,
+        repetition_signals,
+    )
+
+    banner = "Accept all cookies to continue"
+    # Same banner in 3 docs, but with mixed line endings: the CRLF copies
+    # must count toward the same document frequency as the LF one.
+    rows = [
+        (1, f"{banner}\r\nalpha windows text\r\n\r\nbeta tail"),
+        (2, f"{banner}\nunix sibling here"),
+        (3, f"{banner}\r\ngamma after crlf"),
+        (4, "refrain r r\r\nmiddle\r\nrefrain r r"),  # within-doc dup, CRLF
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.doc_id: r for r in remove_boilerplate_lines(docs, newlines=True).collect()}
+    # banner reaches doc-frequency 3 across mixed endings -> stripped everywhere
+    assert out[1].n_boiler_lines == 1
+    assert out[1].cleaned_text == "alpha windows text\nbeta tail"  # LF-normalized, no \r
+    assert out[2].cleaned_text == "unix sibling here"
+    assert out[3].cleaned_text == "gamma after crlf"
+    assert "\r" not in (out[1].cleaned_text or "")
+
+    within = {r.doc_id: r for r in dedup_lines_within_doc(docs, newlines=True).collect()}
+    assert within[4].n_dup_lines == 1
+    assert within[4].cleaned_text == "refrain r r\nmiddle"
+
+    # repetition signals identical for CRLF vs LF twins
+    twins = spark.createDataFrame(
+        [(1, "aa bb\r\naa bb\r\ncc dd"), (2, "aa bb\naa bb\ncc dd")],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: r for r in repetition_signals(twins, newlines=True).collect()}
+    for col in ("n_lines", "n_dup_lines", "dup_line_frac", "dup_char_frac",
+                "top_2gram_share", "top_3gram_share"):
+        assert getattr(sig[1], col) == getattr(sig[2], col), col
+
+
+def test_quality_gate_reason_codes_fire(spark):
+    """Each QG reason bit fires on a doc planted to violate exactly that
+    rule (or a known superset for the inherently-coupled repetition rules);
+    the clean doc passes with reasons == 0."""
+    from datalakejson_spark.functions.curation import QG_REASONS, quality_gate
+
+    def doc(i, text):
+        return (i, text, len(text) if text is not None else None)
+
+    rows = [
+        # 0: clean — 25 distinct 5-char words: 149 chars, awl 5, no repetition
+        doc(0, " ".join(f"w{i:03d}x" for i in range(25))),
+        # 1: too_short only — 25 distinct 2-char words = 74 chars, awl 2.0
+        doc(1, " ".join(f"{c}{d}" for c in "abcde" for d in "fghij")),
+        # 2: too_few_tokens only — 10 distinct 10-char words = 109 chars
+        doc(2, " ".join(f"word{i:06d}" for i in range(10))),
+        # 3: word_len only — 25 distinct 15-char words, awl 15 > 12
+        doc(3, " ".join(f"verylongword{i:03d}" for i in range(25))),
+        # 4: dup_lines + dup_chars — one 4-word line repeated 8x
+        doc(4, " ".join(["quick brown foxes jumpy"] * 8)),
+        # 5: top_2gram + top_3gram — two words alternating 16x
+        doc(5, " ".join(["alpha beta"] * 16)),
+        # 6: bullets — every 4-word window starts with '-'
+        doc(6, " ".join(f"- item{i:02d}a item{i:02d}b item{i:02d}c" for i in range(8))),
+        # 7: ellipsis — every 4-word window ends with '...'
+        doc(7, " ".join(f"t{i}a t{i}b t{i}c t{i}d..." for i in range(8))),
+        # 8: NULL text — shape rules reject it, repetition rules stay silent
+        doc(8, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    out = {r.doc_id: r for r in quality_gate(docs).collect()}
+    assert set(out) == set(range(9))
+
+    R = QG_REASONS
+    assert out[0].reasons == 0 and out[0].keep and out[0].n_reasons == 0
+    assert out[1].reasons == R["too_short"]
+    assert out[2].reasons == R["too_few_tokens"]
+    assert out[3].reasons == R["word_len"]
+    assert out[4].reasons & R["dup_lines"] and out[4].reasons & R["dup_chars"]
+    assert out[5].reasons & R["top_2gram"] and out[5].reasons & R["top_3gram"]
+    assert out[6].reasons & R["bullets"]
+    assert out[7].reasons & R["ellipsis"]
+    assert out[8].reasons == (
+        R["too_short"] | R["too_few_tokens"] | R["word_len"]
+    )
+    for r in out.values():
+        assert r.keep == (r.reasons == 0)
+        assert r.n_reasons == bin(r.reasons).count("1")

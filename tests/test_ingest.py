@@ -719,3 +719,124 @@ def test_fenced_lost_claim_does_not_trigger_compaction(spark, tmp_path):
     rows = {r.s3_key: r for r in led.read().collect()}
     assert all(rows[p].status == LedgerStatus.SUCCEEDED for p in fast)
     assert all(rows[p].run_id == "fast" for p in fast)
+    # ADVICE r8: the fully-fenced-out commit (zero actual transitions) must
+    # not have appended an EMPTY terminal segment.
+    assert len(ptr_after["terminal"]) == len(ptr_before["terminal"])
+
+
+def test_backfill_phase_defers_segment_split(spark, tmp_path):
+    """Adaptive deferral (round 9): during an all-PENDING backfill, a batch
+    whose completions are <= TERMINAL_SPLIT_MIN_FRAC of the active dir
+    publishes ONE plain write — no terminal segment, no split machinery —
+    and the terminal rows ride along in the active part. Once the fraction
+    crosses the threshold, the next commit drains ALL accumulated terminal
+    rows into a single appended segment."""
+    import json as J
+
+    led = Ledger(spark, str(tmp_path / "led"))
+    led.register(_synth_files(spark, 0, 100))  # the 9 TB backfill in miniature
+
+    c1 = led.claim_batch(3, "r1")  # 3/100 = 3% <= 5%: defer
+    led.apply_outcomes([(c1, LedgerStatus.SUCCEEDED, None)], run_id="r1")
+    ptr = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    assert ptr["terminal"] == []  # no segment yet — legacy-cost write
+    assert led.counts()[LedgerStatus.SUCCEEDED] == 3
+    # the deferred terminal rows live in the active dir...
+    active = spark.read.parquet(str(tmp_path / "led" / ptr["active"]))
+    assert active.filter(active.status == LedgerStatus.SUCCEEDED).count() == 3
+
+    # ...and stay claimable-excluded; push the accumulated terminal fraction
+    # past the threshold: the next commit drains EVERYTHING terminal (old
+    # deferred + new) into a single segment
+    c2 = led.claim_batch(97, "r2")
+    assert len(c2) == 97 and not set(c1) & set(c2)
+    led.apply_outcomes([(c2[:10], LedgerStatus.SUCCEEDED, None)], run_id="r2")
+    ptr2 = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    assert len(ptr2["terminal"]) == 1
+    seg = spark.read.parquet(str(tmp_path / "led" / ptr2["terminal"][0]))
+    assert seg.count() == 13  # 3 deferred + 10 new, drained together
+    active2 = spark.read.parquet(str(tmp_path / "led" / ptr2["active"]))
+    assert active2.filter(
+        active2.status == LedgerStatus.SUCCEEDED
+    ).count() == 0
+    assert led.counts()[LedgerStatus.SUCCEEDED] == 13
+
+
+def test_segment_range_sidecars(spark, tmp_path, monkeypatch):
+    """Per-segment key-range sidecars (round 9): every published segment
+    carries _RANGE.json; folds combine ranges driver-side; the terminal
+    probe and fenced-out read skip segments whose range excludes the batch,
+    and a legacy segment WITHOUT a sidecar is conservatively included."""
+    import json as J
+
+    from datalakejson_spark.plans import ledger as L
+
+    led = Ledger(spark, str(tmp_path / "led"))
+    led.register(_synth_files(spark, 0, 40))
+    # two disjoint-key segments: f0..f9 (lexical f0,f1,..) and f30..f39
+    c1 = led.claim_batch(20, "r1")
+    led.apply_outcomes([(c1, LedgerStatus.SUCCEEDED, None)], run_id="r1")
+    c2 = led.claim_batch(20, "r2")
+    led.apply_outcomes([(c2, LedgerStatus.SUCCEEDED, None)], run_id="r2")
+    ptr = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    assert len(ptr["terminal"]) == 2
+    for seg in ptr["terminal"]:
+        r = led._seg_range(seg)
+        assert r is not None and r[0] <= r[1]
+        body = J.loads((tmp_path / "led" / seg / "_RANGE.json").read_text())
+        assert set(body) == {"min", "max"}
+
+    # pruning: keys wholly outside a segment's range exclude it
+    seg_a, seg_b = ptr["terminal"]
+    ra, rb = led._seg_range(seg_a), led._seg_range(seg_b)
+    below_all = led._segs_for_keys([seg_a, seg_b], "a", "a")
+    assert below_all == []
+    only_a = led._segs_for_keys([seg_a, seg_b], ra[0], ra[0])
+    assert seg_a in only_a
+    if rb[0] > ra[1]:  # disjoint ranges: b must be pruned
+        assert seg_b not in only_a
+    # no keys -> nothing can hit
+    assert led._segs_for_keys([seg_a, seg_b], None, None) == []
+    # a legacy segment without a sidecar is conservatively included
+    (tmp_path / "led" / seg_a / "_RANGE.json").unlink()
+    assert seg_a in led._segs_for_keys([seg_a, seg_b], "zzz", "zzz")
+
+    # folds write a combined sidecar (driver-side when inputs have ranges;
+    # seg_a's deleted sidecar forces the data-scan fallback on this fold)
+    monkeypatch.setattr(L, "MAX_TERMINAL_SEGMENTS", 1)
+    led.register(_synth_files(spark, 40, 44))
+    c3 = led.claim_batch(4, "r3")
+    led.apply_outcomes([(c3, LedgerStatus.SUCCEEDED, None)], run_id="r3")
+    ptr2 = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    assert len(ptr2["terminal"]) == 1
+    merged = led._seg_range(ptr2["terminal"][0])
+    assert merged is not None
+    lo = min(x for x in [ra[0], rb[0]] if x)
+    assert merged[0] <= lo and merged[1] >= max(ra[1], rb[1])
+    assert led.counts()[LedgerStatus.SUCCEEDED] == 44
+
+
+def test_retirement_grace_is_publish_count_based(spark, tmp_path, monkeypatch):
+    """ADVICE r8: the retired-segment journal stamps the VERSION NAME current
+    at retirement (publish-count grace — immune to cross-machine clock
+    skew), not a local wall-clock time, and is written atomically."""
+    import json as J
+
+    from datalakejson_spark.plans import ledger as L
+
+    monkeypatch.setattr(L, "MAX_TERMINAL_SEGMENTS", 1)
+    led = Ledger(spark, str(tmp_path / "led"))
+    led.register(_synth_files(spark, 0, 6))
+    for i in range(2):  # second commit folds (1+1 > 1) and retires a segment
+        c = led.claim_batch(2, f"r{i}")
+        led.apply_outcomes([(c, LedgerStatus.SUCCEEDED, None)], run_id=f"r{i}")
+    retired = J.loads((tmp_path / "led" / "_RETIRED").read_text())
+    assert retired, "fold must have retired the replaced segments"
+    versions = {
+        p.name for p in (tmp_path / "led").iterdir()
+        if p.is_dir() and p.name.startswith("v")
+    }
+    for stamp in retired.values():
+        assert isinstance(stamp, str) and stamp.startswith("v")
+        assert stamp in versions  # the version current at retirement
+    assert not (tmp_path / "led" / "_RETIRED.tmp").exists()

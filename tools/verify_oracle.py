@@ -146,7 +146,6 @@ def main() -> int:
             )
         return c
 
-    n_pass = n_soft = n_fail = n_rows_only = 0
     try:
         return _sweep(spark, specs, fresh_con)
     finally:
