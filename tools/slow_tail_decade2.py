@@ -36,6 +36,9 @@ SLOW_TAIL = [
     "l19_line_boilerplate",
     "l20_within_doc_line_dedup",
     "l21_repetition_signals",
+    "l19b_line_boilerplate_newlines",
+    "l21b_repetition_signals_newlines",
+    "l22_quality_gate",
 ]
 
 
