@@ -1246,14 +1246,28 @@ def quality_gate(
     100 TB shape: the signals pass is l21 (explained-linear, doc-keyed
     shuffles); everything on top is a row-local expression over one row per
     document. The verdict is deterministic: integer counts, IEEE quotients
-    of identical integers, published constants."""
+    of identical integers, published constants.
+
+    ``newlines=True`` keeps the shape rules on the SAME token definition as
+    the repetition signals (words split across ``\\n``/``\\r`` with empties
+    dropped, newline bytes excluded from character counts) — one bitmask
+    must never mix two tokenizations."""
     text = F.col(text_col)
-    n_tokens = F.when(text.isNull(), F.lit(0)).otherwise(
-        F.size(F.split(text, " "))
-    )
-    avg_word_len = F.coalesce(
-        F.length(F.replace(text, F.lit(" "), F.lit(""))), F.lit(0)
-    ).cast("double") / F.greatest(n_tokens, F.lit(1))
+    if newlines:
+        n_tokens = F.when(text.isNull(), F.lit(0)).otherwise(
+            F.size(
+                F.expr(f"filter(split({text_col}, '[ \\n\\r]'), w -> w != '')")
+            )
+        )
+        stripped = F.length(F.regexp_replace(text, "[ \n\r]", ""))
+    else:
+        n_tokens = F.when(text.isNull(), F.lit(0)).otherwise(
+            F.size(F.split(text, " "))
+        )
+        stripped = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    avg_word_len = F.coalesce(stripped, F.lit(0)).cast(
+        "double"
+    ) / F.greatest(n_tokens, F.lit(1))
     shaped = docs.select(
         id_col,
         F.coalesce("n_chars", F.lit(0)).alias("n_chars"),

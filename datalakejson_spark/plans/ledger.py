@@ -349,7 +349,39 @@ class Ledger:
         try:
             d = json.loads((self.root / seg / "_RANGE.json").read_text())
             return str(d["min"]), str(d["max"])
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
+            # TypeError covers valid-but-non-dict JSON (null/list/scalar):
+            # ANY unreadable sidecar degrades to a conservative scan.
+            return None
+
+    def _dir_key_stats(self, dirname: str) -> tuple[str, str] | None:
+        """min/max s3_key of a written parquet dir from FOOTER column
+        statistics — driver-side, no Spark job (the _active_row_count
+        pattern). Parquet stat truncation keeps the bounds conservative: a
+        truncated min is a prefix (<= true min) and a truncated max has its
+        last byte incremented (>= true max). None when any file lacks
+        usable stats (caller falls back to an aggregation job)."""
+        try:
+            import pyarrow.parquet as pq
+
+            mins: list[str] = []
+            maxs: list[str] = []
+            for f in (self.root / dirname).glob("*.parquet"):
+                md = pq.ParquetFile(str(f)).metadata
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        if col.path_in_schema != "s3_key":
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        mins.append(str(st.min))
+                        maxs.append(str(st.max))
+            if not mins:
+                return None
+            return min(mins), max(maxs)
+        except Exception:  # noqa: BLE001 — advisory fast path only
             return None
 
     def _key_bounds(self, keys: DataFrame) -> tuple[str | None, str | None]:
@@ -439,8 +471,11 @@ class Ledger:
             new_segment_df.select(cols).repartition(1).write.mode(
                 "overwrite"
             ).parquet(str(self.root / seg))
+            # Sidecar bounds come from the just-written file's footer stats
+            # (driver-side, no job); the aggregation is only the fallback.
             self._write_seg_range(
-                seg, *self._key_bounds(new_segment_df)
+                seg,
+                *(self._dir_key_stats(seg) or self._key_bounds(new_segment_df)),
             )
             segs.append(seg)
         if len(segs) > MAX_TERMINAL_SEGMENTS:
@@ -449,8 +484,9 @@ class Ledger:
             folded.select(cols).repartition(1).write.mode(
                 "overwrite"
             ).parquet(str(self.root / merged))
-            # Fold the sidecars driver-side when every input has one; only a
-            # legacy (pre-sidecar) segment forces a re-scan of the merge.
+            # Fold the sidecars driver-side when every input has one; a
+            # legacy (pre-sidecar) segment falls back to the merged file's
+            # own footer stats, then to a re-scan.
             ranges = [self._seg_range(s) for s in segs]
             if all(r is not None for r in ranges):
                 self._write_seg_range(
@@ -459,7 +495,10 @@ class Ledger:
                     max(r[1] for r in ranges),
                 )
             else:
-                self._write_seg_range(merged, *self._key_bounds(folded))
+                self._write_seg_range(
+                    merged,
+                    *(self._dir_key_stats(merged) or self._key_bounds(folded)),
+                )
             segs = [merged]
         if not self._owns_lock():
             raise LedgerLockLost(
@@ -470,6 +509,12 @@ class Ledger:
             # Preserve the current deferral bookkeeping (writes that cannot
             # change the active dir's terminal content: register, claim).
             deferred_terminal = self._deferred_terminal() or 0
+        # Monotonic publish counter: read-increment under the mutex, so it
+        # advances by exactly one per publish REGARDLESS of which machine's
+        # clock minted the version name — the retirement grace counts these,
+        # never wall-clock-derived names (see _prune).
+        meta = self._pointer_meta() or {}
+        seq = int(meta.get("publish_seq", 0)) + 1
         tmp = self.root / "_LATEST.tmp"
         tmp.write_text(
             json.dumps(
@@ -477,11 +522,12 @@ class Ledger:
                     "active": version,
                     "terminal": segs,
                     "deferred_terminal": deferred_terminal,
+                    "publish_seq": seq,
                 }
             )
         )
         os.replace(tmp, self._pointer)  # atomic commit point
-        self._prune(keep=3, current=version, segments=segs)
+        self._prune(keep=3, current=version, segments=segs, seq=seq)
 
     def _retrying(self, body, attempts: int = 5):
         """Run ``body`` inside the mutex, retrying the whole read-modify-write
@@ -497,7 +543,9 @@ class Ledger:
                 last = exc
         raise last
 
-    def _prune(self, keep: int, current: str, segments: list[str]) -> None:
+    def _prune(
+        self, keep: int, current: str, segments: list[str], seq: int
+    ) -> None:
         """Delete old active versions (keep the newest ``keep`` so lock-free
         readers holding a slightly stale pointer never lose their dirs) and
         RETIRED terminal segments after the same grace window.
@@ -508,17 +556,19 @@ class Ledger:
         lock-free reader holding the immediately-previous pointer
         (monitor counts, owned_by, _finish_interrupted_archives). Instead,
         an unreferenced segment is first recorded in the advisory
-        ``_RETIRED`` journal with the active VERSION NAME current at
-        retirement, and deleted only once that version has fallen out of
-        the kept set — i.e. after >= ``keep`` further publishes, the
-        identical grace the active versions get. Publish-count-based, NOT
-        wall-clock-based (ADVICE r8): version names are minted by whichever
-        runner machine publishes, so comparing a LOCAL time.time_ns() stamp
-        against them collapses the grace window to a single publish under
-        cross-machine clock skew. Counting publishes by name needs no clock
-        agreement at all. The journal is advisory (corruption → grace
-        restarts, segments merely linger) and written atomically
-        (tmp + os.replace) so a crash mid-write can never truncate it."""
+        ``_RETIRED`` journal with the pointer's ``publish_seq`` at
+        retirement, and deleted only once at least ``keep`` further
+        publishes have happened — the identical grace the active versions
+        get. The counter is incremented read-modify-write under the mutex,
+        so the grace is genuinely publish-COUNT-based: version names are
+        minted by whichever runner machine publishes, and under
+        cross-machine clock skew a name-comparison grace (the first cut of
+        this fix) could still collapse to one publish — a skewed-behind
+        runner's version name sorts below every kept name immediately. A
+        monotonic counter has no such failure mode. The journal is advisory
+        (corruption → grace restarts, segments merely linger) and written
+        atomically (tmp + os.replace) so a crash mid-write can never
+        truncate it."""
         snaps = sorted(
             (p for p in self.root.iterdir() if p.is_dir() and p.name.startswith("v")),
             key=lambda p: p.name,
@@ -526,11 +576,6 @@ class Ledger:
         for stale in snaps[:-keep]:
             if stale.name != current:
                 shutil.rmtree(stale, ignore_errors=True)
-        kept = snaps[-keep:]
-        if not kept:
-            return
-        kept_names = {p.name for p in kept}
-        oldest_kept = min(kept_names)
         referenced = set(segments)
         retired_path = self.root / "_RETIRED"
         try:
@@ -549,17 +594,17 @@ class Ledger:
                     changed = True
                 continue
             stamp = retired.get(p.name)
-            if not isinstance(stamp, str):
-                # New retirement — or a legacy integer-timestamp entry, whose
-                # grace restarts under the publish-count scheme (advisory:
-                # the segment merely lingers a few more publishes).
-                retired[p.name] = current  # grace starts at retirement
+            stamp_seq = stamp.get("seq") if isinstance(stamp, dict) else None
+            if not isinstance(stamp_seq, int):
+                # New retirement — or a legacy entry (r8 timestamp int / r9.0
+                # version-name string), whose grace restarts under the
+                # counter scheme (advisory: the segment merely lingers a few
+                # more publishes).
+                retired[p.name] = {"seq": seq}  # grace starts at retirement
                 changed = True
-            elif stamp not in kept_names and stamp < oldest_kept:
-                # The version current at retirement has aged out of the kept
-                # set: >= ``keep`` publishes have happened since, so no
-                # lock-free reader can still hold a pointer naming this
-                # segment.
+            elif seq - stamp_seq >= keep:
+                # >= ``keep`` publishes since retirement: no lock-free
+                # reader can still hold a pointer naming this segment.
                 shutil.rmtree(p, ignore_errors=True)
                 retired.pop(p.name)
                 changed = True
@@ -686,7 +731,11 @@ class Ledger:
             )
 
     def _terminal_hit(
-        self, segs: list[str], keys: DataFrame, fence_run_id: str | None
+        self,
+        segs: list[str],
+        keys: DataFrame,
+        fence_run_id: str | None,
+        key_bounds: tuple[str | None, str | None] | None = None,
     ) -> bool:
         """Does any requested key currently live in a terminal segment AND
         could its transition actually apply? Read-only key-pruned probe;
@@ -702,7 +751,9 @@ class Ledger:
         key locality, not total terminal history."""
         if not segs:
             return False
-        segs = self._segs_for_keys(segs, *self._key_bounds(keys))
+        if key_bounds is None:
+            key_bounds = self._key_bounds(keys)
+        segs = self._segs_for_keys(segs, *key_bounds)
         if not segs:
             return False
         term = self._read_dirs(segs).join(
@@ -712,7 +763,12 @@ class Ledger:
             term = term.filter(F.col("run_id") == F.lit(fence_run_id))
         return term.limit(1).count() > 0
 
-    def _fenced_out(self, keys: DataFrame, fence_run_id: str) -> list[str]:
+    def _fenced_out(
+        self,
+        keys: DataFrame,
+        fence_run_id: str,
+        key_bounds: tuple[str | None, str | None] | None = None,
+    ) -> list[str]:
         """Requested keys whose current row does NOT carry the fence run_id
         (lost claims). Bounded by the batch's key list; reads the active
         part plus only the terminal segments whose key range can contain a
@@ -721,7 +777,9 @@ class Ledger:
         hold one — the commit path stays O(active + touched segments), not
         O(all history)."""
         active, segs, _legacy = self._current_parts()
-        segs = self._segs_for_keys(segs, *self._key_bounds(keys))
+        if key_bounds is None:
+            key_bounds = self._key_bounds(keys)
+        segs = self._segs_for_keys(segs, *key_bounds)
         state = self._read_dirs(([active] if active else []) + segs)
         return [
             r.s3_key
@@ -743,18 +801,21 @@ class Ledger:
         may_move: bool,
         skip_probe: bool = False,
         batch_terminal_bound: int | None = None,
+        key_bounds: tuple[str | None, str | None] | None = None,
     ) -> None:
         """Shared routing tail of the two update paths (set_status /
         apply_outcomes): fast active-part publish, or the rare full
         compaction when a terminal row is genuinely being transitioned.
         ``batch_terminal_bound``: driver-side upper bound on how many rows
         this update can move to a terminal status (enables the no-persist
-        deferral fast path in _commit_active_update)."""
+        deferral fast path in _commit_active_update). ``key_bounds``:
+        driver-side (min, max) of the batch keys where known — saves the
+        probe its aggregation job."""
         _active, segs, legacy = self._current_parts()
         if (
             not skip_probe
             and not legacy
-            and self._terminal_hit(segs, keys, fence_run_id)
+            and self._terminal_hit(segs, keys, fence_run_id, key_bounds)
         ):
             self.overwrite(transform(self.read()))
             return
@@ -777,15 +838,19 @@ class Ledger:
     ) -> list[str]:
         if isinstance(paths, DataFrame):
             keys = paths.select(F.col(paths.columns[0]).alias("s3_key"))
+            kb = None  # computed (once) by the consumers that need it
         else:
             keys = local_df(
                 self.spark, [(p,) for p in paths], "s3_key string"
             )
+            # Driver-side bounds: the probe and fenced-out check need no
+            # aggregation job at all for list-keyed transitions.
+            kb = (min(paths), max(paths)) if paths else (None, None)
         hit = F.col("_hit").isNotNull()
         fenced_out: list[str] = []
         if fence_run_id is not None:
             hit = hit & (F.col("run_id") == F.lit(fence_run_id))
-            fenced_out = self._fenced_out(keys, fence_run_id)
+            fenced_out = self._fenced_out(keys, fence_run_id, key_bounds=kb)
 
         def transform(df: DataFrame) -> DataFrame:
             return (
@@ -840,6 +905,7 @@ class Ledger:
                 if status in TERMINAL_STATUSES and not isinstance(paths, DataFrame)
                 else (None if status in TERMINAL_STATUSES else 0)
             ),
+            key_bounds=kb,
         )
         return fenced_out
 
@@ -958,6 +1024,10 @@ class Ledger:
                         for p in paths
                     }
                 ),
+                key_bounds=(
+                    min(r[0] for r in rows),
+                    max(r[0] for r in rows),
+                ),
             )
 
     def _apply_updates_unlocked(
@@ -967,12 +1037,13 @@ class Ledger:
         fence_run_id: str | None = None,
         may_move: bool = True,
         batch_terminal_bound: int | None = None,
+        key_bounds: tuple[str | None, str | None] | None = None,
     ) -> list[str]:
         hit = F.col("new_status").isNotNull()
         fenced_out: list[str] = []
         if fence_run_id is not None:
             hit = hit & (F.col("run_id") == F.lit(fence_run_id))
-            fenced_out = self._fenced_out(updates, fence_run_id)
+            fenced_out = self._fenced_out(updates, fence_run_id, key_bounds)
 
         def transform(df: DataFrame) -> DataFrame:
             return (
@@ -1006,6 +1077,7 @@ class Ledger:
             fence_run_id,
             may_move,
             batch_terminal_bound=batch_terminal_bound,
+            key_bounds=key_bounds,
         )
         return fenced_out
 

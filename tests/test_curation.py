@@ -382,3 +382,25 @@ def test_quality_gate_reason_codes_fire(spark):
     for r in out.values():
         assert r.keep == (r.reasons == 0)
         assert r.n_reasons == bin(r.reasons).count("1")
+
+
+def test_quality_gate_newline_mode_tokenization_consistent(spark):
+    """In newlines=True mode the SHAPE rules must use the same token
+    definition as the repetition signals (words split across \\n/\\r,
+    newline bytes not counted as word characters): a clean multi-line doc
+    and its single-line twin get identical verdicts."""
+    from datalakejson_spark.functions.curation import quality_gate
+
+    words = [f"w{i:03d}x" for i in range(25)]  # 25 distinct 5-char words
+    flat = " ".join(words)
+    multi = "\n".join(
+        " ".join(words[i : i + 5]) for i in range(0, 25, 5)
+    )  # same words, 5 real lines
+    rows = [(1, flat, len(flat)), (2, multi, len(multi))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    out = {r.doc_id: r for r in quality_gate(docs, newlines=True).collect()}
+    # the multi-line doc is clean prose: no bit may fire (a space-only
+    # tokenizer would glue words across \n, undercount tokens, and inflate
+    # avg word length with newline bytes)
+    assert out[2].reasons == 0 and out[2].keep
+    assert out[1].reasons == out[2].reasons

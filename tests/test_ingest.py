@@ -817,9 +817,11 @@ def test_segment_range_sidecars(spark, tmp_path, monkeypatch):
 
 
 def test_retirement_grace_is_publish_count_based(spark, tmp_path, monkeypatch):
-    """ADVICE r8: the retired-segment journal stamps the VERSION NAME current
-    at retirement (publish-count grace — immune to cross-machine clock
-    skew), not a local wall-clock time, and is written atomically."""
+    """ADVICE r8: the retired-segment journal stamps the pointer's MONOTONIC
+    publish counter at retirement, never anything clock-derived (version
+    names are minted by whichever machine publishes, so a name-comparison
+    grace collapses under cross-machine clock skew), and is written
+    atomically."""
     import json as J
 
     from datalakejson_spark.plans import ledger as L
@@ -832,11 +834,27 @@ def test_retirement_grace_is_publish_count_based(spark, tmp_path, monkeypatch):
         led.apply_outcomes([(c, LedgerStatus.SUCCEEDED, None)], run_id=f"r{i}")
     retired = J.loads((tmp_path / "led" / "_RETIRED").read_text())
     assert retired, "fold must have retired the replaced segments"
-    versions = {
-        p.name for p in (tmp_path / "led").iterdir()
-        if p.is_dir() and p.name.startswith("v")
-    }
+    ptr = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    assert isinstance(ptr["publish_seq"], int) and ptr["publish_seq"] >= 1
     for stamp in retired.values():
-        assert isinstance(stamp, str) and stamp.startswith("v")
-        assert stamp in versions  # the version current at retirement
+        assert isinstance(stamp, dict) and isinstance(stamp["seq"], int)
+        assert stamp["seq"] <= ptr["publish_seq"]
     assert not (tmp_path / "led" / "_RETIRED.tmp").exists()
+
+    # Clock-skew immunity: a publish whose version NAME sorts below every
+    # kept version (a skewed-behind runner's clock) must not fast-forward
+    # the grace — the counter advances by one regardless of the name.
+    seq_before = ptr["publish_seq"]
+    orig_time_ns = L.time.time_ns
+    monkeypatch.setattr(L.time, "time_ns", lambda: orig_time_ns() - 10**15)
+    led.register(_synth_files(spark, 6, 7))  # one skewed publish
+    monkeypatch.setattr(L.time, "time_ns", orig_time_ns)
+    ptr2 = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    assert ptr2["publish_seq"] == seq_before + 1
+    # surviving retired entries aged exactly one publish, not >= keep
+    retired2 = J.loads((tmp_path / "led" / "_RETIRED").read_text())
+    for name, stamp in retired2.items():
+        if name in retired and ptr2["publish_seq"] - stamp["seq"] < 3:
+            assert (tmp_path / "led" / name).is_dir(), (
+                "segment deleted before its publish-count grace elapsed"
+            )

@@ -33,8 +33,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-KEY = "s3://lake/landing/dt={d}/f{i:09d}"  # zero-padded: lexical = arrival
-
 
 def main() -> None:
     import pyspark.sql.functions as F
