@@ -1304,19 +1304,13 @@ def quality_gate(
     )
 
 
-_L22_SQL = f"""
-    WITH sig AS ({_L21_SQL}),
-    shaped AS (
-        SELECT doc_id,
-               COALESCE(n_chars, 0) AS n_chars,
-               CASE WHEN text IS NULL THEN 0
-                    ELSE len(string_split(text, ' ')) END AS n_tokens,
-               CAST(COALESCE(length(replace(text, ' ', '')), 0) AS DOUBLE)
-                   / greatest(CASE WHEN text IS NULL THEN 0
-                              ELSE len(string_split(text, ' ')) END, 1)
-                   AS avg_word_len
-        FROM documents
-    ),
+def _qg_sql(sig_sql: str, shaped_body: str) -> str:
+    """The l22 verdict SQL over any (signals CTE, shaped CTE) pair — one
+    CASE-per-reason block shared by the window-mode and newline-mode
+    registrations so the two oracles can never drift apart."""
+    return f"""
+    WITH sig AS ({sig_sql}),
+    shaped AS ({shaped_body}),
     verdict AS (
         SELECT s.doc_id,
                CAST(
@@ -1352,6 +1346,22 @@ _L22_SQL = f"""
 """
 
 
+_L22_SQL = _qg_sql(
+    _L21_SQL,
+    """
+        SELECT doc_id,
+               COALESCE(n_chars, 0) AS n_chars,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(string_split(text, ' ')) END AS n_tokens,
+               CAST(COALESCE(length(replace(text, ' ', '')), 0) AS DOUBLE)
+                   / greatest(CASE WHEN text IS NULL THEN 0
+                              ELSE len(string_split(text, ' ')) END, 1)
+                   AS avg_word_len
+        FROM documents
+    """,
+)
+
+
 @register("l22_quality_gate", survey="L6,L4,F7", extended=True, sql=_L22_SQL)
 def l22_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite keep/drop quality verdict over the documents table: l6
@@ -1359,3 +1369,37 @@ def l22_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason-code bitmask (see :data:`QG_REASONS`). The decision real
     pipelines actually make from the l21 signal battery."""
     return quality_gate(load_table(spark, sf_dir, "documents"))
+
+
+_L22B_SQL = _qg_sql(
+    _L21B_SQL,
+    f"""
+        SELECT doc_id,
+               COALESCE(n_chars, 0) AS n_chars,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(list_filter(
+                             string_split_regex({_NEWLINE_DERIVE_SQL},
+                                                '[ \\n]'),
+                             x -> x <> '')) END AS n_tokens,
+               CAST(COALESCE(length(regexp_replace({_NEWLINE_DERIVE_SQL},
+                                                   '[ \\n]', '', 'g')),
+                             0) AS DOUBLE)
+                   / greatest(CASE WHEN text IS NULL THEN 0
+                              ELSE len(list_filter(
+                                       string_split_regex(
+                                           {_NEWLINE_DERIVE_SQL}, '[ \\n]'),
+                                       x -> x <> '')) END, 1)
+                   AS avg_word_len
+        FROM documents
+    """,
+)
+
+
+@register("l22b_quality_gate_newlines", survey="L6,L4,F7", extended=True,
+          sql=_L22B_SQL)
+def l22b_quality_gate_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite quality gate in REAL newline mode (derived multi-line
+    text, see l19b): repetition signals over \\r?\\n lines, shape rules on
+    the same across-newline tokenization, one reason-code bitmask — the
+    whole newline verdict path cross-engine-verified."""
+    return quality_gate(_derived_newline_docs(spark, sf_dir), newlines=True)
