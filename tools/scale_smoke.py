@@ -28,10 +28,23 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/datalakejson_sf1"
     if not Path(sf_dir).exists():
         make_scaled_sf("/root/testdata/sf0.1", sf_dir, 10)
+    # Session recycling: one long-lived 8 GB driver JVM running the whole
+    # registry back-to-back at sf10 accumulates driver-heap state faster
+    # than the ContextCleaner reclaims it (broadcast/TorrentBroadcast blocks
+    # pend on GC) — at 147 queries the heap finally OOM'd ~130 queries in,
+    # taking the py4j gateway and every later query with it, even though
+    # each query passes alone. A fresh session every SESSION_RECYCLE
+    # queries bounds the accumulation; each query's own execution is
+    # unchanged (and per-query times remain comparable — session start is
+    # excluded from timings).
+    SESSION_RECYCLE = 40
     spark = get_spark("scale-smoke")
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, spec in sorted(all_specs().items()):
+    for i, (name, spec) in enumerate(sorted(all_specs().items())):
+        if i and i % SESSION_RECYCLE == 0:
+            spark.stop()
+            spark = get_spark("scale-smoke")
         t0 = time.time()
         try:
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

@@ -39,6 +39,7 @@ SLOW_TAIL = [
     "l19b_line_boilerplate_newlines",
     "l21b_repetition_signals_newlines",
     "l22_quality_gate",
+    "l22b_quality_gate_newlines",
 ]
 
 
