@@ -816,6 +816,68 @@ def test_segment_range_sidecars(spark, tmp_path, monkeypatch):
     assert led.counts()[LedgerStatus.SUCCEEDED] == 44
 
 
+def test_two_runner_soak_through_defer_and_drain(spark, tmp_path):
+    """Concurrency soak across the round-9 deferral state machine: two
+    runners drain a 400-file backlog in 5-file batches. Early commits sit
+    under the 5% terminal threshold (defer: terminal rows ride in the
+    active part), and as the backlog shrinks the fraction crosses the
+    threshold mid-soak (drain: accumulated terminal rows move to segments)
+    — both paths and the transition run under real claim interleaving,
+    with the publish_seq counter and sidecar writes in the loop. Exactly-
+    once per file, nothing lost, bookkeeping consistent at the end."""
+    import json as J
+    import threading
+
+    led = Ledger(spark, str(tmp_path / "led"))
+    n_files = 400
+    led.register(_synth_files(spark, 0, n_files))
+
+    done: dict[str, list[str]] = {"a": [], "b": []}
+    errors: list[BaseException] = []
+
+    def runner(name: str) -> None:
+        try:
+            while True:
+                claimed = led.claim_batch(5, name)
+                if not claimed:
+                    return
+                fenced = led.apply_outcomes(
+                    [(claimed, LedgerStatus.SUCCEEDED, None)], run_id=name
+                )
+                done[name].extend(p for p in claimed if p not in set(fenced))
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta = threading.Thread(target=runner, args=("a",))
+    tb = threading.Thread(target=runner, args=("b",))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+
+    # exactly-once: no file committed by both runners, all drained
+    assert set(done["a"]) & set(done["b"]) == set()
+    assert len(done["a"]) + len(done["b"]) == n_files
+    assert led.counts() == {LedgerStatus.SUCCEEDED: n_files}
+    assert led.read().select("s3_key").distinct().count() == n_files
+
+    # bookkeeping: the recorded deferral bound covers the actual deferred
+    # terminal rows still riding in the active dir (bound may overcount —
+    # fenced rows — but never undercount), and the monotonic publish
+    # counter advanced at least one claim+commit pair per batch
+    ptr = J.loads((tmp_path / "led" / "_LATEST").read_text())
+    active = spark.read.parquet(str(tmp_path / "led" / ptr["active"]))
+    from datalakejson_spark.plans.ledger import TERMINAL_STATUSES
+
+    n_deferred_actual = active.filter(
+        active.status.isin(*TERMINAL_STATUSES)
+    ).count()
+    assert n_deferred_actual <= ptr["deferred_terminal"]
+    assert ptr["publish_seq"] >= 2 * (n_files // 5) // 2
+    # every referenced segment carries a valid range sidecar
+    for seg in ptr["terminal"]:
+        r = Ledger(spark, str(tmp_path / "led"))._seg_range(seg)
+        assert r is not None and r[0] <= r[1]
+
+
 def test_retirement_grace_is_publish_count_based(spark, tmp_path, monkeypatch):
     """ADVICE r8: the retired-segment journal stamps the pointer's MONOTONIC
     publish counter at retirement, never anything clock-derived (version
