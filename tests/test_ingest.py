@@ -871,10 +871,11 @@ def test_two_runner_soak_through_defer_and_drain(spark, tmp_path):
         active.status.isin(*TERMINAL_STATUSES)
     ).count()
     assert n_deferred_actual <= ptr["deferred_terminal"]
-    assert ptr["publish_seq"] >= 2 * (n_files // 5) // 2
+    # each 5-file batch publishes twice (claim's PROCESSING flip + commit)
+    assert ptr["publish_seq"] >= 2 * (n_files // 5)
     # every referenced segment carries a valid range sidecar
     for seg in ptr["terminal"]:
-        r = Ledger(spark, str(tmp_path / "led"))._seg_range(seg)
+        r = led._seg_range(seg)
         assert r is not None and r[0] <= r[1]
 
 

@@ -43,7 +43,10 @@ def main() -> None:
     failures: dict[str, str] = {}
     for i, (name, spec) in enumerate(sorted(all_specs().items())):
         if i and i % SESSION_RECYCLE == 0:
-            spark.stop()
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001 — a dead gateway must not
+                pass  # lose the accumulated report; the rebuild below heals
             spark = get_spark("scale-smoke")
         t0 = time.time()
         try:
@@ -57,7 +60,10 @@ def main() -> None:
         print(f"  slowest: {name} {t}s")
     for name, err in failures.items():
         print(f"  FAILED: {name}: {err}")
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 — summary is out; exit code must hold
+        pass
     sys.exit(1 if failures else 0)
 
 
