@@ -253,3 +253,61 @@ def test_streaming_media_features(spark, tmp_path: Path):
     # nothing new → no-op drain
     streaming_media_features(spark, str(landing), feats, ckpt).awaitTermination()
     assert spark.read.parquet(feats).count() == 4
+
+
+def test_streaming_quality_gated_ingest(spark, tmp_path):
+    """T-plane form of the l22 gate: documents stream through foreachBatch,
+    kept docs land in the curated sink, rejects land with their reason
+    bitmask; a second drain with no new files is a no-op, a later file is
+    gated in a new batch partition; verdicts match the batch-mode gate."""
+    import json
+
+    from datalakejson_spark.functions.curation import QG_REASONS, quality_gate
+    from datalakejson_spark.streaming.quality_stream import (
+        streaming_quality_gated_ingest,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    good = " ".join(f"w{i:03d}x" for i in range(25))  # passes every rule
+    rows1 = [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": "tiny doc"},  # too_short + too_few_tokens
+        {"doc_id": 3, "text": " ".join(["alpha beta"] * 16)},  # gram bits
+    ]
+    (land / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    kwargs = dict(
+        landing_dir=str(land),
+        kept_dir=str(tmp_path / "kept"),
+        dropped_dir=str(tmp_path / "dropped"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema="doc_id long, text string",
+    )
+    streaming_quality_gated_ingest(spark, **kwargs).awaitTermination()
+
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    dropped = spark.read.parquet(str(tmp_path / "dropped"))
+    assert {r.doc_id for r in kept.collect()} == {1}
+    drop_rows = {r.doc_id: r for r in dropped.collect()}
+    assert set(drop_rows) == {2, 3}
+    # rejects carry the auditable bitmask, matching the batch-mode gate
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"], len(r["text"])) for r in rows1],
+        "doc_id long, text string, n_chars int",
+    )
+    batch = {r.doc_id: r.reasons for r in quality_gate(batch_docs).collect()}
+    for did, row in drop_rows.items():
+        assert row.reasons == batch[did]
+    assert drop_rows[2].reasons & QG_REASONS["too_short"]
+
+    # drain again with nothing new: no-op (checkpoint remembers the file)
+    streaming_quality_gated_ingest(spark, **kwargs).awaitTermination()
+    assert kept.count() == 1 and spark.read.parquet(str(tmp_path / "dropped")).count() == 2
+
+    # a later landing file is gated in its own batch partition
+    (land / "b2.json").write_text(json.dumps({"doc_id": 4, "text": good}))
+    streaming_quality_gated_ingest(spark, **kwargs).awaitTermination()
+    kept2 = spark.read.parquet(str(tmp_path / "kept"))
+    assert {r.doc_id for r in kept2.collect()} == {1, 4}
+    assert kept2.select("_batch_id").distinct().count() == 2
