@@ -191,6 +191,16 @@ class DataLakeEngine:
 
         return assign_split(docs)
 
+    def quality_gate(self, docs: DataFrame, **kwargs) -> DataFrame:
+        """Per-document keep/drop verdict with a reason-code bitmask: l6
+        shape rules + Gopher repetition cutoffs (functions/curation.py::
+        quality_gate, the l22 query). ``newlines=True`` for real multi-line
+        corpora. Join back on the id column to route kept/rejected rows;
+        the streaming form is streaming/quality_stream.py."""
+        from datalakejson_spark.functions.curation import quality_gate
+
+        return quality_gate(docs, **kwargs)
+
     def export_shards(self, corpus: DataFrame, out_dir: str, **kwargs) -> None:
         """Materialize a packed corpus as one parquet file per shard_id
         (consumption/feed.py) — the layout ShardFeed and training jobs read."""

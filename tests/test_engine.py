@@ -115,6 +115,14 @@ def test_engine_training_lifecycle(spark, ingest_conf, tmp_path: Path):
     split = engine.assign_split(corpus)
     assert split.filter(F.col("split").isNull()).count() == 0
 
+    # the l22 verdict over arbitrary docs through the facade
+    gated = engine.quality_gate(
+        spark.createDataFrame(
+            [(1, "short", 5)], "doc_id long, text string, n_chars int"
+        )
+    ).collect()
+    assert len(gated) == 1 and not gated[0].keep and gated[0].reasons > 0
+
     shard_dir = str(tmp_path / "shards")
     engine.export_shards(corpus, shard_dir)
     feed = engine.feed(shard_dir, batch_rows=7)
