@@ -901,3 +901,119 @@ def test_aiff_ssnd_padding_not_decoded_as_samples():
     assert out is not None
     rate, arr = out
     assert rate == 8000 and len(arr) == 4  # not 7
+
+
+# ---------------------------------------------------------------------------
+# Image resize (round 9): exact area resampling + nearest, PPM interchange
+# ---------------------------------------------------------------------------
+def test_resample_weights_partition_of_unity():
+    """Every output bin's weights over input pixels sum to exactly 1 (the
+    box filter is a partition of unity), for down/up/identity scales; the
+    identity scale yields the identity matrix."""
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import _resample_weights
+
+    for n_in, n_out in [(7, 3), (3, 7), (4, 4), (1024, 17), (5, 1), (1, 5)]:
+        w = _resample_weights(n_in, n_out)
+        assert w.shape == (n_out, n_in)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-12)
+        assert (w >= 0).all()
+    np.testing.assert_array_equal(_resample_weights(4, 4), np.eye(4))
+
+
+def test_resize_area_exact_means():
+    """Area resampling computes exact box means: checkerboard 2x2 -> 1x1 is
+    the global mean; 4x2 -> 2x1 gives per-half means; constants stay
+    constant at any target size."""
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import resize_pixels
+
+    checker = np.zeros((2, 2, 3), dtype="float32")
+    checker[0, 0] = checker[1, 1] = 1.0
+    out = resize_pixels(checker, 1, 1)
+    np.testing.assert_allclose(out, 0.5, atol=1e-7)
+
+    grad = np.zeros((2, 4, 3), dtype="float32")
+    grad[:, :2] = 0.25
+    grad[:, 2:] = 0.75
+    out = resize_pixels(grad, 2, 1)  # width 2, height 1
+    np.testing.assert_allclose(out[0, 0], 0.25, atol=1e-7)
+    np.testing.assert_allclose(out[0, 1], 0.75, atol=1e-7)
+
+    const = np.full((5, 3, 3), 0.3, dtype="float32")
+    for w, h in [(7, 2), (1, 1), (3, 5)]:
+        np.testing.assert_allclose(resize_pixels(const, w, h), 0.3, atol=1e-6)
+
+
+def test_resize_nearest_center_rule():
+    """Nearest-neighbor upscale replicates each source pixel into its
+    block (center-rule index mapping), preserving exact values."""
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import resize_pixels
+
+    quad = np.zeros((2, 2, 3), dtype="float32")
+    quad[0, 0, 0] = 1.0  # red TL
+    quad[1, 1, 2] = 1.0  # blue BR
+    out = resize_pixels(quad, 4, 4, method="nearest")
+    assert out.shape == (4, 4, 3)
+    np.testing.assert_array_equal(out[:2, :2], np.broadcast_to(quad[0, 0], (2, 2, 3)))
+    np.testing.assert_array_equal(out[2:, 2:], np.broadcast_to(quad[1, 1], (2, 2, 3)))
+
+
+def test_encode_ppm_roundtrips_through_numpy_decoder():
+    """encode_ppm output decodes back bit-exactly through the same numpy
+    tier (values on the 1/255 grid survive the float round-trip)."""
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import (
+        _decode_ppm_numpy,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(9, 5, 3)).astype("float32") / 255.0
+    back = _decode_ppm_numpy(encode_ppm(arr))
+    np.testing.assert_allclose(back, arr, atol=1e-7)
+
+
+def test_resize_images_spark_path(spark):
+    """The mapInPandas operator end-to-end: decodable payloads (PPM + PNG)
+    resize to the target dims and re-encode as valid PPM; malformed and
+    NULL payloads row through with resized_ok=false and tier attribution."""
+    import numpy as np
+
+    from datalakejson_spark.functions.imagecodecs import encode_png
+    from datalakejson_spark.functions.multimodal import (
+        _decode_ppm_numpy,
+        encode_ppm,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    ppm_arr = rng.integers(0, 256, size=(8, 6, 3)).astype("float32") / 255.0
+    png_arr = (rng.integers(0, 256, size=(5, 7, 3))).astype("uint8")
+    rows = [
+        ("ppm", bytearray(encode_ppm(ppm_arr))),
+        ("png", bytearray(encode_png(png_arr))),
+        ("bad", bytearray(b"P6\n9 9\n255\nshort")),  # malformed PPM
+        ("null", None),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id string, payload binary")
+    out = {r.asset_id: r for r in resize_images(assets, 4, 3).collect()}
+
+    for aid in ("ppm", "png"):
+        r = out[aid]
+        assert r.resized_ok and r.width == 4 and r.height == 3
+        arr = _decode_ppm_numpy(bytes(r.payload))
+        assert arr is not None and arr.shape == (3, 4, 3)
+    # area mean of the whole image survives the resize within PPM rounding
+    assert abs(
+        float(_decode_ppm_numpy(bytes(out["ppm"].payload)).mean())
+        - float(ppm_arr.mean())
+    ) < 2 / 255
+    assert not out["bad"].resized_ok and out["bad"].payload is None
+    assert out["bad"].decode_tier == "failed"
+    assert not out["null"].resized_ok and out["null"].decode_tier == "none"
