@@ -668,6 +668,122 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Audio resample: deterministic rate conversion for corpus prep (round 9)
+# --------------------------------------------------------------------------
+RESAMPLE_SCHEMA = (
+    "asset_id string, sample_rate int, n_samples long, resampled_ok boolean, "
+    "codec string, payload binary"
+)
+
+
+def resample_signal(samples, in_rate: int, out_rate: int):
+    """Mono float signal → ``out_rate``. Deterministic pure-numpy baseline:
+    an INTEGER decimation factor is an exact box average (the common
+    48k→16k/8k corpus-prep cases — anti-aliased by the box); non-integer
+    ratios box-prefilter by the floor factor when downsampling, then
+    linearly interpolate at the exact positions. This is the honest
+    baseline, not a production polyphase windowed-sinc: the box is a weak
+    low-pass (first null at the new Nyquist), adequate for feature/QA
+    pipelines; swap in a real resampler library for fidelity-critical
+    audio."""
+    import numpy as np
+
+    samples = np.asarray(samples, dtype="float64")
+    if len(samples) == 0:
+        return samples.astype("float32")
+    if in_rate == out_rate:
+        return samples.astype("float32")
+    if in_rate % out_rate == 0:
+        f = in_rate // out_rate
+        n = len(samples) // f * f
+        if n == 0:
+            return np.array([samples.mean()], dtype="float32")
+        return samples[:n].reshape(-1, f).mean(axis=1).astype("float32")
+    x, eff_rate = samples, float(in_rate)
+    if out_rate < in_rate:
+        f = int(in_rate // out_rate)
+        if f > 1 and len(x) >= f:
+            n = len(x) // f * f
+            x = x[:n].reshape(-1, f).mean(axis=1)
+            eff_rate = in_rate / f
+    n_out = max(int(round(len(samples) * out_rate / in_rate)), 1)
+    pos = np.arange(n_out) * (eff_rate / out_rate)
+    out = np.interp(pos, np.arange(len(x), dtype="float64"), x)
+    return out.astype("float32")
+
+
+def encode_wav_pcm16(rate: int, samples) -> bytes:
+    """Mono float [-1, 1] signal → canonical 16-bit PCM WAV (the
+    interchange payload for resampled assets; decodable by decode_audio's
+    real WAV tier, no codec dependency)."""
+    import struct
+
+    import numpy as np
+
+    pcm = (
+        np.clip(np.rint(np.asarray(samples, dtype="float64") * 32767.0),
+                -32768, 32767)
+        .astype("<i2")
+        .tobytes()
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def resample_audio(assets: DataFrame, target_rate: int = 16_000) -> DataFrame:
+    """Arrow-batched audio rate conversion over binary payloads: decode on
+    the real tiers (WAV PCM/float/ADPCM, AU/AIFF G.711, FLAC), resample to
+    ``target_rate`` (resample_signal), re-encode as canonical 16-bit PCM
+    WAV — the standard normalization step in front of ASR/audio-LM corpus
+    packing. Undecodable payloads row through with resampled_ok=false and
+    their codec attribution.
+
+    100 TB shape: mapInPandas narrow transform — blobs stream worker-local
+    in Arrow batches, nothing shuffles; per-row cost is O(samples)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, ns, oks, codecs, outs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                codecs.append(_sniff_audio_codec(raw))
+                decoded = decode_audio(raw) if raw else None
+                if decoded is None or len(decoded[1]) == 0:
+                    rates.append(None)
+                    ns.append(None)
+                    oks.append(False)
+                    outs.append(None)
+                    continue
+                rate, samples = decoded
+                res = resample_signal(samples, rate, target_rate)
+                rates.append(target_rate)
+                ns.append(len(res))
+                oks.append(True)
+                outs.append(encode_wav_pcm16(target_rate, res))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": rates,
+                    "n_samples": ns,
+                    "resampled_ok": oks,
+                    "codec": codecs,
+                    "payload": outs,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=RESAMPLE_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
 # Video tier: real uncompressed Y4M (YUV4MPEG2) frame decode, numpy only (r5)
 # --------------------------------------------------------------------------
 FRAME_FEATURE_SCHEMA = (

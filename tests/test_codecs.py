@@ -1017,3 +1017,89 @@ def test_resize_images_spark_path(spark):
     assert not out["bad"].resized_ok and out["bad"].payload is None
     assert out["bad"].decode_tier == "failed"
     assert not out["null"].resized_ok and out["null"].decode_tier == "none"
+
+
+# ---------------------------------------------------------------------------
+# Audio resample (round 9): deterministic rate conversion + WAV interchange
+# ---------------------------------------------------------------------------
+def test_resample_signal_integer_decimation_exact():
+    """Integer-factor downsampling is the exact box average; DC level and
+    length bookkeeping are preserved."""
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import resample_signal
+
+    x = np.arange(12, dtype="float32")
+    out = resample_signal(x, 8000, 4000)  # factor 2
+    np.testing.assert_allclose(out, [0.5, 2.5, 4.5, 6.5, 8.5, 10.5])
+
+    const = np.full(1000, 0.25, dtype="float32")
+    for target in (16_000, 11_025, 48_000):
+        res = resample_signal(const, 44_100, target)
+        np.testing.assert_allclose(res, 0.25, atol=1e-6)
+        assert len(res) == round(1000 * target / 44_100)
+
+
+def test_resample_signal_preserves_tone():
+    """A mid-band sine survives 48k -> 16k with its RMS nearly intact (the
+    box prefilter only attenuates near the new Nyquist)."""
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import resample_signal
+
+    t = np.arange(48_000) / 48_000.0
+    sine = np.sin(2 * np.pi * 440.0 * t).astype("float32")
+    res = resample_signal(sine, 48_000, 16_000)
+    assert len(res) == 16_000
+    rms_in = float(np.sqrt(np.mean(sine.astype("float64") ** 2)))
+    rms_out = float(np.sqrt(np.mean(res.astype("float64") ** 2)))
+    assert abs(rms_out - rms_in) / rms_in < 0.02
+
+
+def test_encode_wav_pcm16_roundtrip():
+    """The canonical WAV payload decodes back through decode_audio's real
+    tier with the stated rate and 16-bit-quantized samples."""
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import (
+        decode_audio,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(3)
+    sig = (rng.uniform(-1, 1, 500)).astype("float32")
+    rate, back = decode_audio(encode_wav_pcm16(16_000, sig))
+    assert rate == 16_000 and len(back) == 500
+    np.testing.assert_allclose(back, sig, atol=1.5 / 32767)
+
+
+def test_resample_audio_spark_path(spark):
+    """The mapInPandas operator end-to-end: a 8k WAV upsamples to 16k and
+    re-decodes at the target rate; junk payloads row through flagged."""
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import (
+        decode_audio,
+        encode_wav_pcm16,
+        resample_audio,
+    )
+
+    t = np.arange(800) / 8000.0
+    sine = np.sin(2 * np.pi * 200.0 * t).astype("float32")
+    rows = [
+        ("wav", bytearray(encode_wav_pcm16(8000, sine))),
+        ("junk", bytearray(b"not audio at all")),
+        ("null", None),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id string, payload binary")
+    out = {r.asset_id: r for r in resample_audio(assets, 16_000).collect()}
+
+    ok = out["wav"]
+    assert ok.resampled_ok and ok.sample_rate == 16_000 and ok.n_samples == 1600
+    rate, back = decode_audio(bytes(ok.payload))
+    assert rate == 16_000 and len(back) == 1600
+    # DC-free tone stays DC-free and keeps its energy through the chain
+    assert abs(float(np.mean(back))) < 1e-3
+    assert abs(float(np.sqrt(np.mean(back**2))) - 0.707) < 0.03
+    assert not out["junk"].resampled_ok and out["junk"].payload is None
+    assert not out["null"].resampled_ok
