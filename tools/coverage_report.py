@@ -42,7 +42,7 @@ STATIC = {
     "D3": ("functions/udfs.py interquartile_range", "tests/test_udfs.py::test_d3_grouped_agg_iqr"),
     "D4": ("functions/udfs.py add_group_minmax_scaled", "tests/test_udfs.py::test_d4_apply_in_pandas_scaling"),
     "D5": ("functions/udfs.py tokenize_mapinpandas; functions/multimodal.py", "tests/test_udfs.py::test_d5_map_in_pandas_tokenize"),
-    "L5": ("functions/multimodal.py + imagecodecs.py/audiocodecs.py/containers.py (binary assets; REAL decode: PPM/BMP/PNG(all depths+Adam7)/JPEG(baseline+progressive)/GIF/TIFF(+LZW)/WebP-lossless(VP8L, r7 webpcodec.py) images, PCM(8/16/24/32+float+extensible)+IMA-ADPCM+FLAC+AU/AIFF-G.711(r7) audio, Y4M video; REAL container metadata: MP4 boxes, MP3 frame walk, WebP dims; streaming drain via streaming/media_stream.py; pixel/PCM stub only for entropy-coded formats without a codec)", "tests/test_codecs.py + tests/test_containers.py + tests/test_streaming.py::test_streaming_media_features"),
+    "L5": ("functions/multimodal.py + imagecodecs.py/audiocodecs.py/containers.py (binary assets; REAL decode: PPM/BMP/PNG(all depths+Adam7)/JPEG(baseline+progressive)/GIF/TIFF(+LZW)/WebP-lossless(VP8L, r7 webpcodec.py) images, PCM(8/16/24/32+float+extensible)+IMA-ADPCM+FLAC+AU/AIFF-G.711(r7) audio, Y4M video; REAL container metadata: MP4 boxes, MP3 frame walk, WebP dims; streaming drain via streaming/media_stream.py; REAL transforms (r9): image resize (exact area box-filter + nearest, PPM interchange) and audio resample (box/linear to target rate, PCM16-WAV interchange), both mapInPandas narrow; pixel/PCM stub only for entropy-coded formats without a codec)", "tests/test_codecs.py + tests/test_containers.py + tests/test_streaming.py::test_streaming_media_features"),
     "F8": ("input_file_name in ingest lineage; md5 fingerprints for surrogate keys", "tests/test_ingest.py; l4c_fingerprint"),
     "X1": ("partitionBy write + catalog pruning", "tests/test_plans.py::test_partition_pruning_on_curated_lake"),
     "X2": ("parquet pushdown/pruning", "tests/test_plans.py::test_flagship_pushdown_and_pruning"),
