@@ -394,11 +394,14 @@ def encode_ppm(arr) -> bytes:
 
 
 def decode_pixels_tiered(payload: bytes, use_pil: bool | None = None):
-    """(array, tier) raw-pixel analogue of decode_image_tiered: PIL when
-    importable, else the pure-numpy codecs. The entropy-coded formats
-    without a real decoder (lossy VP8, …) have no pixels to offer, so —
-    unlike the embedding path, which can stub a deterministic fake — they
-    report tier 'stub' with no array."""
+    """(array, tier) raw-pixel analogue of decode_image_tiered, with the
+    same DECODE_TIERS vocabulary and the same convention (a malformed
+    payload keeps its attempting tier's label, array None). A PIL failure
+    falls through to the numpy dispatch, so stub-class attribution — an
+    entropy-coded format with no real decoder anywhere, which has no
+    pixels to offer — is ENVIRONMENT-INDEPENDENT: the same payload never
+    reads 'stub' on one worker and a failure tier on another just because
+    that worker's PIL build lacks the format."""
     import numpy as np
 
     if use_pil is None:
@@ -413,13 +416,13 @@ def decode_pixels_tiered(payload: bytes, use_pil: bool | None = None):
                 rgb = img.convert("RGB")
                 arr = np.asarray(rgb).astype("float32") / 255.0
             return arr, "pil"
-        except Exception:  # noqa: BLE001 — malformed for PIL too
-            return None, "failed"
+        except Exception:  # noqa: BLE001 — fall to the numpy dispatch
+            pass
     arr = _decode_pixels_numpy(payload)
     if arr is False:
-        return None, "stub"
+        return None, "stub"  # no real codec for this format anywhere
     if arr is None:
-        return None, "failed"
+        return None, "numpy"  # known format, malformed payload
     return arr, "numpy"
 
 
@@ -436,6 +439,10 @@ def resize_images(
     per-row cost is O(pixels) with two dense matmuls whose weight matrices
     are built once per output size per batch row pair (h/w vary per image,
     so they are small and rebuilt — the arrays dominate)."""
+    if width <= 0 or height <= 0:
+        # Fail fast at the driver — never as a ZeroDivisionError inside
+        # executor tasks after the job has spun up.
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_pil = _has_pil()  # probed once per worker
@@ -693,12 +700,24 @@ def resample_signal(samples, in_rate: int, out_rate: int):
         return samples.astype("float32")
     if in_rate == out_rate:
         return samples.astype("float32")
+    n_out = max(int(round(len(samples) * out_rate / in_rate)), 1)
     if in_rate % out_rate == 0:
+        # Exact box decimation, length-consistent with the rate conversion:
+        # full windows are exact means, a tail remainder becomes one last
+        # window mean when rounding says the clip is long enough to owe one
+        # (truncating the remainder would drop up to f-1 samples of audio
+        # and disagree with round(n*out/in) bookkeeping).
         f = in_rate // out_rate
-        n = len(samples) // f * f
-        if n == 0:
-            return np.array([samples.mean()], dtype="float32")
-        return samples[:n].reshape(-1, f).mean(axis=1).astype("float32")
+        n_full = len(samples) // f
+        out = (
+            samples[: n_full * f].reshape(-1, f).mean(axis=1)
+            if n_full
+            else np.empty(0, dtype="float64")
+        )
+        if len(out) < n_out:
+            tail = samples[n_full * f :]
+            out = np.concatenate([out, [tail.mean() if len(tail) else 0.0]])
+        return out[:n_out].astype("float32")
     x, eff_rate = samples, float(in_rate)
     if out_rate < in_rate:
         f = int(in_rate // out_rate)
@@ -706,7 +725,6 @@ def resample_signal(samples, in_rate: int, out_rate: int):
             n = len(x) // f * f
             x = x[:n].reshape(-1, f).mean(axis=1)
             eff_rate = in_rate / f
-    n_out = max(int(round(len(samples) * out_rate / in_rate)), 1)
     pos = np.arange(n_out) * (eff_rate / out_rate)
     out = np.interp(pos, np.arange(len(x), dtype="float64"), x)
     return out.astype("float32")
@@ -747,6 +765,8 @@ def resample_audio(assets: DataFrame, target_rate: int = 16_000) -> DataFrame:
 
     100 TB shape: mapInPandas narrow transform — blobs stream worker-local
     in Arrow batches, nothing shuffles; per-row cost is O(samples)."""
+    if target_rate <= 0:
+        raise ValueError(f"target_rate must be positive, got {target_rate}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -64,9 +64,24 @@ def streaming_quality_gated_ingest(
         docs = batch_df
         if "n_chars" not in docs.columns:
             docs = docs.withColumn("n_chars", F.length("text"))
-        tagged = docs.join(
-            quality_gate(docs, newlines=newlines), "doc_id"
-        ).withColumn("_batch_id", F.lit(batch_id))
+        # Row identity is a SURROGATE key, frozen by localCheckpoint (the
+        # sampled-exchange rule: monotonically_increasing_id re-evaluated
+        # across plan branches may disagree). Gating and joining on the
+        # surrogate instead of doc_id means (a) a NULL doc_id — e.g. a
+        # corrupt landing line parsed all-null — still reaches a sink
+        # instead of being silently dropped by null-key joins, and (b)
+        # duplicate doc_ids within one micro-batch get INDEPENDENT
+        # verdicts instead of merged repetition signals and multiplied
+        # join rows. doc_id passes through untouched for downstream use.
+        keyed = docs.withColumn(
+            "_rid", F.monotonically_increasing_id()
+        ).localCheckpoint()
+        tagged = (
+            keyed.join(quality_gate(keyed, id_col="_rid", newlines=newlines), "_rid")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .drop("_rid")
+            .persist()  # both sink writes read ONE gate evaluation
+        )
         # Idempotent-replay contract: the per-WRITE dynamic option makes
         # overwrite replace ONLY the partitions present in the frame (this
         # micro-batch's _batch_id), never the sink root — and, unlike the
@@ -88,6 +103,7 @@ def streaming_quality_gated_ingest(
             .partitionBy("_batch_id")
             .parquet(dropped_dir)
         )
+        tagged.unpersist()
 
     return (
         stream.writeStream.foreachBatch(handle_batch)

@@ -1014,8 +1014,10 @@ def test_resize_images_spark_path(spark):
         float(_decode_ppm_numpy(bytes(out["ppm"].payload)).mean())
         - float(ppm_arr.mean())
     ) < 2 / 255
+    # malformed-known-format keeps the attempting tier's label (the
+    # decode_image_tiered convention), never an environment-dependent one
     assert not out["bad"].resized_ok and out["bad"].payload is None
-    assert out["bad"].decode_tier == "failed"
+    assert out["bad"].decode_tier in ("numpy", "pil")
     assert not out["null"].resized_ok and out["null"].decode_tier == "none"
 
 
@@ -1038,6 +1040,13 @@ def test_resample_signal_integer_decimation_exact():
         res = resample_signal(const, 44_100, target)
         np.testing.assert_allclose(res, 0.25, atol=1e-6)
         assert len(res) == round(1000 * target / 44_100)
+
+    # tail remainder: length follows round(n*out/in), never floor-truncation
+    assert len(resample_signal(np.ones(1001, "float32"), 48_000, 16_000)) == 334
+    assert len(resample_signal(np.ones(1003, "float32"), 48_000, 16_000)) == 334
+    tail = resample_signal(np.arange(5, dtype="float32"), 48_000, 16_000)
+    assert len(tail) == 2  # round(5/3): 1 full window + the 2-sample tail
+    np.testing.assert_allclose(tail, [1.0, 3.5])
 
 
 def test_resample_signal_preserves_tone():

@@ -301,13 +301,32 @@ def test_streaming_quality_gated_ingest(spark, tmp_path):
         assert row.reasons == batch[did]
     assert drop_rows[2].reasons & QG_REASONS["too_short"]
 
-    # drain again with nothing new: no-op (checkpoint remembers the file)
+    # drain again with nothing new: no-op (checkpoint remembers the file);
+    # FRESH reads on both sinks — a cached file index from before the drain
+    # could not see wrongly re-written rows
     streaming_quality_gated_ingest(spark, **kwargs).awaitTermination()
-    assert kept.count() == 1 and spark.read.parquet(str(tmp_path / "dropped")).count() == 2
+    assert spark.read.parquet(str(tmp_path / "kept")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "dropped")).count() == 2
 
-    # a later landing file is gated in its own batch partition
-    (land / "b2.json").write_text(json.dumps({"doc_id": 4, "text": good}))
+    # a later landing file is gated in its own batch partition; it also
+    # carries a NULL doc_id (corrupt landing line) and a doc_id duplicated
+    # WITHIN the batch — the surrogate row key must route every row to a
+    # sink with an independent verdict (no null-join loss, no signal merge)
+    later = [
+        {"doc_id": 4, "text": good},
+        {"doc_id": None, "text": "corrupt line stub"},
+        {"doc_id": 5, "text": good},
+        {"doc_id": 5, "text": "tiny dup"},
+    ]
+    (land / "b2.json").write_text("\n".join(json.dumps(r) for r in later))
     streaming_quality_gated_ingest(spark, **kwargs).awaitTermination()
     kept2 = spark.read.parquet(str(tmp_path / "kept"))
-    assert {r.doc_id for r in kept2.collect()} == {1, 4}
+    dropped2 = spark.read.parquet(str(tmp_path / "dropped"))
+    assert kept2.count() + dropped2.count() == 3 + len(later)  # every row sinks
+    # dup id 5: the good twin kept, the tiny twin dropped — independent rows
+    assert [r.doc_id for r in kept2.collect()].count(5) == 1
+    assert [r.doc_id for r in dropped2.collect()].count(5) == 1
+    # the null-id corrupt line is auditable in the dropped sink
+    assert dropped2.filter("doc_id IS NULL").count() == 1
+    assert {r.doc_id for r in kept2.collect()} == {1, 4, 5}
     assert kept2.select("_batch_id").distinct().count() == 2
