@@ -166,3 +166,50 @@ def test_webp_vp8l_palette_roundtrip(h, w, ncolors, seed):
     dec = decode_webp(encode_webp_lossless(img, use_palette=True))
     assert dec is not None
     assert np.abs(dec - img.astype(np.float32) / 255.0).max() == 0.0
+
+
+@given(
+    h=st.integers(1, 23),
+    w=st.integers(1, 23),
+    th=st.integers(1, 17),
+    tw=st.integers(1, 17),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_area_resize_preserves_global_mean(h, w, th, tw, seed):
+    """Exact invariant of area (box-filter) resampling: every output bin
+    covers an equal-width slice of the input, so the GLOBAL mean survives
+    any target size bit-nearly-exactly — for any shape pair, up or down."""
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import resize_pixels
+
+    rng = np.random.default_rng(seed)
+    arr = rng.random((h, w, 3)).astype("float32")
+    out = resize_pixels(arr, tw, th)
+    assert out.shape == (th, tw, 3)
+    np.testing.assert_allclose(
+        out.mean(axis=(0, 1)), arr.astype("float64").mean(axis=(0, 1)), atol=1e-5
+    )
+
+
+@given(
+    h=st.integers(1, 23),
+    w=st.integers(1, 23),
+    th=st.integers(1, 17),
+    tw=st.integers(1, 17),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_nearest_resize_only_emits_input_values(h, w, th, tw, seed):
+    """Nearest-neighbor is pure sampling: every output pixel is some input
+    pixel, bit-identical — no interpolation artifacts ever."""
+    import numpy as np
+
+    from datalakejson_spark.functions.multimodal import resize_pixels
+
+    rng = np.random.default_rng(seed)
+    arr = rng.random((h, w, 3)).astype("float32")
+    out = resize_pixels(arr, tw, th, method="nearest")
+    in_px = {tuple(p) for p in arr.reshape(-1, 3).tolist()}
+    assert all(tuple(p) in in_px for p in out.reshape(-1, 3).tolist())
