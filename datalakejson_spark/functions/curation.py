@@ -1403,3 +1403,101 @@ def l22b_quality_gate_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same across-newline tokenization, one reason-code bitmask — the
     whole newline verdict path cross-engine-verified."""
     return quality_gate(_derived_newline_docs(spark, sf_dir), newlines=True)
+
+
+# --------------------------------------------------------------------------
+# L23: deterministic text normalization (round 9)
+# --------------------------------------------------------------------------
+# The standard pre-dedup/pre-tokenize pass: typography unification, control
+# stripping, casefold, whitespace collapse. The casefold is deliberately
+# ASCII-ONLY: full Unicode lowercasing is ENGINE-DEPENDENT (measured: Java
+# lowers 'İ' to 'i'+combining-dot where DuckDB yields bare 'i', and Java
+# applies the Greek final-sigma rule ΣΟΣ→σος where DuckDB gives σοσ), so a
+# deterministic cross-engine contract must not include it — document the
+# scope instead of shipping a rule that flips per engine.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_TYPO_FROM = "“”‘’—–\u00a0"  # curly quotes, em/en dash, NBSP (explicit escape: editors mangle raw NBSP)
+_TYPO_TO = "\"\"''-- "
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, norm_text, n_chars_norm, changed): typography → ASCII
+    equivalents (curly quotes, en/em dashes, NBSP; the … ellipsis expands
+    to '...' so the l21 ellipsis rule still fires on normalized text),
+    control characters stripped, ASCII casefold, whitespace runs collapsed
+    to single spaces, ends trimmed. NULL text rows pass through (NULL
+    norm_text, changed false). Pure row-local expressions — no shuffle, no
+    UDF, identical in any engine."""
+    text = F.col(text_col)
+    norm = F.translate(text, _TYPO_FROM, _TYPO_TO)
+    norm = F.regexp_replace(norm, "…", "...")
+    norm = F.regexp_replace(norm, _CTRL_RE, "")
+    norm = F.translate(norm, _ASCII_UPPER, _ASCII_LOWER)
+    norm = F.trim(F.regexp_replace(norm, "[ \t\n\r]+", " "))
+    return docs.select(
+        id_col,
+        norm.alias("norm_text"),
+        F.coalesce(F.length(norm), F.lit(0)).alias("n_chars_norm"),
+        F.coalesce(norm != text, F.lit(False)).alias("changed"),
+    )
+
+
+_L23_SQL = """
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN
+                   concat(chr(8220), text, chr(8221), ' ', chr(8212), ' ',
+                          chr(8230), chr(9), 'TAIL', chr(1))
+               ELSE text END AS text
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   translate(
+                       regexp_replace(
+                           regexp_replace(
+                               translate(text,
+                                         chr(8220) || chr(8221) || chr(8216) ||
+                                         chr(8217) || chr(8212) || chr(8211) ||
+                                         chr(160),
+                                         '""' || chr(39) || chr(39) || '-- '),
+                               chr(8230), '...', 'g'),
+                           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                       'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       'abcdefghijklmnopqrstuvwxyz'),
+                   '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text,
+               text
+        FROM planted
+    )
+    SELECT doc_id,
+           norm_text,
+           COALESCE(length(norm_text), 0) AS n_chars_norm,
+           COALESCE(norm_text <> text, FALSE) AS changed
+    FROM norm
+"""
+
+
+@register("l23_normalize_text", survey="L6,F2", extended=True, sql=_L23_SQL)
+def l23_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic normalization over the documents table. The fixture
+    corpus is already clean ASCII, so every 7th doc is planted (identically
+    in both engines) with curly quotes, an em-dash, an ellipsis char, a tab
+    and a control byte — the transformations all fire and the oracle
+    value-compares the normalized text byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("“"), F.col("text"), F.lit("” — …"),
+                F.lit("\tTAIL\x01"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return normalize_text(planted)

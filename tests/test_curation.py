@@ -404,3 +404,36 @@ def test_quality_gate_newline_mode_tokenization_consistent(spark):
     # avg word length with newline bytes)
     assert out[2].reasons == 0 and out[2].keep
     assert out[1].reasons == out[2].reasons
+
+
+def test_normalize_text_semantics(spark):
+    """Each normalization rule fires on its planted input: typography to
+    ASCII (incl. NBSP and the ellipsis char expanding to '...'), control
+    strip, ASCII-only casefold (Unicode case left ALONE — it is
+    engine-dependent and out of the deterministic contract), whitespace
+    collapse + trim; NULL rows pass through."""
+    from datalakejson_spark.functions.curation import normalize_text
+
+    rows = [
+        (1, "“Quoted” ‘single’ —em– dash"),
+        (2, "a b…c"),  # NBSP + ellipsis char
+        (3, "CTRL\x01\x02 here\x7f"),
+        (4, "MiXeD CASE and ΣΟΣ İstanbul"),  # only ASCII letters fold
+        (5, "  runs\t\tof\n\nspace  "),
+        (6, None),
+        (7, "already clean text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_text(docs).collect()}
+
+    assert out[1].norm_text == "\"quoted\" 'single' -em- dash" and out[1].changed
+    assert out[2].norm_text == "a b...c"
+    assert out[3].norm_text == "ctrl here"
+    assert out[4].norm_text == "mixed case and ΣΟΣ İstanbul"  # Unicode untouched
+    assert out[5].norm_text == "runs of space" and out[5].changed
+    assert out[6].norm_text is None and out[6].n_chars_norm == 0
+    assert not out[6].changed
+    assert out[7].norm_text == "already clean text" and not out[7].changed
+    for r in out.values():
+        if r.norm_text is not None:
+            assert r.n_chars_norm == len(r.norm_text)
