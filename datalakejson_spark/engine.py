@@ -196,7 +196,12 @@ class DataLakeEngine:
         shape rules + Gopher repetition cutoffs (functions/curation.py::
         quality_gate, the l22 query). ``newlines=True`` for real multi-line
         corpora. Join back on the id column to route kept/rejected rows;
-        the streaming form is streaming/quality_stream.py."""
+        the streaming form is streaming/quality_stream.py.
+
+        The id column must be UNIQUE and NON-NULL (duplicates multiply the
+        internal signals join; NULLs drop rows). For raw landing data,
+        freeze a surrogate key first — see streaming/quality_stream.py's
+        ``_rid`` pattern."""
         from datalakejson_spark.functions.curation import quality_gate
 
         return quality_gate(docs, **kwargs)

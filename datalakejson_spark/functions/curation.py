@@ -1151,7 +1151,7 @@ _L21B_SQL = f"""
     ),
     wtok AS (
         SELECT doc_id,
-               list_filter(string_split_regex(text, '[ \\n]'),
+               list_filter(string_split_regex(text, '[ \\n\\r]'),
                            x -> x <> '') AS w
         FROM derived
     ),
@@ -1251,7 +1251,15 @@ def quality_gate(
     ``newlines=True`` keeps the shape rules on the SAME token definition as
     the repetition signals (words split across ``\\n``/``\\r`` with empties
     dropped, newline bytes excluded from character counts) — one bitmask
-    must never mix two tokenizations."""
+    must never mix two tokenizations.
+
+    CONTRACT: ``id_col`` must be UNIQUE and NON-NULL per row. The verdict
+    joins the shape pass onto the signals pass on that key, so duplicate
+    ids multiply join rows and merge repetition signals across the
+    duplicates, and NULL ids drop rows silently. Corpora that can't promise
+    this (raw landing data with corrupt lines) should freeze a surrogate
+    key first, the way streaming/quality_stream.py does
+    (monotonically_increasing_id + localCheckpoint, gate on ``_rid``)."""
     text = F.col(text_col)
     if newlines:
         n_tokens = F.when(text.isNull(), F.lit(0)).otherwise(
@@ -1379,15 +1387,15 @@ _L22B_SQL = _qg_sql(
                CASE WHEN text IS NULL THEN 0
                     ELSE len(list_filter(
                              string_split_regex({_NEWLINE_DERIVE_SQL},
-                                                '[ \\n]'),
+                                                '[ \\n\\r]'),
                              x -> x <> '')) END AS n_tokens,
                CAST(COALESCE(length(regexp_replace({_NEWLINE_DERIVE_SQL},
-                                                   '[ \\n]', '', 'g')),
+                                                   '[ \\n\\r]', '', 'g')),
                              0) AS DOUBLE)
                    / greatest(CASE WHEN text IS NULL THEN 0
                               ELSE len(list_filter(
                                        string_split_regex(
-                                           {_NEWLINE_DERIVE_SQL}, '[ \\n]'),
+                                           {_NEWLINE_DERIVE_SQL}, '[ \\n\\r]'),
                                        x -> x <> '')) END, 1)
                    AS avg_word_len
         FROM documents
@@ -1449,7 +1457,7 @@ def normalize_text(
 _L23_SQL = """
     WITH planted AS (
         SELECT doc_id,
-               CASE WHEN doc_id % 7 = 0 THEN
+               CASE WHEN doc_id % 7 = 0 AND text IS NOT NULL THEN
                    concat(chr(8220), text, chr(8221), ' ', chr(8212), ' ',
                           chr(8230), chr(9), 'TAIL', chr(1))
                ELSE text END AS text
@@ -1488,12 +1496,15 @@ def l23_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is already clean ASCII, so every 7th doc is planted (identically
     in both engines) with curly quotes, an em-dash, an ellipsis char, a tab
     and a control byte — the transformations all fire and the oracle
-    value-compares the normalized text byte-for-byte."""
+    value-compares the normalized text byte-for-byte. NULL-text docs are
+    never planted (guarded identically in both engines — Spark's concat
+    returns NULL on any NULL argument while DuckDB's skips NULLs, so an
+    unguarded plant would diverge on a NULL-text row)."""
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.select(
         "doc_id",
         F.when(
-            F.col("doc_id") % 7 == 0,
+            (F.col("doc_id") % 7 == 0) & F.col("text").isNotNull(),
             F.concat(
                 F.lit("“"), F.col("text"), F.lit("” — …"),
                 F.lit("\tTAIL\x01"),

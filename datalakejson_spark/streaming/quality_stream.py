@@ -87,23 +87,28 @@ def streaming_quality_gated_ingest(
         # micro-batch's _batch_id), never the sink root — and, unlike the
         # session conf, cannot leak static→dynamic semantics into other
         # partitioned overwrite writers on the shared session.
-        (
-            tagged.filter(F.col("keep"))
-            .drop("keep", "reasons", "n_reasons")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(kept_dir)
-        )
-        (
-            tagged.filter(~F.col("keep"))
-            .drop("keep")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(dropped_dir)
-        )
-        tagged.unpersist()
+        # try/finally: a failed sink write must still release the cached
+        # blocks, or foreachBatch retries leak a cache per attempt on a
+        # long-lived session.
+        try:
+            (
+                tagged.filter(F.col("keep"))
+                .drop("keep", "reasons", "n_reasons")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(kept_dir)
+            )
+            (
+                tagged.filter(~F.col("keep"))
+                .drop("keep")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(dropped_dir)
+            )
+        finally:
+            tagged.unpersist()
 
     return (
         stream.writeStream.foreachBatch(handle_batch)
