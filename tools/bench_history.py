@@ -20,6 +20,19 @@ interleaved on-box A/B adjudicated as "box, not code" (VERDICT r7), and the
 r3 -> r4 jump has the same uniform-shift signature. The calibrated series is
 the one to trend; the raw table is kept because it is what the driver
 actually measured.
+
+SELF-CHECK (round 10, VERDICT r9 "what's wrong #1"): the kernel can
+OVER-correct — r8's numpy_mt read its box 1.85x slow while the median sf1
+raw drift of the unchanged headline queries vs the nearest nominal-kernel
+round was only ~1.15x (the AVX kernel throttles harder than Spark JVM wall
+time), so r8's calibrated cells divide by ~1.9x too much and made the
+genuinely fastest rounds look like regressions. Every calibrated column is
+therefore cross-checked: when a round's kernel deviates >1.3x from the
+1.2 s nominal AND the measured sf1 drift vs the nearest nominal-kernel
+round contradicts it by >1.3x, the column is marked box-anomalous (dagger +
+footnote) and must NOT be trended. bench.py >= r10 records the same check
+at emission time (``calibration_check`` in the artifact); older artifacts
+get it retroactively from their tail's sf1 block.
 """
 
 from __future__ import annotations
@@ -45,17 +58,27 @@ NOTES = [
     "STATUS.md r7, not a same-run measurement.",
     "Calibrated units = sec / numpy_mt_sec measured in the SAME session "
     "right after the query block (bench.py kernel, frozen definition); "
-    "they are box-independent and are the series to trend.",
+    "they are box-independent and are the series to trend - EXCEPT "
+    "box-anomalous (!) columns, where the kernel's reading is contradicted "
+    "by the measured sf1 wall-clock drift and the division over-corrects.",
+    "r8 (!) adjudication (VERDICT r9): numpy_mt 2.25 read the box 1.87x "
+    "slow, but r8's sf1 raw was WITHIN ~15% of both neighbors (10.84 s vs "
+    "r7 11.15 / r9 9.36) - the AVX kernel throttled far harder than Spark "
+    "JVM wall time, so r8's calibrated cells divide by ~1.9x too much. On "
+    "nominal-box raw, r9 is the fastest round of the first nine.",
 ]
 
 
 def load_rounds() -> dict[int, dict]:
     """round -> {queries: {name: sec}, total, calibration, calibrated,
-    reconstructed: bool}"""
+    sf1_queries, check, reconstructed: bool}"""
     out: dict[int, dict] = {}
     for p in sorted(REPO.glob("BENCH_r*.json")):
         n = int(re.search(r"BENCH_r(\d+)", p.name).group(1))
         d = json.loads(p.read_text())
+        tail = d.get("tail", "")
+        m_sf1 = re.search(r'"sf1": ({.*?"sf": 1\.0})', tail)
+        sf1_q = json.loads(m_sf1.group(1))["queries"] if m_sf1 else {}
         parsed = d.get("parsed")
         if parsed:
             out[n] = {
@@ -63,17 +86,16 @@ def load_rounds() -> dict[int, dict]:
                 "total": parsed.get("value"),
                 "calibration": parsed.get("calibration"),
                 "calibrated": parsed.get("queries_calibrated"),
+                "check": parsed.get("calibration_check"),
+                "sf1_queries": sf1_q,
                 "reconstructed": False,
             }
             continue
         # Unparseable artifact: reconstruct from the tail's sf1 block +
         # per-query exponents (t_sf0.1 = t_sf1 / 10^e).
-        tail = d.get("tail", "")
-        m_sf1 = re.search(r'"sf1": ({.*?"sf": 1\.0})', tail)
         m_exp = re.search(r'"scaling_exponent": ({[^{}]*})', tail)
         if not (m_sf1 and m_exp):
             continue
-        sf1_q = json.loads(m_sf1.group(1))["queries"]
         exp = json.loads(m_exp.group(1))
         qs = {
             name: round(t / (10 ** exp[name]), 3)
@@ -85,9 +107,55 @@ def load_rounds() -> dict[int, dict]:
             "total": round(sum(qs.values()), 3),
             "calibration": None,
             "calibrated": None,
+            "check": None,
+            "sf1_queries": sf1_q,
             "reconstructed": True,
         }
     return out
+
+
+NOMINAL_NUMPY_MT = 1.2
+
+
+def apply_calibration_checks(rounds: dict[int, dict]) -> None:
+    """Fill each calibrated round's ``check`` (kernel_deviation,
+    sf1_raw_drift, box_anomalous) when the artifact didn't record one
+    (pre-r10). The cross-check reference is the NEAREST round whose own
+    kernel read nominal (within 1.3x) and which has sf1 per-query data —
+    so the drift measures box movement, not a decade of code changes."""
+    def mt(n: int) -> float | None:
+        cal = rounds[n]["calibration"]
+        if cal and cal.get("numpy_mt_sec"):
+            return cal["numpy_mt_sec"]
+        return R7_NUMPY_MT if rounds[n]["reconstructed"] else None
+
+    nominal_rounds = [
+        n
+        for n in rounds
+        if mt(n) is not None
+        and 1 / 1.3 <= mt(n) / NOMINAL_NUMPY_MT <= 1.3
+        and rounds[n]["sf1_queries"]
+    ]
+    for n, r in rounds.items():
+        if r["check"] is not None or mt(n) is None:
+            continue
+        dev = mt(n) / NOMINAL_NUMPY_MT
+        check = {"kernel_deviation": round(dev, 3)}
+        refs = [m for m in nominal_rounds if m != n]
+        if refs and r["sf1_queries"]:
+            ref = rounds[min(refs, key=lambda m: abs(m - n))]["sf1_queries"]
+            ratios = sorted(
+                r["sf1_queries"][q] / ref[q]
+                for q in ref
+                if q in r["sf1_queries"] and ref[q]
+            )
+            if ratios:
+                drift = ratios[len(ratios) // 2]
+                check["sf1_raw_drift_vs_ref"] = round(drift, 3)
+                kernel_off = dev > 1.3 or dev < 1 / 1.3
+                uncorroborated = dev > 1.3 * drift or dev < drift / 1.3
+                check["box_anomalous"] = bool(kernel_off and uncorroborated)
+        r["check"] = check
 
 
 # STATUS.md r7 records the builder session's calibration constant; used only
@@ -124,11 +192,19 @@ def render(rounds: dict[int, dict]) -> str:
     cal_ns = [
         n for n in ns if rounds[n]["calibrated"] or rounds[n]["reconstructed"]
     ]
+    anomalous = lambda n: bool(  # noqa: E731
+        (rounds[n]["check"] or {}).get("box_anomalous")
+    )
+    dag = lambda n: "(!)" if anomalous(n) else ""  # noqa: E731
     lines += [
         "",
         "## Calibrated units (sec / numpy_mt_sec, box-independent)",
         "",
-        "| query | " + " | ".join(f"r{n}{star(n)}" for n in cal_ns) + " |",
+        "(!) = box-anomalous column: the kernel's claimed deviation is "
+        "contradicted by the measured sf1 raw drift — do NOT trend these "
+        "cells (see self-check notes below).",
+        "",
+        "| query | " + " | ".join(f"r{n}{star(n)}{dag(n)}" for n in cal_ns) + " |",
         "|---|" + "---|" * len(cal_ns),
     ]
 
@@ -153,6 +229,24 @@ def render(rounds: dict[int, dict]) -> str:
         + " | ".join("%.3f" % mt(n) if mt(n) else "-" for n in cal_ns)
         + " |"
     )
+    # Self-check rows: rendered from the recorded/retro-computed check so
+    # regeneration keeps the evidence next to the numbers it qualifies.
+    checks = [(n, rounds[n]["check"]) for n in cal_ns if rounds[n]["check"]]
+    if checks:
+        lines += ["", "### Calibration self-check", ""]
+        for n, c in checks:
+            verdict = (
+                "BOX-ANOMALOUS - cells over-correct, do not trend"
+                if c.get("box_anomalous")
+                else "ok"
+            )
+            drift = c.get("sf1_raw_drift_vs_ref")
+            lines.append(
+                f"- r{n}: kernel deviation {c['kernel_deviation']}x nominal"
+                + (f", sf1 raw drift {drift}x vs nearest nominal-kernel round"
+                   if drift is not None else "")
+                + f" -> {verdict}."
+            )
     lines += ["", "## Notes", ""]
     lines += [f"- {note}" for note in NOTES]
     lines.append("")
@@ -161,6 +255,7 @@ def render(rounds: dict[int, dict]) -> str:
 
 if __name__ == "__main__":
     rounds = load_rounds()
+    apply_calibration_checks(rounds)
     md = render(rounds)
     out = REPO / "BENCH_HISTORY.md"
     out.write_text(md)
