@@ -413,3 +413,60 @@ def test_dynamic_partition_pruning_on_curated_layout(spark, tmp_path):
 
     s = executed_summary(j)
     assert s["scan_rows"] == 2010, s
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-envelope regression pins (round 10, VERDICT r9 #3): the measured
+# SQLMetrics in METRICS.md show what the headline plans SHOULD cost at
+# sf0.1 — these assertions turn a future plan regression (lost broadcast,
+# new exchange, silent spill) into a test failure instead of a bench
+# mystery. Envelopes are ~2x the measured steady-state value, far below
+# what the degraded plan would produce (e.g. j3 without its dimension
+# broadcasts shuffles the joined fact rows: ~100 MiB at sf1-scale vs the
+# 2.3 KiB of 35 aggregated rows it shuffles today).
+# ---------------------------------------------------------------------------
+SF01 = "/root/testdata/sf0.1"
+
+
+def _summary_at_sf01(spark, name: str):
+    from datalakejson_spark.plans.metrics import executed_summary
+
+    df = all_specs()[name].fn(spark, SF01)
+    df.collect()  # metrics attach to THIS QueryExecution
+    return executed_summary(df)
+
+
+def test_j3_star_join_shuffle_envelope(spark):
+    """4 dimension broadcasts, only the 35 aggregated rows cross the one
+    post-agg exchange (measured 2.3 KiB / 4 broadcasts at sf0.1)."""
+    s = _summary_at_sf01(spark, "j3_star_join_revenue")
+    assert s["n_broadcasts"] >= 4, s
+    assert s["shuffle_bytes"] < 10 * 1024, s
+    assert s["spill_bytes"] == 0, s
+
+
+def test_g3_flagship_shuffle_envelope(spark):
+    """Two-phase hash agg: one exchange carrying only the partial-agg rows
+    (measured 1 exchange / 792 B at sf0.1)."""
+    s = _summary_at_sf01(spark, "g3_flagship_pricing_summary")
+    assert s["n_exchanges"] == 1, s
+    assert s["shuffle_bytes"] < 8 * 1024, s
+    assert s["spill_bytes"] == 0, s
+
+
+def test_l2_minhash_shuffle_envelope(spark):
+    """Band-bucket LSH join: shuffles signatures + bucket pairs, never doc
+    bodies (measured 3 exchanges / ~1 MiB at sf0.1; bodies would be tens
+    of MiB)."""
+    s = _summary_at_sf01(spark, "l2_minhash_lsh_pairs")
+    assert s["shuffle_bytes"] < 2 * 1024 * 1024, s
+    assert s["spill_bytes"] == 0, s
+
+
+def test_l3_cosine_topk_shuffle_envelope(spark):
+    """Query side broadcasts; only the top-k survivors cross the exchange
+    (measured 1 broadcast / 999 B at sf0.1)."""
+    s = _summary_at_sf01(spark, "l3_cosine_topk")
+    assert s["n_broadcasts"] >= 1, s
+    assert s["shuffle_bytes"] < 8 * 1024, s
+    assert s["spill_bytes"] == 0, s
