@@ -989,33 +989,46 @@ def repetition_signals(
         else f"split({text_col}, ' ')"
     )
 
-    def top_share(n: int, out_col: str) -> DataFrame:
+    # Single tokenized gram pass (round 10): both gram sizes derive from
+    # ONE projection of the word array and ONE explode→aggregate, instead
+    # of a separate scan+tokenize per size. In newline mode the tokenizer
+    # input is the in-query derivation regexp, so halving the tokenize
+    # passes cuts the dominant constant of l21b/l22b at scale; it also
+    # merges two (id, gram) shuffles + two joins into one of each. The
+    # share values are unchanged: exact integer counts per (id, n, gram),
+    # max/sum split back out per gram size by conditional aggregation
+    # (SUM/MAX over an all-NULL slice is NULL — same "too short to form a
+    # gram" semantics the old left joins produced).
+    def gram_structs(n: int) -> str:
         # Guard the sequence(hi < lo) descending trap: a doc too short to
-        # form a gram yields an empty array (→ zero exploded rows → NULL
-        # share via the left join), never a descending sequence.
-        grams = docs.select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size({words}) >= {n} THEN"
-                    f" transform(sequence(0, size({words}) - {n}),"
-                    f" i -> array_join(slice({words}, i + 1, {n}), ' '))"
-                    f" ELSE array() END"
-                )
-            ).alias("gram"),
-        )
-        per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
-        return per_gram.groupBy(id_col).agg(
-            (F.max("c").cast("double") / F.sum("c")).alias(out_col)
+        # form a gram contributes an empty array, never a descending
+        # sequence.
+        return (
+            f"CASE WHEN size(w) >= {n} THEN"
+            f" transform(sequence(0, size(w) - {n}),"
+            f" i -> struct({n} AS n, array_join(slice(w, i + 1, {n}), ' ')"
+            f" AS gram))"
+            f" ELSE array() END"
         )
 
-    g2 = top_share(2, "top_2gram_share")
-    g3 = top_share(3, "top_3gram_share")
+    tok = docs.select(F.col(id_col), F.expr(words).alias("w"))
+    grams = tok.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"concat({gram_structs(2)}, {gram_structs(3)})")
+        ).alias("g"),
+    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    per_gram = grams.groupBy(id_col, "n", "gram").agg(F.count("*").alias("c"))
+    c2 = F.when(F.col("n") == 2, F.col("c"))
+    c3 = F.when(F.col("n") == 3, F.col("c"))
+    gram_stats = per_gram.groupBy(id_col).agg(
+        (F.max(c2).cast("double") / F.sum(c2)).alias("top_2gram_share"),
+        (F.max(c3).cast("double") / F.sum(c3)).alias("top_3gram_share"),
+    )
     return (
         docs.select(id_col)
         .join(line_stats, id_col, "left")
-        .join(g2, id_col, "left")
-        .join(g3, id_col, "left")
+        .join(gram_stats, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
