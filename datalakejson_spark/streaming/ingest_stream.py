@@ -50,12 +50,23 @@ def streaming_ingest(
     schema: T.StructType,
     mode_default: str = "unknown",
     max_files_per_trigger: int | None = None,
+    archive_dir: str | None = None,
 ):
     """Drain the landing zone once (AvailableNow) into the curated lake.
 
     ``schema`` is required: streaming JSON sources cannot infer (and at scale
     you never want per-batch inference anyway — SURVEY.md §2.1 S2). The
     corrupt column is pinned into it (E1 contract).
+
+    ``archive_dir`` enables the streaming analogue of the batch plane's
+    archive move (S10, sudo_code.txt archive step): processed files are
+    moved out of the landing zone by the file source's completed-file
+    cleaner (``cleanSource=archive``). At steady state this is what keeps
+    the per-drain cost O(arrivals): every AvailableNow invocation re-lists
+    the ENTIRE landing dir before the checkpoint filters seen files, so a
+    landing zone that accumulates history makes each 15-min drain pay
+    O(history) listing — measured in SCALE.md's streaming table. The
+    archive dir must live outside the landing glob (Spark requirement).
     Returns the StreamingQuery; call ``.awaitTermination()``.
     """
     configure_runtime(spark)
@@ -73,6 +84,10 @@ def streaming_ingest(
     if max_files_per_trigger:
         # batch-size analogue of BATCH_SIZE_FILES (sudo_code.txt:128)
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if archive_dir:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
     stream = reader.json(landing_dir).withColumn(
         "source_s3_path", F.input_file_name()
     )

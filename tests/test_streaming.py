@@ -84,6 +84,61 @@ def test_streaming_ingest_available_now(spark, tmp_path: Path):
     assert audit.agg(F.sum("n_rows")).first()[0] == 9
 
 
+def test_streaming_ingest_archives_processed_files(spark, tmp_path: Path):
+    """archive_dir = the streaming analogue of the batch plane's S10
+    archive move (cleanSource): processed files leave the landing zone so
+    the next drain's listing is O(arrivals), not O(history). The
+    completed-file cleaner runs on micro-batch COMPLETION of the next
+    batch, so the final micro-batch's files may remain — the contract is
+    'residue bounded by one micro-batch', not 'empty'."""
+    import time
+
+    landing = tmp_path / "landing"
+    for i in range(6):
+        write_ndjson(landing / f"f{i}.json", [good_record(i)])
+    archive = str(tmp_path / "archive")
+
+    q = streaming_ingest(
+        spark,
+        str(landing),
+        str(tmp_path / "curated"),
+        str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"),
+        LANDING_SCHEMA,
+        max_files_per_trigger=2,  # 3 micro-batches of 2 files
+        archive_dir=archive,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "curated")).count() == 6
+
+    # Cleaner is asynchronous: wait (bounded) for batches 0-1's files to
+    # move; batch 2's files are allowed to remain (no next batch ran).
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        left = len(list(landing.glob("*.json")))
+        if left <= 2:
+            break
+        time.sleep(0.5)
+    left = sorted(p.name for p in landing.glob("*.json"))
+    assert len(left) <= 2, left
+    archived = len(list(Path(archive).rglob("*.json")))
+    assert archived == 6 - len(left), (archived, left)
+
+    # Re-drain after archive: nothing is reprocessed (checkpoint still
+    # claims the moved files), so exactly-once holds across the move.
+    q2 = streaming_ingest(
+        spark,
+        str(landing),
+        str(tmp_path / "curated"),
+        str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"),
+        LANDING_SCHEMA,
+        archive_dir=archive,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "curated")).count() == 6
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """T7: a watermarked windowed aggregate finalizes windows once the
     watermark passes; rows arriving later than the lateness bound are

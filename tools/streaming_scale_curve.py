@@ -1,0 +1,388 @@
+"""Streaming-plane scale curve (round 10, VERDICT r9 "what's missing #2").
+
+The batch plane has measured curves everywhere (ledger 10^6/10^7 probes,
+slow-tail exponents, ingest throughput); this runner gives the STREAMING
+plane the same evidence. The reference's steady-state production path IS
+this loop (sudo_code.txt:107 — a drain every 15 minutes, forever), so the
+question that matters at 100 TB is not "does one drain work" but "what
+does drain k cost after months of history".
+
+Measured phases (all Trigger.AvailableNow drains of synthetic landing
+zones; per-micro-batch durations from StreamingQuery.recentProgress,
+checkpoint sizes from a directory walk):
+
+1. ``drain``: full-drain cost at backlog N in {10^3, 10^4, 10^5} files
+   (1000 files per micro-batch) — total seconds, files/s, first/median/
+   last batch seconds (a rising tail exposes the file-source metadata-log
+   compaction, which rewrites the ENTIRE seen-files history every
+   ``compactInterval`` batches), checkpoint bytes after the drain.
+2. ``steady``: the 15-min-cadence cost — with N files of already-drained
+   history in the landing dir + checkpoint, time a +1000-file incremental
+   drain. Run twice: history RETAINED in the landing dir (the naive
+   layout: every drain re-lists all N+1000 files) vs history ARCHIVED out
+   of the landing glob (``archive_dir`` / cleanSource, the batch plane's
+   S10 move applied to streaming). The retained column should grow with
+   history; the archived column should stay flat.
+3. ``replay``: kill a 10^4 drain mid-flight (query.stop() after ~3
+   micro-batches), restart from the same checkpoint, measure the re-drain
+   and verify exactly-once delivery (per-attempt run ids +
+   deduplicate_replays — raw rows may exceed N*rows, resolved rows must
+   equal exactly).
+4. ``quality``: quality_stream's gate cost per micro-batch at backlog
+   N in {10^3, 10^4} document files — the gate is stateless per batch, so
+   per-batch seconds must be flat in batch index AND in backlog size.
+
+Usage: python tools/streaming_scale_curve.py [phase ...] [--out PATH]
+Default runs all phases; results append line-buffered JSONL to
+/tmp/streaming_scale_curve.jsonl and a summary table prints at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import types as T  # noqa: E402
+
+ROWS_PER_FILE = 2
+FILES_PER_TRIGGER = 1000
+
+
+def landing_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("event_timestamp", T.StringType()),
+            T.StructField("MODE", T.StringType()),
+            T.StructField(
+                "metadata",
+                T.StructType(
+                    [
+                        T.StructField("app_version", T.StringType()),
+                        T.StructField("user_agent", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("transaction_id", T.StringType()),
+                        T.StructField("items", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def synth_landing(land: Path, n_files: int, start: int = 0) -> None:
+    """n_files tiny JSON-lines files (ROWS_PER_FILE rows each). Content is
+    deliberately minimal — the curve isolates the streaming MACHINERY
+    (listing, seen-file log, per-batch overhead), not JSON parse cost."""
+    land.mkdir(parents=True, exist_ok=True)
+    line = (
+        '{{"id": "r-{i}-{j}", "event_timestamp": "2024-03-01T10:00:00Z",'
+        ' "MODE": "train", "metadata": {{"app_version": "1.0",'
+        ' "user_agent": "b"}}, "payload": {{"transaction_id": "t{i}-{j}",'
+        ' "items": []}}}}\n'
+    )
+    for i in range(start, start + n_files):
+        with open(land / f"f{i:07d}.json", "w") as f:
+            f.write("".join(line.format(i=i, j=j) for j in range(ROWS_PER_FILE)))
+
+
+def du(path: str) -> tuple[int, int]:
+    """(bytes, files) under path."""
+    total = files = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            try:
+                total += os.path.getsize(os.path.join(root, n))
+                files += 1
+            except OSError:
+                pass
+    return total, files
+
+
+def batch_durations(query) -> list[float]:
+    """Per-micro-batch triggerExecution seconds from recentProgress."""
+    out = []
+    for p in query.recentProgress:
+        d = p.get("durationMs", {}).get("triggerExecution")
+        if d is not None and p.get("numInputRows", 0) > 0:
+            out.append(d / 1000.0)
+    return out
+
+
+def drain(spark, root: Path, archive: bool = False) -> dict:
+    """One AvailableNow drain of root/landing; returns timing + batch stats."""
+    from datalakejson_spark.streaming.ingest_stream import streaming_ingest
+
+    kwargs = {}
+    if archive:
+        kwargs["archive_dir"] = str(root / "archive")
+    t0 = time.time()
+    q = streaming_ingest(
+        spark,
+        landing_dir=str(root / "landing"),
+        curated_dir=str(root / "curated"),
+        dlq_dir=str(root / "dlq"),
+        checkpoint_dir=str(root / "ckpt"),
+        schema=landing_schema(),
+        max_files_per_trigger=FILES_PER_TRIGGER,
+        **kwargs,
+    )
+    q.awaitTermination()
+    dt = time.time() - t0
+    durs = batch_durations(q)
+    ck_bytes, ck_files = du(str(root / "ckpt"))
+    out = {
+        "drain_sec": round(dt, 2),
+        "n_batches": len(durs),
+        "batch_first_sec": round(durs[0], 2) if durs else None,
+        "batch_p50_sec": round(sorted(durs)[len(durs) // 2], 2) if durs else None,
+        "batch_last_sec": round(durs[-1], 2) if durs else None,
+        "batch_max_sec": round(max(durs), 2) if durs else None,
+        "ckpt_bytes": ck_bytes,
+        "ckpt_files": ck_files,
+    }
+    return out
+
+
+def fresh_session(tag: str):
+    from datalakejson_spark.session import get_spark
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        time.sleep(1)
+    spark = get_spark(f"streaming-curve-{tag}")
+    # 100+ batches at 10^5 files; keep every progress record for the curve.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
+    # Warm-up drain: JVM/codegen/stream-machinery warm-up (measured ~6 s on
+    # the first micro-batch of a cold session) must not be billed to the
+    # first timed backlog point.
+    root = Path(tempfile.mkdtemp(prefix="stream_curve_warmup_"))
+    try:
+        synth_landing(root / "landing", 10)
+        drain(spark, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark
+
+
+def emit(fh, rec: dict) -> None:
+    fh.write(json.dumps(rec) + "\n")
+    fh.flush()
+
+
+def phase_drain(fh, backlogs=(1_000, 10_000, 100_000)) -> None:
+    spark = fresh_session("drain")
+    prev = None
+    for n in backlogs:
+        root = Path(tempfile.mkdtemp(prefix=f"stream_curve_drain_{n}_"))
+        try:
+            synth_landing(root / "landing", n)
+            r = drain(spark, root)
+            rows = spark.read.parquet(str(root / "curated")).count()
+            assert rows == n * ROWS_PER_FILE, (rows, n)
+            rec = {
+                "phase": "drain",
+                "backlog_files": n,
+                **r,
+                "files_per_sec": round(n / r["drain_sec"], 1),
+            }
+            if prev:
+                rec["exponent_vs_prev"] = round(
+                    math.log10(r["drain_sec"] / prev["drain_sec"])
+                    / math.log10(n / prev["backlog_files"]),
+                    2,
+                )
+            emit(fh, rec)
+            prev = {"drain_sec": r["drain_sec"], "backlog_files": n}
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def phase_steady(fh, histories=(0, 10_000, 100_000)) -> None:
+    """+1000-file drain cost vs drained-history size, retained vs archived."""
+    for mode in ("retained", "archived"):
+        spark = fresh_session(f"steady-{mode}")
+        archive = mode == "archived"
+        for h in histories:
+            root = Path(tempfile.mkdtemp(prefix=f"stream_curve_steady_{mode}_{h}_"))
+            try:
+                if h:
+                    synth_landing(root / "landing", h)
+                    drain(spark, root, archive=archive)  # history build, untimed
+                    if archive:
+                        # the completed-file cleaner is asynchronous; wait
+                        # for the landing dir to empty before timing the
+                        # incremental drain (bounded wait, report residue).
+                        for _ in range(120):
+                            left = len(list((root / "landing").glob("*.json")))
+                            if left == 0:
+                                break
+                            time.sleep(1)
+                synth_landing(root / "landing", 1000, start=h)
+                left_before = len(list((root / "landing").glob("*.json")))
+                r = drain(spark, root, archive=archive)
+                rec = {
+                    "phase": "steady",
+                    "mode": mode,
+                    "history_files": h,
+                    "landing_files_at_drain": left_before,
+                    **{f"inc_{k}": v for k, v in r.items()},
+                }
+                emit(fh, rec)
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+
+def phase_replay(fh, n: int = 10_000) -> None:
+    from datalakejson_spark.plans.ingest import deduplicate_replays
+    from datalakejson_spark.streaming.ingest_stream import streaming_ingest
+
+    spark = fresh_session("replay")
+    root = Path(tempfile.mkdtemp(prefix="stream_curve_replay_"))
+    try:
+        synth_landing(root / "landing", n)
+        t0 = time.time()
+        q = streaming_ingest(
+            spark,
+            landing_dir=str(root / "landing"),
+            curated_dir=str(root / "curated"),
+            dlq_dir=str(root / "dlq"),
+            checkpoint_dir=str(root / "ckpt"),
+            schema=landing_schema(),
+            max_files_per_trigger=FILES_PER_TRIGGER,
+        )
+        # Injected kill: stop as soon as ~3 micro-batches committed.
+        while len(q.recentProgress) < 3 and q.isActive:
+            time.sleep(0.2)
+        q.stop()
+        try:
+            q.awaitTermination()
+        except Exception:  # noqa: BLE001 — stop() may surface as an error
+            pass
+        killed_after = time.time() - t0
+        batches_done = len(q.recentProgress)
+        # Restart from the same checkpoint: must re-drain the remainder.
+        t1 = time.time()
+        r = drain(spark, root)
+        raw = spark.read.parquet(str(root / "curated"))
+        resolved = deduplicate_replays(raw)
+        raw_n, res_n = raw.count(), resolved.count()
+        emit(
+            fh,
+            {
+                "phase": "replay",
+                "backlog_files": n,
+                "killed_after_sec": round(killed_after, 2),
+                "batches_before_kill": batches_done,
+                "replay_drain_sec": round(time.time() - t1, 2),
+                "replay_batches": r["n_batches"],
+                "raw_rows": raw_n,
+                "resolved_rows": res_n,
+                "exactly_once": res_n == n * ROWS_PER_FILE,
+            },
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def phase_quality(fh, backlogs=(1_000, 10_000)) -> None:
+    from datalakejson_spark.streaming.quality_stream import (
+        streaming_quality_gated_ingest,
+    )
+
+    spark = fresh_session("quality")
+    schema = "doc_id LONG, text STRING, n_chars LONG"
+    for n in backlogs:
+        root = Path(tempfile.mkdtemp(prefix=f"stream_curve_quality_{n}_"))
+        try:
+            land = root / "landing"
+            land.mkdir(parents=True)
+            words = "the quick brown fox jumps over a lazy dog near riverbank "
+            for i in range(n):
+                with open(land / f"d{i:06d}.json", "w") as f:
+                    for j in range(ROWS_PER_FILE):
+                        text = (words * (3 + (i + j) % 4)).strip()
+                        f.write(
+                            json.dumps(
+                                {
+                                    "doc_id": i * ROWS_PER_FILE + j,
+                                    "text": text,
+                                    "n_chars": len(text),
+                                }
+                            )
+                            + "\n"
+                        )
+            t0 = time.time()
+            q = streaming_quality_gated_ingest(
+                spark,
+                landing_dir=str(land),
+                kept_dir=str(root / "kept"),
+                dropped_dir=str(root / "dropped"),
+                checkpoint_dir=str(root / "ckpt"),
+                schema=schema,
+                max_files_per_trigger=FILES_PER_TRIGGER,
+            )
+            q.awaitTermination()
+            dt = time.time() - t0
+            durs = batch_durations(q)
+            kept = spark.read.parquet(str(root / "kept")).count()
+            emit(
+                fh,
+                {
+                    "phase": "quality",
+                    "backlog_files": n,
+                    "drain_sec": round(dt, 2),
+                    "n_batches": len(durs),
+                    "batch_first_sec": round(durs[0], 2) if durs else None,
+                    "batch_p50_sec": round(sorted(durs)[len(durs) // 2], 2)
+                    if durs
+                    else None,
+                    "batch_last_sec": round(durs[-1], 2) if durs else None,
+                    "docs_per_sec": round(n * ROWS_PER_FILE / dt, 1),
+                    "kept_rows": kept,
+                },
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = "/tmp/streaming_scale_curve.jsonl"
+    for a in sys.argv[1:]:
+        if a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+    phases = args or ["drain", "steady", "replay", "quality"]
+    with open(out_path, "a", buffering=1) as fh:
+        emit(fh, {"phase": "meta", "start": time.strftime("%F %T"), "phases": phases})
+        if "drain" in phases:
+            phase_drain(fh)
+        if "steady" in phases:
+            phase_steady(fh)
+        if "replay" in phases:
+            phase_replay(fh)
+        if "quality" in phases:
+            phase_quality(fh)
+        emit(fh, {"phase": "meta", "done": time.strftime("%F %T")})
+    print(f"done -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()
