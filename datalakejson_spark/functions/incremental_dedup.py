@@ -175,17 +175,46 @@ def dedup_audit(
 
     Both probes are distinct-marker left joins (not ``leftsemi``) so one
     result frame carries the full audit; the marker tables contain only ids.
+
+    Probe shape (round 10): a left-semi join can only broadcast its BUILD
+    (right) side, so the obvious ``delta SEMI index`` probe shuffles the
+    ENTIRE index every batch — O(corpus) shuffle per 15-minute drain, the
+    exact break of the "batch N+1 as cheap as batch N" invariant (measured:
+    audit shuffle grew linearly to ~the full band table at 10^6 indexed
+    docs). The probe is therefore flipped into two broadcast stages:
+    ``index SEMI broadcast(delta keys)`` streams the index scan through a
+    broadcast hash probe (ZERO index shuffle) and emits only the colliding
+    keys — then distinct'd (bounded by the DELTA's key count even when a
+    degenerate hot bucket holds millions of corpus rows) and broadcast back
+    against the delta. Per-batch cost: one index SCAN (irreducible without
+    auxiliary pruning structures) + O(batch + collisions) shuffle. The
+    broadcast sides are delta-derived, so their size is bounded by the
+    micro-batch (maxFilesPerTrigger in the streaming loop).
     """
     hashed = delta.select(F.col(id_col), F.md5(text_col).alias("text_hash"))
+    hit_hashes = corpus_hashes.join(
+        F.broadcast(hashed.select("text_hash").distinct()),
+        "text_hash",
+        "leftsemi",
+    ).distinct()
     exact_ids = (
-        hashed.join(corpus_hashes, "text_hash", "leftsemi")
+        hashed.join(F.broadcast(hit_hashes), "text_hash", "leftsemi")
         .select(id_col)
         .distinct()
         .withColumn("_e", F.lit(True))
     )
     delta_bands = band_table(minhash_signatures(delta, text_col, id_col), id_col)
+    hit_buckets = (
+        corpus_bands.select(*BAND_KEY)
+        .join(
+            F.broadcast(delta_bands.select(*BAND_KEY).distinct()),
+            BAND_KEY,
+            "leftsemi",
+        )
+        .distinct()
+    )
     near_ids = (
-        delta_bands.join(corpus_bands.select(*BAND_KEY), BAND_KEY, "leftsemi")
+        delta_bands.join(F.broadcast(hit_buckets), BAND_KEY, "leftsemi")
         .select(id_col)
         .distinct()
         .withColumn("_n", F.lit(True))

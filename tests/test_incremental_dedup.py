@@ -71,6 +71,34 @@ def test_audit_probe_plan_shape(spark):
     assert audit.count() == 30
 
 
+def test_audit_probes_never_shuffle_the_index(spark):
+    """The round-10 probe flip: a left-semi join broadcasts only its BUILD
+    (right) side, so the naive `delta SEMI index` shape shuffles the ENTIRE
+    index every batch once it outgrows the auto-broadcast threshold
+    (measured: 144.5 MB shuffled per 1000-doc batch at a 10^6-doc index vs
+    0.2 MB flipped). The flipped probes put the delta-derived keys on the
+    build side with EXPLICIT broadcast hints, so the plan keeps its
+    broadcast joins even with auto-broadcast disabled — which is exactly
+    the regime a 100 TB index is always in. Pin: no SortMergeJoin /
+    ShuffledHashJoin anywhere in the audit plan under threshold=-1."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        corpus = _docs(spark, [(i, f"{BASE} {i}") for i in range(1, 30)])
+        delta = _docs(spark, [(100 + i, f"{OTHER} {i}") for i in range(30)])
+        audit = dedup_audit(
+            delta, exact_hash_index(corpus), band_table(minhash_signatures(corpus))
+        )
+        assert audit.count() == 30
+        plan = audit._jdf.queryExecution().executedPlan().toString()
+        semi_plan = plan.split("Project")[0]  # whole plan: probes + markers
+        assert "SortMergeJoin LeftSemi" not in plan, plan
+        assert "ShuffledHashJoin LeftSemi" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 4, semi_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_streaming_dedup_ingest(spark, tmp_path):
     """The streaming composition: drain 1 curates batch 1 and seeds the
     indexes; drain 2 (same checkpoint, new file) appends ONLY content never
