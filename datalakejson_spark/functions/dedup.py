@@ -31,6 +31,19 @@ from datalakejson_spark.sources.tables import load_table
 NUM_HASHES = 8  # minhash permutations
 BAND_ROWS = 2  # rows per LSH band → NUM_HASHES/BAND_ROWS = 4 bands
 NUM_BANDS = NUM_HASHES // BAND_ROWS
+#: Hex chars per minhash lane. Round 10 widened 4 → 8 (16 → 32 bits): with
+#: 16-bit lanes a 2-row band carries only 32 bits of identity, and because
+#: minhash MINIMUMS concentrate near zero the likely band-value region
+#: saturates as the corpus grows — measured ~1.6% of ALL-NOVEL documents
+#: false-positived as near-dups at a 10^5-doc index and ~10-12% at 10^6
+#: (tools/dedup_index_curve.py; silent data loss for a training pipeline).
+#: 32-bit lanes give a 64-bit band identity: chance collisions stay
+#: negligible past 10^10 documents. Lanes 0-3 are disjoint chunks of
+#: md5(shingle); lanes 4-7 of md5(md5(shingle)) — the second derived hash
+#: keeps the one-hash-per-shingle pipeline (both engines compute it
+#: identically) at the cost of one extra md5 per shingle row.
+LANE_HEX = 8
+LANES_PER_MD5 = 32 // LANE_HEX
 SHINGLE = 3  # 3-word shingles
 SIMHASH_BITS = 16
 
@@ -39,7 +52,9 @@ def _hex4_to_int(expr: str, offset: int = 0) -> str:
     """Portable SQL: hex chars [offset+1, offset+4] of md5 ``expr`` -> int
     in [0, 65535]. Same text parses in Spark SQL and DuckDB (instr/substr
     are shared). Disjoint offsets give independent 16-bit hashes from one
-    md5 — the lane trick MinHash uses, reused for the wide SimHash."""
+    md5 — the lane trick MinHash uses (with wider 32-bit lanes since round
+    10), reused here for the wide SimHash, where 16-bit vote lanes are fine
+    (SimHash compares bit-distance, not bucket identity)."""
     digits = []
     for i in range(offset + 1, offset + 5):
         digits.append(
@@ -101,11 +116,19 @@ _DUCK_SHINGLES = (
     f"for i in range(1, greatest(len(w) - {SHINGLE - 2}, 2))]"
 )
 
-# One md5 per shingle; the 8 minhash lanes are its disjoint 4-hex-char chunks
-# (one-permutation-hashing flavor: 8× cheaper than 8 salted hashes, and min
-# over fixed-width lowercase hex is the same as numeric min).
+# One md5 per shingle (+ one derived md5 for the upper lanes); the 8 minhash
+# lanes are disjoint LANE_HEX-char chunks (one-permutation-hashing flavor:
+# far cheaper than 8 salted hashes, and min over fixed-width lowercase hex
+# is the same as numeric min). Lane source/offset math mirrors
+# _min_lane_signatures exactly — one definition per engine, same constants.
+def _lane_src_sql(lane: int) -> str:
+    return "h" if lane < LANES_PER_MD5 else "md5(h)"
+
+
 _MINHASH_AGGS = ",\n           ".join(
-    f"min(substr(h, {1 + 4 * lane}, 4)) AS mh{lane}" for lane in range(NUM_HASHES)
+    f"min(substr({_lane_src_sql(lane)}, "
+    f"{1 + LANE_HEX * (lane % LANES_PER_MD5)}, {LANE_HEX})) AS mh{lane}"
+    for lane in range(NUM_HASHES)
 )
 _BAND_EXPRS = [
     (
@@ -159,12 +182,21 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 def _min_lane_signatures(hashed: DataFrame, id_col: str) -> DataFrame:
     """(id, mh0..mhK) from an (id, h) md5-per-shingle frame: NUM_HASHES
-    min-aggregates over disjoint 4-hex-char lanes. The ONE definition of the
-    lane math — every signature producer funnels through here, so a
-    lane-width or hash change can never make the generate and verify stages
-    disagree."""
+    min-aggregates over disjoint LANE_HEX-char lanes — lanes 0..3 of ``h``,
+    lanes 4..7 of the derived ``md5(h)`` (projected once per row, not
+    re-hashed per aggregate). The ONE definition of the lane math — every
+    signature producer funnels through here, so a lane-width or hash change
+    can never make the generate and verify stages disagree; the DuckDB
+    mirror is _MINHASH_AGGS, generated from the same constants."""
+    hashed = hashed.withColumn("h2", F.md5("h"))
     aggs = [
-        F.min(F.substring("h", 1 + 4 * lane, 4)).alias(f"mh{lane}")
+        F.min(
+            F.substring(
+                "h" if lane < LANES_PER_MD5 else "h2",
+                1 + LANE_HEX * (lane % LANES_PER_MD5),
+                LANE_HEX,
+            )
+        ).alias(f"mh{lane}")
         for lane in range(NUM_HASHES)
     ]
     return hashed.groupBy(id_col).agg(*aggs)

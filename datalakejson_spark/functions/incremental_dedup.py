@@ -152,6 +152,42 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
         shutil.rmtree(stage, ignore_errors=True)
 
 
+_LANES_META = "_LANES.json"
+
+
+def _check_lane_meta(index_dir: str) -> None:
+    """Refuse to audit with an index built under a DIFFERENT minhash lane
+    definition (band hashes are md5 strings — definition drift is invisible
+    in the data itself, and auditing across it silently disables near-dup
+    detection for the whole pre-drift corpus). The marker is written on
+    first use; a pre-marker index (or one built by the direct writers in
+    tests/benches) adopts the current definition on its next batch."""
+    import json
+
+    from datalakejson_spark.functions.dedup import BAND_ROWS, LANE_HEX, NUM_HASHES
+
+    current = {"num_hashes": NUM_HASHES, "lane_hex": LANE_HEX,
+               "band_rows": BAND_ROWS}
+    meta_path = os.path.join(index_dir, _LANES_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            recorded = json.load(fh)
+        if recorded != current:
+            raise RuntimeError(
+                f"dedup index at {index_dir} was built with minhash lane "
+                f"definition {recorded}, but this build uses {current}. "
+                "Auditing across a lane-definition change silently loses "
+                "near-dup detection for the existing corpus — rebuild the "
+                "index (reindex the corpus) or run the matching build."
+            )
+        return
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(current, fh)
+    os.replace(tmp, meta_path)
+
+
 def exact_hash_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct content-hash index of a corpus: one 32-byte row per unique
     text. The only shuffle key is the hash itself."""
@@ -291,6 +327,7 @@ def ingest_batch_dedup(
     crashed predecessor, so the hash and band indexes can never drift apart.
     """
     _publish_staged(index_dir)  # roll forward a crashed predecessor first
+    _check_lane_meta(index_dir)
     corpus_hashes, corpus_bands = _read_index_pair(spark, index_dir, id_col)
     batch_uniq = dedup_within_batch(delta, id_col, text_col)
     audit = dedup_audit(batch_uniq, corpus_hashes, corpus_bands, id_col, text_col)

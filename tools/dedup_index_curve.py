@@ -104,15 +104,25 @@ def main() -> None:
                 assert n_kept >= 0.8 * BATCH_DOCS, (n_kept, rep)
 
             # Audit-only executed metrics: how many bytes actually crossed
-            # exchanges for one probe pass over the full index. MUST be
-            # collect(), not count(): the audit's marker left-joins are on
-            # provably-distinct keys, so under count() Catalyst eliminates
-            # the joins AND the semi probes feeding them — the "measured"
-            # audit then reads zero scan rows and zero shuffle while doing
-            # no index work at all (round-10 harness bug).
+            # exchanges for one probe pass over the full index. Two traps
+            # (both hit in round 10):
+            # 1. MUST be collect(), not count(): the audit's marker
+            #    left-joins are on provably-distinct keys, so under count()
+            #    Catalyst eliminates the joins AND the semi probes feeding
+            #    them — zero "measured" work while doing none.
+            # 2. The delta MUST contain planted duplicates: with zero
+            #    collisions AQE's empty-relation propagation replaces the
+            #    probe subtrees after their stages execute, dropping the
+            #    already-run index scan/shuffle stages from the FINAL plan —
+            #    the metrics walk then reads Range+Project and nothing else
+            #    (wall time stays honest; SQLMetrics do not).
             hashes = spark.read.parquet(f"{idx}/hashes")
             bands = spark.read.parquet(f"{idx}/bands")
-            delta = synth_docs(spark, h + 2 * BATCH_DOCS, BATCH_DOCS)
+            novel = synth_docs(spark, h + 2 * BATCH_DOCS, BATCH_DOCS - 10)
+            planted = synth_docs(spark, 0, 10).select(
+                (F.col("doc_id") + h + 3 * BATCH_DOCS).alias("doc_id"), "text"
+            )
+            delta = novel.unionByName(planted)
             t0 = time.time()
             audit = dedup_audit(delta, hashes, bands)
             audit.collect()
