@@ -122,6 +122,18 @@ class DataLakeEngine:
         self._fq_table = None  # rewritten files → re-register on next sql()
         return compact(self.spark, self.conf.curated_dir, **kwargs)
 
+    def compact_dedup_index(self, index_dir: str, **kwargs) -> dict:
+        """Rewrite the incremental-dedup index pair into few large files
+        (functions/incremental_dedup.compact_index): every staged append
+        adds a file set and the per-batch audit pays the file count
+        (measured +40% wall at 2048 files, SCALE.md). Crash-safe via the
+        same staged publish the appends use; run it from the ingest runner
+        between batches, the cadence the ledger uses for its own
+        compaction."""
+        from datalakejson_spark.functions.incremental_dedup import compact_index
+
+        return compact_index(self.spark, index_dir, **kwargs)
+
     def vacuum_replays(self) -> dict[str, int]:
         """Physically drop superseded crash-replay rows per partition."""
         from datalakejson_spark.plans.compact import vacuum_replays

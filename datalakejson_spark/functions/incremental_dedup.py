@@ -119,9 +119,18 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
     sees its exact-hash but not its bands and develops a permanent
     near-dup blind spot).
 
+    A COMPACTION stage (compact_index) additionally carries a
+    ``_SUBSUMED.json`` manifest naming the live files its compacted set
+    replaces; those are deleted AFTER the moves complete, so the only
+    crash windows leave either the old layout (no marker) or a
+    temporarily DUPLICATED index (published, deletes incomplete) —
+    duplicate rows are harmless to the semi-join probes, and the deletes
+    are idempotent roll-forward work finished here before the next audit.
+
     Local-filesystem rename, like the archive move (plans/ingest.py:313);
     on an object store the same contract is a staged prefix + manifest.
     """
+    import json
     import time
 
     staging_root = os.path.join(index_dir, _STAGING)
@@ -149,7 +158,86 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
                     dst = os.path.join(dst_dir, name)
                     if not os.path.exists(dst):  # idempotent re-publish
                         os.replace(os.path.join(src_dir, name), dst)
+        manifest = os.path.join(stage, "_SUBSUMED.json")
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                subsumed = json.load(fh)
+            for sub, names in subsumed.items():
+                live = os.path.join(index_dir, sub)
+                for name in names:
+                    try:
+                        os.remove(os.path.join(live, name))
+                    except FileNotFoundError:  # idempotent re-delete
+                        pass
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_rows_per_file: int = 4_000_000,
+) -> dict[str, tuple[int, int]]:
+    """Rewrite the live index pair into few large files. Returns
+    ``{subdir: (files_before, files_after)}``.
+
+    Every staged append publishes at least one new parquet file per
+    subdir, so a 15-minute ingest cadence grows the index by thousands of
+    small files per week — and the audit pays the file count every batch
+    (measured: +45% audit wall time at 2048 files vs 32 on LOCAL fs at a
+    10^6-doc index; object-store per-file opens make it far worse). Same
+    disease, same cure as the ledger's small-file compaction.
+
+    Crash safety rides the SAME staged-publish path the appends use, plus
+    a ``_SUBSUMED.json`` manifest naming the exact live files the
+    compacted set replaces (the read is pinned to that listed snapshot,
+    not the directory). The compacted files move in BEFORE the subsumed
+    originals are deleted, so every crash window leaves either the old
+    layout (stage unmarked → swept) or a temporarily DUPLICATED index
+    (marker present → _publish_staged finishes the moves AND the deletes
+    before the next audit). Duplicate index rows are harmless to the
+    semi-join probes — correctness is never in the window, only bytes.
+
+    Single-runner maintenance op: run it from the ingest runner between
+    batches (a CONCURRENT reader of the live dirs could hit a vanishing
+    file mid-scan during the delete step).
+    """
+    import json
+    import math
+
+    _publish_staged(index_dir)  # complete any predecessor first
+    _check_lane_meta(index_dir)
+    stage = os.path.join(index_dir, _STAGING, uuid.uuid4().hex)
+    subsumed: dict[str, list[str]] = {}
+    counts: dict[str, tuple[int, int]] = {}
+    for sub in _INDEX_SUBDIRS:
+        live = os.path.join(index_dir, sub)
+        files = sorted(
+            n for n in os.listdir(live) if n.endswith(".parquet")
+        ) if os.path.isdir(live) else []
+        if not files:
+            counts[sub] = (0, 0)
+            continue
+        df = spark.read.parquet(*(os.path.join(live, n) for n in files))
+        parts = max(1, math.ceil(df.count() / target_rows_per_file))
+        if parts >= len(files):
+            counts[sub] = (len(files), len(files))
+            continue  # already compact — never rewrite to MORE files
+        subsumed[sub] = files
+        df.repartition(parts).write.mode("overwrite").parquet(
+            os.path.join(stage, sub)
+        )
+        counts[sub] = (len(files), parts)
+    if not subsumed:
+        shutil.rmtree(stage, ignore_errors=True)
+        return counts
+    fire("dedup:compact_staged")  # no marker yet: crash = old layout wins
+    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
+        json.dump(subsumed, fh)
+    with open(os.path.join(stage, "_COMMITTED"), "w") as marker:
+        marker.write("ok")
+    fire("dedup:compact_committed")  # committed, not yet published
+    _publish_staged(index_dir)
+    return counts
 
 
 _LANES_META = "_LANES.json"

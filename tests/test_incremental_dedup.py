@@ -297,3 +297,114 @@ def test_corrupt_index_raises_not_reingests(spark, tmp_path):
     with pytest.raises(Exception) as exc_info:
         ingest_batch_dedup(spark, _docs(spark, [(1, BASE)]), str(idx)).count()
     assert "PATH_NOT_FOUND" not in str(exc_info.value)
+
+
+# ---------------------------------------------------------------------------
+# Index compaction (round 10): every staged append publishes >=1 new file
+# per subdir, and the audit pays the file count every batch (measured +45%
+# wall at 2048 files vs 32, local fs, 10^6-doc index — SCALE.md).
+# ---------------------------------------------------------------------------
+def _parquet_files(idx: str, sub: str) -> set[str]:
+    import os
+
+    d = os.path.join(idx, sub)
+    return {n for n in os.listdir(d) if n.endswith(".parquet")}
+
+
+def _audit_snapshot(spark, idx: str, delta) -> list:
+    from datalakejson_spark.functions.incremental_dedup import _read_index_pair
+
+    hashes, bands = _read_index_pair(spark, idx, "doc_id")
+    return sorted(
+        dedup_audit(delta, hashes, bands).collect(), key=lambda r: r.doc_id
+    )
+
+
+def test_compact_index_shrinks_files_and_preserves_audit(spark, tmp_path):
+    from datalakejson_spark.functions.incremental_dedup import compact_index
+
+    idx = str(tmp_path / "idx")
+    texts = [BASE, OTHER,
+             "fresh corpus text about columnar layouts and predicate pushdown",
+             "another unrelated document mentioning watermark semantics today",
+             "final unique entry covering broadcast joins and shuffle salting"]
+    for i, t in enumerate(texts):  # 5 appends -> >=5 file sets per subdir
+        ingest_batch_dedup(spark, _docs(spark, [(i, t)]), idx)
+    before_h = _parquet_files(idx, "hashes")
+    assert len(before_h) >= 5
+    delta = _docs(spark, [(100, BASE), (101, NEAR), (102, "wholly novel words")])
+    before = _audit_snapshot(spark, idx, delta)
+
+    counts = compact_index(spark, idx)
+    for sub in ("hashes", "bands"):
+        b, a = counts[sub]
+        assert a < b, counts
+        assert len(_parquet_files(idx, sub)) == a
+    assert _audit_snapshot(spark, idx, delta) == before
+    # The loop keeps working on the compacted layout (append + re-audit).
+    assert ingest_batch_dedup(spark, _docs(spark, [(200, BASE)]), idx).count() == 0
+    kept = ingest_batch_dedup(spark, _docs(spark, [(201, "never seen before text")]), idx)
+    assert kept.count() == 1
+    # Recompaction folds the post-compaction appends back in…
+    again = compact_index(spark, idx)
+    for sub in ("hashes", "bands"):
+        assert again[sub][1] <= again[sub][0]
+    # …and a back-to-back call is a no-op: never rewrites to MORE files.
+    noop = compact_index(spark, idx)
+    for sub in ("hashes", "bands"):
+        assert noop[sub][0] == noop[sub][1]
+
+
+def test_compact_kill_before_marker_leaves_old_layout(spark, tmp_path):
+    from datalakejson_spark.plans.killpoints import InjectedKill, arm, disarm
+    from datalakejson_spark.functions.incremental_dedup import compact_index
+
+    idx = str(tmp_path / "idx")
+    for i, t in enumerate([BASE, OTHER]):
+        ingest_batch_dedup(spark, _docs(spark, [(i, t)]), idx)
+    before_files = _parquet_files(idx, "hashes")
+    delta = _docs(spark, [(100, BASE), (102, "wholly novel words")])
+    before = _audit_snapshot(spark, idx, delta)
+
+    arm("dedup:compact_staged", lambda: (_ for _ in ()).throw(InjectedKill()))
+    try:
+        try:
+            compact_index(spark, idx)
+            raise AssertionError("kill did not fire")
+        except InjectedKill:
+            pass
+    finally:
+        disarm("dedup:compact_staged")
+    # No marker -> the live layout is untouched and the next batch neither
+    # publishes nor loses anything (the unmarked stage ages out later).
+    assert _parquet_files(idx, "hashes") == before_files
+    assert _audit_snapshot(spark, idx, delta) == before
+    assert ingest_batch_dedup(spark, _docs(spark, [(300, BASE)]), idx).count() == 0
+
+
+def test_compact_kill_after_marker_rolls_forward(spark, tmp_path):
+    from datalakejson_spark.plans.killpoints import InjectedKill, arm, disarm
+    from datalakejson_spark.functions.incremental_dedup import compact_index
+
+    idx = str(tmp_path / "idx")
+    for i, t in enumerate([BASE, OTHER,
+                           "fresh corpus text about columnar layouts"]):
+        ingest_batch_dedup(spark, _docs(spark, [(i, t)]), idx)
+    n_before = len(_parquet_files(idx, "hashes"))
+    delta = _docs(spark, [(100, BASE), (102, "wholly novel words")])
+    before = _audit_snapshot(spark, idx, delta)
+
+    arm("dedup:compact_committed", lambda: (_ for _ in ()).throw(InjectedKill()))
+    try:
+        try:
+            compact_index(spark, idx)
+            raise AssertionError("kill did not fire")
+        except InjectedKill:
+            pass
+    finally:
+        disarm("dedup:compact_committed")
+    # Marker present, not yet published: the next batch's _publish_staged
+    # completes the compaction (moves + subsumed deletes) BEFORE auditing.
+    assert ingest_batch_dedup(spark, _docs(spark, [(300, BASE)]), idx).count() == 0
+    assert len(_parquet_files(idx, "hashes")) < n_before + 1  # compacted + 0-1 append sets
+    assert _audit_snapshot(spark, idx, delta) == before
