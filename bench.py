@@ -147,17 +147,26 @@ SF1_NOMINAL_REF = {
 
 
 def calibration_check(
-    numpy_mt_sec: float, sf1_timings: dict[str, float]
+    numpy_mt_sec: float,
+    sf1_timings: dict[str, float],
+    ref: dict[str, float] | None = None,
 ) -> dict:
     """kernel_deviation (numpy_mt / nominal), sf1_raw_drift (median per-query
     ratio vs the nominal reference), box_anomalous (kernel claims a slowdown
     or speedup >1.3x nominal that the measured wall-clock drift contradicts
-    by more than 1.3x in either direction)."""
+    by more than 1.3x in either direction).
+
+    ``ref`` defaults to SF1_NOMINAL_REF (this file's frozen nominal-box
+    snapshot); tools/bench_history.py passes each historical round's
+    nearest nominal-kernel neighbor instead — ONE definition of the
+    adjudication math for emission-time and retroactive checks."""
     dev = numpy_mt_sec / NOMINAL_NUMPY_MT
+    if ref is None:
+        ref = SF1_NOMINAL_REF
     ratios = sorted(
-        sf1_timings[n] / SF1_NOMINAL_REF[n]
-        for n in SF1_NOMINAL_REF
-        if n in sf1_timings
+        sf1_timings[n] / ref[n]
+        for n in ref
+        if n in sf1_timings and ref[n]
     )
     out = {"kernel_deviation": round(dev, 3)}
     if not ratios:
@@ -339,6 +348,7 @@ def bench_dedup(spark, sf_dir: str, batch_factor: int = 1) -> tuple[int, float]:
     from datalakejson_spark.functions.incremental_dedup import (
         exact_hash_index,
         ingest_batch_dedup,
+        write_lane_meta,
     )
     from datalakejson_spark.sources.tables import load_table
 
@@ -351,6 +361,7 @@ def bench_dedup(spark, sf_dir: str, batch_factor: int = 1) -> tuple[int, float]:
         band_table(minhash_signatures(corpus)).write.mode("append").parquet(
             f"{idx}/bands"
         )
+        write_lane_meta(idx)  # direct writers must stamp the definition
         base = docs.filter(F.col("doc_id") % 4 == 0)
         replicas = [base]
         if batch_factor > 1:

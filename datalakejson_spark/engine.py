@@ -126,7 +126,7 @@ class DataLakeEngine:
         """Rewrite the incremental-dedup index pair into few large files
         (functions/incremental_dedup.compact_index): every staged append
         adds a file set and the per-batch audit pays the file count
-        (measured +40% wall at 2048 files, SCALE.md). Crash-safe via the
+        (measured +45% wall at 2048 files vs 32, SCALE.md). Crash-safe via the
         same staged publish the appends use; run it from the ingest runner
         between batches, the cadence the ledger uses for its own
         compaction."""

@@ -243,19 +243,47 @@ def compact_index(
 _LANES_META = "_LANES.json"
 
 
+def _current_lane_meta() -> dict:
+    from datalakejson_spark.functions.dedup import BAND_ROWS, LANE_HEX, NUM_HASHES
+
+    return {"num_hashes": NUM_HASHES, "lane_hex": LANE_HEX,
+            "band_rows": BAND_ROWS}
+
+
+def write_lane_meta(index_dir: str) -> None:
+    """Stamp ``index_dir`` with the CURRENT minhash lane definition. The
+    staged-publish loop stamps bootstrapped indexes automatically; call
+    this yourself only when building an index pair with the direct writers
+    (``exact_hash_index(...).write`` / ``band_table(...).write`` — the
+    bench and scale harnesses do), asserting "these files really were
+    written under the current definition"."""
+    import json
+
+    os.makedirs(index_dir, exist_ok=True)
+    meta_path = os.path.join(index_dir, _LANES_META)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(_current_lane_meta(), fh)
+    os.replace(tmp, meta_path)
+
+
 def _check_lane_meta(index_dir: str) -> None:
     """Refuse to audit with an index built under a DIFFERENT minhash lane
     definition (band hashes are md5 strings — definition drift is invisible
     in the data itself, and auditing across it silently disables near-dup
-    detection for the whole pre-drift corpus). The marker is written on
-    first use; a pre-marker index (or one built by the direct writers in
-    tests/benches) adopts the current definition on its next batch."""
+    detection for the whole pre-drift corpus).
+
+    Adoption rules (review catch, round 10): the current definition is
+    stamped only when the index is EMPTY (bootstrap — no parquet files in
+    either subdir). A non-empty index with NO marker is refused, not
+    adopted: it predates the marker (or was built by a direct writer that
+    skipped :func:`write_lane_meta`), and its band hashes may encode ANY
+    lane width — silently adopting would be exactly the blind spot this
+    guard exists to prevent (the 16→32-bit widening shipped in the same
+    change as the marker, so every pre-widening index is marker-less)."""
     import json
 
-    from datalakejson_spark.functions.dedup import BAND_ROWS, LANE_HEX, NUM_HASHES
-
-    current = {"num_hashes": NUM_HASHES, "lane_hex": LANE_HEX,
-               "band_rows": BAND_ROWS}
+    current = _current_lane_meta()
     meta_path = os.path.join(index_dir, _LANES_META)
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
@@ -269,11 +297,24 @@ def _check_lane_meta(index_dir: str) -> None:
                 "index (reindex the corpus) or run the matching build."
             )
         return
-    os.makedirs(index_dir, exist_ok=True)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(current, fh)
-    os.replace(tmp, meta_path)
+    has_files = any(
+        os.path.isdir(os.path.join(index_dir, sub))
+        and any(
+            n.endswith(".parquet")
+            for n in os.listdir(os.path.join(index_dir, sub))
+        )
+        for sub in _INDEX_SUBDIRS
+    )
+    if has_files:
+        raise RuntimeError(
+            f"dedup index at {index_dir} has no {_LANES_META} definition "
+            "marker but already contains index files — its minhash lane "
+            "definition is unknown (it may predate the 32-bit lane "
+            "widening). Rebuild the index under the current definition, or "
+            "stamp it with write_lane_meta(index_dir) ONLY if you are "
+            "certain it was built by this exact build."
+        )
+    write_lane_meta(index_dir)
 
 
 def exact_hash_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -288,6 +329,7 @@ def dedup_audit(
     corpus_bands: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_delta: bool = True,
 ) -> DataFrame:
     """Per-delta-document audit against the corpus indexes:
     ``(id, is_exact_dup, is_near_dup, kept)``.
@@ -311,18 +353,27 @@ def dedup_audit(
     keys — then distinct'd (bounded by the DELTA's key count even when a
     degenerate hot bucket holds millions of corpus rows) and broadcast back
     against the delta. Per-batch cost: one index SCAN (irreducible without
-    auxiliary pruning structures) + O(batch + collisions) shuffle. The
-    broadcast sides are delta-derived, so their size is bounded by the
-    micro-batch (maxFilesPerTrigger in the streaming loop).
-    """
+    auxiliary pruning structures) + O(batch + collisions) shuffle.
+
+    ``broadcast_delta`` (default True) forces the broadcast hints: every
+    broadcast side is delta-derived, so the bound is the DELTA's key count
+    — the right posture for the incremental loop, where the delta is one
+    micro-batch (maxFilesPerTrigger). The hints bypass Spark's size
+    safety, so a BULK caller whose delta is itself corpus-scale (a
+    backfill re-audit of ~10^7+ documents → NUM_BANDS× that in band keys)
+    must pass ``broadcast_delta=False``: the flipped orientation is kept
+    (the small side stays on the build-right) but the planner/AQE chooses
+    broadcast vs shuffle from actual sizes, degrading gracefully instead
+    of exhausting the driver (review catch, round 10)."""
+    maybe_bcast = F.broadcast if broadcast_delta else (lambda df: df)
     hashed = delta.select(F.col(id_col), F.md5(text_col).alias("text_hash"))
     hit_hashes = corpus_hashes.join(
-        F.broadcast(hashed.select("text_hash").distinct()),
+        maybe_bcast(hashed.select("text_hash").distinct()),
         "text_hash",
         "leftsemi",
     ).distinct()
     exact_ids = (
-        hashed.join(F.broadcast(hit_hashes), "text_hash", "leftsemi")
+        hashed.join(maybe_bcast(hit_hashes), "text_hash", "leftsemi")
         .select(id_col)
         .distinct()
         .withColumn("_e", F.lit(True))
@@ -331,14 +382,14 @@ def dedup_audit(
     hit_buckets = (
         corpus_bands.select(*BAND_KEY)
         .join(
-            F.broadcast(delta_bands.select(*BAND_KEY).distinct()),
+            maybe_bcast(delta_bands.select(*BAND_KEY).distinct()),
             BAND_KEY,
             "leftsemi",
         )
         .distinct()
     )
     near_ids = (
-        delta_bands.join(F.broadcast(hit_buckets), BAND_KEY, "leftsemi")
+        delta_bands.join(maybe_bcast(hit_buckets), BAND_KEY, "leftsemi")
         .select(id_col)
         .distinct()
         .withColumn("_n", F.lit(True))
@@ -385,6 +436,7 @@ def ingest_batch_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     on_kept=None,
+    broadcast_delta: bool = True,
 ) -> DataFrame:
     """One loop iteration over a parquet-persisted index pair under
     ``index_dir`` (``hashes/``, ``bands/``): dedup within the batch, audit
@@ -418,7 +470,10 @@ def ingest_batch_dedup(
     _check_lane_meta(index_dir)
     corpus_hashes, corpus_bands = _read_index_pair(spark, index_dir, id_col)
     batch_uniq = dedup_within_batch(delta, id_col, text_col)
-    audit = dedup_audit(batch_uniq, corpus_hashes, corpus_bands, id_col, text_col)
+    audit = dedup_audit(
+        batch_uniq, corpus_hashes, corpus_bands, id_col, text_col,
+        broadcast_delta=broadcast_delta,  # False for corpus-scale backfills
+    )
     # localCheckpoint (eager), NOT persist: the survivor set feeds three
     # consumers (on_kept + two index appends), and the appends write to the
     # very paths the audit reads. A persisted plan is recomputed by Spark's

@@ -408,3 +408,26 @@ def test_compact_kill_after_marker_rolls_forward(spark, tmp_path):
     assert ingest_batch_dedup(spark, _docs(spark, [(300, BASE)]), idx).count() == 0
     assert len(_parquet_files(idx, "hashes")) < n_before + 1  # compacted + 0-1 append sets
     assert _audit_snapshot(spark, idx, delta) == before
+
+
+def test_audit_bulk_posture_drops_forced_broadcast(spark):
+    """broadcast_delta=False (the corpus-scale backfill posture) keeps the
+    flipped orientation but drops the hints, so the planner sizes the
+    joins from stats instead of force-collecting delta-derived keys to the
+    driver. Results identical; with auto-broadcast disabled the plan
+    proves the hints are really gone (no broadcast joins at all)."""
+    corpus = _docs(spark, [(i, f"{BASE} {i}") for i in range(1, 30)])
+    delta = _docs(spark, [(100, BASE), (101, NEAR), (102, OTHER)])
+    hashes, bands = exact_hash_index(corpus), band_table(minhash_signatures(corpus))
+    default = sorted(map(tuple, dedup_audit(delta, hashes, bands).collect()))
+    bulk_df = dedup_audit(delta, hashes, bands, broadcast_delta=False)
+    assert sorted(map(tuple, bulk_df.collect())) == default
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bulk_df = dedup_audit(delta, hashes, bands, broadcast_delta=False)
+        bulk_df.count()
+        plan = bulk_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -43,6 +43,7 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))  # for `from bench import calibration_check`
 
 # Round-over-round annotations established by prior verdicts (kept in the
 # generator so regeneration never loses them).
@@ -114,15 +115,16 @@ def load_rounds() -> dict[int, dict]:
     return out
 
 
-NOMINAL_NUMPY_MT = 1.2
-
-
 def apply_calibration_checks(rounds: dict[int, dict]) -> None:
     """Fill each calibrated round's ``check`` (kernel_deviation,
     sf1_raw_drift, box_anomalous) when the artifact didn't record one
-    (pre-r10). The cross-check reference is the NEAREST round whose own
-    kernel read nominal (within 1.3x) and which has sf1 per-query data —
-    so the drift measures box movement, not a decade of code changes."""
+    (pre-r10), using bench.py's ``calibration_check`` — ONE definition of
+    the adjudication math for emission-time and retroactive checks. The
+    cross-check reference is the NEAREST round whose own kernel read
+    nominal (within 1.3x) and which has sf1 per-query data — so the drift
+    measures box movement, not a decade of code changes."""
+    from bench import NOMINAL_NUMPY_MT, calibration_check
+
     def mt(n: int) -> float | None:
         cal = rounds[n]["calibration"]
         if cal and cal.get("numpy_mt_sec"):
@@ -139,23 +141,13 @@ def apply_calibration_checks(rounds: dict[int, dict]) -> None:
     for n, r in rounds.items():
         if r["check"] is not None or mt(n) is None:
             continue
-        dev = mt(n) / NOMINAL_NUMPY_MT
-        check = {"kernel_deviation": round(dev, 3)}
         refs = [m for m in nominal_rounds if m != n]
-        if refs and r["sf1_queries"]:
-            ref = rounds[min(refs, key=lambda m: abs(m - n))]["sf1_queries"]
-            ratios = sorted(
-                r["sf1_queries"][q] / ref[q]
-                for q in ref
-                if q in r["sf1_queries"] and ref[q]
-            )
-            if ratios:
-                drift = ratios[len(ratios) // 2]
-                check["sf1_raw_drift_vs_ref"] = round(drift, 3)
-                kernel_off = dev > 1.3 or dev < 1 / 1.3
-                uncorroborated = dev > 1.3 * drift or dev < drift / 1.3
-                check["box_anomalous"] = bool(kernel_off and uncorroborated)
-        r["check"] = check
+        ref = (
+            rounds[min(refs, key=lambda m: abs(m - n))]["sf1_queries"]
+            if refs
+            else {}
+        )
+        r["check"] = calibration_check(mt(n), r["sf1_queries"] or {}, ref=ref)
 
 
 # STATUS.md r7 records the builder session's calibration constant; used only

@@ -59,6 +59,7 @@ def main() -> None:
         dedup_audit,
         exact_hash_index,
         ingest_batch_dedup,
+        write_lane_meta,
     )
     from datalakejson_spark.plans.metrics import executed_summary
     from datalakejson_spark.session import get_spark
@@ -87,6 +88,7 @@ def main() -> None:
             band_table(minhash_signatures(corpus)).write.mode("append").parquet(
                 f"{idx}/bands"
             )
+            write_lane_meta(idx)  # direct writers must stamp the definition
             build_sec = time.time() - t0
 
             batch_secs, kept_counts = [], []
