@@ -117,15 +117,21 @@ def calibrate(n_threads: int) -> dict[str, float]:
     }
 
 
-# --- calibration self-check (round 10) -----------------------------------
+# --- calibration self-check (rounds 10-11) --------------------------------
 # The kernel can OVER-correct: r8's numpy_mt read the box 1.85x slow while
 # r8's own sf1 raw barely moved vs its neighbors (the AVX kernel throttles
 # harder than Spark JVM wall time), so dividing by it made the fastest
-# rounds look like regressions. When the kernel deviates >1.3x from the
-# 1.2 s nominal, cross-check against the sf1 raw drift of the unchanged
-# headline queries vs a nominal-box reference run; if the wall-clock drift
-# does not corroborate the kernel, flag the round box-anomalous instead of
-# trusting the division (BENCH_HISTORY.md renders the flag as a footnote).
+# rounds look like regressions. The kernel can also UNDER-read: r10's driver
+# run measured numpy_mt 1.156 (near-nominal) on a box whose unchanged-query
+# sf1 wall clock had drifted 1.657x — the same kernel read 1.655 on the same
+# box hours later on identical code, so the kernel is at best a tie-breaker.
+# The check is therefore SYMMETRIC (round 11, VERDICT r10 "what's wrong
+# #1"): whenever kernel deviation and measured sf1 wall-clock drift of the
+# unchanged headline queries disagree by >1.3x in EITHER direction — no
+# matter whether the kernel itself reads nominal — the round is flagged
+# box-anomalous, and the trustworthy normalizer is the measured drift, not
+# the kernel (``divisor_sec`` below). BENCH_HISTORY.md renders the flag as
+# a footnote and divides flagged columns by the drift-derived divisor.
 NOMINAL_NUMPY_MT = 1.2
 #: sf1 per-query seconds from the r9 driver run, the fastest round measured
 #: on a box whose kernel read nominal (numpy_mt 1.216). Update ONLY from a
@@ -144,6 +150,38 @@ SF1_NOMINAL_REF = {
     "l2_minhash_lsh_pairs": 2.111,
     "l3_cosine_topk": 0.771,
 }
+#: sf0.1 per-query seconds from the same r9 driver run — the tier-matched
+#: reference for re-normalizing the sf0.1 calibrated cells when the round is
+#: box-anomalous (sf1 drift and sf0.1 drift differ on the same box: r10
+#: measured 1.657x at sf1 but only ~1.35x at sf0.1, so a divisor must come
+#: from the tier it divides).
+SF01_NOMINAL_REF = {
+    "g3_flagship_pricing_summary": 0.879,
+    "j3_star_join_revenue": 1.644,
+    "j5_left_outer_join": 0.55,
+    "g4_count_distinct_users": 0.241,
+    "g6_rollup_time_hierarchy": 0.649,
+    "w1_ranking": 0.413,
+    "w3_running_sum": 0.434,
+    "f3_json_extraction": 0.429,
+    "t4_tumbling_window": 0.268,
+    "l1_exact_dedup": 0.188,
+    "l2_minhash_lsh_pairs": 1.538,
+    "l3_cosine_topk": 0.633,
+}
+
+
+def drift_divisor(timings: dict[str, float], ref: dict[str, float]) -> float | None:
+    """NOMINAL_NUMPY_MT x median per-query drift of ``timings`` vs ``ref``
+    — the calibration divisor to use for a box-anomalous round, computed
+    from the SAME tier as the cells it divides. None when no shared
+    queries."""
+    ratios = sorted(
+        timings[n] / ref[n] for n in ref if n in timings and ref[n]
+    )
+    if not ratios:
+        return None
+    return round(NOMINAL_NUMPY_MT * ratios[len(ratios) // 2], 4)
 
 
 def calibration_check(
@@ -152,9 +190,15 @@ def calibration_check(
     ref: dict[str, float] | None = None,
 ) -> dict:
     """kernel_deviation (numpy_mt / nominal), sf1_raw_drift (median per-query
-    ratio vs the nominal reference), box_anomalous (kernel claims a slowdown
-    or speedup >1.3x nominal that the measured wall-clock drift contradicts
-    by more than 1.3x in either direction).
+    ratio vs the nominal reference), box_anomalous (kernel deviation and
+    measured wall-clock drift disagree by >1.3x in either direction —
+    SYMMETRIC: a near-nominal kernel on a drifted box flags exactly like an
+    over-reading kernel on a steady box), divisor_sec (the calibration
+    divisor to trust: the kernel when the two agree, the drift-derived
+    ``NOMINAL_NUMPY_MT * drift`` when they disagree — wall-clock drift of
+    unchanged queries measures the box's Spark-relevant speed directly,
+    while the AVX kernel throttles on its own schedule; both r8 over-read
+    1.87x-vs-1.15x and r10 under-read 1.156x-vs-1.657x are real cases).
 
     ``ref`` defaults to SF1_NOMINAL_REF (this file's frozen nominal-box
     snapshot); tools/bench_history.py passes each historical round's
@@ -173,9 +217,11 @@ def calibration_check(
         return out
     drift = ratios[len(ratios) // 2]
     out["sf1_raw_drift_vs_ref"] = round(drift, 3)
-    kernel_off_nominal = dev > 1.3 or dev < 1 / 1.3
-    uncorroborated = dev > 1.3 * drift or dev < drift / 1.3
-    out["box_anomalous"] = bool(kernel_off_nominal and uncorroborated)
+    disagree = dev > 1.3 * drift or dev < drift / 1.3
+    out["box_anomalous"] = bool(disagree)
+    out["divisor_sec"] = round(
+        NOMINAL_NUMPY_MT * drift if disagree else numpy_mt_sec, 4
+    )
     return out
 
 
@@ -700,9 +746,24 @@ def main() -> None:
                 for n in HEADLINE
             }
             if "calibration" in payload:
-                payload["calibration_check"] = calibration_check(
+                check = calibration_check(
                     payload["calibration"]["numpy_mt_sec"], sf1_timings
                 )
+                payload["calibration_check"] = check
+                # When the kernel and the measured drift disagree, the
+                # drift-derived divisor is the trustworthy normalizer
+                # (symmetric gate, round 11) — re-emit the sf0.1 calibrated
+                # series divided by the TIER-MATCHED sf0.1 drift so the
+                # recorded artifact is the one to trend without retroactive
+                # correction (sf1 drift and sf0.1 drift differ on the same
+                # box: r10 read 1.657x vs ~1.35x).
+                if check.get("box_anomalous"):
+                    div = drift_divisor(timings, SF01_NOMINAL_REF)
+                    if div:
+                        check["sf01_divisor_sec"] = div
+                        payload["queries_calibrated"] = {
+                            n: round(t / div, 2) for n, t in timings.items()
+                        }
             # Optional SECOND decade (sf10 = 100x rows, ~1.7 GB): off by
             # default to keep the per-round bench fast; run
             # `SPARK_GRAFT_SF10=1 python bench.py` for the two-decade

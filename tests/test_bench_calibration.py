@@ -1,13 +1,19 @@
-"""Calibration self-check (bench.py + tools/bench_history.py, round 10).
+"""Calibration self-check (bench.py + tools/bench_history.py, rounds 10-11).
 
-The bench's box-normalization kernel can OVER-correct: r8's numpy_mt read
-its box 1.85x slow while the measured sf1 wall-clock drift of the unchanged
-headline queries was ~1.15x, so dividing by the kernel misread the fastest
-round on record as a 45% regression (VERDICT r9 "what's wrong #1"). These
-tests pin the self-check that adjudicates kernel-vs-wall-clock: a kernel
-deviation >1.3x nominal that the sf1 drift contradicts by >1.3x flags the
-round box-anomalous; a genuinely slow box (kernel and wall clock agree)
-does not. No Spark session needed — pure driver-side logic.
+The bench's box-normalization kernel can fail in BOTH directions. It can
+OVER-correct: r8's numpy_mt read its box 1.85x slow while the measured sf1
+wall-clock drift of the unchanged headline queries was ~1.15x, so dividing
+by the kernel misread the fastest round on record as a 45% regression
+(VERDICT r9 "what's wrong #1"). And it can UNDER-read: r10's driver run
+measured numpy_mt 1.156 (near-nominal) on a box whose unchanged-query sf1
+wall clock had drifted 1.657x — the one-sided r10 gate (which required the
+kernel itself to be off-nominal) recorded box_anomalous=false on exactly
+the shape it was built to catch (VERDICT r10 "what's wrong #1"). These
+tests pin the SYMMETRIC r11 gate: whenever kernel deviation and measured
+drift disagree >1.3x in EITHER direction the round is box-anomalous and
+the drift-derived divisor supersedes the kernel; a genuinely slow (or
+fast) box, where the two agree, is not flagged and keeps the kernel
+divisor. No Spark session needed — pure driver-side logic.
 """
 
 from __future__ import annotations
@@ -46,11 +52,41 @@ def test_r8_shape_is_flagged_anomalous():
     assert c["kernel_deviation"] > 1.8
     # The wall clock moved far less than the kernel claimed.
     assert c["sf1_raw_drift_vs_ref"] < 1.3
+    # Over-reading kernel -> the divisor falls back to the drift, not the
+    # kernel (dividing by 2.25 would fake a speedup).
+    from bench import NOMINAL_NUMPY_MT
+
+    assert abs(
+        c["divisor_sec"] - NOMINAL_NUMPY_MT * c["sf1_raw_drift_vs_ref"]
+    ) < 0.001
+
+
+def test_r10_inverse_shape_is_flagged_anomalous():
+    """The case the one-sided r10 gate missed: near-nominal kernel on a
+    box whose wall clock drifted 1.657x (r10 driver artifact values).
+    Symmetric gate must flag it and hand the divisor to the drift."""
+    drifted = {k: 1.657 * v for k, v in SF1_NOMINAL_REF.items()}
+    c = calibration_check(1.3868, drifted)  # r10's actual numpy_mt
+    assert c["kernel_deviation"] < 1.3  # kernel itself reads near-nominal
+    assert c["box_anomalous"] is True
+    from bench import NOMINAL_NUMPY_MT
+
+    assert abs(c["divisor_sec"] - NOMINAL_NUMPY_MT * 1.657) < 0.01
+
+
+def test_fast_drift_nominal_kernel_flagged():
+    # Symmetry in the other direction: wall clock 2x FASTER than the
+    # kernel claims — also a disagreement, also not trendable as-is.
+    fast = {k: 0.5 * v for k, v in SF1_NOMINAL_REF.items()}
+    c = calibration_check(1.2, fast)
+    assert c["box_anomalous"] is True
 
 
 def test_nominal_box_not_flagged():
     c = calibration_check(1.2159, dict(SF1_NOMINAL_REF))
     assert c["box_anomalous"] is False
+    # Agreement -> the kernel stays the divisor.
+    assert c["divisor_sec"] == 1.2159
 
 
 def test_genuinely_slow_box_not_flagged():
@@ -59,6 +95,7 @@ def test_genuinely_slow_box_not_flagged():
     c = calibration_check(2.4, slow)
     assert c["box_anomalous"] is False
     assert abs(c["sf1_raw_drift_vs_ref"] - 2.0) < 0.01
+    assert c["divisor_sec"] == 2.4
 
 
 def test_genuinely_fast_box_not_flagged():
@@ -74,9 +111,11 @@ def test_no_sf1_data_yields_no_verdict():
     assert c["kernel_deviation"] == 2.0
 
 
-def test_history_retro_check_flags_r8_only():
-    """Against the real recorded artifacts: exactly r8 is box-anomalous,
-    and every nominal-kernel round passes its own check."""
+def test_history_retro_check_flags_r8_and_r10():
+    """Against the real recorded artifacts: r8 (kernel over-read) AND r10
+    (kernel under-read — near-nominal kernel, 1.657x drifted box) are
+    box-anomalous; r7/r9 pass. r10's artifact RECORDED box_anomalous=false
+    under the one-sided gate — the retro recomputation must supersede it."""
     rounds = load_rounds()
     apply_calibration_checks(rounds)
     flagged = {
@@ -84,10 +123,19 @@ def test_history_retro_check_flags_r8_only():
         for n, r in rounds.items()
         if (r["check"] or {}).get("box_anomalous")
     }
-    assert 8 in flagged
-    for n in flagged - {8}:
-        # Future driver boxes may legitimately flag; but any flagged round
-        # must carry the contradiction evidence, not a bare verdict.
+    assert {8, 10} <= flagged
+    assert 9 not in flagged and 7 not in flagged
+    # r10 must be adjudicated against r9 (the nearest CLEAN nominal round),
+    # not against itself-shaped drifted neighbors, and must carry the
+    # tier-matched cell divisor its calibrated cells divide by.
+    c10 = rounds[10]["check"]
+    assert c10["ref_round"] == 9
+    assert c10["kernel_deviation"] < 1.3  # the shape the old gate missed
+    assert c10["sf1_raw_drift_vs_ref"] > 1.5
+    assert 1.4 < c10["cell_divisor_sec"] < 1.9
+    for n in flagged:
+        # Any flagged round must carry the contradiction evidence, not a
+        # bare verdict: kernel and drift disagree >1.3x in some direction.
         c = rounds[n]["check"]
-        assert c["kernel_deviation"] > 1.3 or c["kernel_deviation"] < 1 / 1.3
-        assert "sf1_raw_drift_vs_ref" in c
+        dev, drift = c["kernel_deviation"], c["sf1_raw_drift_vs_ref"]
+        assert dev > 1.3 * drift or dev < drift / 1.3

@@ -21,18 +21,29 @@ r3 -> r4 jump has the same uniform-shift signature. The calibrated series is
 the one to trend; the raw table is kept because it is what the driver
 actually measured.
 
-SELF-CHECK (round 10, VERDICT r9 "what's wrong #1"): the kernel can
-OVER-correct — r8's numpy_mt read its box 1.85x slow while the median sf1
-raw drift of the unchanged headline queries vs the nearest nominal-kernel
-round was only ~1.15x (the AVX kernel throttles harder than Spark JVM wall
-time), so r8's calibrated cells divide by ~1.9x too much and made the
-genuinely fastest rounds look like regressions. Every calibrated column is
-therefore cross-checked: when a round's kernel deviates >1.3x from the
-1.2 s nominal AND the measured sf1 drift vs the nearest nominal-kernel
-round contradicts it by >1.3x, the column is marked box-anomalous (dagger +
-footnote) and must NOT be trended. bench.py >= r10 records the same check
-at emission time (``calibration_check`` in the artifact); older artifacts
-get it retroactively from their tail's sf1 block.
+SELF-CHECK (rounds 10-11): the kernel can OVER-correct — r8's numpy_mt read
+its box 1.85x slow while the median sf1 raw drift of the unchanged headline
+queries vs the nearest nominal-kernel round was only ~1.15x (the AVX kernel
+throttles harder than Spark JVM wall time), so r8's calibrated cells divide
+by ~1.9x too much and made the genuinely fastest rounds look like
+regressions. The kernel can also UNDER-read — r10's driver run measured
+numpy_mt 1.156 (near-nominal) on a box whose unchanged-query sf1 wall clock
+had drifted 1.657x (the judge's quiet-box rerun of identical code measured
+10.65 s sf0.1 / 13.74 s sf1, and the same kernel read 1.655 hours later), so
+the r10 kernel-divided cells UNDER-correct and trend a ~15-70% regression
+that is box state, not code. The check is therefore SYMMETRIC (round 11):
+whenever a round's kernel deviation and its measured sf1 drift vs the
+nearest nominal round disagree by >1.3x in EITHER direction, the column is
+marked box-anomalous (``(!)``) and its calibrated cells are divided by the
+TIER-MATCHED drift divisor (1.2 s nominal x median sf0.1 drift of shared
+queries vs the reference round) instead of the kernel. Checks are
+recomputed retroactively on every regeneration with bench.py's current
+``calibration_check`` — artifacts recorded before the symmetric gate carry
+the stale one-sided verdict (r10's artifact says box_anomalous=false on
+exactly the disagreement the gate was built for), so the recomputation is
+the authority; rounds the recomputation flags are also dropped from the
+reference pool so a drifted-but-nominal-kernel round can never serve as
+another round's "nominal" baseline.
 """
 
 from __future__ import annotations
@@ -59,14 +70,28 @@ NOTES = [
     "STATUS.md r7, not a same-run measurement.",
     "Calibrated units = sec / numpy_mt_sec measured in the SAME session "
     "right after the query block (bench.py kernel, frozen definition); "
-    "they are box-independent and are the series to trend - EXCEPT "
-    "box-anomalous (!) columns, where the kernel's reading is contradicted "
-    "by the measured sf1 wall-clock drift and the division over-corrects.",
+    "they are box-independent and are the series to trend. Box-anomalous "
+    "(!) columns are where the kernel's reading and the measured sf1 "
+    "wall-clock drift disagree >1.3x (the kernel over-read on r8, "
+    "under-read on r10 - it throttles on its own schedule and is unstable "
+    "on drifted boxes); those columns divide by the tier-matched sf0.1 "
+    "drift divisor instead, so they stay trendable.",
     "r8 (!) adjudication (VERDICT r9): numpy_mt 2.25 read the box 1.87x "
     "slow, but r8's sf1 raw was WITHIN ~15% of both neighbors (10.84 s vs "
     "r7 11.15 / r9 9.36) - the AVX kernel throttled far harder than Spark "
     "JVM wall time, so r8's calibrated cells divide by ~1.9x too much. On "
     "nominal-box raw, r9 is the fastest round of the first nine.",
+    "r10 (!) adjudication (VERDICT r10): the INVERSE anomaly - kernel "
+    "1.156 (near-nominal) while unchanged-query sf1 raw drifted 1.657x vs "
+    "r9 (g3/j3, untouched since r9, drifted 2.26x/2.03x at sf1 - the "
+    "uniform box-drift signature). The judge's quiet-box rerun of "
+    "IDENTICAL r10 code measured 10.65 s sf0.1 / 13.74 s sf1, and the "
+    "same kernel read 1.655 hours later on the same box - the kernel is "
+    "unstable on this box and under-read the drift. The one-sided r10 "
+    "gate (box_anomalous required kernel_off_nominal) recorded "
+    "box_anomalous=false in the artifact; the symmetric r11 gate "
+    "supersedes it, and r10's cells divide by the sf0.1 drift divisor so "
+    "the calibrated series does not trend a regression that is box state.",
 ]
 
 
@@ -116,14 +141,19 @@ def load_rounds() -> dict[int, dict]:
 
 
 def apply_calibration_checks(rounds: dict[int, dict]) -> None:
-    """Fill each calibrated round's ``check`` (kernel_deviation,
-    sf1_raw_drift, box_anomalous) when the artifact didn't record one
-    (pre-r10), using bench.py's ``calibration_check`` — ONE definition of
-    the adjudication math for emission-time and retroactive checks. The
-    cross-check reference is the NEAREST round whose own kernel read
-    nominal (within 1.3x) and which has sf1 per-query data — so the drift
-    measures box movement, not a decade of code changes."""
-    from bench import NOMINAL_NUMPY_MT, calibration_check
+    """Recompute every calibrated round's ``check`` (kernel_deviation,
+    sf1_raw_drift, box_anomalous, divisor) with bench.py's CURRENT
+    ``calibration_check`` — ONE definition of the adjudication math.
+    Artifact-recorded checks are superseded, not trusted: pre-r11 artifacts
+    carry the one-sided gate (r10's says box_anomalous=false on exactly the
+    kernel-under-reads case the symmetric gate exists for). The cross-check
+    reference is the NEAREST round whose own kernel read nominal (within
+    1.3x) AND which the recomputation itself does not flag — two passes, so
+    a drifted box with a near-nominal kernel (the r10 shape) is evicted
+    from the pool before anyone normalizes against it. For flagged rounds,
+    ``cell_divisor_sec`` carries the TIER-MATCHED sf0.1 drift divisor used
+    for that round's calibrated cells."""
+    from bench import NOMINAL_NUMPY_MT, calibration_check, drift_divisor
 
     def mt(n: int) -> float | None:
         cal = rounds[n]["calibration"]
@@ -131,23 +161,53 @@ def apply_calibration_checks(rounds: dict[int, dict]) -> None:
             return cal["numpy_mt_sec"]
         return R7_NUMPY_MT if rounds[n]["reconstructed"] else None
 
-    nominal_rounds = [
+    pool = [
         n
         for n in rounds
         if mt(n) is not None
         and 1 / 1.3 <= mt(n) / NOMINAL_NUMPY_MT <= 1.3
         and rounds[n]["sf1_queries"]
     ]
-    for n, r in rounds.items():
-        if r["check"] is not None or mt(n) is None:
-            continue
-        refs = [m for m in nominal_rounds if m != n]
-        ref = (
-            rounds[min(refs, key=lambda m: abs(m - n))]["sf1_queries"]
-            if refs
-            else {}
+
+    def check_against(n: int, candidates: list[int]) -> dict | None:
+        refs = [m for m in candidates if m != n]
+        if mt(n) is None:
+            return None
+        ref_n = min(refs, key=lambda m: abs(m - n)) if refs else None
+        c = calibration_check(
+            mt(n),
+            rounds[n]["sf1_queries"] or {},
+            ref=rounds[ref_n]["sf1_queries"] if ref_n is not None else {},
         )
-        r["check"] = calibration_check(mt(n), r["sf1_queries"] or {}, ref=ref)
+        c["ref_round"] = ref_n
+        return c
+
+    # Pass 1: build the clean reference pool CHRONOLOGICALLY. Box drift is
+    # adjudicated against the established past (the r8 precedent): the
+    # earliest nominal-kernel round anchors, and each later candidate joins
+    # only if the symmetric gate clears it against the clean rounds
+    # accepted so far. Pairwise nearest-neighbor checks inside the full
+    # pool would let a freshly-drifted box and its clean predecessor accuse
+    # EACH OTHER (r9 vs r10 disagree 1.68x from both sides) and evict both.
+    clean_pool: list[int] = []
+    for n in sorted(pool):
+        if not clean_pool:
+            clean_pool.append(n)  # anchor: nothing earlier to judge against
+            continue
+        if not (check_against(n, clean_pool) or {}).get("box_anomalous"):
+            clean_pool.append(n)
+    # Pass 2: final checks for every round against the cleaned pool.
+    for n, r in rounds.items():
+        c = check_against(n, clean_pool or pool)
+        if c is None:
+            continue
+        if c.get("box_anomalous") and c.get("ref_round") is not None:
+            div = drift_divisor(
+                r["queries"] or {}, rounds[c["ref_round"]]["queries"] or {}
+            )
+            if div:
+                c["cell_divisor_sec"] = div
+        r["check"] = c
 
 
 # STATUS.md r7 records the builder session's calibration constant; used only
@@ -190,11 +250,14 @@ def render(rounds: dict[int, dict]) -> str:
     dag = lambda n: "(!)" if anomalous(n) else ""  # noqa: E731
     lines += [
         "",
-        "## Calibrated units (sec / numpy_mt_sec, box-independent)",
+        "## Calibrated units (sec / divisor, box-independent)",
         "",
-        "(!) = box-anomalous column: the kernel's claimed deviation is "
-        "contradicted by the measured sf1 raw drift — do NOT trend these "
-        "cells (see self-check notes below).",
+        "Divisor = same-session numpy_mt_sec for clean columns. "
+        "(!) = box-anomalous column (kernel deviation and measured sf1 "
+        "drift disagree >1.3x): the kernel is not trusted there, and the "
+        "cells are instead divided by the tier-matched drift divisor "
+        "(1.2 s nominal x median sf0.1 drift vs the reference round) — "
+        "see self-check notes below.",
         "",
         "| query | " + " | ".join(f"r{n}{star(n)}{dag(n)}" for n in cal_ns) + " |",
         "|---|" + "---|" * len(cal_ns),
@@ -202,6 +265,9 @@ def render(rounds: dict[int, dict]) -> str:
 
     def cal_cell(n: int, q: str) -> str:
         r = rounds[n]
+        div = (r["check"] or {}).get("cell_divisor_sec")
+        if anomalous(n) and div and q in r["queries"]:
+            return "%.2f" % (r["queries"][q] / div)
         if r["calibrated"] and q in r["calibrated"]:
             return "%.2f" % r["calibrated"][q]
         if r["reconstructed"] and q in r["queries"]:
@@ -227,16 +293,22 @@ def render(rounds: dict[int, dict]) -> str:
     if checks:
         lines += ["", "### Calibration self-check", ""]
         for n, c in checks:
+            div = c.get("cell_divisor_sec")
             verdict = (
-                "BOX-ANOMALOUS - cells over-correct, do not trend"
+                "BOX-ANOMALOUS - kernel not trusted; cells divided by the "
+                f"sf0.1 drift divisor {div} s"
                 if c.get("box_anomalous")
                 else "ok"
             )
             drift = c.get("sf1_raw_drift_vs_ref")
+            ref_n = c.get("ref_round")
             lines.append(
                 f"- r{n}: kernel deviation {c['kernel_deviation']}x nominal"
-                + (f", sf1 raw drift {drift}x vs nearest nominal-kernel round"
-                   if drift is not None else "")
+                + (
+                    f", sf1 raw drift {drift}x vs r{ref_n}"
+                    if drift is not None
+                    else ""
+                )
                 + f" -> {verdict}."
             )
     lines += ["", "## Notes", ""]
