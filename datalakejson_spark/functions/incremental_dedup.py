@@ -250,20 +250,45 @@ def _current_lane_meta() -> dict:
             "band_rows": BAND_ROWS}
 
 
-def write_lane_meta(index_dir: str) -> None:
+def write_lane_meta(index_dir: str, force: bool = False) -> None:
     """Stamp ``index_dir`` with the CURRENT minhash lane definition. The
     staged-publish loop stamps bootstrapped indexes automatically; call
     this yourself only when building an index pair with the direct writers
     (``exact_hash_index(...).write`` / ``band_table(...).write`` — the
     bench and scale harnesses do), asserting "these files really were
-    written under the current definition"."""
+    written under the current definition".
+
+    Refuses to overwrite a marker recording a DIFFERENT definition unless
+    ``force=True`` (review catch, round 10): a caller that habitually
+    stamps before auditing would otherwise silently neutralize the
+    lane-definition guard on an index built under another definition —
+    the stamp is an assertion about how the FILES were written, and
+    re-asserting a different definition over live files is exactly the
+    drift the guard exists to catch. Re-stamping a MATCHING marker stays
+    idempotent. ``force=True`` is for the rebuild path, where the files
+    themselves are being rewritten under the current definition
+    (:func:`rebuild_index`)."""
     import json
 
     os.makedirs(index_dir, exist_ok=True)
     meta_path = os.path.join(index_dir, _LANES_META)
+    current = _current_lane_meta()
+    if os.path.exists(meta_path) and not force:
+        with open(meta_path) as fh:
+            recorded = json.load(fh)
+        if recorded != current:
+            raise RuntimeError(
+                f"refusing to re-stamp {index_dir}: existing {_LANES_META} "
+                f"records lane definition {recorded}, this build uses "
+                f"{current}. Stamping over it would neutralize the "
+                "definition-drift guard on files written under the old "
+                "definition — rebuild the index (rebuild_index) or pass "
+                "force=True only if the files are KNOWN to match the "
+                "current definition."
+            )
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(_current_lane_meta(), fh)
+        json.dump(current, fh)
     os.replace(tmp, meta_path)
 
 
@@ -576,4 +601,12 @@ def l15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     delta = docs.filter(F.col("doc_id") % 4 == 0)
     corpus_bands = band_table(minhash_signatures(corpus))
-    return dedup_audit(delta, exact_hash_index(corpus), corpus_bands)
+    # broadcast_delta=False: this demo's "delta" is 25% of the corpus —
+    # corpus-PROPORTIONAL, not a bounded micro-batch — so forcing the
+    # broadcast hints would collect corpus-scale band keys to the driver at
+    # large sf. The flipped probe orientation is preserved; the planner/AQE
+    # picks broadcast vs shuffle from actual sizes (the bulk-backfill
+    # posture the dedup_audit docstring prescribes).
+    return dedup_audit(
+        delta, exact_hash_index(corpus), corpus_bands, broadcast_delta=False
+    )

@@ -85,6 +85,31 @@ def streaming_ingest(
         # batch-size analogue of BATCH_SIZE_FILES (sudo_code.txt:128)
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if archive_dir:
+        # Spark requires the archive to live OUTSIDE the source pattern —
+        # but enforces it only with a warn-level log and silently skips
+        # archiving, so a misconfigured archive_dir would quietly return
+        # the O(history) listing cost this option exists to prevent. Fail
+        # loud instead (review catch, round 10). The glob root is the
+        # longest wildcard-free prefix of landing_dir: anything under it
+        # can match the pattern.
+        glob_root = os.path.abspath(landing_dir)
+        wild = [i for i in (glob_root.find(c) for c in "*?[{") if i >= 0]
+        if wild:
+            # conservative: everything under the last separator before the
+            # first wildcard can match the pattern
+            glob_root = glob_root[: min(wild)]
+            glob_root = glob_root[: glob_root.rfind(os.sep) + 1]
+        else:
+            glob_root = glob_root.rstrip(os.sep) + os.sep
+        arch = os.path.abspath(archive_dir).rstrip(os.sep) + os.sep
+        if arch.startswith(glob_root) or glob_root.startswith(arch):
+            raise ValueError(
+                f"archive_dir {archive_dir!r} overlaps the landing source "
+                f"pattern {landing_dir!r} (glob root {glob_root!r}). Spark "
+                "silently skips archiving in this layout (warn-level log "
+                "only) and the landing zone keeps accumulating history — "
+                "place the archive outside the landing tree."
+            )
         reader = reader.option("cleanSource", "archive").option(
             "sourceArchiveDir", archive_dir
         )

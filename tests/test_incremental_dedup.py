@@ -431,3 +431,33 @@ def test_audit_bulk_posture_drops_forced_broadcast(spark):
         assert "BroadcastHashJoin" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_write_lane_meta_refuses_definition_overwrite(tmp_path, monkeypatch):
+    """Re-stamping a marker that records a DIFFERENT lane definition must
+    refuse (review catch, round 10): the stamp asserts how the FILES were
+    written, and a habitual stamp-before-audit would otherwise neutralize
+    the drift guard. Matching re-stamp stays idempotent; force=True is the
+    rebuild path's escape hatch."""
+    import json
+
+    import pytest
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    idx = str(tmp_path / "idx")
+    inc.write_lane_meta(idx)  # fresh stamp
+    inc.write_lane_meta(idx)  # matching re-stamp: idempotent, no error
+
+    # Simulate an index built under the OLD 16-bit definition.
+    stale = dict(inc._current_lane_meta(), lane_hex=4)
+    with open(f"{idx}/{inc._LANES_META}", "w") as fh:
+        json.dump(stale, fh)
+    with pytest.raises(RuntimeError, match="refusing to re-stamp"):
+        inc.write_lane_meta(idx)
+    with open(f"{idx}/{inc._LANES_META}") as fh:
+        assert json.load(fh) == stale  # guard left the old marker intact
+
+    inc.write_lane_meta(idx, force=True)
+    with open(f"{idx}/{inc._LANES_META}") as fh:
+        assert json.load(fh) == inc._current_lane_meta()

@@ -385,3 +385,41 @@ def test_streaming_quality_gated_ingest(spark, tmp_path):
     assert dropped2.filter("doc_id IS NULL").count() == 1
     assert {r.doc_id for r in kept2.collect()} == {1, 4, 5}
     assert kept2.select("_batch_id").distinct().count() == 2
+
+
+def test_archive_dir_inside_landing_raises(spark, tmp_path: Path):
+    """A misconfigured archive_dir under the landing source pattern makes
+    Spark silently skip archiving (warn-level log only), so the landing
+    zone keeps accumulating the O(history) listing cost the option exists
+    to prevent — the wrapper must fail loud instead (review catch, r10)."""
+    import pytest
+
+    landing = tmp_path / "landing"
+    write_ndjson(landing / "f0.json", [good_record(0)])
+    kw = dict(
+        curated_dir=str(tmp_path / "curated"),
+        dlq_dir=str(tmp_path / "dlq"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=LANDING_SCHEMA,
+    )
+    # archive under the landing dir
+    with pytest.raises(ValueError, match="overlaps the landing source"):
+        streaming_ingest(
+            spark, str(landing), archive_dir=str(landing / "done"), **kw
+        )
+    # archive under a GLOB landing pattern's matchable root
+    with pytest.raises(ValueError, match="overlaps the landing source"):
+        streaming_ingest(
+            spark,
+            str(tmp_path / "land*" / "*.json"),
+            archive_dir=str(tmp_path / "landing-archive"),
+            **kw,
+        )
+    # archive that CONTAINS the landing dir is refused too
+    with pytest.raises(ValueError, match="overlaps the landing source"):
+        streaming_ingest(spark, str(landing), archive_dir=str(tmp_path), **kw)
+    # a sibling archive is fine (and must actually start)
+    q = streaming_ingest(
+        spark, str(landing), archive_dir=str(tmp_path / "archive"), **kw
+    )
+    q.awaitTermination()
