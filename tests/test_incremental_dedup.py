@@ -461,3 +461,162 @@ def test_write_lane_meta_refuses_definition_overwrite(tmp_path, monkeypatch):
     inc.write_lane_meta(idx, force=True)
     with open(f"{idx}/{inc._LANES_META}") as fh:
         assert json.load(fh) == inc._current_lane_meta()
+
+
+def _distinct_text(i: int) -> str:
+    """Genuinely distinct fixture documents: md5-derived token streams, so
+    token sets of different ``i`` share ~nothing and neither the intra-batch
+    LSH pass nor the corpus audit sees them as near-dups — unlike naive
+    templates that differ by one token and ARE near-duplicates by
+    construction (and unlike arithmetic-progression tokens, where certain
+    id deltas align the progressions almost completely)."""
+    import hashlib
+
+    return " ".join(
+        "w" + hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8]
+        for j in range(14)
+    )
+
+
+def test_range_pruned_probe_is_sound_and_selective(spark, tmp_path):
+    """Round-11 index-scan pruning: after compaction range-sorts the index
+    by the probe key, a micro-batch audit reads only the files whose
+    _RANGES.json/footer key range can contain a delta key — with the audit
+    verdicts byte-identical to the full read (a skipped file provably holds
+    no delta key, so it can contribute no collision)."""
+    from datalakejson_spark.functions.incremental_dedup import (
+        _read_index_pair,
+        _read_index_pair_pruned,
+        compact_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    # 20 appended file sets of distinct docs, then compact with a tiny
+    # target so BOTH subdirs rewrite into several range-disjoint files
+    # (bands carry NUM_BANDS x the hash rows, so parts_bands = 4 x
+    # parts_hashes must still be < the 20 input files).
+    for b in range(20):
+        ingest_batch_dedup(
+            spark,
+            _docs(spark, [(b * 12 + k, _distinct_text(b * 12 + k)) for k in range(12)]),
+            idx,
+            compact_threshold_files=None,
+        )
+    compact_index(spark, idx, target_rows_per_file=60)
+    n_hash_files = len(_parquet_files(idx, "hashes"))
+    n_band_files = len(_parquet_files(idx, "bands"))
+    assert n_hash_files >= 3 and n_band_files >= 3
+
+    delta = _docs(
+        spark, [(500, _distinct_text(7)), (501, "totally novel words here")]
+    )
+    hash_keys = [r[0] for r in delta.select(F.md5("text")).collect()]
+    band_keys = [
+        r[0]
+        for r in band_table(minhash_signatures(delta)).select("band_hash").collect()
+    ]
+    ph, pb, stats = _read_index_pair_pruned(
+        spark, idx, "doc_id", hash_keys, band_keys
+    )
+    # Selectivity: 2 delta docs -> at most 2 hash keys can hit, so the
+    # pruned hash read must touch fewer files than the total.
+    assert stats["hashes"][1] == n_hash_files
+    assert stats["hashes"][0] < n_hash_files
+    assert stats["bands"][0] <= n_band_files
+    # Soundness: byte-identical audit verdicts vs the full read.
+    fh, fb = _read_index_pair(spark, idx, "doc_id")
+    pruned = sorted(dedup_audit(delta, ph, pb).collect(), key=lambda r: r.doc_id)
+    full = sorted(dedup_audit(delta, fh, fb).collect(), key=lambda r: r.doc_id)
+    assert pruned == full
+    assert [r.doc_id for r in pruned if r.is_exact_dup] == [500]
+    assert [r.doc_id for r in pruned if r.kept] == [501]
+
+    # End-to-end: the loop itself (which plans the pruned read internally)
+    # reaches the same verdicts.
+    kept = ingest_batch_dedup(
+        spark,
+        _docs(spark, [(600, _distinct_text(11)), (601, "wholly new words")]),
+        idx,
+        compact_threshold_files=None,
+    )
+    assert [r.doc_id for r in kept.collect()] == [601]
+
+
+def test_pruning_sidecar_self_heals_and_tolerates_corruption(spark, tmp_path):
+    """_RANGES.json is a pure cache: deleting or corrupting it only makes
+    the next probe re-derive ranges from footers (and rewrite the sidecar);
+    pruning decisions stay sound throughout."""
+    import json
+    import os
+
+    from datalakejson_spark.functions.incremental_dedup import (
+        _RANGES,
+        _file_ranges,
+        compact_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    for b in range(8):
+        ingest_batch_dedup(
+            spark,
+            _docs(spark, [(b * 8 + k, _distinct_text(b * 8 + k)) for k in range(8)]),
+            idx,
+            compact_threshold_files=None,
+        )
+    compact_index(spark, idx, target_rows_per_file=20)
+    live = os.path.join(idx, "hashes")
+    ranges = _file_ranges(live, "text_hash")
+    assert os.path.exists(os.path.join(live, _RANGES))
+    assert all(r is not None and r[0] <= r[1] for r in ranges.values())
+    # Ranges of compacted files are disjoint (range-sorted layout).
+    spans = sorted(r for r in ranges.values() if r)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    # Corrupt the sidecar: next read self-heals from footers.
+    with open(os.path.join(live, _RANGES), "w") as fh:
+        fh.write("[not a dict")
+    healed = _file_ranges(live, "text_hash")
+    assert healed == ranges
+    with open(os.path.join(live, _RANGES)) as fh:
+        assert json.load(fh)  # rewritten as valid JSON
+
+    # Delete it entirely: same answer again.
+    os.remove(os.path.join(live, _RANGES))
+    assert _file_ranges(live, "text_hash") == ranges
+
+
+def test_compaction_is_loop_policy(spark, tmp_path):
+    """Round 11: ingest_batch_dedup triggers compact_index itself when a
+    live subdir crosses compact_threshold_files — the file count plateaus
+    across many batches instead of growing one file set per batch, the
+    trigger decision is a driver-side listing, and the audits keep their
+    verdicts (novel docs kept, replayed dups dropped) throughout."""
+    idx = str(tmp_path / "idx")
+    max_files = 0
+    for i in range(14):
+        kept = ingest_batch_dedup(
+            spark,
+            _docs(spark, [(i, _distinct_text(i))]),
+            idx,
+            compact_threshold_files=4,
+        )
+        assert kept.count() == 1  # novel every time
+        max_files = max(
+            max_files,
+            len(_parquet_files(idx, "hashes")),
+            len(_parquet_files(idx, "bands")),
+        )
+        # replaying an already-ingested doc is still a drop after compaction
+        if i in (6, 13):
+            replay = ingest_batch_dedup(
+                spark,
+                _docs(spark, [(1000 + i, _distinct_text(i))]),
+                idx,
+                compact_threshold_files=4,
+            )
+            assert replay.count() == 0
+    # Plateau: the threshold (4) plus at most the appends since the last
+    # compaction crossing — far below the 14+ files an uncompacted loop
+    # accumulates per subdir.
+    assert max_files <= 8, max_files
