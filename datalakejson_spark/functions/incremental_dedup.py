@@ -211,6 +211,16 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
                         os.remove(os.path.join(live, name))
                     except FileNotFoundError:  # idempotent re-delete
                         pass
+        # A REBUILD stage (rebuild_index) carries the new lane-definition
+        # marker; it replaces the live one only after the new files are in
+        # and the subsumed old-definition files are gone, so the marker
+        # flip is the last act of the publish. Crash before it: the stage
+        # is still committed and the next _publish_staged — which every
+        # entry point runs BEFORE _check_lane_meta — finishes the flip, so
+        # the guard never fires on a half-rebuilt index.
+        staged_lanes = os.path.join(stage, _LANES_META)
+        if os.path.exists(staged_lanes):
+            os.replace(staged_lanes, os.path.join(index_dir, _LANES_META))
         shutil.rmtree(stage, ignore_errors=True)
 
 
@@ -527,6 +537,87 @@ def _check_lane_meta(index_dir: str) -> None:
             "certain it was built by this exact build."
         )
     write_lane_meta(index_dir)
+
+
+def rebuild_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_rows_per_file: int = 4_000_000,
+) -> dict[str, int]:
+    """Rebuild the index pair from the curated corpus under the CURRENT
+    minhash lane definition — the executable answer to
+    :func:`_check_lane_meta`'s refusal (a marker-less or definition-drifted
+    index cannot be audited against; it must be re-derived from the
+    documents it indexes). Returns ``{subdir: rows_written}``.
+
+    Crash safety rides the SAME staged publish as appends and compaction:
+    both new indexes are written range-sorted into one stage with a
+    ``_SUBSUMED.json`` manifest naming EVERY current live file, plus the
+    new ``_LANES.json`` marker; the ``_COMMITTED`` marker makes the whole
+    replacement roll-forward-able. The publish moves the new files in,
+    deletes the old-definition files, and flips the lane marker LAST — and
+    because every entry point runs ``_publish_staged`` before
+    ``_check_lane_meta``, a crash in any window self-heals on the next
+    call instead of stranding the index behind the guard. The rebuild
+    deliberately does NOT check the existing marker (rebuilding across a
+    definition change is its purpose).
+
+    Corpus-scale job by design (one pass over ``docs``): run it offline,
+    single-runner, like compaction. The output layout is the compacted
+    one — few large files, range-disjoint on the probe keys — so the
+    ``_RANGES.json`` pruning is armed from the first post-rebuild audit.
+    """
+    import math
+
+    _publish_staged(index_dir)  # complete any predecessor first
+    stage = os.path.join(index_dir, _STAGING, uuid.uuid4().hex)
+    n_docs = docs.count()
+    frames = {
+        "hashes": exact_hash_index(docs, text_col),
+        "bands": band_table(minhash_signatures(docs, text_col, id_col), id_col),
+    }
+    rows = {"hashes": n_docs, "bands": n_docs * _num_bands()}
+    written: dict[str, int] = {}
+    subsumed: dict[str, list[str]] = {}
+    for sub, df in frames.items():
+        key = _PRUNE_KEY[sub]
+        parts = max(1, math.ceil(rows[sub] / target_rows_per_file))
+        df.repartitionByRange(parts, key).sortWithinPartitions(key).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, sub))
+        # actual rows from the just-written footers (hashes are DISTINCT
+        # md5, so the n_docs bound above is only the layout estimate)
+        try:
+            import pyarrow.parquet as pq
+
+            written[sub] = sum(
+                pq.ParquetFile(os.path.join(stage, sub, n)).metadata.num_rows
+                for n in _live_files(os.path.join(stage, sub))
+            )
+        except Exception:  # noqa: BLE001 — informational only
+            written[sub] = rows[sub]
+        subsumed[sub] = _live_files(os.path.join(index_dir, sub))
+    import json
+
+    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
+        json.dump(subsumed, fh)
+    with open(os.path.join(stage, _LANES_META), "w") as fh:
+        json.dump(_current_lane_meta(), fh)
+    fire("dedup:rebuild_staged")  # no marker yet: crash = old index wins
+    with open(os.path.join(stage, "_COMMITTED"), "w") as marker:
+        marker.write("ok")
+    fire("dedup:rebuild_committed")  # committed, not yet published
+    _publish_staged(index_dir)
+    return written
+
+
+def _num_bands() -> int:
+    from datalakejson_spark.functions.dedup import NUM_BANDS
+
+    return NUM_BANDS
 
 
 def exact_hash_index(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -620,3 +620,103 @@ def test_compaction_is_loop_policy(spark, tmp_path):
     # compaction crossing — far below the 14+ files an uncompacted loop
     # accumulates per subdir.
     assert max_files <= 8, max_files
+
+
+def test_rebuild_index_is_the_lane_guards_executable_answer(spark, tmp_path):
+    """A definition-drifted index refuses audits (_check_lane_meta);
+    rebuild_index re-derives the pair from the curated corpus under the
+    CURRENT definition via the staged publish — after it, audits resume
+    with the same verdicts the index held before the drift."""
+    import json
+    import os
+
+    import pytest
+
+    from datalakejson_spark.functions.incremental_dedup import (
+        _LANES_META,
+        _current_lane_meta,
+        rebuild_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus_rows = [(i, _distinct_text(i)) for i in range(24)]
+    ingest_batch_dedup(spark, _docs(spark, corpus_rows), idx)
+    old_files = _parquet_files(idx, "hashes") | _parquet_files(idx, "bands")
+
+    # Simulate definition drift: the marker records another lane width.
+    with open(os.path.join(idx, _LANES_META), "w") as fh:
+        json.dump(dict(_current_lane_meta(), lane_hex=4), fh)
+    with pytest.raises(RuntimeError, match="lane"):
+        ingest_batch_dedup(spark, _docs(spark, [(500, "novel")]), idx)
+
+    written = rebuild_index(spark, _docs(spark, corpus_rows), idx)
+    assert written["hashes"] == 24  # distinct texts
+    assert written["bands"] == 24 * 4  # NUM_BANDS rows per doc
+    with open(os.path.join(idx, _LANES_META)) as fh:
+        assert json.load(fh) == _current_lane_meta()
+    # Old-definition files are gone; the rebuilt layout replaced them.
+    now = _parquet_files(idx, "hashes") | _parquet_files(idx, "bands")
+    assert not (now & old_files)
+    # Audits resume: replayed corpus doc drops, novel doc survives.
+    kept = ingest_batch_dedup(
+        spark,
+        _docs(spark, [(600, _distinct_text(3)), (601, "wholly novel words")]),
+        idx,
+    )
+    assert [r.doc_id for r in kept.collect()] == [601]
+
+
+def test_rebuild_kill_windows(spark, tmp_path):
+    """Crash BEFORE the rebuild commits: old index (and old marker) win —
+    the guard still refuses, rebuild is simply re-run. Crash AFTER the
+    commit marker: the next entry point's _publish_staged completes the
+    replacement INCLUDING the lane-marker flip before the guard runs, so
+    the loop self-heals without operator action."""
+    import json
+    import os
+
+    import pytest
+
+    from datalakejson_spark.plans.killpoints import InjectedKill, arm, disarm
+    from datalakejson_spark.functions.incremental_dedup import (
+        _LANES_META,
+        _current_lane_meta,
+        rebuild_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus_rows = [(i, _distinct_text(i)) for i in range(10)]
+    ingest_batch_dedup(spark, _docs(spark, corpus_rows), idx)
+    stale = dict(_current_lane_meta(), lane_hex=4)
+    with open(os.path.join(idx, _LANES_META), "w") as fh:
+        json.dump(stale, fh)
+
+    # Window 1: kill before the commit marker.
+    arm("dedup:rebuild_staged", lambda: (_ for _ in ()).throw(InjectedKill()))
+    try:
+        with pytest.raises(InjectedKill):
+            rebuild_index(spark, _docs(spark, corpus_rows), idx)
+    finally:
+        disarm("dedup:rebuild_staged")
+    with open(os.path.join(idx, _LANES_META)) as fh:
+        assert json.load(fh) == stale  # old definition still recorded
+    with pytest.raises(RuntimeError, match="lane"):
+        ingest_batch_dedup(spark, _docs(spark, [(500, "x")]), idx)
+
+    # Window 2: kill after the commit marker, before publish.
+    arm("dedup:rebuild_committed", lambda: (_ for _ in ()).throw(InjectedKill()))
+    try:
+        with pytest.raises(InjectedKill):
+            rebuild_index(spark, _docs(spark, corpus_rows), idx)
+    finally:
+        disarm("dedup:rebuild_committed")
+    # Self-heal: the next loop entry rolls the rebuild forward (marker
+    # flips to current) and the audit proceeds.
+    kept = ingest_batch_dedup(
+        spark,
+        _docs(spark, [(600, _distinct_text(2)), (601, "fresh novel words")]),
+        idx,
+    )
+    assert [r.doc_id for r in kept.collect()] == [601]
+    with open(os.path.join(idx, _LANES_META)) as fh:
+        assert json.load(fh) == _current_lane_meta()
