@@ -119,6 +119,14 @@ def _read_index_pair_pruned(
     byte-identical to the full read. Returns the pair plus a stats dict
     (``{sub: (files_scanned, files_total)}``) for observability.
 
+    The swap happens per subdir only when pruning skips at least
+    ``PRUNE_MIN_SKIP_FRACTION`` of the files: an explicit path-list read
+    pays a parallel-listing job per root, which is pure overhead when the
+    delta's keys hit most files anyway (big batches against few files).
+    Small micro-batches against a compacted many-file index — the steady
+    loop — clear the guard and scan O(keys x rows_per_file) instead of
+    O(corpus).
+
     Failure taxonomy first: the full-pair read below performs the
     half-present/unreadable checks, and its frames are the fallback for
     any subdir whose pruning selects everything (or whose listing is
@@ -135,8 +143,11 @@ def _read_index_pair_pruned(
         live = os.path.join(index_dir, sub)
         selected, total = _prune_files(live, _PRUNE_KEY[sub], sorted(set(keys[sub])))
         stats[sub] = (len(selected), total)
-        if total == 0 or len(selected) == total:
-            continue  # bootstrap or nothing prunable — keep the full read
+        if total == 0 or len(selected) > (1 - PRUNE_MIN_SKIP_FRACTION) * total:
+            # bootstrap, or not enough skippable to beat the explicit-list
+            # read's per-root listing cost — keep the directory read
+            stats[sub] = (total, total)
+            continue
         if not selected:
             out[sub] = spark.createDataFrame([], schemas[sub])
         else:
@@ -239,6 +250,14 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
 # narrow range holds a delta key. Advisory like the ledger's: a missing or
 # unreadable sidecar/footer only means that file is scanned conservatively.
 _RANGES = "_RANGES.json"
+#: Use the pruned (explicit-file-list) read only when it skips at least
+#: this fraction of the live files. An explicit list of N root paths costs
+#: a parallel-listing Spark job of N tasks (spark fans the listing out past
+#: sources.parallelPartitionDiscovery.threshold) — measured +2.7 s per
+#: 1000-doc batch at a 979-file index where the delta's 4000 keys hit ~96%
+#: of the files anyway. Below the guard the probe falls back to the plain
+#: directory scan: zero planning overhead, and nothing was skippable.
+PRUNE_MIN_SKIP_FRACTION = 0.5
 
 
 def _live_files(live_dir: str) -> list[str]:
@@ -327,6 +346,15 @@ def _file_ranges(live_dir: str, column: str) -> dict[str, tuple[str, str] | None
     return out
 
 
+def _ranges_disjoint(ranges: dict[str, tuple[str, str] | None]) -> bool:
+    """True when every file has a usable range and no two ranges overlap —
+    i.e. the layout is already range-sorted and the pruning is armed."""
+    spans = sorted(r for r in ranges.values() if r is not None)
+    if len(spans) != len(ranges):
+        return False
+    return all(hi1 <= lo2 for (_, hi1), (lo2, _) in zip(spans, spans[1:]))
+
+
 def _prune_files(
     live_dir: str, column: str, keys_sorted: list[str]
 ) -> tuple[list[str], int]:
@@ -355,10 +383,23 @@ _PRUNE_KEY = {"hashes": "text_hash", "bands": "band_hash"}
 def compact_index(
     spark: SparkSession,
     index_dir: str,
-    target_rows_per_file: int = 4_000_000,
+    target_rows_per_file: int = 1_000_000,
 ) -> dict[str, tuple[int, int]]:
-    """Rewrite the live index pair into few large files. Returns
+    """Rewrite the live index pair into range-sorted files of
+    ``target_rows_per_file`` rows. Returns
     ``{subdir: (files_before, files_after)}``.
+
+    ``target_rows_per_file`` is the probe-scan knob, not just a file-count
+    knob: compacted files are range-DISJOINT on the probe key, so a
+    micro-batch with K distinct keys touches at most K compacted files and
+    the pruned audit scans ≈ ``K x target_rows_per_file`` rows PLUS the
+    small since-last-compaction appends — constant in corpus size, where
+    the unpruned scan is O(corpus). Size it for the batch you probe with:
+    1M band rows ≈ 40-50 MB parquet (healthy object-store files), and a
+    1000-doc delta (4000 band keys) then scans at most ~4x10^9 rows-worth
+    of files no matter whether the index holds 10^7 or 10^10 documents.
+    Smaller files buy proportionally smaller per-batch scans at the cost
+    of file-count overhead.
 
     Every staged append publishes at least one new parquet file per
     subdir, so a 15-minute ingest cadence grows the index by thousands of
@@ -395,31 +436,43 @@ def compact_index(
         if not files:
             counts[sub] = (0, 0)
             continue
-        # Row count from footers — driver-side metadata, no Spark job (the
-        # ledger's _active_row_count pattern: layout decisions must never
-        # cost a scan of the data they're about).
+        # Per-file row counts from footers — driver-side metadata, no Spark
+        # job (the ledger's _active_row_count pattern: layout decisions
+        # must never cost a scan of the data they're about).
         try:
             import pyarrow.parquet as pq
 
-            n_rows = sum(
+            file_rows = [
                 pq.ParquetFile(os.path.join(live, n)).metadata.num_rows
                 for n in files
-            )
+            ]
         except Exception:  # noqa: BLE001 — fall back to a count job
-            n_rows = None
+            file_rows = None
         df = spark.read.parquet(*(os.path.join(live, n) for n in files))
-        if n_rows is None:
-            n_rows = df.count()
+        n_rows = sum(file_rows) if file_rows is not None else df.count()
+        key = _PRUNE_KEY[sub]
         parts = max(1, math.ceil(n_rows / target_rows_per_file))
-        if parts >= len(files):
+        # Skip only when the layout already delivers what compaction is
+        # for: (a) not fragmented (files <= target part count), (b)
+        # range-DISJOINT on the probe key (what arms the _RANGES.json
+        # pruning), and (c) no oversized file (an over-target file makes
+        # every key that lands in it scan that many rows — splitting it is
+        # the point of the target, even when that means MORE files). The 2x
+        # slack absorbs row-count drift and mild repartitionByRange skew so
+        # back-to-back calls stay no-ops.
+        already_good = (
+            len(files) <= parts
+            and (file_rows is None or max(file_rows) <= 2 * target_rows_per_file)
+            and _ranges_disjoint(_file_ranges(live, key))
+        )
+        if already_good:
             counts[sub] = (len(files), len(files))
-            continue  # already compact — never rewrite to MORE files
+            continue
         subsumed[sub] = files
         # Range-sort by the probe key: compacted files become range-DISJOINT
         # on uniformly-distributed md5 keys, which is what makes the
         # _RANGES.json file pruning above selective (an unsorted file always
         # spans ~the whole key space and can never be skipped).
-        key = _PRUNE_KEY[sub]
         df.repartitionByRange(parts, key).sortWithinPartitions(key).write.mode(
             "overwrite"
         ).parquet(os.path.join(stage, sub))

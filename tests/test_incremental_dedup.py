@@ -525,11 +525,21 @@ def test_range_pruned_probe_is_sound_and_selective(spark, tmp_path):
     assert stats["bands"][0] <= n_band_files
     # Soundness: byte-identical audit verdicts vs the full read.
     fh, fb = _read_index_pair(spark, idx, "doc_id")
-    pruned = sorted(dedup_audit(delta, ph, pb).collect(), key=lambda r: r.doc_id)
-    full = sorted(dedup_audit(delta, fh, fb).collect(), key=lambda r: r.doc_id)
+    pruned_df = dedup_audit(delta, ph, pb)
+    full_df = dedup_audit(delta, fh, fb)
+    pruned = sorted(pruned_df.collect(), key=lambda r: r.doc_id)
+    full = sorted(full_df.collect(), key=lambda r: r.doc_id)
     assert pruned == full
     assert [r.doc_id for r in pruned if r.is_exact_dup] == [500]
     assert [r.doc_id for r in pruned if r.kept] == [501]
+    # Executed SQLMetrics: the pruned audit must actually READ fewer index
+    # rows than the full one (the r11 point — shuffle was already O(batch)
+    # after the r10 flip; the scan is what the sidecars cut).
+    from datalakejson_spark.plans.metrics import executed_summary
+
+    pruned_scan = executed_summary(pruned_df)["scan_rows"]
+    full_scan = executed_summary(full_df)["scan_rows"]
+    assert pruned_scan < full_scan * 0.67, (pruned_scan, full_scan)
 
     # End-to-end: the loop itself (which plans the pruned read internally)
     # reaches the same verdicts.

@@ -34,6 +34,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import pyspark.sql.functions as F  # noqa: E402
 
 BATCH_DOCS = 1000
+#: delta size for the pruned-vs-full audit comparison. File-level range
+#: pruning wins when the file count exceeds the delta's key count (every
+#: key lands in exactly one range-disjoint file), so the demonstration
+#: probe is a small micro-batch against many fixed-size files — the same
+#: geometry a 10^9-doc index has with 1M-row files and 100-1000-doc drains.
+PROBE_DOCS = 100
 WORDS_PER_DOC = 24
 
 
@@ -56,6 +62,8 @@ def synth_docs(spark, start: int, n: int):
 def main() -> None:
     from datalakejson_spark.functions.dedup import band_table, minhash_signatures
     from datalakejson_spark.functions.incremental_dedup import (
+        _read_index_pair_pruned,
+        compact_index,
         dedup_audit,
         exact_hash_index,
         ingest_batch_dedup,
@@ -70,9 +78,12 @@ def main() -> None:
         1_000_000,
     ]
     out_path = "/tmp/dedup_index_curve.jsonl"
+    target_rows = 1_000_000  # compact_index default
     for a in sys.argv[1:]:
         if a.startswith("--out="):
             out_path = a.split("=", 1)[1]
+        if a.startswith("--target_rows="):
+            target_rows = int(a.split("=", 1)[1])
 
     spark = get_spark("dedup-index-curve")
     fh = open(out_path, "a", buffering=1)
@@ -90,12 +101,23 @@ def main() -> None:
             )
             write_lane_meta(idx)  # direct writers must stamp the definition
             build_sec = time.time() - t0
+            # Steady-state layout: compaction range-sorts each subdir by its
+            # probe key, which is what arms the _RANGES.json file pruning
+            # the micro-batch audits below exercise (round 11).
+            t0 = time.time()
+            compact_counts = compact_index(spark, idx, target_rows_per_file=target_rows)
+            compact_sec = time.time() - t0
 
             batch_secs, kept_counts = [], []
             for rep in range(2):
                 delta = synth_docs(spark, h + rep * BATCH_DOCS, BATCH_DOCS)
                 t0 = time.time()
-                kept = ingest_batch_dedup(spark, delta, idx)
+                # threshold=None: the curve controls the layout explicitly
+                # (an auto-compaction inside a timed batch would rewrite
+                # the deliberately-small-file geometry mid-measurement)
+                kept = ingest_batch_dedup(
+                    spark, delta, idx, compact_threshold_files=None
+                )
                 n_kept = kept.count()
                 batch_secs.append(round(time.time() - t0, 2))
                 kept_counts.append(n_kept)
@@ -120,22 +142,53 @@ def main() -> None:
             #    (wall time stays honest; SQLMetrics do not).
             hashes = spark.read.parquet(f"{idx}/hashes")
             bands = spark.read.parquet(f"{idx}/bands")
-            novel = synth_docs(spark, h + 2 * BATCH_DOCS, BATCH_DOCS - 10)
+            novel = synth_docs(spark, h + 2 * BATCH_DOCS, PROBE_DOCS - 10)
             planted = synth_docs(spark, 0, 10).select(
                 (F.col("doc_id") + h + 3 * BATCH_DOCS).alias("doc_id"), "text"
             )
             delta = novel.unionByName(planted)
             t0 = time.time()
             audit = dedup_audit(delta, hashes, bands)
-            audit.collect()
+            full_rows = sorted(map(tuple, audit.collect()))
             audit_sec = round(time.time() - t0, 2)
             s = executed_summary(audit)
+
+            # Round 11: the SAME audit through the range-pruned read — the
+            # loop's actual plan. Byte-identical verdicts required; the
+            # scan-rows delta is the measurement (shuffle was already
+            # O(batch) since the r10 probe flip; the full-index SCAN per
+            # batch was the remaining linear term).
+            delta = delta.localCheckpoint(eager=True)
+            t0 = time.time()
+            hash_keys = [
+                r[0] for r in delta.select(F.md5("text")).distinct().collect()
+            ]
+            band_keys = [
+                r[0]
+                for r in band_table(minhash_signatures(delta))
+                .select("band_hash")
+                .distinct()
+                .collect()
+            ]
+            ph, pb, prune_stats = _read_index_pair_pruned(
+                spark, idx, "doc_id", hash_keys, band_keys
+            )
+            pruned_audit = dedup_audit(delta, ph, pb)
+            pruned_rows = sorted(map(tuple, pruned_audit.collect()))
+            pruned_sec = round(time.time() - t0, 2)
+            ps = executed_summary(pruned_audit)
+            assert pruned_rows == full_rows, "pruned audit diverged"
+
             fh.write(
                 json.dumps(
                     {
                         "phase": "dedup_index",
                         "index_docs": h,
+                        "probe_docs": PROBE_DOCS,
+                        "target_rows_per_file": target_rows,
                         "build_sec": round(build_sec, 2),
+                        "compact_sec": round(compact_sec, 2),
+                        "compact_files": compact_counts,
                         "batch_secs": batch_secs,
                         "kept_counts": kept_counts,
                         "audit_only_sec": audit_sec,
@@ -143,6 +196,11 @@ def main() -> None:
                         "audit_scan_rows": s["scan_rows"],
                         "audit_n_broadcasts": s["n_broadcasts"],
                         "audit_spill_bytes": s["spill_bytes"],
+                        "pruned_audit_sec": pruned_sec,
+                        "pruned_scan_rows": ps["scan_rows"],
+                        "pruned_shuffle_bytes": ps["shuffle_bytes"],
+                        "pruned_files": prune_stats,
+                        "pruned_equals_full": True,
                     }
                 )
                 + "\n"

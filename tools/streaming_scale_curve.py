@@ -33,7 +33,9 @@ checkpoint sizes from a directory walk):
    per-batch seconds must be flat in batch index AND in backlog size.
 
 Usage: python tools/streaming_scale_curve.py [phase ...] [--out PATH]
-Default runs all phases; results append line-buffered JSONL to
+Default runs drain/steady/replay/quality; the fabricated 10^6-seen-file
+point (phase ``steady_fabricated``, round 11) is opt-in — it writes a
+~10^6-entry source log. Results append line-buffered JSONL to
 /tmp/streaming_scale_curve.jsonl and a summary table prints at the end.
 """
 
@@ -253,6 +255,95 @@ def phase_steady(fh, histories=(0, 10_000, 100_000)) -> None:
                 shutil.rmtree(root, ignore_errors=True)
 
 
+def fabricate_seen_history(ckpt: Path, landing: Path, n: int) -> None:
+    """Append ``n`` synthetic already-seen file entries to the file-source
+    metadata log of an EXISTING checkpoint (batch 0), so the next drain
+    behaves exactly as if n files had been drained and archived before it —
+    without paying hours of real drains to get there. Format per Spark's
+    CompactibleFileStreamLog: a version header line, then one JSON FileEntry
+    per line {path, timestamp, batchId}. The paths live under the landing
+    dir (where real drained files would have been) but need not exist —
+    archive mode moved them out, which is exactly the steady-state layout.
+    Timestamps are 'now' so the default 7-day maxFileAge retains every
+    entry: the WORST-case seen-map and log size for the cadence."""
+    src_dir = ckpt / "sources" / "0"
+    batch_files = [
+        p
+        for p in src_dir.iterdir()
+        if p.name.split(".")[0].isdigit()
+    ]
+    last = max(batch_files, key=lambda p: int(p.name.split(".")[0]))
+    original = last.read_text()
+    assert original.startswith("v1\n"), original[:20]
+    ts = int(time.time() * 1000)
+    with open(str(last) + ".tmp", "w") as out:
+        out.write(original if original.endswith("\n") else original + "\n")
+        for i in range(n):
+            out.write(
+                json.dumps(
+                    {
+                        "path": f"file://{landing}/fab{i:08d}.json",
+                        "timestamp": ts,
+                        "batchId": int(last.name.split(".")[0]),
+                    }
+                )
+                + "\n"
+            )
+    os.replace(str(last) + ".tmp", str(last))
+
+
+def phase_steady_fabricated(fh, n_seen: int = 1_000_000) -> None:
+    """The 10^6-file steady point (round 11, VERDICT r10 next-round #5):
+    a decade past the measured 10^5 curve. Sequence:
+
+    1. real 1000-file archive-mode drain -> valid checkpoint (batch 0);
+    2. fabricate n_seen seen-file entries into the source log;
+    3. timed +1000-file archive drain TWICE (batches 1-2): pays the
+       metadata-log READ of n_seen+ entries at query start plus the
+       O(arrivals) work — the flat-curve claim at 10^6;
+    4. set fileSource.log.compactInterval=2 and drain +1000 once more
+       (batch 3 => (3+1)%2==0 is a compaction batch): pays the full
+       compact-log REWRITE of every retained entry — the super-linear
+       event the default interval amortizes to 1-in-10 batches and
+       maxFileAge (7d default) bounds at production cadence."""
+    spark = fresh_session("steady-fab")
+    root = Path(tempfile.mkdtemp(prefix=f"stream_curve_fab_{n_seen}_"))
+    try:
+        synth_landing(root / "landing", 1000)
+        drain(spark, root, archive=True)
+        t0 = time.time()
+        fabricate_seen_history(root / "ckpt", root / "landing", n_seen)
+        fab_sec = round(time.time() - t0, 2)
+        log_bytes, _ = du(str(root / "ckpt" / "sources"))
+        start = 1000
+        for step in ("inc1", "inc2", "compact_rewrite"):
+            if step == "compact_rewrite":
+                spark.conf.set(
+                    "spark.sql.streaming.fileSource.log.compactInterval", "2"
+                )
+            synth_landing(root / "landing", 1000, start=start)
+            r = drain(spark, root, archive=True)
+            rows = spark.read.parquet(str(root / "curated")).count()
+            emit(
+                fh,
+                {
+                    "phase": "steady_fabricated",
+                    "step": step,
+                    "seen_files": n_seen,
+                    "fabricate_sec": fab_sec if step == "inc1" else None,
+                    "source_log_bytes": log_bytes if step == "inc1" else None,
+                    **{f"inc_{k}": v for k, v in r.items()},
+                    "curated_rows": rows,
+                },
+            )
+            # every +1000 batch must actually process (fabricated history
+            # must not swallow NEW files)
+            assert rows == (start + 1000) * ROWS_PER_FILE, (rows, start)
+            start += 1000
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def phase_replay(fh, n: int = 10_000) -> None:
     from datalakejson_spark.plans.ingest import deduplicate_replays
     from datalakejson_spark.streaming.ingest_stream import streaming_ingest
@@ -379,6 +470,8 @@ def main() -> None:
             phase_drain(fh)
         if "steady" in phases:
             phase_steady(fh)
+        if "steady_fabricated" in phases:
+            phase_steady_fabricated(fh)
         if "replay" in phases:
             phase_replay(fh)
         if "quality" in phases:
