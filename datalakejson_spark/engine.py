@@ -134,6 +134,19 @@ class DataLakeEngine:
 
         return compact_index(self.spark, index_dir, **kwargs)
 
+    def rebuild_dedup_index(
+        self, docs: DataFrame, index_dir: str, **kwargs
+    ) -> dict:
+        """Rebuild the incremental-dedup index pair from the curated corpus
+        under the CURRENT minhash lane definition
+        (functions/incremental_dedup.rebuild_index) — the executable answer
+        when the lane-definition guard refuses a marker-less or drifted
+        index. Staged, crash-self-healing, range-sorted output; run it
+        offline like compaction."""
+        from datalakejson_spark.functions.incremental_dedup import rebuild_index
+
+        return rebuild_index(self.spark, docs, index_dir, **kwargs)
+
     def vacuum_replays(self) -> dict[str, int]:
         """Physically drop superseded crash-replay rows per partition."""
         from datalakejson_spark.plans.compact import vacuum_replays

@@ -128,3 +128,42 @@ def test_engine_training_lifecycle(spark, ingest_conf, tmp_path: Path):
     feed = engine.feed(shard_dir, batch_rows=7)
     fed = sum(b.num_rows for b in feed.batches())
     assert fed == n_docs
+
+
+def test_engine_dedup_index_maintenance(spark, ingest_conf, tmp_path: Path):
+    """Facade passthroughs for the incremental-dedup index maintenance ops:
+    compact_dedup_index and (round 11) rebuild_dedup_index — the operator
+    answer when the lane-definition guard refuses an index."""
+    import hashlib
+    import json
+    import os
+
+    from datalakejson_spark.functions.incremental_dedup import (
+        _LANES_META,
+        _current_lane_meta,
+        ingest_batch_dedup,
+    )
+
+    engine = DataLakeEngine(spark, ingest_conf, table="t_dedupidx")
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join("w" + hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8]
+                          for j in range(12)))
+            for i in range(8)
+        ],
+        "doc_id bigint, text string",
+    )
+    ingest_batch_dedup(spark, docs, idx)
+    counts = engine.compact_dedup_index(idx)
+    assert set(counts) == {"hashes", "bands"}
+
+    # Drift the marker; the facade rebuild restores an auditable index.
+    with open(os.path.join(idx, _LANES_META), "w") as fh:
+        json.dump(dict(_current_lane_meta(), lane_hex=4), fh)
+    written = engine.rebuild_dedup_index(docs, idx)
+    assert written["hashes"] == 8 and written["bands"] == 32
+    with open(os.path.join(idx, _LANES_META)) as fh:
+        assert json.load(fh) == _current_lane_meta()
+    replay = ingest_batch_dedup(spark, docs.limit(2), idx)
+    assert replay.count() == 0  # the rebuilt index still knows the corpus
