@@ -213,12 +213,25 @@ def calibration_check(
         if n in sf1_timings and ref[n]
     )
     out = {"kernel_deviation": round(dev, 3)}
-    if not ratios:
+    # Robustness floor: the verdict rides on the MEDIAN drift, whose noise
+    # is small only with enough shared queries (per-query wall noise is
+    # ~±10%; a 12-query median's standard error is ~3-4%, so a 1.3x
+    # dev/drift disagreement is far outside noise — whereas a 3-query
+    # median could cross the gate on ordinary variance). Below the floor,
+    # record the evidence but render no verdict and keep the kernel.
+    if len(ratios) < 6:
         return out
     drift = ratios[len(ratios) // 2]
     out["sf1_raw_drift_vs_ref"] = round(drift, 3)
     disagree = dev > 1.3 * drift or dev < drift / 1.3
     out["box_anomalous"] = bool(disagree)
+    # When they disagree, the drift is the trustworthy divisor in BOTH
+    # directions: the median of 12 unchanged Spark queries is low-noise by
+    # construction, while the AVX kernel throttles on its own schedule and
+    # measured unstable on drifted boxes (1.156 vs 1.655 hours apart on
+    # identical r10 code). A borderline flag therefore swaps to the LOWER-
+    # noise normalizer — the gate's step discontinuity trades a ≤30%
+    # divisor jump for never trending a kernel artifact.
     out["divisor_sec"] = round(
         NOMINAL_NUMPY_MT * drift if disagree else numpy_mt_sec, 4
     )

@@ -127,31 +127,62 @@ def _read_index_pair_pruned(
     loop — clear the guard and scan O(keys x rows_per_file) instead of
     O(corpus).
 
-    Failure taxonomy first: the full-pair read below performs the
-    half-present/unreadable checks, and its frames are the fallback for
-    any subdir whose pruning selects everything (or whose listing is
-    empty/bootstrapped)."""
-    hashes, bands = _read_index_pair(spark, index_dir, id_col)
+    NULL keys (a null-text document hashes to NULL) are dropped from the
+    pruning key set: a NULL join key matches nothing in either probe, so
+    it cannot require any file — and a None in a sorted() of strings
+    would otherwise poison the planning (review catch, round 11).
+
+    Failure taxonomy driver-side (mirrors _read_index_pair, whose frames
+    are NOT built here — constructing the directory DataFrames costs an
+    eager O(files) listing per subdir per batch, exactly the term the
+    pruning exists to avoid): both subdirs absent -> bootstrap empty;
+    one absent -> raise half-present; present but emptied of parquet
+    files -> raise rather than audit blind."""
     stats: dict[str, tuple[int, int]] = {}
-    out = {"hashes": hashes, "bands": bands}
+    out: dict[str, DataFrame] = {}
     keys = {"hashes": hash_keys, "bands": band_keys}
     schemas = {
         "hashes": "text_hash string",
         "bands": f"{id_col} bigint, band int, band_hash string",
     }
+    paths = {sub: os.path.join(index_dir, sub) for sub in _INDEX_SUBDIRS}
+    exists = {sub: os.path.isdir(p) for sub, p in paths.items()}
+    if not any(exists.values()):  # first batch: bootstrap empty pair
+        return (
+            spark.createDataFrame([], schemas["hashes"]),
+            spark.createDataFrame([], schemas["bands"]),
+            {sub: (0, 0) for sub in _INDEX_SUBDIRS},
+        )
+    if not all(exists.values()):
+        present = next(p for s, p in paths.items() if exists[s])
+        missing = next(p for s, p in paths.items() if not exists[s])
+        raise RuntimeError(
+            f"half-present dedup index pair: {present} exists but {missing} "
+            "is missing. Refusing to audit with one blind index (it would "
+            "silently re-ingest duplicates). Restore the missing index or "
+            "remove both to rebuild from scratch."
+        )
     for sub in _INDEX_SUBDIRS:
-        live = os.path.join(index_dir, sub)
-        selected, total = _prune_files(live, _PRUNE_KEY[sub], sorted(set(keys[sub])))
+        live = paths[sub]
+        key_set = sorted({k for k in keys[sub] if k is not None})
+        selected, total = _prune_files(live, _PRUNE_KEY[sub], key_set)
+        if total == 0:
+            raise RuntimeError(
+                f"dedup index dir {live} exists but holds no parquet files "
+                "— auditing against an accidentally-emptied index would "
+                "re-admit the whole corpus as novel. Restore it or remove "
+                "BOTH index dirs to rebuild from scratch."
+            )
         stats[sub] = (len(selected), total)
-        if total == 0 or len(selected) > (1 - PRUNE_MIN_SKIP_FRACTION) * total:
-            # bootstrap, or not enough skippable to beat the explicit-list
-            # read's per-root listing cost — keep the directory read
+        if len(selected) > (1 - PRUNE_MIN_SKIP_FRACTION) * total:
+            # not enough skippable to beat the explicit-list read's
+            # per-root listing cost — plain directory read
             stats[sub] = (total, total)
-            continue
-        if not selected:
+            out[sub] = spark.read.parquet(live)
+        elif not selected:
             out[sub] = spark.createDataFrame([], schemas[sub])
         else:
-            out[sub] = spark.read.schema(out[sub].schema).parquet(
+            out[sub] = spark.read.parquet(
                 *(os.path.join(live, n) for n in selected)
             )
     return out["hashes"], out["bands"], stats
@@ -318,25 +349,36 @@ def _file_ranges(live_dir: str, column: str) -> dict[str, tuple[str, str] | None
         pass
     files = _live_files(live_dir)
     out: dict[str, tuple[str, str] | None] = {}
-    changed = len(cache) != len(files)
+    transient: set[str] = set()
     for f in files:
         if f in cache:
             v = cache[f]
             out[f] = (str(v[0]), str(v[1])) if isinstance(v, list) else None
             continue
-        changed = True
         try:
             out[f] = _footer_range(os.path.join(live_dir, f), column)
         except Exception:  # noqa: BLE001 — advisory: scan it, retry later
             out[f] = None
-            changed = False  # do not persist a transient failure
-    if changed:
+            transient.add(f)
+    # Persist everything EXCEPT transient read failures (a null from a
+    # failed read would otherwise be cached as "no usable stats" forever
+    # and the file never pruned again — review catch, round 11; a null
+    # from a stats-less footer IS permanent and is cached). Rewrite only
+    # on real change so steady-state probes don't touch the sidecar.
+    persist = {
+        f: list(r) if r else None
+        for f, r in out.items()
+        if f not in transient
+    }
+    if persist != {
+        f: (list(map(str, v)) if isinstance(v, list) else None)
+        for f, v in cache.items()
+        if f in persist
+    } or set(cache) - set(persist):
         tmp = sidecar + ".tmp"
         try:
             with open(tmp, "w") as fh:
-                json.dump(
-                    {f: list(r) if r else None for f, r in out.items()}, fh
-                )
+                json.dump(persist, fh)
             os.replace(tmp, sidecar)
         except OSError:
             try:
@@ -378,6 +420,46 @@ def _prune_files(
 
 #: the probe key column each index subdir is range-compacted and pruned on
 _PRUNE_KEY = {"hashes": "text_hash", "bands": "band_hash"}
+
+#: advisory per-index marker recording the file count each subdir had after
+#: its last compaction/rebuild — the BASELINE the loop-policy trigger
+#: subtracts before comparing against compact_threshold_files. Without it
+#: the trigger would count TOTAL files, and once a big corpus's compacted
+#: layout alone exceeds the threshold (ceil(rows/target) > threshold, i.e.
+#: ~16M docs at the defaults) every batch would re-trigger a full O(corpus)
+#: rewrite (review catch, round 11). Advisory like the sidecars: missing or
+#: stale only means an early (harmless) compaction.
+_COMPACTED_META = "_COMPACTED.json"
+
+
+def _write_compacted_meta(index_dir: str) -> None:
+    import json
+
+    meta = {
+        sub: len(_live_files(os.path.join(index_dir, sub)))
+        for sub in _INDEX_SUBDIRS
+    }
+    tmp = os.path.join(index_dir, _COMPACTED_META + ".tmp")
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(index_dir, _COMPACTED_META))
+    except OSError:  # advisory — trigger stays conservative
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+
+
+def _compacted_baseline(index_dir: str) -> dict[str, int]:
+    import json
+
+    try:
+        with open(os.path.join(index_dir, _COMPACTED_META)) as fh:
+            d = json.load(fh)
+        return {sub: int(d.get(sub, 0)) for sub in _INDEX_SUBDIRS}
+    except (OSError, ValueError, TypeError, AttributeError):
+        return {sub: 0 for sub in _INDEX_SUBDIRS}
 
 
 def compact_index(
@@ -479,6 +561,7 @@ def compact_index(
         counts[sub] = (len(files), parts)
     if not subsumed:
         shutil.rmtree(stage, ignore_errors=True)
+        _write_compacted_meta(index_dir)  # layout verified already-good
         return counts
     fire("dedup:compact_staged")  # no marker yet: crash = old layout wins
     with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
@@ -487,6 +570,7 @@ def compact_index(
         marker.write("ok")
     fire("dedup:compact_committed")  # committed, not yet published
     _publish_staged(index_dir)
+    _write_compacted_meta(index_dir)
     return counts
 
 
@@ -664,6 +748,7 @@ def rebuild_index(
         marker.write("ok")
     fire("dedup:rebuild_committed")  # committed, not yet published
     _publish_staged(index_dir)
+    _write_compacted_meta(index_dir)  # rebuilt layout IS the new baseline
     return written
 
 
@@ -813,6 +898,7 @@ def ingest_batch_dedup(
     on_kept=None,
     broadcast_delta: bool = True,
     compact_threshold_files: int | None = COMPACT_THRESHOLD_FILES,
+    compact_target_rows_per_file: int | None = None,
 ) -> DataFrame:
     """One loop iteration over a parquet-persisted index pair under
     ``index_dir`` (``hashes/``, ``bands/``): dedup within the batch, audit
@@ -853,13 +939,18 @@ def ingest_batch_dedup(
     touches every file anyway.
 
     Compaction is loop POLICY, not a manual facade call (round 11): after
-    the appends publish, if either live subdir exceeds
-    ``compact_threshold_files`` parquet files, :func:`compact_index` runs
-    inline. The trigger decision is driver-side metadata (one listdir) —
-    never a Spark job — and the compaction itself rides the same staged
-    ``_COMMITTED``/``_SUBSUMED`` publish, so every kill window stays
-    old-layout-or-harmless-duplication. Pass ``None`` to disable (bulk
-    backfills that compact once at the end).
+    the appends publish, if either live subdir holds more than
+    ``compact_threshold_files`` parquet files BEYOND its last-compaction
+    baseline (the advisory ``_COMPACTED.json`` count — a big corpus's
+    steady compacted layout legitimately exceeds any fixed threshold on
+    its own, and counting it would re-trigger a full O(corpus) rewrite
+    every batch), :func:`compact_index` runs inline with
+    ``compact_target_rows_per_file`` (None = compact_index's default).
+    The trigger decision is driver-side metadata (one listdir + one JSON
+    read) — never a Spark job — and the compaction itself rides the same
+    staged ``_COMMITTED``/``_SUBSUMED`` publish, so every kill window
+    stays old-layout-or-harmless-duplication. Pass ``None`` to disable
+    (bulk backfills that compact once at the end).
     """
     _publish_staged(index_dir)  # roll forward a crashed predecessor first
     _check_lane_meta(index_dir)
@@ -929,11 +1020,19 @@ def ingest_batch_dedup(
         marker.write("ok")
     fire("dedup:after_commit_marker")  # committed, not yet published
     _publish_staged(index_dir)
-    if compact_threshold_files is not None and any(
-        len(_live_files(os.path.join(index_dir, sub))) > compact_threshold_files
-        for sub in _INDEX_SUBDIRS
-    ):
-        compact_index(spark, index_dir)
+    if compact_threshold_files is not None:
+        baseline = _compacted_baseline(index_dir)
+        if any(
+            len(_live_files(os.path.join(index_dir, sub))) - baseline[sub]
+            > compact_threshold_files
+            for sub in _INDEX_SUBDIRS
+        ):
+            kwargs = (
+                {"target_rows_per_file": compact_target_rows_per_file}
+                if compact_target_rows_per_file is not None
+                else {}
+            )
+            compact_index(spark, index_dir, **kwargs)
     return kept
 
 

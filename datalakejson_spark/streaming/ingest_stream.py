@@ -92,17 +92,33 @@ def streaming_ingest(
         # loud instead (review catch, round 10). The glob root is the
         # longest wildcard-free prefix of landing_dir: anything under it
         # can match the pattern.
-        glob_root = os.path.abspath(landing_dir)
+        def _scheme_path(p: str) -> tuple[str, str]:
+            # Spark file sources accept URIs (file://, s3a://, hdfs://...);
+            # os.path.abspath would mangle those into relative paths and
+            # silently defeat the overlap check (review catch, round 11).
+            # A bare local path and an explicit file:// URI are the same
+            # filesystem, so both normalize to scheme "".
+            from urllib.parse import urlparse
+
+            u = urlparse(p)
+            if u.scheme in ("", "file"):
+                return "", os.path.abspath(u.path if u.scheme else p)
+            return u.scheme, u.netloc + u.path
+
+        l_scheme, glob_root = _scheme_path(landing_dir)
+        a_scheme, arch = _scheme_path(archive_dir)
         wild = [i for i in (glob_root.find(c) for c in "*?[{") if i >= 0]
         if wild:
             # conservative: everything under the last separator before the
             # first wildcard can match the pattern
             glob_root = glob_root[: min(wild)]
-            glob_root = glob_root[: glob_root.rfind(os.sep) + 1]
+            glob_root = glob_root[: glob_root.rfind("/") + 1]
         else:
-            glob_root = glob_root.rstrip(os.sep) + os.sep
-        arch = os.path.abspath(archive_dir).rstrip(os.sep) + os.sep
-        if arch.startswith(glob_root) or glob_root.startswith(arch):
+            glob_root = glob_root.rstrip("/") + "/"
+        arch = arch.rstrip("/") + "/"
+        if l_scheme == a_scheme and (
+            arch.startswith(glob_root) or glob_root.startswith(arch)
+        ):
             raise ValueError(
                 f"archive_dir {archive_dir!r} overlaps the landing source "
                 f"pattern {landing_dir!r} (glob root {glob_root!r}). Spark "

@@ -139,3 +139,12 @@ def test_history_retro_check_flags_r8_and_r10():
         c = rounds[n]["check"]
         dev, drift = c["kernel_deviation"], c["sf1_raw_drift_vs_ref"]
         assert dev > 1.3 * drift or dev < drift / 1.3
+
+
+def test_too_few_shared_queries_yields_no_verdict():
+    """Robustness floor (round 11): the median drift of <6 shared queries
+    is too noisy to adjudicate — record the kernel, render no verdict."""
+    few = {k: 2.0 * v for k, v in list(SF1_NOMINAL_REF.items())[:4]}
+    c = calibration_check(1.2, few)
+    assert "box_anomalous" not in c and "divisor_sec" not in c
+    assert c["kernel_deviation"] == 1.0

@@ -730,3 +730,117 @@ def test_rebuild_kill_windows(spark, tmp_path):
     assert [r.doc_id for r in kept.collect()] == [601]
     with open(os.path.join(idx, _LANES_META)) as fh:
         assert json.load(fh) == _current_lane_meta()
+
+
+def test_null_text_does_not_poison_pruned_planning(spark, tmp_path):
+    """A null-text document (corrupt landing line) hashes to NULL; NULL
+    join keys match nothing, so the doc must flow through the audit as
+    novel — and must not crash the driver-side pruning key sort (review
+    catch, round 11: sorted() over a None/str mix raises, and a streaming
+    replay of the same file would poison the drain permanently)."""
+    idx = str(tmp_path / "idx")
+    ingest_batch_dedup(
+        spark, _docs(spark, [(i, _distinct_text(i)) for i in range(6)]), idx
+    )
+    kept = ingest_batch_dedup(
+        spark,
+        _docs(spark, [(100, None), (101, _distinct_text(2)), (102, "fresh")]),
+        idx,
+    )
+    got = {r.doc_id for r in kept.collect()}
+    assert 102 in got and 101 not in got
+    assert 100 in got  # null text: no hash, no bands — audited as novel
+
+
+def test_compaction_trigger_uses_baseline_not_total(spark, tmp_path):
+    """A big corpus's compacted layout alone can exceed any fixed file
+    threshold; the loop trigger must count files SINCE the last compaction
+    (_COMPACTED.json baseline), or every batch would re-trigger a full
+    O(corpus) rewrite (review catch, round 11)."""
+    import json
+    import os
+
+    from datalakejson_spark.functions.incremental_dedup import (
+        _COMPACTED_META,
+        compact_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    for b in range(6):
+        ingest_batch_dedup(
+            spark,
+            _docs(spark, [(b * 4 + k, _distinct_text(b * 4 + k)) for k in range(4)]),
+            idx,
+            compact_threshold_files=None,
+        )
+    # Force a many-file compacted baseline (as a huge corpus would have).
+    compact_index(spark, idx, target_rows_per_file=8)
+    with open(os.path.join(idx, _COMPACTED_META)) as fh:
+        baseline = json.load(fh)
+    assert baseline["bands"] > 4  # baseline alone exceeds the threshold below
+
+    before = len(_parquet_files(idx, "bands"))
+    ingest_batch_dedup(
+        spark,
+        _docs(spark, [(900, _distinct_text(900))]),
+        idx,
+        compact_threshold_files=4,
+    )
+    # One append since baseline: NO recompaction (files grew by the append).
+    assert len(_parquet_files(idx, "bands")) == before + 1
+
+    # Without the baseline marker the same state would re-trigger: the
+    # trigger treats a missing marker as baseline 0 (conservative).
+    os.remove(os.path.join(idx, _COMPACTED_META))
+    ingest_batch_dedup(
+        spark,
+        _docs(spark, [(901, _distinct_text(901))]),
+        idx,
+        compact_threshold_files=4,
+        compact_target_rows_per_file=8,
+    )
+    with open(os.path.join(idx, _COMPACTED_META)) as fh:
+        assert json.load(fh)  # compaction ran and re-stamped the baseline
+
+
+def test_transient_footer_failure_not_cached(spark, tmp_path, monkeypatch):
+    """A footer READ ERROR must degrade to 'scan this file now' without
+    being persisted — otherwise one transient I/O blip permanently
+    disables pruning for that file (review catch, round 11)."""
+    import json
+    import os
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    idx = str(tmp_path / "idx")
+    for b in range(4):
+        ingest_batch_dedup(
+            spark,
+            _docs(spark, [(b * 4 + k, _distinct_text(b * 4 + k)) for k in range(4)]),
+            idx,
+            compact_threshold_files=None,
+        )
+    inc.compact_index(spark, idx, target_rows_per_file=6)
+    live = os.path.join(idx, "hashes")
+    os.remove(os.path.join(live, inc._RANGES))  # force recompute of all
+
+    files = inc._live_files(live)
+    victim = files[0]
+    real = inc._footer_range
+
+    def flaky(path, column):
+        if os.path.basename(path) == victim:
+            raise OSError("transient")
+        return real(path, column)
+
+    monkeypatch.setattr(inc, "_footer_range", flaky)
+    ranges = inc._file_ranges(live, "text_hash")
+    assert ranges[victim] is None  # scanned conservatively this time
+    with open(os.path.join(live, inc._RANGES)) as fh:
+        assert victim not in json.load(fh)  # …but NOT cached as null
+
+    monkeypatch.setattr(inc, "_footer_range", real)
+    healed = inc._file_ranges(live, "text_hash")
+    assert healed[victim] is not None  # next probe re-reads and persists
+    with open(os.path.join(live, inc._RANGES)) as fh:
+        assert json.load(fh)[victim] == list(healed[victim])

