@@ -302,11 +302,20 @@ def _footer_range(path: str, column: str) -> tuple[str, str] | None:
     driver-side, no Spark job. Truncated stats stay conservative (a
     truncated min is a prefix <= true min; a truncated max has its last
     byte incremented >= true max). None when stats are absent."""
+    rng, _rows = _footer_stats(path, column)
+    return rng
+
+
+def _footer_stats(
+    path: str, column: str
+) -> tuple[tuple[str, str] | None, int]:
+    """(min/max range or None, num_rows) from one parquet footer."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     mins: list[str] = []
     maxs: list[str] = []
+    absent = False
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
@@ -314,7 +323,8 @@ def _footer_range(path: str, column: str) -> tuple[str, str] | None:
                 continue
             st = col.statistics
             if st is None or not st.has_min_max:
-                return None
+                absent = True
+                continue
             lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 lo = lo.decode("utf-8", "replace")
@@ -322,23 +332,28 @@ def _footer_range(path: str, column: str) -> tuple[str, str] | None:
                 hi = hi.decode("utf-8", "replace")
             mins.append(str(lo))
             maxs.append(str(hi))
-    if not mins:
-        return None
-    return min(mins), max(maxs)
+    rng = (min(mins), max(maxs)) if mins and not absent else None
+    return rng, md.num_rows
 
 
-def _file_ranges(live_dir: str, column: str) -> dict[str, tuple[str, str] | None]:
-    """Per-live-file key ranges, cached in ``{live_dir}/_RANGES.json`` and
-    self-healed from footers: files the sidecar doesn't know (fresh appends,
-    or a crash between publish and sidecar rewrite) are footer-read here
-    and merged in; entries for files that no longer exist (compaction
-    subsumed them) are dropped. The sidecar is a pure CACHE — never
-    authoritative — so no crash window can make pruning unsound, only
-    slower. A ``null`` entry means "footer has no usable stats: always
-    scan" and is cached; a footer READ ERROR is not cached (transient)."""
+def _file_stats(
+    live_dir: str, column: str
+) -> dict[str, tuple[tuple[str, str] | None, int | None]]:
+    """Per-live-file (key range, num_rows), cached in
+    ``{live_dir}/_RANGES.json`` and self-healed from footers: files the
+    sidecar doesn't know (fresh appends, or a crash between publish and
+    sidecar rewrite) are footer-read here and merged in; entries for files
+    that no longer exist (compaction subsumed them) are dropped. The
+    sidecar is a pure CACHE — never authoritative — so no crash window can
+    make pruning or compaction policy unsound, only slower/conservative.
+    Entry formats: ``[lo, hi, rows]``; ``{"rows": n}`` for a file whose
+    footer has no usable key stats (always scanned, rows still known); a
+    footer READ ERROR maps to ``(None, None)`` and is NOT cached
+    (transient). Legacy 2-element ``[lo, hi]`` entries (pre-rows cache)
+    are treated as unknown and re-read once."""
     import json
 
-    cache: dict[str, list[str] | None] = {}
+    cache: dict = {}
     sidecar = os.path.join(live_dir, _RANGES)
     try:
         with open(sidecar) as fh:
@@ -348,33 +363,34 @@ def _file_ranges(live_dir: str, column: str) -> dict[str, tuple[str, str] | None
     except (OSError, ValueError):
         pass
     files = _live_files(live_dir)
-    out: dict[str, tuple[str, str] | None] = {}
+    out: dict[str, tuple[tuple[str, str] | None, int | None]] = {}
     transient: set[str] = set()
     for f in files:
-        if f in cache:
-            v = cache[f]
-            out[f] = (str(v[0]), str(v[1])) if isinstance(v, list) else None
+        v = cache.get(f)
+        if isinstance(v, list) and len(v) == 3:
+            out[f] = ((str(v[0]), str(v[1])), int(v[2]))
+            continue
+        if isinstance(v, dict) and "rows" in v:
+            out[f] = (None, int(v["rows"]))
             continue
         try:
-            out[f] = _footer_range(os.path.join(live_dir, f), column)
+            out[f] = _footer_stats(os.path.join(live_dir, f), column)
         except Exception:  # noqa: BLE001 — advisory: scan it, retry later
-            out[f] = None
+            out[f] = (None, None)
             transient.add(f)
     # Persist everything EXCEPT transient read failures (a null from a
     # failed read would otherwise be cached as "no usable stats" forever
-    # and the file never pruned again — review catch, round 11; a null
-    # from a stats-less footer IS permanent and is cached). Rewrite only
-    # on real change so steady-state probes don't touch the sidecar.
+    # and the file never pruned again — review catch, round 11; a
+    # stats-LESS footer is permanent and is cached, with its row count).
+    # Rewrite only on real change so steady-state probes don't touch it.
     persist = {
-        f: list(r) if r else None
-        for f, r in out.items()
+        f: ([rng[0], rng[1], rows] if rng else {"rows": rows})
+        for f, (rng, rows) in out.items()
         if f not in transient
     }
-    if persist != {
-        f: (list(map(str, v)) if isinstance(v, list) else None)
-        for f, v in cache.items()
-        if f in persist
-    } or set(cache) - set(persist):
+    if persist != {f: v for f, v in cache.items() if f in persist} or set(
+        cache
+    ) - set(persist):
         tmp = sidecar + ".tmp"
         try:
             with open(tmp, "w") as fh:
@@ -386,6 +402,11 @@ def _file_ranges(live_dir: str, column: str) -> dict[str, tuple[str, str] | None
             except OSError:
                 pass
     return out
+
+
+def _file_ranges(live_dir: str, column: str) -> dict[str, tuple[str, str] | None]:
+    """Per-live-file key ranges (see _file_stats for cache semantics)."""
+    return {f: rng for f, (rng, _rows) in _file_stats(live_dir, column).items()}
 
 
 def _ranges_disjoint(ranges: dict[str, tuple[str, str] | None]) -> bool:
@@ -421,55 +442,64 @@ def _prune_files(
 #: the probe key column each index subdir is range-compacted and pruned on
 _PRUNE_KEY = {"hashes": "text_hash", "bands": "band_hash"}
 
-#: advisory per-index marker recording the file count each subdir had after
-#: its last compaction/rebuild — the BASELINE the loop-policy trigger
-#: subtracts before comparing against compact_threshold_files. Without it
-#: the trigger would count TOTAL files, and once a big corpus's compacted
-#: layout alone exceeds the threshold (ceil(rows/target) > threshold, i.e.
-#: ~16M docs at the defaults) every batch would re-trigger a full O(corpus)
-#: rewrite (review catch, round 11). Advisory like the sidecars: missing or
-#: stale only means an early (harmless) compaction.
-_COMPACTED_META = "_COMPACTED.json"
+
+_PART_UUID = __import__("re").compile(
+    r"^part-\d+-([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})"
+)
 
 
-def _write_compacted_meta(index_dir: str) -> None:
-    import json
+def _derive_runs(files) -> list[list[str]]:
+    """Group the live files into RUNS = write generations, identified by
+    the job UUID every Spark write embeds in its part filenames
+    (``part-NNNNN-<uuid>-c000...``) — no manifest to keep crash-consistent,
+    and publishes preserve staged names. One compaction/rebuild output is
+    one run (range-disjoint by construction: repartitionByRange); each
+    per-batch append is its own run. Unrecognized names become singleton
+    runs.
 
-    meta = {
-        sub: len(_live_files(os.path.join(index_dir, sub)))
-        for sub in _INDEX_SUBDIRS
-    }
-    tmp = os.path.join(index_dir, _COMPACTED_META + ".tmp")
-    try:
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, os.path.join(index_dir, _COMPACTED_META))
-    except OSError:  # advisory — trigger stays conservative
-        try:
-            os.remove(tmp)
-        except OSError:
-            pass
+    A range-based chain partition was tried first and is a TRAP: greedy
+    interval chaining happily splices an append into the middle of the
+    half-built base chain (the append's start lies past the base's
+    current end), so "smallest runs" ended up containing base files and
+    the tiered merge rewrote parts of the base it promised not to touch.
+    Generation identity is what the merge policy actually wants.
 
-
-def _compacted_baseline(index_dir: str) -> dict[str, int]:
-    import json
-
-    try:
-        with open(os.path.join(index_dir, _COMPACTED_META)) as fh:
-            d = json.load(fh)
-        return {sub: int(d.get(sub, 0)) for sub in _INDEX_SUBDIRS}
-    except (OSError, ValueError, TypeError, AttributeError):
-        return {sub: 0 for sub in _INDEX_SUBDIRS}
+    This is the LSM view of the index: one big base run from the last
+    full compaction, zero or more merged middle runs, and a tail of
+    per-batch append runs. The run count bounds the probe's pruned scan
+    (at most delta-keys files PER sorted run) and counts appends since
+    the last merge; merging only the SMALLEST runs keeps write
+    amplification O(appends) per trigger instead of O(corpus)."""
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        m = _PART_UUID.match(f)
+        groups.setdefault(m.group(1) if m else f, []).append(f)
+    return list(groups.values())
 
 
 def compact_index(
     spark: SparkSession,
     index_dir: str,
     target_rows_per_file: int = 1_000_000,
+    max_runs: int = 1,
 ) -> dict[str, tuple[int, int]]:
-    """Rewrite the live index pair into range-sorted files of
+    """Rewrite enough of the live index pair to restore the layout
+    invariants: at most ``max_runs`` sorted runs per subdir, every file
+    range-sorted with usable stats, no file above ~2x
     ``target_rows_per_file`` rows. Returns
     ``{subdir: (files_before, files_after)}``.
+
+    ``max_runs=1`` (default) is FULL compaction: everything merges into
+    one range-disjoint run — right for offline maintenance and small
+    indexes. ``max_runs>1`` is TIERED (LSM-style) compaction, the loop
+    posture: only the SMALLEST runs merge (newest append tail first),
+    so folding a day of micro-batch appends costs O(appends) — not the
+    O(corpus) a full rewrite pays — while the base run is rewritten only
+    when enough merged middle runs accumulate to reach it (geometric
+    cascade: each row is rewritten O(log(corpus/batch)) times over its
+    life). The probe prunes per FILE regardless of runs; its scan bound
+    is ``delta keys x target_rows_per_file x n_runs``, so ``max_runs``
+    trades write amplification against probe scans.
 
     ``target_rows_per_file`` is the probe-scan knob, not just a file-count
     knob: compacted files are range-DISJOINT on the probe key, so a
@@ -518,39 +548,66 @@ def compact_index(
         if not files:
             counts[sub] = (0, 0)
             continue
-        # Per-file row counts from footers — driver-side metadata, no Spark
-        # job (the ledger's _active_row_count pattern: layout decisions
-        # must never cost a scan of the data they're about).
-        try:
-            import pyarrow.parquet as pq
-
-            file_rows = [
-                pq.ParquetFile(os.path.join(live, n)).metadata.num_rows
-                for n in files
-            ]
-        except Exception:  # noqa: BLE001 — fall back to a count job
-            file_rows = None
-        df = spark.read.parquet(*(os.path.join(live, n) for n in files))
-        n_rows = sum(file_rows) if file_rows is not None else df.count()
         key = _PRUNE_KEY[sub]
-        parts = max(1, math.ceil(n_rows / target_rows_per_file))
-        # Skip only when the layout already delivers what compaction is
-        # for: (a) not fragmented (files <= target part count), (b)
-        # range-DISJOINT on the probe key (what arms the _RANGES.json
-        # pruning), and (c) no oversized file (an over-target file makes
-        # every key that lands in it scan that many rows — splitting it is
-        # the point of the target, even when that means MORE files). The 2x
-        # slack absorbs row-count drift and mild repartitionByRange skew so
-        # back-to-back calls stay no-ops.
-        already_good = (
-            len(files) <= parts
-            and (file_rows is None or max(file_rows) <= 2 * target_rows_per_file)
-            and _ranges_disjoint(_file_ranges(live, key))
-        )
-        if already_good:
+        # Ranges + per-file row counts from the same sidecar/footer cache —
+        # driver-side metadata, no Spark job (the ledger's
+        # _active_row_count pattern: layout decisions must never cost a
+        # scan of the data they're about). A file whose footer won't read
+        # gets rows=None (treated as target-sized for the layout checks;
+        # never the reason for a rewrite on its own).
+        stats = _file_stats(live, key)
+        ranges = {f: rng for f, (rng, _r) in stats.items()}
+        rows = {f: r for f, (_rng, r) in stats.items()}
+
+        def run_rows(run: list[str]) -> int:
+            return sum(rows[n] or target_rows_per_file for n in run)
+
+        # A run is DIRTY — must be rewritten regardless of run count — when
+        # it has a stats-less file (unprunable until rewritten; a TRANSIENT
+        # footer failure has rows=None too and is NOT dirty — it may read
+        # fine next call), an oversized file (every key landing in it scans
+        # that many rows; 2x slack absorbs row drift and mild
+        # repartitionByRange skew), or more files than its rows justify
+        # (small-file fragmentation).
+        dirty: list[str] = []
+        clean_runs: list[list[str]] = []
+        for run in _derive_runs(files):
+            oversized = any(
+                (rows[n] or 0) > 2 * target_rows_per_file for n in run
+            )
+            fragmented = len(run) > max(
+                1, math.ceil(run_rows(run) / target_rows_per_file)
+            )
+            statless = any(
+                ranges[n] is None and rows[n] is not None for n in run
+            )
+            # a multi-file generation whose internal ranges overlap is not
+            # a sorted run at all (direct-writer appends): rewrite it
+            unsorted = len(run) > 1 and not _ranges_disjoint(
+                {n: ranges[n] for n in run}
+            )
+            if oversized or fragmented or statless or unsorted:
+                dirty.extend(run)
+            else:
+                clean_runs.append(run)
+        # Tiered merge: fold the SMALLEST clean runs (the append tail) into
+        # the rewrite until the surviving run count fits max_runs. The base
+        # run joins only when the middle runs have grown past it — the
+        # geometric cascade that keeps per-row write amplification
+        # logarithmic instead of rewriting O(corpus) per trigger.
+        clean_runs.sort(key=run_rows)
+        merge = list(dirty)
+        while clean_runs and len(clean_runs) + (1 if merge else 0) > max_runs:
+            merge.extend(clean_runs.pop(0))
+        if not merge:
             counts[sub] = (len(files), len(files))
             continue
-        subsumed[sub] = files
+        n_rows = sum(rows[n] or 0 for n in merge)
+        df = spark.read.parquet(*(os.path.join(live, n) for n in merge))
+        if any(rows[n] is None for n in merge):
+            n_rows = df.count()  # fall back to a count job
+        parts = max(1, math.ceil(n_rows / target_rows_per_file))
+        subsumed[sub] = sorted(merge)
         # Range-sort by the probe key: compacted files become range-DISJOINT
         # on uniformly-distributed md5 keys, which is what makes the
         # _RANGES.json file pruning above selective (an unsorted file always
@@ -558,10 +615,9 @@ def compact_index(
         df.repartitionByRange(parts, key).sortWithinPartitions(key).write.mode(
             "overwrite"
         ).parquet(os.path.join(stage, sub))
-        counts[sub] = (len(files), parts)
+        counts[sub] = (len(files), len(files) - len(merge) + parts)
     if not subsumed:
         shutil.rmtree(stage, ignore_errors=True)
-        _write_compacted_meta(index_dir)  # layout verified already-good
         return counts
     fire("dedup:compact_staged")  # no marker yet: crash = old layout wins
     with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
@@ -570,7 +626,6 @@ def compact_index(
         marker.write("ok")
     fire("dedup:compact_committed")  # committed, not yet published
     _publish_staged(index_dir)
-    _write_compacted_meta(index_dir)
     return counts
 
 
@@ -748,7 +803,6 @@ def rebuild_index(
         marker.write("ok")
     fire("dedup:rebuild_committed")  # committed, not yet published
     _publish_staged(index_dir)
-    _write_compacted_meta(index_dir)  # rebuilt layout IS the new baseline
     return written
 
 
@@ -881,12 +935,39 @@ def dedup_within_batch(
     return uniq.join(losers, id_col, "left_anti")
 
 
-#: default compaction trigger for the ingest loop: compact when either live
-#: subdir exceeds this many files. Staged appends publish >=1 file per subdir
-#: per batch, so a 15-min cadence crosses this ~daily; compaction then
-#: rewrites to few large range-sorted files (measured: -40% audit wall at
-#: 2048 files, and range-sorting is what arms the _RANGES.json pruning).
-COMPACT_THRESHOLD_FILES = 64
+COMPACT_TARGET_ROWS_PER_FILE = 1_000_000
+
+
+def _needs_compaction(
+    index_dir: str, max_runs: int, target_rows_per_file: int
+) -> bool:
+    """Driver-side loop trigger, from the stats sidecar alone: too many
+    runs (each per-batch append is its own write generation, so the run
+    count IS appends-since-last-merge), OR a visibly fragmented run (a
+    generation holding far more files than its rows justify; 4 files of
+    slack keep the merge from re-triggering every batch)."""
+    import math
+
+    for sub in _INDEX_SUBDIRS:
+        stats = _file_stats(os.path.join(index_dir, sub), _PRUNE_KEY[sub])
+        runs = _derive_runs(stats)
+        if len(runs) > max_runs:
+            return True
+        for run in runs:
+            r = sum(stats[f][1] or target_rows_per_file for f in run)
+            if len(run) > max(4, math.ceil(r / target_rows_per_file)):
+                return True
+    return False
+
+
+#: default compaction trigger for the ingest loop: tier-merge when either
+#: live subdir exceeds this many SORTED RUNS (derived from the _RANGES
+#: sidecar — each per-batch append is its own full-span run, so runs count
+#: appends-since-last-merge without any persisted baseline; a big corpus's
+#: compacted base is ONE run no matter how many files it holds). A 15-min
+#: cadence crosses this every ~2 hours; the triggered merge folds only the
+#: smallest runs (the tail), so its cost is O(appends), not O(corpus).
+COMPACT_MAX_RUNS = 8
 
 
 def ingest_batch_dedup(
@@ -897,7 +978,7 @@ def ingest_batch_dedup(
     text_col: str = "text",
     on_kept=None,
     broadcast_delta: bool = True,
-    compact_threshold_files: int | None = COMPACT_THRESHOLD_FILES,
+    compact_max_runs: int | None = COMPACT_MAX_RUNS,
     compact_target_rows_per_file: int | None = None,
 ) -> DataFrame:
     """One loop iteration over a parquet-persisted index pair under
@@ -940,17 +1021,19 @@ def ingest_batch_dedup(
 
     Compaction is loop POLICY, not a manual facade call (round 11): after
     the appends publish, if either live subdir holds more than
-    ``compact_threshold_files`` parquet files BEYOND its last-compaction
-    baseline (the advisory ``_COMPACTED.json`` count — a big corpus's
-    steady compacted layout legitimately exceeds any fixed threshold on
-    its own, and counting it would re-trigger a full O(corpus) rewrite
-    every batch), :func:`compact_index` runs inline with
-    ``compact_target_rows_per_file`` (None = compact_index's default).
-    The trigger decision is driver-side metadata (one listdir + one JSON
-    read) — never a Spark job — and the compaction itself rides the same
+    ``compact_max_runs`` sorted runs (derived from the range sidecar —
+    each per-batch append is its own full-span run, so the run count IS
+    "appends since the last merge", while the compacted base stays ONE
+    run however many files it holds), a TIERED :func:`compact_index`
+    (``max_runs = compact_max_runs // 2``) folds the smallest runs — the
+    append tail — into one sorted run. Cost per trigger is O(appends),
+    never the O(corpus) a full rewrite pays; the base run is touched only
+    when merged middle runs grow past it (geometric cascade). The trigger
+    decision is driver-side metadata (cached ranges + a footer read per
+    fresh append) — never a Spark job — and the compaction rides the same
     staged ``_COMMITTED``/``_SUBSUMED`` publish, so every kill window
     stays old-layout-or-harmless-duplication. Pass ``None`` to disable
-    (bulk backfills that compact once at the end).
+    (bulk backfills that compact once at the end with ``max_runs=1``).
     """
     _publish_staged(index_dir)  # roll forward a crashed predecessor first
     _check_lane_meta(index_dir)
@@ -1020,19 +1103,22 @@ def ingest_batch_dedup(
         marker.write("ok")
     fire("dedup:after_commit_marker")  # committed, not yet published
     _publish_staged(index_dir)
-    if compact_threshold_files is not None:
-        baseline = _compacted_baseline(index_dir)
-        if any(
-            len(_live_files(os.path.join(index_dir, sub))) - baseline[sub]
-            > compact_threshold_files
-            for sub in _INDEX_SUBDIRS
-        ):
-            kwargs = (
-                {"target_rows_per_file": compact_target_rows_per_file}
-                if compact_target_rows_per_file is not None
-                else {}
-            )
-            compact_index(spark, index_dir, **kwargs)
+    if compact_max_runs is not None and _needs_compaction(
+        index_dir,
+        compact_max_runs,
+        compact_target_rows_per_file or COMPACT_TARGET_ROWS_PER_FILE,
+    ):
+        kwargs = (
+            {"target_rows_per_file": compact_target_rows_per_file}
+            if compact_target_rows_per_file is not None
+            else {}
+        )
+        compact_index(
+            spark,
+            index_dir,
+            max_runs=max(1, compact_max_runs // 2),
+            **kwargs,
+        )
     return kept
 
 

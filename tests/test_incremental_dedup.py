@@ -500,7 +500,7 @@ def test_range_pruned_probe_is_sound_and_selective(spark, tmp_path):
             spark,
             _docs(spark, [(b * 12 + k, _distinct_text(b * 12 + k)) for k in range(12)]),
             idx,
-            compact_threshold_files=None,
+            compact_max_runs=None,
         )
     compact_index(spark, idx, target_rows_per_file=60)
     n_hash_files = len(_parquet_files(idx, "hashes"))
@@ -547,7 +547,7 @@ def test_range_pruned_probe_is_sound_and_selective(spark, tmp_path):
         spark,
         _docs(spark, [(600, _distinct_text(11)), (601, "wholly new words")]),
         idx,
-        compact_threshold_files=None,
+        compact_max_runs=None,
     )
     assert [r.doc_id for r in kept.collect()] == [601]
 
@@ -571,7 +571,7 @@ def test_pruning_sidecar_self_heals_and_tolerates_corruption(spark, tmp_path):
             spark,
             _docs(spark, [(b * 8 + k, _distinct_text(b * 8 + k)) for k in range(8)]),
             idx,
-            compact_threshold_files=None,
+            compact_max_runs=None,
         )
     compact_index(spark, idx, target_rows_per_file=20)
     live = os.path.join(idx, "hashes")
@@ -597,10 +597,11 @@ def test_pruning_sidecar_self_heals_and_tolerates_corruption(spark, tmp_path):
 
 
 def test_compaction_is_loop_policy(spark, tmp_path):
-    """Round 11: ingest_batch_dedup triggers compact_index itself when a
-    live subdir crosses compact_threshold_files — the file count plateaus
-    across many batches instead of growing one file set per batch, the
-    trigger decision is a driver-side listing, and the audits keep their
+    """Round 11: ingest_batch_dedup triggers a tiered compact_index itself
+    when a live subdir's RUN count (write generations — one per append)
+    crosses compact_max_runs — file and run counts plateau across many
+    batches instead of growing one file set per batch, the trigger
+    decision is driver-side sidecar metadata, and the audits keep their
     verdicts (novel docs kept, replayed dups dropped) throughout."""
     idx = str(tmp_path / "idx")
     max_files = 0
@@ -609,7 +610,7 @@ def test_compaction_is_loop_policy(spark, tmp_path):
             spark,
             _docs(spark, [(i, _distinct_text(i))]),
             idx,
-            compact_threshold_files=4,
+            compact_max_runs=4,
         )
         assert kept.count() == 1  # novel every time
         max_files = max(
@@ -623,12 +624,11 @@ def test_compaction_is_loop_policy(spark, tmp_path):
                 spark,
                 _docs(spark, [(1000 + i, _distinct_text(i))]),
                 idx,
-                compact_threshold_files=4,
+                compact_max_runs=4,
             )
             assert replay.count() == 0
-    # Plateau: the threshold (4) plus at most the appends since the last
-    # compaction crossing — far below the 14+ files an uncompacted loop
-    # accumulates per subdir.
+    # Plateau: at most compact_max_runs appends above the merged layout —
+    # far below the 14+ files an uncompacted loop accumulates per subdir.
     assert max_files <= 8, max_files
 
 
@@ -752,18 +752,13 @@ def test_null_text_does_not_poison_pruned_planning(spark, tmp_path):
     assert 100 in got  # null text: no hash, no bands — audited as novel
 
 
-def test_compaction_trigger_uses_baseline_not_total(spark, tmp_path):
-    """A big corpus's compacted layout alone can exceed any fixed file
-    threshold; the loop trigger must count files SINCE the last compaction
-    (_COMPACTED.json baseline), or every batch would re-trigger a full
-    O(corpus) rewrite (review catch, round 11)."""
-    import json
-    import os
-
-    from datalakejson_spark.functions.incremental_dedup import (
-        _COMPACTED_META,
-        compact_index,
-    )
+def test_tiered_compaction_merges_tail_not_base(spark, tmp_path):
+    """LSM posture (round 11): a big corpus's compacted BASE run must not
+    be rewritten when the loop folds its append tail — the triggered merge
+    touches only the smallest runs, so its cost is O(appends) while the
+    old full rewrite was O(corpus). Pinned by filename identity: every
+    base file survives the merge untouched."""
+    from datalakejson_spark.functions.incremental_dedup import compact_index
 
     idx = str(tmp_path / "idx")
     for b in range(6):
@@ -771,36 +766,65 @@ def test_compaction_trigger_uses_baseline_not_total(spark, tmp_path):
             spark,
             _docs(spark, [(b * 4 + k, _distinct_text(b * 4 + k)) for k in range(4)]),
             idx,
-            compact_threshold_files=None,
+            compact_max_runs=None,
         )
-    # Force a many-file compacted baseline (as a huge corpus would have).
+    # Full-compact into a many-file base (as a huge corpus would have:
+    # more base files than any sane run threshold).
     compact_index(spark, idx, target_rows_per_file=8)
-    with open(os.path.join(idx, _COMPACTED_META)) as fh:
-        baseline = json.load(fh)
-    assert baseline["bands"] > 4  # baseline alone exceeds the threshold below
+    base_bands = _parquet_files(idx, "bands")
+    base_hashes = _parquet_files(idx, "hashes")
+    assert len(base_bands) > 4
 
-    before = len(_parquet_files(idx, "bands"))
-    ingest_batch_dedup(
-        spark,
-        _docs(spark, [(900, _distinct_text(900))]),
-        idx,
-        compact_threshold_files=4,
-    )
-    # One append since baseline: NO recompaction (files grew by the append).
-    assert len(_parquet_files(idx, "bands")) == before + 1
+    # Append a tail of per-batch runs, then trigger a TIERED merge.
+    for i in range(3):
+        ingest_batch_dedup(
+            spark,
+            _docs(spark, [(900 + i, _distinct_text(900 + i))]),
+            idx,
+            compact_max_runs=None,
+        )
+    tail_bands = _parquet_files(idx, "bands") - base_bands
+    assert len(tail_bands) == 3
+    counts = compact_index(spark, idx, target_rows_per_file=8, max_runs=2)
+    # The tail folded into one run; the BASE files are byte-identical
+    # survivors (never subsumed, never rewritten).
+    now_bands = _parquet_files(idx, "bands")
+    assert base_bands <= now_bands
+    assert len(now_bands) < len(base_bands) + 3
+    assert not (tail_bands & now_bands)  # tail files were subsumed
+    b_before, b_after = counts["bands"]
+    assert b_after < b_before
 
-    # Without the baseline marker the same state would re-trigger: the
-    # trigger treats a missing marker as baseline 0 (conservative).
-    os.remove(os.path.join(idx, _COMPACTED_META))
-    ingest_batch_dedup(
+    # Audits keep their verdicts on the merged layout.
+    replay = ingest_batch_dedup(
         spark,
-        _docs(spark, [(901, _distinct_text(901))]),
+        _docs(spark, [(1000, _distinct_text(901)), (1001, "wholly novel")]),
         idx,
-        compact_threshold_files=4,
-        compact_target_rows_per_file=8,
+        compact_max_runs=None,
     )
-    with open(os.path.join(idx, _COMPACTED_META)) as fh:
-        assert json.load(fh)  # compaction ran and re-stamped the baseline
+    assert [r.doc_id for r in replay.collect()] == [1001]
+
+    # And the loop's own trigger fires via the run-count policy: more
+    # appends than compact_max_runs collapses the run count back down.
+    for i in range(4):
+        ingest_batch_dedup(
+            spark,
+            _docs(spark, [(1100 + i, _distinct_text(1100 + i))]),
+            idx,
+            compact_max_runs=4,  # tiered: triggered merges fold to 2 runs
+            compact_target_rows_per_file=8,
+        )
+    from datalakejson_spark.functions.incremental_dedup import (
+        _derive_runs,
+        _file_ranges,
+    )
+    import os
+
+    n_runs = len(_derive_runs(_file_ranges(os.path.join(idx, "bands"), "band_hash")))
+    assert n_runs <= 5, n_runs
+    # Base STILL untouched through all loop-triggered merges.
+    assert base_bands <= _parquet_files(idx, "bands")
+    assert base_hashes <= _parquet_files(idx, "hashes")
 
 
 def test_transient_footer_failure_not_cached(spark, tmp_path, monkeypatch):
@@ -818,7 +842,7 @@ def test_transient_footer_failure_not_cached(spark, tmp_path, monkeypatch):
             spark,
             _docs(spark, [(b * 4 + k, _distinct_text(b * 4 + k)) for k in range(4)]),
             idx,
-            compact_threshold_files=None,
+            compact_max_runs=None,
         )
     inc.compact_index(spark, idx, target_rows_per_file=6)
     live = os.path.join(idx, "hashes")
@@ -826,21 +850,22 @@ def test_transient_footer_failure_not_cached(spark, tmp_path, monkeypatch):
 
     files = inc._live_files(live)
     victim = files[0]
-    real = inc._footer_range
+    real = inc._footer_stats
 
     def flaky(path, column):
         if os.path.basename(path) == victim:
             raise OSError("transient")
         return real(path, column)
 
-    monkeypatch.setattr(inc, "_footer_range", flaky)
+    monkeypatch.setattr(inc, "_footer_stats", flaky)
     ranges = inc._file_ranges(live, "text_hash")
     assert ranges[victim] is None  # scanned conservatively this time
     with open(os.path.join(live, inc._RANGES)) as fh:
         assert victim not in json.load(fh)  # …but NOT cached as null
 
-    monkeypatch.setattr(inc, "_footer_range", real)
+    monkeypatch.setattr(inc, "_footer_stats", real)
     healed = inc._file_ranges(live, "text_hash")
     assert healed[victim] is not None  # next probe re-reads and persists
     with open(os.path.join(live, inc._RANGES)) as fh:
-        assert json.load(fh)[victim] == list(healed[victim])
+        entry = json.load(fh)[victim]  # [lo, hi, rows] since the run cache
+    assert entry[:2] == list(healed[victim]) and isinstance(entry[2], int)

@@ -116,7 +116,7 @@ def main() -> None:
                 # (an auto-compaction inside a timed batch would rewrite
                 # the deliberately-small-file geometry mid-measurement)
                 kept = ingest_batch_dedup(
-                    spark, delta, idx, compact_threshold_files=None
+                    spark, delta, idx, compact_max_runs=None
                 )
                 n_kept = kept.count()
                 batch_secs.append(round(time.time() - t0, 2))
