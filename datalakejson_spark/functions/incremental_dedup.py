@@ -232,17 +232,38 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
             if age >= stale_stage_s:
                 shutil.rmtree(stage, ignore_errors=True)
             continue
+        sidecar_adds: dict[str, dict] = {}
         for sub in _INDEX_SUBDIRS:
             src_dir, dst_dir = os.path.join(stage, sub), os.path.join(index_dir, sub)
             os.makedirs(dst_dir, exist_ok=True)
+            adds = sidecar_adds.setdefault(sub, {})
             if os.path.isdir(src_dir):
                 for name in os.listdir(src_dir):
                     if not name.endswith(".parquet"):
                         continue
                     dst = os.path.join(dst_dir, name)
                     if not os.path.exists(dst):  # idempotent re-publish
+                        # Warm the stats sidecar from the STAGED file's
+                        # footer before the move: just-written and
+                        # page-hot locally, and on an object store this
+                        # turns N per-probe footer GETs after a
+                        # compaction into zero (the self-heal in
+                        # _file_stats remains the fallback). Advisory —
+                        # a failed read just means lazy healing later.
+                        try:
+                            rng, rows = _footer_stats(
+                                os.path.join(src_dir, name), _PRUNE_KEY[sub]
+                            )
+                            adds[name] = (
+                                [rng[0], rng[1], rows]
+                                if rng
+                                else {"rows": rows}
+                            )
+                        except Exception:  # noqa: BLE001
+                            pass
                         os.replace(os.path.join(src_dir, name), dst)
         manifest = os.path.join(stage, "_SUBSUMED.json")
+        subsumed: dict[str, list[str]] = {}
         if os.path.exists(manifest):
             with open(manifest) as fh:
                 subsumed = json.load(fh)
@@ -253,6 +274,13 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
                         os.remove(os.path.join(live, name))
                     except FileNotFoundError:  # idempotent re-delete
                         pass
+        for sub in _INDEX_SUBDIRS:
+            if sidecar_adds.get(sub) or subsumed.get(sub):
+                _merge_sidecar_cache(
+                    os.path.join(index_dir, sub),
+                    sidecar_adds.get(sub, {}),
+                    subsumed.get(sub, []),
+                )
         # A REBUILD stage (rebuild_index) carries the new lane-definition
         # marker; it replaces the live one only after the new files are in
         # and the subsumed old-definition files are gone, so the marker
@@ -289,6 +317,34 @@ _RANGES = "_RANGES.json"
 #: of the files anyway. Below the guard the probe falls back to the plain
 #: directory scan: zero planning overhead, and nothing was skippable.
 PRUNE_MIN_SKIP_FRACTION = 0.5
+
+
+def _merge_sidecar_cache(live_dir: str, add: dict, remove: list[str]) -> None:
+    """Best-effort advisory update of the stats sidecar at PUBLISH time:
+    entries for just-moved files merge in (computed from their staged
+    footers), entries for just-subsumed files drop out. Failure is
+    harmless — _file_stats self-heals lazily from footers."""
+    import json
+
+    sidecar = os.path.join(live_dir, _RANGES)
+    try:
+        cache: dict = {}
+        try:
+            with open(sidecar) as fh:
+                raw = json.load(fh)
+            if isinstance(raw, dict):
+                cache = raw
+        except (OSError, ValueError):
+            pass
+        for n in remove:
+            cache.pop(n, None)
+        cache.update(add)
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cache, fh)
+        os.replace(tmp, sidecar)
+    except OSError:
+        pass
 
 
 def _live_files(live_dir: str) -> list[str]:

@@ -869,3 +869,33 @@ def test_transient_footer_failure_not_cached(spark, tmp_path, monkeypatch):
     with open(os.path.join(live, inc._RANGES)) as fh:
         entry = json.load(fh)[victim]  # [lo, hi, rows] since the run cache
     assert entry[:2] == list(healed[victim]) and isinstance(entry[2], int)
+
+
+def test_publish_warms_stats_sidecar(spark, tmp_path, monkeypatch):
+    """Publishing a stage (append, compaction) merges the new files'
+    footer stats into _RANGES.json at WRITE time, so the next probe's
+    planning never re-reads footers — after a 10^7-doc compaction that
+    self-heal was ~12k footer opens on the probe path (measured; on an
+    object store, 12k GETs). Pinned by making footer reads explode."""
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    idx = str(tmp_path / "idx")
+    for b in range(3):
+        ingest_batch_dedup(
+            spark,
+            _docs(spark, [(b * 6 + k, _distinct_text(b * 6 + k)) for k in range(6)]),
+            idx,
+            compact_max_runs=None,
+        )
+    inc.compact_index(spark, idx, target_rows_per_file=8)
+
+    def boom(path, column):
+        raise AssertionError(f"footer read on the probe path: {path}")
+
+    monkeypatch.setattr(inc, "_footer_stats", boom)
+    for sub, key in (("hashes", "text_hash"), ("bands", "band_hash")):
+        live = f"{idx}/{sub}"
+        stats = inc._file_stats(live, key)
+        assert set(stats) == set(inc._live_files(live))
+        # every entry is warm (range + rows), none transient
+        assert all(r is not None and n is not None for r, n in stats.values())
