@@ -441,7 +441,12 @@ def bench_dedup(spark, sf_dir: str, batch_factor: int = 1) -> tuple[int, float]:
             delta = delta.unionByName(r)
         n = delta.count()
         t0 = time.time()
-        kept = ingest_batch_dedup(spark, delta, idx)
+        # compact_max_runs=None: the timing isolates ONE loop iteration on
+        # a pinned layout — the direct-written index is a dirty (unsorted)
+        # run, and the default trigger would otherwise rewrite it inside
+        # the timed region, measuring a compaction instead of the batch
+        # (compaction cost is measured by its own harness).
+        kept = ingest_batch_dedup(spark, delta, idx, compact_max_runs=None)
         kept.write.format("noop").mode("overwrite").save()
         return n, round(n / (time.time() - t0), 1)
     finally:

@@ -26,6 +26,7 @@ over document *content* instead of file paths.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -319,6 +320,19 @@ _RANGES = "_RANGES.json"
 PRUNE_MIN_SKIP_FRACTION = 0.5
 
 
+def _load_sidecar(live_dir: str) -> dict:
+    """Read the stats sidecar; any unreadable/odd content degrades to an
+    empty cache (advisory everywhere)."""
+    import json
+
+    try:
+        with open(os.path.join(live_dir, _RANGES)) as fh:
+            raw = json.load(fh)
+        return raw if isinstance(raw, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
 def _merge_sidecar_cache(live_dir: str, add: dict, remove: list[str]) -> None:
     """Best-effort advisory update of the stats sidecar at PUBLISH time:
     entries for just-moved files merge in (computed from their staged
@@ -328,14 +342,7 @@ def _merge_sidecar_cache(live_dir: str, add: dict, remove: list[str]) -> None:
 
     sidecar = os.path.join(live_dir, _RANGES)
     try:
-        cache: dict = {}
-        try:
-            with open(sidecar) as fh:
-                raw = json.load(fh)
-            if isinstance(raw, dict):
-                cache = raw
-        except (OSError, ValueError):
-            pass
+        cache = _load_sidecar(live_dir)
         for n in remove:
             cache.pop(n, None)
         cache.update(add)
@@ -353,19 +360,13 @@ def _live_files(live_dir: str) -> list[str]:
     return sorted(n for n in os.listdir(live_dir) if n.endswith(".parquet"))
 
 
-def _footer_range(path: str, column: str) -> tuple[str, str] | None:
-    """min/max of ``column`` from one parquet file's FOOTER statistics —
-    driver-side, no Spark job. Truncated stats stay conservative (a
-    truncated min is a prefix <= true min; a truncated max has its last
-    byte incremented >= true max). None when stats are absent."""
-    rng, _rows = _footer_stats(path, column)
-    return rng
-
-
 def _footer_stats(
     path: str, column: str
 ) -> tuple[tuple[str, str] | None, int]:
-    """(min/max range or None, num_rows) from one parquet footer."""
+    """(min/max range or None, num_rows) from one parquet FOOTER —
+    driver-side, no Spark job. Truncated stats stay conservative (a
+    truncated min is a prefix <= true min; a truncated max has its last
+    byte incremented >= true max). Range is None when stats are absent."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -499,7 +500,7 @@ def _prune_files(
 _PRUNE_KEY = {"hashes": "text_hash", "bands": "band_hash"}
 
 
-_PART_UUID = __import__("re").compile(
+_PART_UUID = re.compile(
     r"^part-\d+-([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})"
 )
 
@@ -616,7 +617,12 @@ def compact_index(
         rows = {f: r for f, (_rng, r) in stats.items()}
 
         def run_rows(run: list[str]) -> int:
-            return sum(rows[n] or target_rows_per_file for n in run)
+            # None (transient footer failure) -> assume target-sized;
+            # a KNOWN 0-row file counts as 0 (`or` would inflate it)
+            return sum(
+                target_rows_per_file if rows[n] is None else rows[n]
+                for n in run
+            )
 
         # A run is DIRTY — must be rewritten regardless of run count — when
         # it has a stats-less file (unprunable until rewritten; a TRANSIENT
@@ -637,11 +643,14 @@ def compact_index(
             statless = any(
                 ranges[n] is None and rows[n] is not None for n in run
             )
-            # a multi-file generation whose internal ranges overlap is not
-            # a sorted run at all (direct-writer appends): rewrite it
-            unsorted = len(run) > 1 and not _ranges_disjoint(
-                {n: ranges[n] for n in run}
-            )
+            # a multi-file generation whose KNOWN ranges overlap is not a
+            # sorted run at all (direct-writer appends): rewrite it.
+            # Transient-failure files (range None, rows None) are excluded
+            # here too — treating one flaky footer read as "overlap" would
+            # flip the whole base run dirty and force the O(corpus)
+            # rewrite the tiered design exists to avoid (review catch).
+            known = {n: ranges[n] for n in run if ranges[n] is not None}
+            unsorted = len(run) > 1 and len(known) > 1 and not _ranges_disjoint(known)
             if oversized or fragmented or statless or unsorted:
                 dirty.extend(run)
             else:
@@ -662,6 +671,15 @@ def compact_index(
         df = spark.read.parquet(*(os.path.join(live, n) for n in merge))
         if any(rows[n] is None for n in merge):
             n_rows = df.count()  # fall back to a count job
+        if n_rows == 0:
+            # Only empty files selected (e.g. an all-duplicate replay batch
+            # appends a 0-row file, which has no key stats and reads as
+            # statless-dirty forever): subsume them WITHOUT writing — the
+            # publish deletes them and the merge converges instead of
+            # re-emitting a fresh empty file each call (review catch).
+            subsumed[sub] = sorted(merge)
+            counts[sub] = (len(files), len(files) - len(merge))
+            continue
         parts = max(1, math.ceil(n_rows / target_rows_per_file))
         subsumed[sub] = sorted(merge)
         # Range-sort by the probe key: compacted files become range-DISJOINT
@@ -1010,7 +1028,10 @@ def _needs_compaction(
         if len(runs) > max_runs:
             return True
         for run in runs:
-            r = sum(stats[f][1] or target_rows_per_file for f in run)
+            r = sum(
+                target_rows_per_file if stats[f][1] is None else stats[f][1]
+                for f in run
+            )
             if len(run) > max(4, math.ceil(r / target_rows_per_file)):
                 return True
     return False

@@ -899,3 +899,97 @@ def test_publish_warms_stats_sidecar(spark, tmp_path, monkeypatch):
         assert set(stats) == set(inc._live_files(live))
         # every entry is warm (range + rows), none transient
         assert all(r is not None and n is not None for r, n in stats.values())
+
+
+def test_empty_append_files_converge_under_compaction(spark, tmp_path):
+    """An all-duplicate replay batch appends 0-row index files (no key
+    stats — permanently 'statless'). Compaction must DELETE them rather
+    than re-emit a fresh empty file per call: second call is a no-op
+    (review catch, round 11)."""
+    import os
+
+    from datalakejson_spark.functions.incremental_dedup import compact_index
+
+    idx = str(tmp_path / "idx")
+    ingest_batch_dedup(
+        spark,
+        _docs(spark, [(i, _distinct_text(i)) for i in range(5)]),
+        idx,
+        compact_max_runs=None,
+    )
+    # replaying the same docs keeps nothing -> 0-row appended files
+    replay = ingest_batch_dedup(
+        spark,
+        _docs(spark, [(100 + i, _distinct_text(i)) for i in range(5)]),
+        idx,
+        compact_max_runs=None,
+    )
+    assert replay.count() == 0
+    import pyarrow.parquet as pq
+
+    live = os.path.join(idx, "hashes")
+    n_empty = sum(
+        1
+        for f in os.listdir(live)
+        if f.endswith(".parquet")
+        and pq.ParquetFile(os.path.join(live, f)).metadata.num_rows == 0
+    )
+    assert n_empty >= 1  # the replay really did append an empty file
+
+    compact_index(spark, idx, target_rows_per_file=100)
+    for sub in ("hashes", "bands"):
+        d = os.path.join(idx, sub)
+        assert all(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows > 0
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    noop = compact_index(spark, idx, target_rows_per_file=100)
+    for sub in ("hashes", "bands"):
+        assert noop[sub][0] == noop[sub][1], noop
+    # and the audit still works
+    kept = ingest_batch_dedup(
+        spark,
+        _docs(spark, [(200, _distinct_text(2)), (201, "brand new words")]),
+        idx,
+        compact_max_runs=None,
+    )
+    assert [r.doc_id for r in kept.collect()] == [201]
+
+
+def test_transient_footer_failure_never_dirties_the_base(spark, tmp_path, monkeypatch):
+    """One flaky footer read on a base-run file (after a lost sidecar)
+    must not flip the base 'unsorted'/dirty — that would convert the
+    O(appends) tiered merge into the O(corpus) full rewrite (review
+    catch, round 11). The flaky file is scanned conservatively; the base
+    stays untouched."""
+    import os
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    idx = str(tmp_path / "idx")
+    for b in range(4):
+        ingest_batch_dedup(
+            spark,
+            _docs(spark, [(b * 6 + k, _distinct_text(b * 6 + k)) for k in range(6)]),
+            idx,
+            compact_max_runs=None,
+        )
+    inc.compact_index(spark, idx, target_rows_per_file=8)
+    base = _parquet_files(idx, "bands")
+    assert len(base) > 3
+    # lose the sidecar, make ONE base file's footer read flaky
+    live = os.path.join(idx, "bands")
+    os.remove(os.path.join(live, inc._RANGES))
+    victim = sorted(base)[0]
+    real = inc._footer_stats
+
+    def flaky(path, column):
+        if os.path.basename(path) == victim:
+            raise OSError("transient")
+        return real(path, column)
+
+    monkeypatch.setattr(inc, "_footer_stats", flaky)
+    counts = inc.compact_index(spark, idx, target_rows_per_file=8, max_runs=4)
+    assert counts["bands"][0] == counts["bands"][1], counts  # no rewrite
+    assert base <= _parquet_files(idx, "bands")
