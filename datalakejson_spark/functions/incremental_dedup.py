@@ -366,7 +366,12 @@ def _footer_stats(
     """(min/max range or None, num_rows) from one parquet FOOTER —
     driver-side, no Spark job. Truncated stats stay conservative (a
     truncated min is a prefix <= true min; a truncated max has its last
-    byte incremented >= true max). Range is None when stats are absent."""
+    byte incremented >= true max). Range is None when stats are absent —
+    or when a byte stat doesn't decode LOSSLESSLY as UTF-8: a lossy
+    decode substitutes U+FFFD, which can reorder the decoded bound
+    relative to true byte order and make a pruning skip unsound for a
+    generic binary key (ADVICE r11; unreachable for today's md5-hex
+    probe keys, but the helper is generic)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -383,10 +388,14 @@ def _footer_stats(
                 absent = True
                 continue
             lo, hi = st.min, st.max
-            if isinstance(lo, bytes):
-                lo = lo.decode("utf-8", "replace")
-            if isinstance(hi, bytes):
-                hi = hi.decode("utf-8", "replace")
+            try:
+                if isinstance(lo, bytes):
+                    lo = lo.decode("utf-8", "strict")
+                if isinstance(hi, bytes):
+                    hi = hi.decode("utf-8", "strict")
+            except UnicodeDecodeError:
+                absent = True  # conservatively: always scan this file
+                continue
             mins.append(str(lo))
             maxs.append(str(hi))
     rng = (min(mins), max(maxs)) if mins and not absent else None
@@ -468,11 +477,17 @@ def _file_ranges(live_dir: str, column: str) -> dict[str, tuple[str, str] | None
 
 def _ranges_disjoint(ranges: dict[str, tuple[str, str] | None]) -> bool:
     """True when every file has a usable range and no two ranges overlap —
-    i.e. the layout is already range-sorted and the pruning is armed."""
+    i.e. the layout is already range-sorted and the pruning is armed.
+    STRICT at the boundary (``hi1 < lo2``): two files sharing the exact
+    boundary key — possible from direct-writer appends, never from
+    repartitionByRange, which sends every copy of a key to one partition —
+    are NOT a sorted run (ADVICE r11; probe pruning is per-file and stays
+    sound either way, but the dirty-run check should not let a mildly
+    overlapping run pass as clean)."""
     spans = sorted(r for r in ranges.values() if r is not None)
     if len(spans) != len(ranges):
         return False
-    return all(hi1 <= lo2 for (_, hi1), (lo2, _) in zip(spans, spans[1:]))
+    return all(hi1 < lo2 for (_, hi1), (lo2, _) in zip(spans, spans[1:]))
 
 
 def _prune_files(
@@ -694,6 +709,15 @@ def compact_index(
         shutil.rmtree(stage, ignore_errors=True)
         return counts
     fire("dedup:compact_staged")  # no marker yet: crash = old layout wins
+    # The stage dir normally comes into existence via the Spark parquet
+    # write above — but every subdir can take the n_rows==0
+    # subsume-without-write path (e.g. a tail of all-duplicate replay
+    # batches, each appending a 0-row stats-less file, crosses max_runs
+    # while nothing non-empty folds in). subsumed is non-empty then, and
+    # the manifest open below must not FileNotFoundError (ADVICE r11 —
+    # an inline-triggered compaction raising after publish wedges the
+    # ingest loop).
+    os.makedirs(stage, exist_ok=True)
     with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
         json.dump(subsumed, fh)
     with open(os.path.join(stage, "_COMMITTED"), "w") as marker:

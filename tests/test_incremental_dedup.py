@@ -993,3 +993,92 @@ def test_transient_footer_failure_never_dirties_the_base(spark, tmp_path, monkey
     counts = inc.compact_index(spark, idx, target_rows_per_file=8, max_runs=4)
     assert counts["bands"][0] == counts["bands"][1], counts  # no rewrite
     assert base <= _parquet_files(idx, "bands")
+
+
+def test_all_empty_tiered_merge_publishes(spark, tmp_path):
+    """A tiered (max_runs>1) merge whose entire merge set is 0-row replay
+    appends takes the subsume-without-write path for EVERY subdir — no
+    parquet write ever creates the stage dir, so the manifest write must
+    create it itself (ADVICE r11-medium: otherwise the inline-triggered
+    compaction raises FileNotFoundError after every subsequent batch's
+    publish, wedging the ingest loop). max_runs=1 never hits this — the
+    clean base run folds into the merge and the Spark write creates the
+    stage — which is why the max_runs=1 convergence test passed."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    idx = str(tmp_path / "idx")
+    ingest_batch_dedup(
+        spark,
+        _docs(spark, [(i, _distinct_text(i)) for i in range(5)]),
+        idx,
+        compact_max_runs=None,
+    )
+    inc.compact_index(spark, idx, target_rows_per_file=100)  # 1 clean base run
+    for b in range(3):  # all-duplicate replays -> 0-row append runs
+        replay = ingest_batch_dedup(
+            spark,
+            _docs(
+                spark,
+                [(100 * (b + 1) + i, _distinct_text(i)) for i in range(5)],
+            ),
+            idx,
+            compact_max_runs=None,
+        )
+        assert replay.count() == 0
+    # tiered: clean runs (just the base) fit max_runs, merge = empty files only
+    counts = inc.compact_index(spark, idx, target_rows_per_file=100, max_runs=4)
+    for sub in ("hashes", "bands"):
+        d = os.path.join(idx, sub)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert files, sub
+        assert all(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows > 0
+            for f in files
+        ), sub  # the empty appends were deleted, not re-emitted
+        assert counts[sub][1] < counts[sub][0], counts
+    staging = os.path.join(idx, inc._STAGING)
+    assert not (os.path.isdir(staging) and os.listdir(staging))  # no stranded stage
+    kept = ingest_batch_dedup(  # and the loop continues
+        spark,
+        _docs(spark, [(999, "entirely novel words never seen before anywhere")]),
+        idx,
+        compact_max_runs=None,
+    )
+    assert kept.count() == 1
+
+
+def test_footer_stats_lossy_binary_returns_no_range(tmp_path):
+    """A parquet byte stat that does not decode losslessly as UTF-8 must
+    yield rng=None (always-scan) rather than a U+FFFD-substituted bound
+    that can reorder against true byte order (ADVICE r11-low). Unreachable
+    for today's md5-hex keys; pinned because the helper is generic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalakejson_spark.functions.incremental_dedup import _footer_stats
+
+    path = str(tmp_path / "bin.parquet")
+    tbl = pa.table({"text_hash": pa.array([b"\xc3(", b"\xff\xfe"], pa.binary())})
+    pq.write_table(tbl, path)
+    # only meaningful if the writer recorded byte min/max stats at all
+    st = pq.ParquetFile(path).metadata.row_group(0).column(0).statistics
+    rng, rows = _footer_stats(path, "text_hash")
+    assert rows == 2
+    if st is not None and st.has_min_max:
+        assert rng is None
+
+
+def test_ranges_disjoint_strict_at_boundary():
+    """Boundary-sharing files (hi1 == lo2 — possible from direct-writer
+    appends, never from repartitionByRange) are NOT a sorted run
+    (ADVICE r11-low)."""
+    from datalakejson_spark.functions.incremental_dedup import _ranges_disjoint
+
+    assert _ranges_disjoint({"a": ("00", "7f"), "b": ("80", "ff")})
+    assert not _ranges_disjoint({"a": ("00", "80"), "b": ("80", "ff")})
+    assert not _ranges_disjoint({"a": ("00", "90"), "b": ("80", "ff")})
+    assert not _ranges_disjoint({"a": ("00", "7f"), "b": None})
