@@ -169,6 +169,7 @@ _L2E_SQL = f"""
 @register(
     "l2e_dedup_clusters",
     survey="L2,L1",
+    extended=True,  # seat rotation r12: L2/L1 keep driver seats via l2/l1
     sql=_L2E_SQL,
 )
 def l2e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

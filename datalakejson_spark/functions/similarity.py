@@ -187,6 +187,7 @@ def ann_recall_check(
 @register(
     "l3b_ann_lsh_topk",
     survey="L3",
+    extended=True,  # seat rotation r12: L3 keeps driver seats via l3 + l3c
     sql="""
     -- The ANN result set is approximation-defined, so the checkable contract
     -- is RECALL: the Spark side joins the LSH top-k against the exact

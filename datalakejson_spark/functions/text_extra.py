@@ -38,7 +38,9 @@ _L2C_SQL = f"""
 """
 
 
-@register("l2c_ngram_jaccard", survey="L2,J8,F5", sql=_L2C_SQL)
+# extended since r12 (seat rotation): L2 keeps its driver seat via l2;
+# this n-gram-Jaccard variant stays oracle-verified in the local sweep
+@register("l2c_ngram_jaccard", survey="L2,J8,F5", extended=True, sql=_L2C_SQL)
 def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for all pairs of a bounded document
     sample — the verification stage that LSH candidates feed at scale (run
@@ -80,7 +82,8 @@ _L2D_SQL = f"""
 """
 
 
-@register("l2d_embedding_neardup", survey="L2,L3", sql=_L2D_SQL)
+# extended since r12 (seat rotation): L2/L3 keep driver seats via l2/l3
+@register("l2d_embedding_neardup", survey="L2,L3", extended=True, sql=_L2D_SQL)
 def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold, exact over a
     bounded sample (the oracle-checkable core; the scale path routes the same

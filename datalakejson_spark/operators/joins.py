@@ -394,7 +394,8 @@ def salted_join(
 @register(
     "j11_salted_hot_key_join",
     survey="J3,G3",
-    extended=True,
+    # promoted to the driver tier in r12 (seat rotation: the salted-join
+    # family had never had a driver-green row)
     sql=f"""
     SELECT e.event_type,
            count(*) AS n_events,

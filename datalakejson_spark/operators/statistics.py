@@ -126,7 +126,9 @@ _G9_SQL = f"""
 """
 
 
-@register("g9_pivot_segments", survey="G3,G6", extended=True, sql=_G9_SQL)
+# promoted to the driver tier in r12 (seat rotation: pivot had never had a
+# driver-green row)
+@register("g9_pivot_segments", survey="G3,G6", sql=_G9_SQL)
 def g9_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot market segments to columns via Spark's pivot API (which plans
     exactly the conditional aggregation the oracle spells out — one pass,

@@ -25,7 +25,8 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 @register(
     "sq1_exists_semi",
     survey="J6,P10",
-    extended=True,  # J6 covered in the driver tier by j2
+    # promoted to the driver tier in r12 (seat rotation: subquery-rewrite
+    # queries had never had a driver-green row; j2 is the join-API form)
     sql="""
     SELECT c_custkey, c_acctbal
     FROM customer
@@ -49,7 +50,8 @@ def sq1_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sq2_not_in_anti",
     survey="J6",
-    extended=True,  # J6 covered in the driver tier by j1/j2
+    # promoted to the driver tier in r12 (seat rotation, with sq1: the
+    # NOT IN null-semantics rewrite is its own correctness surface)
     sql="""
     SELECT p_partkey, p_brand
     FROM part

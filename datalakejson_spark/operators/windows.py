@@ -59,7 +59,8 @@ def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w2_lag_lead",
     survey="W2",
-    extended=True,  # W2 covered in the driver tier by j10_asof_last_click
+    # promoted to the driver tier in r12 (seat rotation: W2 had never had a
+    # driver-green row; j10 covers J10, not lag/lead)
     sql="""
     SELECT event_id, user_id, value,
            lag(value)  OVER w AS prev_value,

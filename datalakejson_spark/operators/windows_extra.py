@@ -92,6 +92,8 @@ def f5c_array_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f5d_posexplode",
     survey="F5,D5",
+    extended=True,  # seat rotation r12: F5 keeps its driver seat via f5;
+    # D5 stays pinned by pytest (test_udfs) and the local sweep
     sql="""
     SELECT doc_id, pos - 1 AS pos, token FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token,
