@@ -514,6 +514,150 @@ def _prune_files(
 #: the probe key column each index subdir is range-compacted and pruned on
 _PRUNE_KEY = {"hashes": "text_hash", "bands": "band_hash"}
 
+# -- segmented (per-range) base maintenance (round 12) ----------------------
+# The r11 tiered merge made the append tail O(appends), but a dirty BASE run
+# (one oversized file, one stats-less file, an overlapping direct-writer
+# pair) still rewrote the ENTIRE base — the last O(corpus) rewrite in the
+# loop. Because the base is range-disjoint on the probe key, dirtiness is a
+# per-FILE property: rewriting only the affected files (plus the disjoint
+# siblings their ranges touch) restores every layout invariant while the
+# rest of the base is never read or written. The rewritten output is RENAMED
+# into the base generation's job UUID so the base remains ONE run for the
+# run-count trigger and future merges.
+#: segmented fold engages only when the fold set's ranges touch at most this
+#: fraction of the base run's files — past it, a wholesale rewrite costs the
+#: same and leaves a cleaner layout (uniform-key appends span the whole
+#: space and always exceed this, falling back to the r11 new-generation
+#: tiered path).
+FOLD_MAX_TOUCH_FRACTION = 0.5
+#: cap on per-subdir component writes per compaction (each component is its
+#: own small Spark job; a fold set scattered into more pieces than this is
+#: cheaper as one wholesale write)
+MAX_FOLD_COMPONENTS = 16
+#: cap on per-file min/max resolve jobs for stats-less repair files
+MAX_RANGE_RESOLVES = 4
+
+
+def _classify_base(
+    run: list[str],
+    ranges: dict[str, tuple[str, str] | None],
+    rows: dict[str, int | None],
+    target_rows_per_file: int,
+) -> tuple[list[str], list[str], bool]:
+    """Split the base generation into ``(kept, repair, ok)``: ``kept`` is a
+    maximal range-disjoint subset of healthy files, ``repair`` is every file
+    that violates a layout invariant — oversized (> 2x target), stats-less
+    (rows known, range absent), 0-row, or overlapping a kept sibling
+    (greedy by (lo, hi): the first file wins the range, later overlappers
+    repair). ``ok=False`` when a TRANSIENT footer failure (rows unknown)
+    makes per-file layout reasoning unsafe — the caller must then treat the
+    base as one opaque clean run (never rewrite on a flaky read — the
+    O(corpus) spiral the tiered design exists to avoid)."""
+    if any(rows[f] is None for f in run):
+        return list(run), [], False
+    repair = {
+        f
+        for f in run
+        if rows[f] == 0 or ranges[f] is None or rows[f] > 2 * target_rows_per_file
+    }
+    kept: list[str] = []
+    prev_hi: str | None = None
+    for (lo, hi), f in sorted(
+        (ranges[f], f) for f in run if f not in repair
+    ):
+        if prev_hi is not None and lo <= prev_hi:
+            repair.add(f)
+        else:
+            kept.append(f)
+            prev_hi = hi
+    return kept, sorted(repair), True
+
+
+def _fold_components(
+    kept: dict[str, tuple[str, str]],
+    fold: dict[str, tuple[str, str]],
+) -> tuple[list[list[str]], int]:
+    """Connected components of range overlap over the fold files plus the
+    kept base files their ranges touch. Each component must rewrite as one
+    unit: its range-sorted output spans at most the component's hull, which
+    by construction overlaps no file outside the component — so every
+    untouched base file is provably disjoint from every output file and the
+    base generation stays range-disjoint without being read. Pure-kept
+    components (no fold member) are untouched and dropped. Overlap is
+    inclusive (a shared boundary key connects) so no output can collide
+    with a kept file even at the boundary. Returns
+    ``(components, n_touched_kept)``."""
+    ivals = sorted(
+        (lo, hi, f, f in fold)
+        for f, (lo, hi) in list(kept.items()) + list(fold.items())
+    )
+    comps: list[list[str]] = []
+    touched = 0
+
+    cur: list[tuple[str, bool]] = []
+    cur_hi: str | None = None
+    cur_fold = False
+
+    def flush() -> None:
+        nonlocal touched
+        if cur and cur_fold:
+            comps.append([f for f, _ in cur])
+            touched += sum(1 for _, is_fold in cur if not is_fold)
+
+    for lo, hi, f, is_fold in ivals:
+        if cur and lo <= cur_hi:
+            cur.append((f, is_fold))
+            cur_hi = max(cur_hi, hi)
+            cur_fold |= is_fold
+        else:
+            flush()
+            cur, cur_hi, cur_fold = [(f, is_fold)], hi, is_fold
+    flush()
+    return comps, touched
+
+
+def _resolve_ranges(
+    spark: SparkSession,
+    live: str,
+    key: str,
+    files: list[str],
+    ranges: dict[str, tuple[str, str] | None],
+    rows: dict[str, int | None],
+) -> bool:
+    """Fill in missing key ranges for a FEW known-row files via a one-file
+    min/max aggregate each (the files are in the rewrite set already — this
+    is O(repair bytes), never a hot-path scan). Mutates the caller's local
+    ``ranges`` copy only (the sidecar cache is untouched: a footer with no
+    stats stays cached as rows-only). Returns False when any range stays
+    unknown — the caller falls back to the wholesale path."""
+    unknown = [f for f in files if ranges[f] is None]
+    if not unknown:
+        return True
+    if len(unknown) > MAX_RANGE_RESOLVES or any(rows[f] is None for f in unknown):
+        return False
+    for f in unknown:
+        row = (
+            spark.read.parquet(os.path.join(live, f))
+            .agg(F.min(key), F.max(key))
+            .first()
+        )
+        if row[0] is None:
+            return False
+        ranges[f] = (str(row[0]), str(row[1]))
+    return True
+
+
+def _next_part_idx(files: list[str], gen_uuid: str) -> int:
+    """First free part index within a write generation (for renaming
+    segmented-rewrite outputs into it)."""
+    pat = re.compile(r"^part-(\d+)-" + re.escape(gen_uuid))
+    mx = -1
+    for f in files:
+        m = pat.match(f)
+        if m:
+            mx = max(mx, int(m.group(1)))
+    return mx + 1
+
 
 _PART_UUID = re.compile(
     r"^part-\d+-([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})"
@@ -602,6 +746,21 @@ def compact_index(
     before the next audit). Duplicate index rows are harmless to the
     semi-join probes — correctness is never in the window, only bytes.
 
+    Segmented (per-range) base maintenance (round 12): the base generation
+    is range-disjoint, so layout violations are per-FILE, not per-run — a
+    dirty base no longer rewrites the corpus. Base files that are
+    oversized, stats-less, 0-row, or overlap a sibling become REPAIR
+    files; the fold set (repairs + dirty middles + cascade-folded runs)
+    groups into connected components of range overlap together with the
+    kept base files those ranges touch, each component rewrites alone,
+    and the outputs are renamed into the base generation's job UUID — the
+    base stays ONE run, untouched outside the affected ranges, and the
+    rewrite cost is O(fold-set key span), not O(corpus). Uniform-key
+    appends span the whole space, exceed ``FOLD_MAX_TOUCH_FRACTION``, and
+    fall back to the r11 tiered path (new-generation output, base never
+    read) — segmented mode engages exactly when it wins: repairing a
+    bounded set of base files or folding a span-bounded delta.
+
     Single-runner maintenance op: run it from the ingest runner between
     batches (a CONCURRENT reader of the live dirs could hit a vanishing
     file mid-scan during the delete step).
@@ -639,16 +798,38 @@ def compact_index(
                 for n in run
             )
 
-        # A run is DIRTY — must be rewritten regardless of run count — when
-        # it has a stats-less file (unprunable until rewritten; a TRANSIENT
-        # footer failure has rows=None too and is NOT dirty — it may read
-        # fine next call), an oversized file (every key landing in it scans
-        # that many rows; 2x slack absorbs row drift and mild
-        # repartitionByRange skew), or more files than its rows justify
-        # (small-file fragmentation).
+        runs = sorted(_derive_runs(files), key=run_rows)
+        # The BASE candidate is the largest generation; it gets per-FILE
+        # classification (segmented repair). Every other generation keeps
+        # the run-level rules: DIRTY — must rewrite regardless of run
+        # count — when it has a stats-less file (unprunable until
+        # rewritten; a TRANSIENT footer failure has rows=None and is NOT
+        # dirty — it may read fine next call), an oversized file, more
+        # files than its rows justify (fragmentation), or KNOWN ranges
+        # that overlap (a direct-writer append is not a sorted run).
+        base_run = runs[-1] if runs else []
+        base_uuid_m = _PART_UUID.match(base_run[0]) if base_run else None
+        base_uuid = base_uuid_m.group(1) if base_uuid_m else None
+        base_kept: list[str] = []
+        base_repair: list[str] = []
+        if base_run and base_uuid is not None:
+            kept, repair, ok = _classify_base(
+                base_run, ranges, rows, target_rows_per_file
+            )
+            # Fragmentation stays a whole-run property (scattered small
+            # files can only be merged by rewriting across ranges): a
+            # fragmented base takes the wholesale path, amortized like an
+            # LSM major compaction.
+            fragmented = ok and len(kept) > max(
+                1,
+                math.ceil(sum(rows[f] for f in kept) / target_rows_per_file),
+            )
+            if ok and not fragmented:
+                base_kept, base_repair = kept, repair
+                runs = runs[:-1]  # handled per-file, not as a run
         dirty: list[str] = []
         clean_runs: list[list[str]] = []
-        for run in _derive_runs(files):
+        for run in runs:
             oversized = any(
                 (rows[n] or 0) > 2 * target_rows_per_file for n in run
             )
@@ -658,12 +839,6 @@ def compact_index(
             statless = any(
                 ranges[n] is None and rows[n] is not None for n in run
             )
-            # a multi-file generation whose KNOWN ranges overlap is not a
-            # sorted run at all (direct-writer appends): rewrite it.
-            # Transient-failure files (range None, rows None) are excluded
-            # here too — treating one flaky footer read as "overlap" would
-            # flip the whole base run dirty and force the O(corpus)
-            # rewrite the tiered design exists to avoid (review catch).
             known = {n: ranges[n] for n in run if ranges[n] is not None}
             unsorted = len(run) > 1 and len(known) > 1 and not _ranges_disjoint(known)
             if oversized or fragmented or statless or unsorted:
@@ -672,39 +847,97 @@ def compact_index(
                 clean_runs.append(run)
         # Tiered merge: fold the SMALLEST clean runs (the append tail) into
         # the rewrite until the surviving run count fits max_runs. The base
-        # run joins only when the middle runs have grown past it — the
+        # joins only when the middle runs have grown past it — the
         # geometric cascade that keeps per-row write amplification
         # logarithmic instead of rewriting O(corpus) per trigger.
+        if base_kept:
+            clean_runs.append(base_kept)
         clean_runs.sort(key=run_rows)
-        merge = list(dirty)
+        merge = dirty + base_repair
         while clean_runs and len(clean_runs) + (1 if merge else 0) > max_runs:
-            merge.extend(clean_runs.pop(0))
+            folded = clean_runs.pop(0)
+            if folded is base_kept:
+                base_kept = []  # the cascade reached the base: wholesale
+            merge.extend(folded)
         if not merge:
             counts[sub] = (len(files), len(files))
             continue
+        # 0-row files (e.g. all-duplicate replay appends — no key stats,
+        # permanently statless) are subsumed WITHOUT writing: the publish
+        # deletes them and the merge converges instead of re-emitting a
+        # fresh empty file each call (review catch, round 11).
+        zero = sorted(f for f in merge if rows[f] == 0)
+        merge = [f for f in merge if rows[f] != 0]
+        if not merge:
+            if zero:
+                subsumed[sub] = zero
+            counts[sub] = (len(files), len(files) - len(zero))
+            continue
+        # Segmented fold: resolve the few unknown fold ranges (a stats-less
+        # repair file is about to be read anyway — one min/max job each),
+        # group fold + touched-kept files into overlap components, and
+        # engage only when the fold provably leaves most of the base alone.
+        comps: list[list[str]] | None = None
+        if base_kept and _resolve_ranges(spark, live, key, merge, ranges, rows):
+            cand, touched = _fold_components(
+                {f: ranges[f] for f in base_kept},
+                {f: ranges[f] for f in merge},
+            )
+            if (
+                touched <= FOLD_MAX_TOUCH_FRACTION * len(base_kept)
+                and len(cand) <= MAX_FOLD_COMPONENTS
+            ):
+                comps = cand
+        if comps is not None:
+            sub_stage = os.path.join(stage, sub)
+            os.makedirs(sub_stage, exist_ok=True)
+            next_idx = _next_part_idx(files, base_uuid)
+            gone: set[str] = set(zero)
+            out_files = 0
+            for ci, comp in enumerate(comps):
+                comp_rows = sum(
+                    target_rows_per_file if rows[f] is None else rows[f]
+                    for f in comp
+                )
+                parts = max(1, math.ceil(comp_rows / target_rows_per_file))
+                tmp = os.path.join(stage, f"_{sub}.comp{ci}")
+                spark.read.parquet(
+                    *(os.path.join(live, f) for f in comp)
+                ).repartitionByRange(parts, key).sortWithinPartitions(
+                    key
+                ).write.mode("overwrite").parquet(tmp)
+                for name in _live_files(tmp):
+                    os.replace(
+                        os.path.join(tmp, name),
+                        os.path.join(
+                            sub_stage,
+                            f"part-{next_idx:05d}-{base_uuid}-c000"
+                            ".snappy.parquet",
+                        ),
+                    )
+                    next_idx += 1
+                    out_files += 1
+                shutil.rmtree(tmp, ignore_errors=True)
+                gone.update(comp)
+            subsumed[sub] = sorted(gone)
+            counts[sub] = (len(files), len(files) - len(gone) + out_files)
+            continue
+        # Wholesale path (no base, cascade reached the base, or the fold
+        # spans most of it): one range-sorted rewrite into a NEW
+        # generation. Range-sorting by the probe key makes compacted files
+        # range-DISJOINT on uniformly-distributed md5 keys — what makes
+        # the _RANGES.json file pruning selective (an unsorted file always
+        # spans ~the whole key space and can never be skipped).
         n_rows = sum(rows[n] or 0 for n in merge)
         df = spark.read.parquet(*(os.path.join(live, n) for n in merge))
         if any(rows[n] is None for n in merge):
             n_rows = df.count()  # fall back to a count job
-        if n_rows == 0:
-            # Only empty files selected (e.g. an all-duplicate replay batch
-            # appends a 0-row file, which has no key stats and reads as
-            # statless-dirty forever): subsume them WITHOUT writing — the
-            # publish deletes them and the merge converges instead of
-            # re-emitting a fresh empty file each call (review catch).
-            subsumed[sub] = sorted(merge)
-            counts[sub] = (len(files), len(files) - len(merge))
-            continue
         parts = max(1, math.ceil(n_rows / target_rows_per_file))
-        subsumed[sub] = sorted(merge)
-        # Range-sort by the probe key: compacted files become range-DISJOINT
-        # on uniformly-distributed md5 keys, which is what makes the
-        # _RANGES.json file pruning above selective (an unsorted file always
-        # spans ~the whole key space and can never be skipped).
+        subsumed[sub] = sorted(set(merge) | set(zero))
         df.repartitionByRange(parts, key).sortWithinPartitions(key).write.mode(
             "overwrite"
         ).parquet(os.path.join(stage, sub))
-        counts[sub] = (len(files), len(files) - len(merge) + parts)
+        counts[sub] = (len(files), len(files) - len(merge) - len(zero) + parts)
     if not subsumed:
         shutil.rmtree(stage, ignore_errors=True)
         return counts
@@ -1041,15 +1274,24 @@ def _needs_compaction(
 ) -> bool:
     """Driver-side loop trigger, from the stats sidecar alone: too many
     runs (each per-batch append is its own write generation, so the run
-    count IS appends-since-last-merge), OR a visibly fragmented run (a
+    count IS appends-since-last-merge), a visibly fragmented run (a
     generation holding far more files than its rows justify; 4 files of
-    slack keep the merge from re-triggering every batch)."""
+    slack keep the merge from re-triggering every batch), OR an oversized
+    file (> 2x target — every probe key landing in it scans that many
+    rows; since round 12 the triggered compaction repairs it SEGMENTALLY,
+    splitting just that file, so detecting it here is O(file), not a
+    corpus rewrite)."""
     import math
 
     for sub in _INDEX_SUBDIRS:
         stats = _file_stats(os.path.join(index_dir, sub), _PRUNE_KEY[sub])
         runs = _derive_runs(stats)
         if len(runs) > max_runs:
+            return True
+        if any(
+            rows is not None and rows > 2 * target_rows_per_file
+            for _rng, rows in stats.values()
+        ):
             return True
         for run in runs:
             r = sum(
