@@ -226,6 +226,12 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
         if not os.path.isdir(stage):
             continue
         if not os.path.exists(os.path.join(stage, "_COMMITTED")):
+            if os.path.exists(os.path.join(stage, _REBUILD_META)):
+                # A resumable rebuild checkpoint (round 12): a multi-hour
+                # subdir write has no heartbeat that distinguishes it from
+                # a crash, so the age sweep must never reclaim it — only
+                # rebuild_index itself adopts or resets this stage.
+                continue
             try:
                 age = time.time() - os.path.getmtime(stage)
             except OSError:  # vanished: its owner just published/removed it
@@ -1062,6 +1068,11 @@ def _check_lane_meta(index_dir: str) -> None:
     write_lane_meta(index_dir)
 
 
+_REBUILD_META = "_REBUILD.json"
+#: fixed stage name so a killed rebuild is findable on the next call
+_REBUILD_STAGE = "rebuild"
+
+
 def rebuild_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -1069,6 +1080,7 @@ def rebuild_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     target_rows_per_file: int = 4_000_000,
+    resume: bool = True,
 ) -> dict[str, int]:
     """Rebuild the index pair from the curated corpus under the CURRENT
     minhash lane definition — the executable answer to
@@ -1076,41 +1088,95 @@ def rebuild_index(
     index cannot be audited against; it must be re-derived from the
     documents it indexes). Returns ``{subdir: rows_written}``.
 
+    RESUMABLE (round 12): at 10^9+ docs the rebuild is a multi-hour job,
+    and restarting from zero after a crash at 80% doubles a day's outage.
+    The stage lives under the FIXED name ``_staging/rebuild`` and carries
+    a ``_REBUILD.json`` checkpoint marker (lane definition, layout knobs,
+    corpus doc count); each subdir's parquet write is followed by an
+    atomically-written ``_DONE_<sub>.json`` checkpoint recording its row
+    count. A re-invocation with ``resume=True`` (default) adopts a
+    matching in-progress stage and SKIPS every checkpointed subdir — only
+    the unfinished one re-runs. A mismatched checkpoint (different corpus
+    size, lane definition, or ``target_rows_per_file``) or
+    ``resume=False`` resets the stage and starts clean. The stale-stage
+    sweeper in ``_publish_staged`` never touches a ``_REBUILD.json``
+    stage — a multi-hour subdir write has no heartbeat the sweeper could
+    distinguish from a crash, so reclaiming it is the rebuild's own job.
+
     Crash safety rides the SAME staged publish as appends and compaction:
     both new indexes are written range-sorted into one stage with a
-    ``_SUBSUMED.json`` manifest naming EVERY current live file, plus the
-    new ``_LANES.json`` marker; the ``_COMMITTED`` marker makes the whole
-    replacement roll-forward-able. The publish moves the new files in,
-    deletes the old-definition files, and flips the lane marker LAST — and
-    because every entry point runs ``_publish_staged`` before
-    ``_check_lane_meta``, a crash in any window self-heals on the next
-    call instead of stranding the index behind the guard. The rebuild
-    deliberately does NOT check the existing marker (rebuilding across a
-    definition change is its purpose).
+    ``_SUBSUMED.json`` manifest naming EVERY current live file (computed
+    at COMMIT time, so appends that landed before the rebuild started are
+    replaced too), plus the new ``_LANES.json`` marker; the
+    ``_COMMITTED`` marker makes the whole replacement roll-forward-able.
+    The publish moves the new files in, deletes the old-definition files,
+    and flips the lane marker LAST — and because every entry point runs
+    ``_publish_staged`` before ``_check_lane_meta``, a crash in any
+    window self-heals on the next call instead of stranding the index
+    behind the guard. The rebuild deliberately does NOT check the
+    existing marker (rebuilding across a definition change is its
+    purpose).
 
-    Corpus-scale job by design (one pass over ``docs``): run it offline,
-    single-runner, like compaction. The output layout is the compacted
-    one — few large files, range-disjoint on the probe keys — so the
-    ``_RANGES.json`` pruning is armed from the first post-rebuild audit.
+    Corpus-scale job by design (one pass over ``docs`` per subdir): run
+    it offline, single-runner, like compaction. The output layout is the
+    compacted one — few large files, range-disjoint on the probe keys —
+    so the ``_RANGES.json`` pruning is armed from the first post-rebuild
+    audit.
     """
+    import json
     import math
 
-    _publish_staged(index_dir)  # complete any predecessor first
-    stage = os.path.join(index_dir, _STAGING, uuid.uuid4().hex)
+    stage = os.path.join(index_dir, _STAGING, _REBUILD_STAGE)
+    meta_path = os.path.join(stage, _REBUILD_META)
     n_docs = docs.count()
+    ckpt_meta = {
+        "lanes": _current_lane_meta(),
+        "target_rows_per_file": target_rows_per_file,
+        "id_col": id_col,
+        "text_col": text_col,
+        "n_docs": n_docs,
+    }
+    # Adopt-or-reset BEFORE _publish_staged: a committed rebuild stage is
+    # finished work the publish below rolls forward (nothing to resume);
+    # an uncommitted one resumes only when its checkpoint matches THIS
+    # call's corpus and knobs.
+    if os.path.isdir(stage) and not os.path.exists(
+        os.path.join(stage, "_COMMITTED")
+    ):
+        recorded = None
+        try:
+            with open(meta_path) as fh:
+                recorded = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        if not resume or recorded != ckpt_meta:
+            shutil.rmtree(stage, ignore_errors=True)
+    _publish_staged(index_dir)  # complete any predecessor first
+    os.makedirs(stage, exist_ok=True)
+    if not os.path.exists(meta_path):
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ckpt_meta, fh)
+        os.replace(tmp, meta_path)
     frames = {
-        "hashes": exact_hash_index(docs, text_col),
-        "bands": band_table(minhash_signatures(docs, text_col, id_col), id_col),
+        "hashes": lambda: exact_hash_index(docs, text_col),
+        "bands": lambda: band_table(
+            minhash_signatures(docs, text_col, id_col), id_col
+        ),
     }
     rows = {"hashes": n_docs, "bands": n_docs * _num_bands()}
     written: dict[str, int] = {}
-    subsumed: dict[str, list[str]] = {}
-    for sub, df in frames.items():
+    for sub, make_df in frames.items():
         key = _PRUNE_KEY[sub]
+        done_path = os.path.join(stage, f"_DONE_{sub}.json")
+        if os.path.exists(done_path):  # checkpointed by a killed run
+            with open(done_path) as fh:
+                written[sub] = json.load(fh)["rows"]
+            continue
         parts = max(1, math.ceil(rows[sub] / target_rows_per_file))
-        df.repartitionByRange(parts, key).sortWithinPartitions(key).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stage, sub))
+        make_df().repartitionByRange(parts, key).sortWithinPartitions(
+            key
+        ).write.mode("overwrite").parquet(os.path.join(stage, sub))
         # actual rows from the just-written footers (hashes are DISTINCT
         # md5, so the n_docs bound above is only the layout estimate)
         try:
@@ -1122,9 +1188,14 @@ def rebuild_index(
             )
         except Exception:  # noqa: BLE001 — informational only
             written[sub] = rows[sub]
-        subsumed[sub] = _live_files(os.path.join(index_dir, sub))
-    import json
-
+        tmp = done_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"rows": written[sub]}, fh)
+        os.replace(tmp, done_path)
+        fire("dedup:rebuild_subdir_done")  # checkpoint: resume skips this sub
+    subsumed = {
+        sub: _live_files(os.path.join(index_dir, sub)) for sub in _INDEX_SUBDIRS
+    }
     with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
         json.dump(subsumed, fh)
     with open(os.path.join(stage, _LANES_META), "w") as fh:
