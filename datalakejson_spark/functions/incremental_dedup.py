@@ -63,6 +63,24 @@ def _error_condition(exc) -> str | None:
     return None
 
 
+def _is_missing_file_error(exc: Exception) -> bool:
+    """True when a Spark job failed because an input file vanished under
+    it — the signature of a CONCURRENT maintenance publish deleting a
+    subsumed file between the reader's listing and its scan. Matched on
+    the JVM exception text (the Python-visible class is a generic
+    Py4JJavaError/SparkException)."""
+    text = str(exc)
+    return any(
+        marker in text
+        for marker in (
+            "FileNotFoundException",
+            "PATH_NOT_FOUND",
+            "FILE_NOT_EXIST",
+            "does not exist",
+        )
+    )
+
+
 def _read_index_pair(
     spark: SparkSession, index_dir: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -239,6 +257,35 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
             if age >= stale_stage_s:
                 shutil.rmtree(stage, ignore_errors=True)
             continue
+        manifest = os.path.join(stage, "_SUBSUMED.json")
+        subsumed: dict[str, list[str]] = {}
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                subsumed = json.load(fh)
+        # Publish-race loser detection (round 12): a maintenance stage
+        # (compaction/rebuild — anything with a _SUBSUMED manifest) is
+        # valid only against the live-file SNAPSHOT it read. If another
+        # runner's maintenance already subsumed any of those files, this
+        # stage LOST the race: its outputs would duplicate rows the winner
+        # already rewrote, so it is discarded whole (correct either way —
+        # the winner's layout is complete). The check runs only BEFORE
+        # this stage's own deletes begin: the _PUBLISHING marker is
+        # dropped at the point of no return, and a replay that finds it
+        # always rolls FORWARD (missing subsumed files are then this
+        # stage's own completed deletes, not a lost race).
+        publishing = os.path.join(stage, "_PUBLISHING")
+        if subsumed and not os.path.exists(publishing):
+            lost = any(
+                not os.path.exists(os.path.join(index_dir, sub, name))
+                for sub, names in subsumed.items()
+                for name in names
+            )
+            if lost:
+                shutil.rmtree(stage, ignore_errors=True)
+                continue
+            with open(publishing, "w") as fh:
+                fh.write("ok")
+        fire("dedup:publish_publishing")  # marked: replay must roll forward
         sidecar_adds: dict[str, dict] = {}
         for sub in _INDEX_SUBDIRS:
             src_dir, dst_dir = os.path.join(stage, sub), os.path.join(index_dir, sub)
@@ -268,19 +315,23 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
                             )
                         except Exception:  # noqa: BLE001
                             pass
-                        os.replace(os.path.join(src_dir, name), dst)
-        manifest = os.path.join(stage, "_SUBSUMED.json")
-        subsumed: dict[str, list[str]] = {}
-        if os.path.exists(manifest):
-            with open(manifest) as fh:
-                subsumed = json.load(fh)
-            for sub, names in subsumed.items():
-                live = os.path.join(index_dir, sub)
-                for name in names:
-                    try:
-                        os.remove(os.path.join(live, name))
-                    except FileNotFoundError:  # idempotent re-delete
-                        pass
+                        try:
+                            os.replace(os.path.join(src_dir, name), dst)
+                        except FileNotFoundError:
+                            # two runners publishing the SAME stage: the
+                            # other one moved this file between our
+                            # exists() check and the replace — done is
+                            # done, as long as the file really is live
+                            if not os.path.exists(dst):
+                                raise
+                            adds.pop(name, None)
+        for sub, names in subsumed.items():
+            live = os.path.join(index_dir, sub)
+            for name in names:
+                try:
+                    os.remove(os.path.join(live, name))
+                except FileNotFoundError:  # idempotent re-delete
+                    pass
         for sub in _INDEX_SUBDIRS:
             if sidecar_adds.get(sub) or subsumed.get(sub):
                 _merge_sidecar_cache(
@@ -297,7 +348,10 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
         # the guard never fires on a half-rebuilt index.
         staged_lanes = os.path.join(stage, _LANES_META)
         if os.path.exists(staged_lanes):
-            os.replace(staged_lanes, os.path.join(index_dir, _LANES_META))
+            try:
+                os.replace(staged_lanes, os.path.join(index_dir, _LANES_META))
+            except FileNotFoundError:  # same-stage race: the other runner
+                pass                   # flipped the marker already
         shutil.rmtree(stage, ignore_errors=True)
 
 
@@ -352,7 +406,10 @@ def _merge_sidecar_cache(live_dir: str, add: dict, remove: list[str]) -> None:
         for n in remove:
             cache.pop(n, None)
         cache.update(add)
-        tmp = sidecar + ".tmp"
+        # runner-unique tmp: two concurrent writers sharing one tmp name
+        # could replace a half-written file into place; last-writer-wins
+        # on the sidecar itself is fine (advisory cache)
+        tmp = f"{sidecar}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             json.dump(cache, fh)
         os.replace(tmp, sidecar)
@@ -463,7 +520,7 @@ def _file_stats(
     if persist != {f: v for f, v in cache.items() if f in persist} or set(
         cache
     ) - set(persist):
-        tmp = sidecar + ".tmp"
+        tmp = f"{sidecar}.{uuid.uuid4().hex[:8]}.tmp"
         try:
             with open(tmp, "w") as fh:
                 json.dump(persist, fh)
@@ -767,9 +824,16 @@ def compact_index(
     read) — segmented mode engages exactly when it wins: repairing a
     bounded set of base files or folding a span-bounded delta.
 
-    Single-runner maintenance op: run it from the ingest runner between
-    batches (a CONCURRENT reader of the live dirs could hit a vanishing
-    file mid-scan during the delete step).
+    Concurrency posture (round 12): safe to run WHILE another runner
+    audits+appends. A concurrent audit that catches a subsumed file
+    vanishing mid-scan re-plans from a fresh listing
+    (``_is_missing_file_error`` retry in ingest_batch_dedup); two RACING
+    maintenance publishes are fenced by the `_SUBSUMED` snapshot check in
+    ``_publish_staged`` (the loser discards itself) plus stage-unique
+    output names in the segmented path, so the worst surviving overlap is
+    duplicated rows — harmless to the probes and folded away by the next
+    repair. Still run it from ONE maintenance runner by preference: a
+    lost race is wasted work, never corruption.
     """
     import json
     import math
@@ -913,12 +977,21 @@ def compact_index(
                     key
                 ).write.mode("overwrite").parquet(tmp)
                 for name in _live_files(tmp):
+                    # stage-unique suffix: two RACING compactions renaming
+                    # into the same base generation must never collide on a
+                    # name (an os.replace collision would silently replace
+                    # the winner's rows with a different slice — data
+                    # loss). With unique names the worst a lost publish
+                    # race leaves is duplicated rows, which the probes
+                    # tolerate and the next repair folds away; the
+                    # _publish_staged loser check avoids even that in the
+                    # common case.
                     os.replace(
                         os.path.join(tmp, name),
                         os.path.join(
                             sub_stage,
-                            f"part-{next_idx:05d}-{base_uuid}-c000"
-                            ".snappy.parquet",
+                            f"part-{next_idx:05d}-{base_uuid}-c000-"
+                            f"{os.path.basename(stage)[:8]}.snappy.parquet",
                         ),
                     )
                     next_idx += 1
@@ -1474,28 +1547,45 @@ def ingest_batch_dedup(
         band_keys = [
             r[0] for r in delta_bands.select("band_hash").distinct().collect()
         ]
-        corpus_hashes, corpus_bands, _ = _read_index_pair_pruned(
-            spark, index_dir, id_col, hash_keys, band_keys
-        )
-    else:
-        corpus_hashes, corpus_bands = _read_index_pair(spark, index_dir, id_col)
-    audit = dedup_audit(
-        batch_uniq, corpus_hashes, corpus_bands, id_col, text_col,
-        broadcast_delta=broadcast_delta,  # False for corpus-scale backfills
-        precomputed_bands=delta_bands,
-    )
-    # localCheckpoint (eager), NOT persist: the survivor set feeds three
-    # consumers (on_kept + two index appends), and the appends write to the
-    # very paths the audit reads. A persisted plan is recomputed by Spark's
-    # CacheManager when a write refreshes those paths (recacheByPath), which
-    # would re-run the audit against an index that already contains the
-    # survivors' own hashes — every survivor becomes a "duplicate" of itself
-    # and the batch collapses to empty. Checkpointing materializes the
-    # decision first and cuts the lineage, so the subsequent appends cannot
-    # retroactively change it.
-    kept = batch_uniq.join(
-        audit.filter("kept").select(id_col), id_col, "leftsemi"
-    ).localCheckpoint(eager=True)
+    # The audit reads a SNAPSHOT of the live index files; a CONCURRENT
+    # maintenance publish (compaction/rebuild on another runner) may delete
+    # a subsumed file mid-job, failing the read with a missing-file error.
+    # The audit is pure (no writes happen until after the survivor set is
+    # checkpointed below), so the fix is a bounded re-plan from a fresh
+    # listing — the publish is driver-side file moves, so a second snapshot
+    # is consistent with overwhelming probability (round 12).
+    for attempt in range(3):
+        try:
+            if broadcast_delta:
+                corpus_hashes, corpus_bands, _ = _read_index_pair_pruned(
+                    spark, index_dir, id_col, hash_keys, band_keys
+                )
+            else:
+                corpus_hashes, corpus_bands = _read_index_pair(
+                    spark, index_dir, id_col
+                )
+            audit = dedup_audit(
+                batch_uniq, corpus_hashes, corpus_bands, id_col, text_col,
+                broadcast_delta=broadcast_delta,  # False for bulk backfills
+                precomputed_bands=delta_bands,
+            )
+            # localCheckpoint (eager), NOT persist: the survivor set feeds
+            # three consumers (on_kept + two index appends), and the appends
+            # write to the very paths the audit reads. A persisted plan is
+            # recomputed by Spark's CacheManager when a write refreshes
+            # those paths (recacheByPath), which would re-run the audit
+            # against an index that already contains the survivors' own
+            # hashes — every survivor becomes a "duplicate" of itself and
+            # the batch collapses to empty. Checkpointing materializes the
+            # decision first and cuts the lineage, so the subsequent appends
+            # cannot retroactively change it.
+            kept = batch_uniq.join(
+                audit.filter("kept").select(id_col), id_col, "leftsemi"
+            ).localCheckpoint(eager=True)
+            break
+        except Exception as exc:  # noqa: BLE001 — retried narrowly below
+            if attempt == 2 or not _is_missing_file_error(exc):
+                raise
     if on_kept is not None:
         on_kept(kept)
     stage = os.path.join(index_dir, _STAGING, uuid.uuid4().hex)
