@@ -1413,6 +1413,32 @@ def dedup_within_batch(
 COMPACT_TARGET_ROWS_PER_FILE = 1_000_000
 
 
+def autotune_target_rows_per_file(
+    batch_docs: int,
+    scan_budget_rows: int = 250_000_000,
+    min_rows: int = 4_096,
+    max_rows: int = 8_000_000,
+) -> int:
+    """Derive the probe-scan knob from the probe batch size (round 12).
+
+    With a range-disjoint compacted layout, a micro-batch of D documents
+    probes with K ≈ D x (NUM_BANDS + 1) distinct keys (D text hashes +
+    D x NUM_BANDS band hashes; within-batch dedup and duplicate bands only
+    shrink K), and each key can land in at most ONE compacted file — so
+    the pruned audit scans ≈ K x target_rows_per_file rows, INDEPENDENT of
+    corpus size (measured across index decades 10^5..10^8 rows,
+    tools/dedup_index_curve*.jsonl; formula within a few % once file
+    count >> K). Inverting it: given a per-batch scan budget,
+    ``target_rows_per_file = scan_budget_rows / K``, clamped to sane file
+    sizes — the floor keeps a huge batch from demanding a small-file
+    explosion (past it the budget is simply not achievable at that batch
+    size; shrink the trigger's batch instead), the ceiling caps the
+    worst-case single-key scan and keeps parquet files in a healthy
+    object-store size band."""
+    keys = max(1, batch_docs) * (_num_bands() + 1)
+    return max(min_rows, min(max_rows, scan_budget_rows // keys))
+
+
 def _needs_compaction(
     index_dir: str, max_runs: int, target_rows_per_file: int
 ) -> bool:

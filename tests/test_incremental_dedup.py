@@ -1189,3 +1189,28 @@ def test_rebuild_checkpoint_mismatch_resets(spark, tmp_path):
     live_files = set(inc._live_files(os.path.join(idx, "hashes")))
     assert not (staged & live_files)  # checkpointed files were discarded
     assert spark.read.parquet(f"{idx}/hashes").count() == 12
+
+
+def test_autotune_target_rows_per_file():
+    """The knob inversion from the measured K x rows_per_file law
+    (tools/dedup_probe_decade4_r12.jsonl: formula within 1.7% at a
+    1.25x10^8-row index): budget / (batch x (bands+1)), clamped."""
+    from datalakejson_spark.functions.incremental_dedup import (
+        _num_bands,
+        autotune_target_rows_per_file,
+    )
+
+    keys_per_doc = _num_bands() + 1
+    # the d4 probe's shape: 100-doc batch, default budget
+    assert autotune_target_rows_per_file(100) == 250_000_000 // (100 * keys_per_doc)
+    # monotone: bigger batches -> smaller files, same scan budget
+    assert autotune_target_rows_per_file(1000) < autotune_target_rows_per_file(100)
+    # clamps hold at the extremes
+    assert autotune_target_rows_per_file(10**9) == 4096
+    assert autotune_target_rows_per_file(1, scan_budget_rows=10**12) == 8_000_000
+    # scan estimate under the tuned knob never exceeds the budget when the
+    # floor is not binding
+    for batch in (10, 100, 1000, 10_000):
+        rows = autotune_target_rows_per_file(batch)
+        if rows > 4096:
+            assert batch * keys_per_doc * rows <= 250_000_000
