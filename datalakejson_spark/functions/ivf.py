@@ -23,11 +23,20 @@ Spark mapping, designed for the 100 TB shape:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import IntegerType, StructField, StructType
 
-from datalakejson_spark.functions.similarity import TOP_K, cosine_expr
+from datalakejson_spark.functions.similarity import (
+    TOP_K,
+    cosine_expr,
+    cosine_np,
+    stack_embeddings,
+)
 from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table
 from datalakejson_spark.session import local_df
@@ -37,20 +46,35 @@ N_PROBE = 4
 _SAMPLE_CAP = 4096  # quantizer training sample (driver-side, bounded)
 
 
+#: hard ceiling on the quantizer training sample regardless of nlist — at
+#: dim 64 float64 this is ~134 MB on the driver, the bound that keeps the
+#: one collect() in the IVF build safe at any corpus size.
+_SAMPLE_MAX = 262_144
+
+
 def train_quantizer(
-    emb: DataFrame, k: int = N_CELLS, seed: int = 42, iters: int = 10
+    emb: DataFrame,
+    k: int = N_CELLS,
+    seed: int = 42,
+    iters: int = 10,
+    sample_cap: int | None = None,
 ) -> list[list[float]]:
     """Seeded Lloyd's k-means on a bounded deterministic sample, driver-side.
 
     The sample is the md5-prefix trick (engine-portable determinism, same as
-    o3_deterministic_sample) capped at ``_SAMPLE_CAP`` rows — at any data
-    scale this collects a few thousand small vectors, never the table.
+    o3_deterministic_sample) capped at ``sample_cap`` rows (default: enough
+    for ~32 training points per requested cell, floored at ``_SAMPLE_CAP``
+    and ceilinged at ``_SAMPLE_MAX``) — at any data scale this collects
+    thousands of small vectors, never the table. FAISS trains IVF coarse
+    quantizers on samples of the same order.
     """
+    if sample_cap is None:
+        sample_cap = min(max(_SAMPLE_CAP, 32 * k), _SAMPLE_MAX)
     frac_col = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
     sample = (
         emb.select("vec_id", "embedding", frac_col.cast("long").alias("h"))
         .orderBy("h", "vec_id")
-        .limit(_SAMPLE_CAP)
+        .limit(sample_cap)
         .select("embedding")
         .collect()
     )
@@ -96,21 +120,96 @@ def assign_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return emb.withColumn("cell", cell)
 
 
+def assign_cells_np(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Vectorized cell assignment for large nlist (round 12).
+
+    The expression form above unrolls one zip_with/aggregate PER CENTROID
+    into the plan — at nlist = 16 that stays inside a small interpreted
+    expression; at nlist ≈ √n (1000+ cells) the plan itself becomes the
+    bottleneck (64k+ literal nodes, O(k·d) interpreted ops per row). Here
+    the centroid matrix ships once per worker and each Arrow batch is a
+    single ||x||²-2xCᵀ+||c||² BLAS argmin. Still a pure map — no shuffle."""
+    cmat = np.array(centroids, dtype=np.float64)
+    c2 = (cmat**2).sum(axis=1)
+    out_schema = StructType(
+        list(emb.schema.fields) + [StructField("cell", IntegerType())]
+    )
+    cols = [f.name for f in emb.schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = stack_embeddings(pdf["embedding"])
+            d2 = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + c2[None, :]
+            out = pdf[cols].copy()
+            out["cell"] = d2.argmin(axis=1).astype(np.int32)
+            yield out
+
+    return emb.mapInPandas(run, out_schema)
+
+
+#: past this many cells the per-centroid expression unrolling costs more
+#: than the Arrow round-trip — ivf_topk switches to assign_cells_np.
+_VECTORIZE_CELLS_ABOVE = 32
+
+
+def autotune_ivf(n_vectors: int) -> tuple[int, int]:
+    """(n_cells, nprobe) for a corpus of ``n_vectors`` (round 12).
+
+    nlist ∝ √n (the classic IVF balance point: cell scan cost n/nlist vs
+    probe-selection cost nlist), snapped to a power of two and clamped to
+    [16, 65536]; nprobe = max(4, nlist/16), i.e. probe ~6% of cells.
+    Measured (tools/ann_recall_curve_r12.jsonl, SCALE.md): at 10^5 and 10^6
+    clustered vectors this setting holds recall@5 ≥ 0.9 while scanning ~6-8%
+    of the corpus per query; halving nprobe roughly halves scanned rows and
+    drops recall ~5-15 points, so nlist/16 is the knee."""
+    nlist = 1 << max(4, min(16, round(math.log2(max(1.0, math.sqrt(n_vectors))))))
+    return nlist, max(4, nlist // 16)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = TOP_K,
     n_cells: int = N_CELLS,
     nprobe: int = N_PROBE,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors for each query vector.
 
     ``queries`` must be a subset of ``emb`` rows (vec_id, embedding).
+    ``vectorized=None`` auto-selects the assignment path (expressions for
+    small nlist, Arrow/BLAS above ``_VECTORIZE_CELLS_ABOVE``).
     Output: (query_id, neighbor_id, cosine, rn).
     """
-    spark = emb.sparkSession
     centroids = train_quantizer(emb, k=n_cells)
-    assigned = assign_cells(emb, centroids)
+    if vectorized is None:
+        vectorized = n_cells > _VECTORIZE_CELLS_ABOVE
+    assigner = assign_cells_np if vectorized else assign_cells
+    assigned = assigner(emb, centroids)
+    return ivf_probe_topk(
+        assigned, centroids, queries, k=k, nprobe=nprobe,
+        vectorized_score=vectorized,
+    )
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+    vectorized_score: bool = False,
+) -> DataFrame:
+    """Probe + exact-rerank over a pre-assigned inverted file — factored out
+    so an index built once (train + assign are the expensive passes) can be
+    probed at many nprobe settings (the recall-curve sweep does exactly
+    that). ``vectorized_score`` swaps the interpreted cosine expression for
+    the Arrow/einsum pandas UDF — same 6-dp rounding, same ranking; use it
+    when the probed candidate set is large (nlist small relative to n or
+    nprobe high)."""
+    spark = assigned.sparkSession
     cent_df = local_df(
         spark, [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     )
@@ -137,11 +236,16 @@ def ivf_topk(
     cands = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "cell"
     )
+    score = (
+        cosine_np("q_emb", "c_emb")
+        if vectorized_score
+        else F.round(cosine_expr("q_emb", "c_emb"), 6)
+    )
     scored = (
         F.broadcast(probes)
         .join(cands, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb"), 6))
+        .withColumn("cosine", score)
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")

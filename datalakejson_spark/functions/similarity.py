@@ -17,8 +17,11 @@ bit-identical; ranking keys round to 6 dp with an id tie-break.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table
@@ -47,6 +50,27 @@ def cosine_expr(a: str, b: str):
         )
 
     return dot(F.col(a), F.col(b)) / (norm(F.col(a)) * norm(F.col(b)))
+
+
+def stack_embeddings(col: pd.Series) -> np.ndarray:
+    """(batch, dim) float64 matrix from an Arrow list column — one bulk
+    conversion, not a per-row Python list materialization (the difference is
+    seconds per million rows on every vectorized pass below)."""
+    return np.array(col.tolist(), dtype=np.float64)
+
+
+@F.pandas_udf(DoubleType())  # DataType instance: a "double" DDL string would
+def cosine_np(a: pd.Series, b: pd.Series) -> pd.Series:  # parse at import,
+    # which needs a live SparkContext before any session exists
+    """Vectorized cosine for (query, candidate) pair tables — one Arrow batch
+    becomes two stacked matrices and an einsum, replacing the interpreted
+    per-row zip_with/aggregate on the scale path. Rounded to 6 dp like
+    ``cosine_expr`` so rankings are comparable across paths."""
+    x = stack_embeddings(a)
+    y = stack_embeddings(b)
+    dots = np.einsum("ij,ij->i", x, y)
+    norms = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+    return pd.Series(np.round(dots / norms, 6))
 
 
 _DUCK_DOT = (
@@ -102,6 +126,108 @@ def brute_force_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# --------------------------------------------------------------------------
+# Arrow/BLAS scale path for the exact baseline (round 12)
+#
+# brute_force_topk keeps every (query, candidate) pair as a row and evaluates
+# the dot product with interpreted higher-order expressions — exactly right
+# for the small oracle-checked driver queries, but at 10^6+ candidates the
+# q x n pair table itself is the bottleneck. The vectorized form never
+# materializes pairs: each Arrow batch is one (batch x dim) @ (dim x q)
+# matmul against the broadcast query matrix, each PARTITION emits only its
+# top-(k+1) rows per query, and a global window merges the bounded partials.
+# The scan is a single narrow pass (no shuffle of embeddings); only
+# n_partitions x q x (k+1) small rows move.
+# --------------------------------------------------------------------------
+
+
+def brute_force_topk_np(
+    queries: DataFrame, candidates: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmuls (same contract and
+    same (query_id, neighbor_id, cosine, rn) output as ``brute_force_topk``;
+    tests pin the two paths equal). Per-batch partial top-k uses the FINAL
+    ordering key (cosine rounded to 6 dp desc, neighbor_id asc), so the
+    global merge is exact — a candidate dropped in-batch is provably ranked
+    below k in every total order the window could assign."""
+    spark = candidates.sparkSession
+    qrows = (  # bounded by contract: the query set is the broadcast side
+        queries.select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, qn))
+
+    def part(batches):
+        ids, qmat = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = stack_embeddings(pdf["embedding"])
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = np.round(cm @ qmat.T, 6)  # (batch, q), final ranking key
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(ids)):
+                col = sims[:, j]
+                keep = cids != ids[j]
+                # total order = (-cosine, neighbor_id); lexsort keys reversed
+                order = np.lexsort((cids[keep], -col[keep]))[: k + 1]
+                sel_ids, sel_cos = cids[keep][order], col[keep][order]
+                out_q.extend([ids[j]] * len(order))
+                out_n.extend(sel_ids.tolist())
+                out_c.extend(sel_cos.tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    partials = candidates.select("vec_id", "embedding").mapInPandas(
+        part, "query_id bigint, neighbor_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return partials.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+@register(
+    "l3d_exact_topk_vectorized",
+    survey="L3,D5",
+    extended=True,
+    sql="""
+    -- The vectorized path's contract is EXACTNESS: the Spark side computes
+    -- top-k twice (JVM higher-order expressions vs Arrow/numpy matmul
+    -- partial top-k + merge) and emits, per query, whether the (neighbor,
+    -- rank) sets are identical; the oracle asserts it for every query.
+    SELECT CAST(vec_id AS BIGINT) AS query_id, true AS matches_jvm_exact
+    FROM embeddings
+    WHERE vec_id < 8
+    """,
+)
+def l3d_exact_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/BLAS exact top-k checked row-for-row against the JVM
+    expression path: emits (query_id, matches_jvm_exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    jvm = brute_force_topk(queries, emb).select("query_id", "neighbor_id", "rn")
+    vec = brute_force_topk_np(queries, emb).select(
+        "query_id", "neighbor_id", "rn"
+    )
+    agreed = jvm.join(vec, ["query_id", "neighbor_id", "rn"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_agree"))
+    base = queries.select(F.col("vec_id").cast("bigint").alias("query_id"))
+    return base.join(agreed, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("n_agree"), F.lit(0)) == TOP_K).alias(
+            "matches_jvm_exact"
+        ),
+    )
 
 
 @register("l3_cosine_topk", survey="L3,J8,W5,F5", sql=_L3_SQL)
@@ -240,3 +366,122 @@ def _lsh_ann_topk(emb: DataFrame) -> DataFrame:
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+
+
+# --------------------------------------------------------------------------
+# Seeded-numpy LSH scale path (round 12)
+#
+# The expression bucketer above derives each ±1 hyperplane weight from an
+# md5 computed PER ELEMENT PER ROW — fine at driver scales (it keeps the
+# oracle-checked plan pure-JVM with zero Python), but at 10^6 vectors x
+# 4 tables x p planes x 64 dims that is ~10^9 interpreted md5 calls per
+# bucketing pass. The vectorized form draws the (tables x planes x dim)
+# Gaussian hyperplane tensor ONCE from a seeded RNG on the driver and
+# buckets each Arrow batch with a single matmul + sign-packing. Both are
+# valid, deterministic LSH families; recall curves for both are measured in
+# tools/ann_recall_curve_r12.py and SCALE.md.
+# --------------------------------------------------------------------------
+LSH_SEED = 7
+
+
+def lsh_planes(
+    dim: int, n_planes: int, n_tables: int, seed: int = LSH_SEED
+) -> np.ndarray:
+    """The (n_tables, n_planes, dim) Gaussian hyperplane tensor, fully
+    determined by (dim, n_planes, n_tables, seed) — every executor and every
+    run derives identical buckets."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def lsh_bucket_np(
+    df: DataFrame,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """Vectorized multi-table bucketing: each input row explodes into
+    ``n_tables`` rows with a ``bucket`` in [0, 2^n_planes). One narrow
+    mapInPandas pass — the table is never shuffled to be bucketed."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("table", IntegerType()), StructField("bucket", IntegerType())]
+    )
+    cols = [f.name for f in df.schema.fields]
+    weights = 1 << np.arange(n_planes)
+
+    def run(batches):
+        pl = None  # derived from the actual dim, deterministically, per worker
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = stack_embeddings(pdf["embedding"])
+            if pl is None:
+                pl = lsh_planes(x.shape[1], n_planes, n_tables, seed)
+            frames = []
+            for t in range(pl.shape[0]):
+                bits = (x @ pl[t].T) > 0  # (batch, n_planes)
+                buckets = (bits * weights).sum(axis=1).astype(np.int32)
+                f = pdf[cols].copy()
+                f["table"] = np.int32(t)
+                f["bucket"] = buckets
+                frames.append(f)
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """The deduped (query_id, q_emb, neighbor_id, c_emb) candidate pairs under
+    the vectorized bucketer (same bucket in ANY table → one pair) — factored
+    out so the recall sweep can measure candidate volume independently of
+    scoring."""
+    bucketed = lsh_bucket_np(emb, n_planes, n_tables, seed)
+    q = lsh_bucket_np(queries, n_planes, n_tables, seed).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "table",
+        "bucket",
+    )
+    cands = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "table",
+        "bucket",
+    )
+    return (
+        F.broadcast(q)
+        .join(cands, ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
+def lsh_ann_topk_np(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """LSH ANN with the vectorized bucketer: same candidate semantics as
+    ``_lsh_ann_topk`` (same bucket in ANY table → scored once), with the
+    candidate scoring done by the vectorized cosine so no interpreted
+    higher-order expression touches the (query x candidate) pair table.
+    Output: (query_id, neighbor_id, cosine, rn)."""
+    candidates = lsh_candidate_pairs(emb, queries, n_planes, n_tables, seed)
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine_np("q_emb", "c_emb").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
