@@ -431,7 +431,7 @@ def lsh_bucket_np(
     return df.mapInPandas(run, out_schema)
 
 
-def lsh_candidate_pairs(
+def lsh_ann_candidates(
     emb: DataFrame,
     queries: DataFrame,
     n_planes: int = N_PLANES,
@@ -477,7 +477,7 @@ def lsh_ann_topk_np(
     candidate scoring done by the vectorized cosine so no interpreted
     higher-order expression touches the (query x candidate) pair table.
     Output: (query_id, neighbor_id, cosine, rn)."""
-    candidates = lsh_candidate_pairs(emb, queries, n_planes, n_tables, seed)
+    candidates = lsh_ann_candidates(emb, queries, n_planes, n_tables, seed)
     scored = candidates.select(
         "query_id", "neighbor_id", cosine_np("q_emb", "c_emb").alias("cosine")
     )

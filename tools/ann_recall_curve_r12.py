@@ -91,7 +91,7 @@ def main() -> None:
     from datalakejson_spark.functions.similarity import (
         brute_force_topk_np,
         lsh_ann_topk_np,
-        lsh_candidate_pairs,
+        lsh_ann_candidates,
     )
     from datalakejson_spark.session import get_spark
 
@@ -209,7 +209,7 @@ def main() -> None:
                     )
                 )
                 sweep_sec = round(time.time() - t0, 2)
-                n_cand = lsh_candidate_pairs(
+                n_cand = lsh_ann_candidates(
                     emb, queries, n_planes=n_planes, n_tables=n_tables
                 ).count()
                 fh.write(
