@@ -21,7 +21,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from datalakejson_spark.functions.incremental_dedup import ingest_batch_dedup
+from datalakejson_spark.functions.incremental_dedup import (
+    COMPACT_MAX_RUNS,
+    ingest_batch_dedup,
+)
 from datalakejson_spark.session import configure_runtime
 
 
@@ -35,6 +38,8 @@ def streaming_dedup_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int | None = None,
+    compact_max_runs: int | None = COMPACT_MAX_RUNS,
+    compact_target_rows_per_file: int | None = None,
 ):
     """Drain landing JSON-lines documents once (AvailableNow); each
     micro-batch is audited against the persistent hash+band indexes, only
@@ -54,6 +59,17 @@ def streaming_dedup_ingest(
     a resolvable duplicate, never a loss. (Indexes-first would reverse
     that: the replay would collide with its own index rows and the batch's
     documents would be lost permanently.)
+
+    Inline index compaction (round 12): ``compact_max_runs`` /
+    ``compact_target_rows_per_file`` pass straight through to
+    :func:`ingest_batch_dedup`, so the tiered-compaction loop policy runs
+    INSIDE micro-batches here too. The index maintenance plane (staged
+    publishes under ``index_dir``) and the file-source metadata log (under
+    ``checkpoint_dir/sources``) are disjoint trees touched by different
+    mechanisms — a compaction mid-stream never invalidates the source log,
+    and a crash in either recovers independently (killpoint-pinned in
+    tests/test_incremental_dedup.py; latency measured in
+    tools/streaming_dedup_soak_r12.py).
 
     Returns the StreamingQuery; call ``.awaitTermination()``.
     """
@@ -85,6 +101,8 @@ def streaming_dedup_ingest(
             id_col=id_col,
             text_col=text_col,
             on_kept=deliver,
+            compact_max_runs=compact_max_runs,
+            compact_target_rows_per_file=compact_target_rows_per_file,
         )
 
     return (

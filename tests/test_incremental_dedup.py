@@ -1214,3 +1214,172 @@ def test_autotune_target_rows_per_file():
         rows = autotune_target_rows_per_file(batch)
         if rows > 4096:
             assert batch * keys_per_doc * rows <= 250_000_000
+
+
+def _write_landing_files(land, files):
+    """files: list of (fname, [(doc_id, text), ...]) JSON-lines docs."""
+    import json as _json
+
+    land.mkdir(exist_ok=True)
+    for fname, rows in files:
+        (land / fname).write_text(
+            "".join(
+                _json.dumps({"doc_id": i, "text": t}) + "\n" for i, t in rows
+            )
+        )
+
+
+def _doc_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+
+def test_streaming_inline_compaction_across_restart(spark, tmp_path):
+    """VERDICT r11 #7: the inline tiered-compaction trigger runs INSIDE
+    streaming micro-batches, across a checkpoint restart, and the result is
+    identical to a compaction-free batch loop over the same documents —
+    the index maintenance plane and the file-source metadata log never
+    interfere (disjoint trees: index_dir staging vs ckpt/sources)."""
+    from datalakejson_spark.plans import killpoints
+    from datalakejson_spark.plans.variant_ingest import resolve_replays
+    from datalakejson_spark.streaming.dedup_stream import streaming_dedup_ingest
+
+    texts = [  # pairwise-disjoint vocabularies: no cross-doc shingles at all
+        f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(14)) for i in range(6)
+    ]
+    wave1 = [
+        (f"f{i}.json", [(10 * i, texts[i]), (10 * i + 1, texts[0])])
+        for i in range(3)
+    ]  # each file: one novel doc + one exact dup of doc 0
+    wave2 = [
+        (f"f{i}.json", [(10 * i, texts[i]), (10 * i + 1, texts[0])])
+        for i in range(3, 6)
+    ]
+    land = tmp_path / "landing"
+    args = dict(
+        landing_dir=str(land),
+        curated_dir=str(tmp_path / "curated"),
+        index_dir=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=_doc_schema(),
+        max_files_per_trigger=1,  # one file per micro-batch: 3 batches/drain
+        compact_max_runs=2,  # every batch appends a run -> triggers often
+        compact_target_rows_per_file=50,
+    )
+    n_compactions = 0
+
+    def count() -> None:
+        nonlocal n_compactions
+        n_compactions += 1
+
+    killpoints.arm("dedup:compact_staged", count)
+    try:
+        _write_landing_files(land, wave1)
+        streaming_dedup_ingest(spark, **args).awaitTermination()
+        assert n_compactions >= 1  # fired mid-stream, not just at the end
+        _write_landing_files(land, wave2)  # restart: same ckpt, new query
+        streaming_dedup_ingest(spark, **args).awaitTermination()
+    finally:
+        killpoints.disarm("dedup:compact_staged")
+    assert n_compactions >= 2
+
+    curated = resolve_replays(spark.read.parquet(args["curated_dir"]))
+    got = {r.doc_id for r in curated.select("doc_id").collect()}
+
+    # Reference: the same 6 per-file batches through the batch loop with
+    # compaction DISABLED in a fresh index.
+    ref_idx = str(tmp_path / "ref_idx")
+    ref_kept: set[int] = set()
+    for _, rows in wave1 + wave2:
+        kept = ingest_batch_dedup(
+            spark, _docs(spark, rows), ref_idx, compact_max_runs=None
+        )
+        ref_kept |= {r.doc_id for r in kept.collect()}
+    # doc 1 (exact within-batch dup of 0) and every 10i+1 re-send drop
+    assert got == ref_kept == {0, 10, 20, 30, 40, 50}
+
+    # Audit equivalence: a probe delta sees the same world in both indexes.
+    probe = _docs(spark, [(900, texts[2]), (901, f"{OTHER} probe tail")])
+    assert _audit_snapshot(spark, args["index_dir"], probe) == _audit_snapshot(
+        spark, ref_idx, probe
+    )
+
+    # Source log intact: an empty re-drain is a no-op (no file replays).
+    before = curated.count()
+    streaming_dedup_ingest(spark, **args).awaitTermination()
+    assert resolve_replays(spark.read.parquet(args["curated_dir"])).count() == before
+
+
+def test_streaming_compaction_kill_then_restart_converges(spark, tmp_path):
+    """A failure INSIDE the inline compaction of a streaming micro-batch
+    (stage written, no commit marker) fails the query; a plain restart on
+    the same checkpoint converges: the batch's appends were already
+    published (compaction runs after publish), the replay audits everything
+    as duplicate, the unmarked stage is ignored, and no document is lost or
+    double-curated after replay resolution.
+
+    The injected failure here is a plain RuntimeError, NOT InjectedKill:
+    a BaseException raised inside foreachBatch never crosses the py4j
+    callback boundary (the callback handler translates only Exception), so
+    instead of failing the query it leaves the JVM stream-execution thread
+    blocked forever on the callback socket — a pytest hang, not a test.
+    For THIS window the distinction is immaterial: nothing between the
+    compaction trigger and the batch commit catches broad Exceptions, so a
+    RuntimeError reaches the stream engine exactly like a death would."""
+    import pyspark.errors as PE
+
+    from datalakejson_spark.plans import killpoints
+    from datalakejson_spark.plans.variant_ingest import resolve_replays
+    from datalakejson_spark.streaming.dedup_stream import streaming_dedup_ingest
+
+    texts = [  # pairwise-disjoint vocabularies (shared tokens => near-dups)
+        f"kill {i} " + " ".join(f"k{i}v{j}" for j in range(14)) for i in range(4)
+    ]
+    land = tmp_path / "landing"
+    _write_landing_files(
+        land,
+        [(f"f{i}.json", [(10 * i, texts[i])]) for i in range(4)],
+    )
+    args = dict(
+        landing_dir=str(land),
+        curated_dir=str(tmp_path / "curated"),
+        index_dir=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=_doc_schema(),
+        max_files_per_trigger=1,
+        compact_max_runs=2,
+        compact_target_rows_per_file=50,
+    )
+    def die_once() -> None:
+        killpoints.disarm("dedup:compact_staged")
+        raise RuntimeError("injected failure inside inline compaction")
+
+    killpoints.arm("dedup:compact_staged", die_once)
+    try:
+        try:
+            streaming_dedup_ingest(spark, **args).awaitTermination()
+            raise AssertionError("injected failure did not fail the query")
+        except PE.exceptions.base.PySparkException:
+            pass  # the foreachBatch failure surfaces as a query exception
+    finally:
+        killpoints.disarm()
+
+    streaming_dedup_ingest(spark, **args).awaitTermination()  # recover
+    curated = resolve_replays(spark.read.parquet(args["curated_dir"]))
+    assert {r.doc_id for r in curated.select("doc_id").collect()} == {
+        0,
+        10,
+        20,
+        30,
+    }
+    assert curated.count() == 4  # exactly once after replay resolution
+    # and the index converged: every text audits as an exact duplicate now
+    probe = _docs(spark, [(900 + i, t) for i, t in enumerate(texts)])
+    snap = _audit_snapshot(spark, args["index_dir"], probe)
+    assert all(r.is_exact_dup for r in snap)
