@@ -207,8 +207,13 @@ def _read_index_pair_pruned(
     return out["hashes"], out["bands"], stats
 
 
-def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> None:
-    """Roll the staged index deltas forward into the live dirs.
+def _publish_staged(
+    index_dir: str, stale_stage_s: float = STALE_STAGE_S
+) -> dict[str, str]:
+    """Roll the staged index deltas forward into the live dirs. Returns
+    ``{stage_token: "published" | "lost" | "pending" | "raced"}`` so a
+    maintenance caller (rebuild_index) can tell whether ITS stage took
+    effect or was discarded as a publish-race loser.
 
     Each batch stages BOTH parquet deltas under ``_staging/<token>/`` and
     drops a ``_COMMITTED`` marker only after both writes finish; publishing
@@ -237,26 +242,46 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
     import time
 
     staging_root = os.path.join(index_dir, _STAGING)
+    outcomes: dict[str, str] = {}
     if not os.path.isdir(staging_root):
-        return
+        return outcomes
     for token in sorted(os.listdir(staging_root)):
         stage = os.path.join(staging_root, token)
         if not os.path.isdir(stage):
             continue
+        try:
+            outcomes[token] = _publish_one_stage(index_dir, stage, stale_stage_s)
+        except FileNotFoundError:
+            # Two runners rolling forward the SAME stage: the other one
+            # published or loser-discarded it between our checks and our
+            # reads (manifest/marker/listing vanished mid-flight). Either
+            # terminal state is complete and correct on its own — nothing
+            # left for us to do with this stage.
+            outcomes[token] = "raced"
+    return outcomes
+
+
+def _publish_one_stage(index_dir: str, stage: str, stale_stage_s: float) -> str:
+    """Roll one stage forward; returns "published", "lost" (discarded as a
+    publish-race loser), or "pending" (uncommitted, left alone/swept)."""
+    import json
+    import time
+
+    if True:  # hold the original loop body's indentation (diff-minimal)
         if not os.path.exists(os.path.join(stage, "_COMMITTED")):
             if os.path.exists(os.path.join(stage, _REBUILD_META)):
                 # A resumable rebuild checkpoint (round 12): a multi-hour
                 # subdir write has no heartbeat that distinguishes it from
                 # a crash, so the age sweep must never reclaim it — only
                 # rebuild_index itself adopts or resets this stage.
-                continue
+                return "pending"
             try:
                 age = time.time() - os.path.getmtime(stage)
             except OSError:  # vanished: its owner just published/removed it
-                continue
+                return "pending"
             if age >= stale_stage_s:
                 shutil.rmtree(stage, ignore_errors=True)
-            continue
+            return "pending"
         manifest = os.path.join(stage, "_SUBSUMED.json")
         subsumed: dict[str, list[str]] = {}
         if os.path.exists(manifest):
@@ -282,7 +307,7 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
             )
             if lost:
                 shutil.rmtree(stage, ignore_errors=True)
-                continue
+                return "lost"
             with open(publishing, "w") as fh:
                 fh.write("ok")
         fire("dedup:publish_publishing")  # marked: replay must roll forward
@@ -353,6 +378,7 @@ def _publish_staged(index_dir: str, stale_stage_s: float = STALE_STAGE_S) -> Non
             except FileNotFoundError:  # same-stage race: the other runner
                 pass                   # flipped the marker already
         shutil.rmtree(stage, ignore_errors=True)
+        return "published"
 
 
 # -- per-file key-range sidecars (round 11) --------------------------------
@@ -401,18 +427,33 @@ def _merge_sidecar_cache(live_dir: str, add: dict, remove: list[str]) -> None:
     import json
 
     sidecar = os.path.join(live_dir, _RANGES)
+    # runner-unique tmp: two concurrent writers sharing one tmp name could
+    # replace a half-written file into place; last-writer-wins on the
+    # sidecar itself is fine (advisory cache). Unique names mean a crashed
+    # writer's tmp is never overwritten later, so failures must unlink
+    # their own tmp and survivors are swept once clearly abandoned.
+    tmp = f"{sidecar}.{uuid.uuid4().hex[:8]}.tmp"
     try:
         cache = _load_sidecar(live_dir)
         for n in remove:
             cache.pop(n, None)
         cache.update(add)
-        # runner-unique tmp: two concurrent writers sharing one tmp name
-        # could replace a half-written file into place; last-writer-wins
-        # on the sidecar itself is fine (advisory cache)
-        tmp = f"{sidecar}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             json.dump(cache, fh)
         os.replace(tmp, sidecar)
+    except OSError:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+    try:  # sweep tmps orphaned by hard crashes (age-guarded like stages)
+        import time
+
+        for n in os.listdir(live_dir):
+            if n.startswith(_RANGES + ".") and n.endswith(".tmp"):
+                p = os.path.join(live_dir, n)
+                if time.time() - os.path.getmtime(p) >= STALE_STAGE_S:
+                    os.remove(p)
     except OSError:
         pass
 
@@ -832,8 +873,13 @@ def compact_index(
     ``_publish_staged`` (the loser discards itself) plus stage-unique
     output names in the segmented path, so the worst surviving overlap is
     duplicated rows — harmless to the probes and folded away by the next
-    repair. Still run it from ONE maintenance runner by preference: a
-    lost race is wasted work, never corruption.
+    repair. This side of the race is symmetric too: if a concurrent
+    publish deletes a live file under THIS compaction's scan, the run
+    aborts cleanly (stage removed, ``{}`` returned) instead of raising
+    into its caller — the inline trigger runs inside streaming
+    foreachBatch, where an escaped scan error would fail the query. Still
+    run it from ONE maintenance runner by preference: a lost race is
+    wasted work, never corruption.
     """
     import json
     import math
@@ -843,180 +889,192 @@ def compact_index(
     stage = os.path.join(index_dir, _STAGING, uuid.uuid4().hex)
     subsumed: dict[str, list[str]] = {}
     counts: dict[str, tuple[int, int]] = {}
-    for sub in _INDEX_SUBDIRS:
-        live = os.path.join(index_dir, sub)
-        files = _live_files(live)
-        if not files:
-            counts[sub] = (0, 0)
-            continue
-        key = _PRUNE_KEY[sub]
-        # Ranges + per-file row counts from the same sidecar/footer cache —
-        # driver-side metadata, no Spark job (the ledger's
-        # _active_row_count pattern: layout decisions must never cost a
-        # scan of the data they're about). A file whose footer won't read
-        # gets rows=None (treated as target-sized for the layout checks;
-        # never the reason for a rewrite on its own).
-        stats = _file_stats(live, key)
-        ranges = {f: rng for f, (rng, _r) in stats.items()}
-        rows = {f: r for f, (_rng, r) in stats.items()}
+    try:
+        for sub in _INDEX_SUBDIRS:
+            live = os.path.join(index_dir, sub)
+            files = _live_files(live)
+            if not files:
+                counts[sub] = (0, 0)
+                continue
+            key = _PRUNE_KEY[sub]
+            # Ranges + per-file row counts from the same sidecar/footer cache —
+            # driver-side metadata, no Spark job (the ledger's
+            # _active_row_count pattern: layout decisions must never cost a
+            # scan of the data they're about). A file whose footer won't read
+            # gets rows=None (treated as target-sized for the layout checks;
+            # never the reason for a rewrite on its own).
+            stats = _file_stats(live, key)
+            ranges = {f: rng for f, (rng, _r) in stats.items()}
+            rows = {f: r for f, (_rng, r) in stats.items()}
 
-        def run_rows(run: list[str]) -> int:
-            # None (transient footer failure) -> assume target-sized;
-            # a KNOWN 0-row file counts as 0 (`or` would inflate it)
-            return sum(
-                target_rows_per_file if rows[n] is None else rows[n]
-                for n in run
-            )
-
-        runs = sorted(_derive_runs(files), key=run_rows)
-        # The BASE candidate is the largest generation; it gets per-FILE
-        # classification (segmented repair). Every other generation keeps
-        # the run-level rules: DIRTY — must rewrite regardless of run
-        # count — when it has a stats-less file (unprunable until
-        # rewritten; a TRANSIENT footer failure has rows=None and is NOT
-        # dirty — it may read fine next call), an oversized file, more
-        # files than its rows justify (fragmentation), or KNOWN ranges
-        # that overlap (a direct-writer append is not a sorted run).
-        base_run = runs[-1] if runs else []
-        base_uuid_m = _PART_UUID.match(base_run[0]) if base_run else None
-        base_uuid = base_uuid_m.group(1) if base_uuid_m else None
-        base_kept: list[str] = []
-        base_repair: list[str] = []
-        if base_run and base_uuid is not None:
-            kept, repair, ok = _classify_base(
-                base_run, ranges, rows, target_rows_per_file
-            )
-            # Fragmentation stays a whole-run property (scattered small
-            # files can only be merged by rewriting across ranges): a
-            # fragmented base takes the wholesale path, amortized like an
-            # LSM major compaction.
-            fragmented = ok and len(kept) > max(
-                1,
-                math.ceil(sum(rows[f] for f in kept) / target_rows_per_file),
-            )
-            if ok and not fragmented:
-                base_kept, base_repair = kept, repair
-                runs = runs[:-1]  # handled per-file, not as a run
-        dirty: list[str] = []
-        clean_runs: list[list[str]] = []
-        for run in runs:
-            oversized = any(
-                (rows[n] or 0) > 2 * target_rows_per_file for n in run
-            )
-            fragmented = len(run) > max(
-                1, math.ceil(run_rows(run) / target_rows_per_file)
-            )
-            statless = any(
-                ranges[n] is None and rows[n] is not None for n in run
-            )
-            known = {n: ranges[n] for n in run if ranges[n] is not None}
-            unsorted = len(run) > 1 and len(known) > 1 and not _ranges_disjoint(known)
-            if oversized or fragmented or statless or unsorted:
-                dirty.extend(run)
-            else:
-                clean_runs.append(run)
-        # Tiered merge: fold the SMALLEST clean runs (the append tail) into
-        # the rewrite until the surviving run count fits max_runs. The base
-        # joins only when the middle runs have grown past it — the
-        # geometric cascade that keeps per-row write amplification
-        # logarithmic instead of rewriting O(corpus) per trigger.
-        if base_kept:
-            clean_runs.append(base_kept)
-        clean_runs.sort(key=run_rows)
-        merge = dirty + base_repair
-        while clean_runs and len(clean_runs) + (1 if merge else 0) > max_runs:
-            folded = clean_runs.pop(0)
-            if folded is base_kept:
-                base_kept = []  # the cascade reached the base: wholesale
-            merge.extend(folded)
-        if not merge:
-            counts[sub] = (len(files), len(files))
-            continue
-        # 0-row files (e.g. all-duplicate replay appends — no key stats,
-        # permanently statless) are subsumed WITHOUT writing: the publish
-        # deletes them and the merge converges instead of re-emitting a
-        # fresh empty file each call (review catch, round 11).
-        zero = sorted(f for f in merge if rows[f] == 0)
-        merge = [f for f in merge if rows[f] != 0]
-        if not merge:
-            if zero:
-                subsumed[sub] = zero
-            counts[sub] = (len(files), len(files) - len(zero))
-            continue
-        # Segmented fold: resolve the few unknown fold ranges (a stats-less
-        # repair file is about to be read anyway — one min/max job each),
-        # group fold + touched-kept files into overlap components, and
-        # engage only when the fold provably leaves most of the base alone.
-        comps: list[list[str]] | None = None
-        if base_kept and _resolve_ranges(spark, live, key, merge, ranges, rows):
-            cand, touched = _fold_components(
-                {f: ranges[f] for f in base_kept},
-                {f: ranges[f] for f in merge},
-            )
-            if (
-                touched <= FOLD_MAX_TOUCH_FRACTION * len(base_kept)
-                and len(cand) <= MAX_FOLD_COMPONENTS
-            ):
-                comps = cand
-        if comps is not None:
-            sub_stage = os.path.join(stage, sub)
-            os.makedirs(sub_stage, exist_ok=True)
-            next_idx = _next_part_idx(files, base_uuid)
-            gone: set[str] = set(zero)
-            out_files = 0
-            for ci, comp in enumerate(comps):
-                comp_rows = sum(
-                    target_rows_per_file if rows[f] is None else rows[f]
-                    for f in comp
+            def run_rows(run: list[str]) -> int:
+                # None (transient footer failure) -> assume target-sized;
+                # a KNOWN 0-row file counts as 0 (`or` would inflate it)
+                return sum(
+                    target_rows_per_file if rows[n] is None else rows[n]
+                    for n in run
                 )
-                parts = max(1, math.ceil(comp_rows / target_rows_per_file))
-                tmp = os.path.join(stage, f"_{sub}.comp{ci}")
-                spark.read.parquet(
-                    *(os.path.join(live, f) for f in comp)
-                ).repartitionByRange(parts, key).sortWithinPartitions(
-                    key
-                ).write.mode("overwrite").parquet(tmp)
-                for name in _live_files(tmp):
-                    # stage-unique suffix: two RACING compactions renaming
-                    # into the same base generation must never collide on a
-                    # name (an os.replace collision would silently replace
-                    # the winner's rows with a different slice — data
-                    # loss). With unique names the worst a lost publish
-                    # race leaves is duplicated rows, which the probes
-                    # tolerate and the next repair folds away; the
-                    # _publish_staged loser check avoids even that in the
-                    # common case.
-                    os.replace(
-                        os.path.join(tmp, name),
-                        os.path.join(
-                            sub_stage,
-                            f"part-{next_idx:05d}-{base_uuid}-c000-"
-                            f"{os.path.basename(stage)[:8]}.snappy.parquet",
-                        ),
+
+            runs = sorted(_derive_runs(files), key=run_rows)
+            # The BASE candidate is the largest generation; it gets per-FILE
+            # classification (segmented repair). Every other generation keeps
+            # the run-level rules: DIRTY — must rewrite regardless of run
+            # count — when it has a stats-less file (unprunable until
+            # rewritten; a TRANSIENT footer failure has rows=None and is NOT
+            # dirty — it may read fine next call), an oversized file, more
+            # files than its rows justify (fragmentation), or KNOWN ranges
+            # that overlap (a direct-writer append is not a sorted run).
+            base_run = runs[-1] if runs else []
+            base_uuid_m = _PART_UUID.match(base_run[0]) if base_run else None
+            base_uuid = base_uuid_m.group(1) if base_uuid_m else None
+            base_kept: list[str] = []
+            base_repair: list[str] = []
+            if base_run and base_uuid is not None:
+                kept, repair, ok = _classify_base(
+                    base_run, ranges, rows, target_rows_per_file
+                )
+                # Fragmentation stays a whole-run property (scattered small
+                # files can only be merged by rewriting across ranges): a
+                # fragmented base takes the wholesale path, amortized like an
+                # LSM major compaction.
+                fragmented = ok and len(kept) > max(
+                    1,
+                    math.ceil(sum(rows[f] for f in kept) / target_rows_per_file),
+                )
+                if ok and not fragmented:
+                    base_kept, base_repair = kept, repair
+                    runs = runs[:-1]  # handled per-file, not as a run
+            dirty: list[str] = []
+            clean_runs: list[list[str]] = []
+            for run in runs:
+                oversized = any(
+                    (rows[n] or 0) > 2 * target_rows_per_file for n in run
+                )
+                fragmented = len(run) > max(
+                    1, math.ceil(run_rows(run) / target_rows_per_file)
+                )
+                statless = any(
+                    ranges[n] is None and rows[n] is not None for n in run
+                )
+                known = {n: ranges[n] for n in run if ranges[n] is not None}
+                unsorted = len(run) > 1 and len(known) > 1 and not _ranges_disjoint(known)
+                if oversized or fragmented or statless or unsorted:
+                    dirty.extend(run)
+                else:
+                    clean_runs.append(run)
+            # Tiered merge: fold the SMALLEST clean runs (the append tail) into
+            # the rewrite until the surviving run count fits max_runs. The base
+            # joins only when the middle runs have grown past it — the
+            # geometric cascade that keeps per-row write amplification
+            # logarithmic instead of rewriting O(corpus) per trigger.
+            if base_kept:
+                clean_runs.append(base_kept)
+            clean_runs.sort(key=run_rows)
+            merge = dirty + base_repair
+            while clean_runs and len(clean_runs) + (1 if merge else 0) > max_runs:
+                folded = clean_runs.pop(0)
+                if folded is base_kept:
+                    base_kept = []  # the cascade reached the base: wholesale
+                merge.extend(folded)
+            if not merge:
+                counts[sub] = (len(files), len(files))
+                continue
+            # 0-row files (e.g. all-duplicate replay appends — no key stats,
+            # permanently statless) are subsumed WITHOUT writing: the publish
+            # deletes them and the merge converges instead of re-emitting a
+            # fresh empty file each call (review catch, round 11).
+            zero = sorted(f for f in merge if rows[f] == 0)
+            merge = [f for f in merge if rows[f] != 0]
+            if not merge:
+                if zero:
+                    subsumed[sub] = zero
+                counts[sub] = (len(files), len(files) - len(zero))
+                continue
+            # Segmented fold: resolve the few unknown fold ranges (a stats-less
+            # repair file is about to be read anyway — one min/max job each),
+            # group fold + touched-kept files into overlap components, and
+            # engage only when the fold provably leaves most of the base alone.
+            comps: list[list[str]] | None = None
+            if base_kept and _resolve_ranges(spark, live, key, merge, ranges, rows):
+                cand, touched = _fold_components(
+                    {f: ranges[f] for f in base_kept},
+                    {f: ranges[f] for f in merge},
+                )
+                if (
+                    touched <= FOLD_MAX_TOUCH_FRACTION * len(base_kept)
+                    and len(cand) <= MAX_FOLD_COMPONENTS
+                ):
+                    comps = cand
+            if comps is not None:
+                sub_stage = os.path.join(stage, sub)
+                os.makedirs(sub_stage, exist_ok=True)
+                next_idx = _next_part_idx(files, base_uuid)
+                gone: set[str] = set(zero)
+                out_files = 0
+                for ci, comp in enumerate(comps):
+                    comp_rows = sum(
+                        target_rows_per_file if rows[f] is None else rows[f]
+                        for f in comp
                     )
-                    next_idx += 1
-                    out_files += 1
-                shutil.rmtree(tmp, ignore_errors=True)
-                gone.update(comp)
-            subsumed[sub] = sorted(gone)
-            counts[sub] = (len(files), len(files) - len(gone) + out_files)
-            continue
-        # Wholesale path (no base, cascade reached the base, or the fold
-        # spans most of it): one range-sorted rewrite into a NEW
-        # generation. Range-sorting by the probe key makes compacted files
-        # range-DISJOINT on uniformly-distributed md5 keys — what makes
-        # the _RANGES.json file pruning selective (an unsorted file always
-        # spans ~the whole key space and can never be skipped).
-        n_rows = sum(rows[n] or 0 for n in merge)
-        df = spark.read.parquet(*(os.path.join(live, n) for n in merge))
-        if any(rows[n] is None for n in merge):
-            n_rows = df.count()  # fall back to a count job
-        parts = max(1, math.ceil(n_rows / target_rows_per_file))
-        subsumed[sub] = sorted(set(merge) | set(zero))
-        df.repartitionByRange(parts, key).sortWithinPartitions(key).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stage, sub))
-        counts[sub] = (len(files), len(files) - len(merge) - len(zero) + parts)
+                    parts = max(1, math.ceil(comp_rows / target_rows_per_file))
+                    tmp = os.path.join(stage, f"_{sub}.comp{ci}")
+                    spark.read.parquet(
+                        *(os.path.join(live, f) for f in comp)
+                    ).repartitionByRange(parts, key).sortWithinPartitions(
+                        key
+                    ).write.mode("overwrite").parquet(tmp)
+                    for name in _live_files(tmp):
+                        # stage-unique suffix: two RACING compactions renaming
+                        # into the same base generation must never collide on a
+                        # name (an os.replace collision would silently replace
+                        # the winner's rows with a different slice — data
+                        # loss). With unique names the worst a lost publish
+                        # race leaves is duplicated rows, which the probes
+                        # tolerate and the next repair folds away; the
+                        # _publish_staged loser check avoids even that in the
+                        # common case.
+                        os.replace(
+                            os.path.join(tmp, name),
+                            os.path.join(
+                                sub_stage,
+                                f"part-{next_idx:05d}-{base_uuid}-c000-"
+                                f"{os.path.basename(stage)[:8]}.snappy.parquet",
+                            ),
+                        )
+                        next_idx += 1
+                        out_files += 1
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    gone.update(comp)
+                subsumed[sub] = sorted(gone)
+                counts[sub] = (len(files), len(files) - len(gone) + out_files)
+                continue
+            # Wholesale path (no base, cascade reached the base, or the fold
+            # spans most of it): one range-sorted rewrite into a NEW
+            # generation. Range-sorting by the probe key makes compacted files
+            # range-DISJOINT on uniformly-distributed md5 keys — what makes
+            # the _RANGES.json file pruning selective (an unsorted file always
+            # spans ~the whole key space and can never be skipped).
+            n_rows = sum(rows[n] or 0 for n in merge)
+            df = spark.read.parquet(*(os.path.join(live, n) for n in merge))
+            if any(rows[n] is None for n in merge):
+                n_rows = df.count()  # fall back to a count job
+            parts = max(1, math.ceil(n_rows / target_rows_per_file))
+            subsumed[sub] = sorted(set(merge) | set(zero))
+            df.repartitionByRange(parts, key).sortWithinPartitions(key).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(stage, sub))
+            counts[sub] = (len(files), len(files) - len(merge) - len(zero) + parts)
+    except Exception as exc:  # noqa: BLE001 — narrowed below
+        if not _is_missing_file_error(exc):
+            raise
+        # A concurrent maintenance publish deleted a live file between
+        # this compaction's listing and its scan: this run LOST the
+        # race. Losing is wasted work, never corruption — the winner's
+        # layout is complete, and the next trigger re-plans from a
+        # fresh listing. Abort cleanly instead of failing the caller
+        # (the inline trigger runs inside streaming foreachBatch).
+        shutil.rmtree(stage, ignore_errors=True)
+        return {}
     if not subsumed:
         shutil.rmtree(stage, ignore_errors=True)
         return counts
@@ -1201,13 +1259,33 @@ def rebuild_index(
 
     stage = os.path.join(index_dir, _STAGING, _REBUILD_STAGE)
     meta_path = os.path.join(stage, _REBUILD_META)
-    n_docs = docs.count()
+    # Resume identity must capture corpus CONTENT, not just its size: a
+    # same-count corpus whose texts changed (repair/replacement between
+    # crash and resume) adopting a half-done checkpoint would publish a
+    # MIXED pair — hashes from the old corpus, bands from the new — with
+    # permanent audit blind spots and no error. The fingerprint is an
+    # order-independent sum of per-doc md5 prefixes (<= 2^32 each, so the
+    # long sum is exact past 10^9 docs), folded into the SAME aggregate
+    # job as the count — no extra corpus pass.
+    fp_col = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.col(text_col))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_docs, corpus_fp = docs.agg(
+        F.count(F.lit(1)), F.sum(fp_col)
+    ).first()
     ckpt_meta = {
         "lanes": _current_lane_meta(),
         "target_rows_per_file": target_rows_per_file,
         "id_col": id_col,
         "text_col": text_col,
         "n_docs": n_docs,
+        "corpus_fp": corpus_fp,
     }
     # Adopt-or-reset BEFORE _publish_staged: a committed rebuild stage is
     # finished work the publish below rolls forward (nothing to resume);
@@ -1273,11 +1351,38 @@ def rebuild_index(
         json.dump(subsumed, fh)
     with open(os.path.join(stage, _LANES_META), "w") as fh:
         json.dump(_current_lane_meta(), fh)
+    staged_names = {
+        sub: _live_files(os.path.join(stage, sub)) for sub in _INDEX_SUBDIRS
+    }
     fire("dedup:rebuild_staged")  # no marker yet: crash = old index wins
     with open(os.path.join(stage, "_COMMITTED"), "w") as marker:
         marker.write("ok")
     fire("dedup:rebuild_committed")  # committed, not yet published
-    _publish_staged(index_dir)
+    outcome = _publish_staged(index_dir).get(_REBUILD_STAGE)
+    if outcome != "published":
+        # The _SUBSUMED snapshot check may have discarded this rebuild as a
+        # publish-race LOSER (a concurrent runner's compaction subsumed one
+        # of the live files this rebuild promised to replace) — or a
+        # concurrent runner's _publish_staged raced us to the stage.
+        # Success must be verified, not assumed: a multi-hour rebuild
+        # silently thrown away while returning row counts would strand the
+        # operator on the OLD index with no signal. The staged output names
+        # are unique to this rebuild, so "all live now" == "took effect"
+        # regardless of which runner moved them.
+        missing = [
+            n
+            for sub, names in staged_names.items()
+            for n in names
+            if not os.path.exists(os.path.join(index_dir, sub, n))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"rebuild_index lost a concurrent maintenance publish race "
+                f"(outcome={outcome!r}, {len(missing)} staged files never "
+                "went live) — the live index is the concurrent winner's "
+                "layout; rerun the rebuild, or stop concurrent maintenance "
+                "and retry"
+            )
     return written
 
 
@@ -1633,21 +1738,19 @@ def ingest_batch_dedup(
         marker.write("ok")
     fire("dedup:after_commit_marker")  # committed, not yet published
     _publish_staged(index_dir)
+    # one resolution shared by the trigger AND the triggered compaction —
+    # two spellings of the default here could silently diverge and leave
+    # the trigger firing every batch against a compaction that never
+    # satisfies it (review catch, round 12)
+    target_rows = compact_target_rows_per_file or COMPACT_TARGET_ROWS_PER_FILE
     if compact_max_runs is not None and _needs_compaction(
-        index_dir,
-        compact_max_runs,
-        compact_target_rows_per_file or COMPACT_TARGET_ROWS_PER_FILE,
+        index_dir, compact_max_runs, target_rows
     ):
-        kwargs = (
-            {"target_rows_per_file": compact_target_rows_per_file}
-            if compact_target_rows_per_file is not None
-            else {}
-        )
         compact_index(
             spark,
             index_dir,
+            target_rows_per_file=target_rows,
             max_runs=max(1, compact_max_runs // 2),
-            **kwargs,
         )
     return kept
 

@@ -200,33 +200,57 @@ def brute_force_topk_np(
     survey="L3,D5",
     extended=True,
     sql="""
-    -- The vectorized path's contract is EXACTNESS: the Spark side computes
-    -- top-k twice (JVM higher-order expressions vs Arrow/numpy matmul
-    -- partial top-k + merge) and emits, per query, whether the (neighbor,
-    -- rank) sets are identical; the oracle asserts it for every query.
-    SELECT CAST(vec_id AS BIGINT) AS query_id, true AS matches_jvm_exact
+    -- The vectorized path's contract: the Spark side computes top-k twice
+    -- (JVM higher-order expressions vs Arrow/numpy matmul partial top-k +
+    -- merge) and emits, per query, whether the vectorized set returned
+    -- exactly k rows containing every NON-BOUNDARY member of the JVM
+    -- top-k. Boundary members (rounded cosine within 2e-6 of the k-th) are
+    -- excused: the two paths evaluate the dot product in different fp
+    -- orders and round differently (np.round half-even on the binary value
+    -- vs F.round HALF_UP on the decimal expansion), so a 1-ulp difference
+    -- can flip a 6-dp key at the boundary — rank-for-rank equality is not
+    -- a soundly testable contract across them. The oracle asserts the
+    -- boolean for every query.
+    SELECT CAST(vec_id AS BIGINT) AS query_id, true AS matches_jvm_topk
     FROM embeddings
     WHERE vec_id < 8
     """,
 )
 def l3d_exact_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Arrow/BLAS exact top-k checked row-for-row against the JVM
-    expression path: emits (query_id, matches_jvm_exact)."""
+    """The Arrow/BLAS exact top-k checked against the JVM expression path:
+    emits (query_id, matches_jvm_topk) — k rows returned, every clearly-
+    above-threshold JVM neighbor recovered, ties at the 6-dp boundary
+    excused (see the registered SQL comment)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    jvm = brute_force_topk(queries, emb).select("query_id", "neighbor_id", "rn")
-    vec = brute_force_topk_np(queries, emb).select(
-        "query_id", "neighbor_id", "rn"
+    jvm = brute_force_topk(queries, emb)
+    vec = brute_force_topk_np(queries, emb).select("query_id", "neighbor_id")
+    kth = jvm.groupBy("query_id").agg(F.min("cosine").alias("kth_cosine"))
+    required = (
+        jvm.join(kth, "query_id")
+        .filter(F.col("cosine") >= F.col("kth_cosine") + 2e-6)
+        .select("query_id", "neighbor_id")
     )
-    agreed = jvm.join(vec, ["query_id", "neighbor_id", "rn"]).groupBy(
-        "query_id"
-    ).agg(F.count("*").alias("n_agree"))
+    n_req = required.groupBy("query_id").agg(F.count("*").alias("n_req"))
+    n_hit = (
+        required.join(vec, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_vec = vec.groupBy("query_id").agg(F.count("*").alias("n_vec"))
     base = queries.select(F.col("vec_id").cast("bigint").alias("query_id"))
-    return base.join(agreed, "query_id", "left").select(
-        "query_id",
-        (F.coalesce(F.col("n_agree"), F.lit(0)) == TOP_K).alias(
-            "matches_jvm_exact"
-        ),
+    return (
+        base.join(n_req, "query_id", "left")
+        .join(n_hit, "query_id", "left")
+        .join(n_vec, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                (F.coalesce(F.col("n_hit"), F.lit(0))
+                 == F.coalesce(F.col("n_req"), F.lit(0)))
+                & (F.coalesce(F.col("n_vec"), F.lit(0)) == TOP_K)
+            ).alias("matches_jvm_topk"),
+        )
     )
 
 

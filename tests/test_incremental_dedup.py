@@ -1383,3 +1383,183 @@ def test_streaming_compaction_kill_then_restart_converges(spark, tmp_path):
     probe = _docs(spark, [(900 + i, t) for i, t in enumerate(texts)])
     snap = _audit_snapshot(spark, args["index_dir"], probe)
     assert all(r.is_exact_dup for r in snap)
+
+
+def test_publish_outcomes_reported(spark, tmp_path):
+    """_publish_staged returns a per-stage outcome map: a committed append
+    stage reports "published"; a maintenance stage whose _SUBSUMED snapshot
+    no longer matches the live files reports "lost" (review, round 12 —
+    rebuild_index needs this to know its multi-hour stage took effect)."""
+    import json
+    import os
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    idx = str(tmp_path / "idx")
+    ingest_batch_dedup(spark, _docs(spark, [(1, _distinct_text(1))]), idx)
+
+    # fabricate a committed APPEND stage (no manifest): publishes
+    stage = os.path.join(idx, inc._STAGING, "t-append")
+    os.makedirs(os.path.join(stage, "hashes"))
+    src = os.path.join(idx, "hashes", inc._live_files(os.path.join(idx, "hashes"))[0])
+    import shutil as _sh
+
+    _sh.copy(src, os.path.join(stage, "hashes", "part-99999-feedface-c000.snappy.parquet"))
+    open(os.path.join(stage, "_COMMITTED"), "w").write("ok")
+    out = inc._publish_staged(idx)
+    assert out.get("t-append") == "published"
+
+    # fabricate a committed MAINTENANCE stage whose snapshot is stale: lost
+    stage = os.path.join(idx, inc._STAGING, "t-loser")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
+        json.dump({"hashes": ["part-gone-forever.snappy.parquet"]}, fh)
+    open(os.path.join(stage, "_COMMITTED"), "w").write("ok")
+    out = inc._publish_staged(idx)
+    assert out.get("t-loser") == "lost"
+    assert not os.path.isdir(stage)
+
+
+def test_compact_aborts_cleanly_when_live_file_vanishes(spark, tmp_path):
+    """A concurrent maintenance publish deleting a live file between
+    compact_index's listing and its scan must make THIS compaction a clean
+    race loser (stage removed, {} returned) — not an exception escaping
+    into the caller, which in the streaming loop would fail the query
+    (review, round 12)."""
+    import os
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    idx = str(tmp_path / "idx")
+    for i in range(4):
+        ingest_batch_dedup(
+            spark,
+            _docs(spark, [(i, _distinct_text(i))]),
+            idx,
+            compact_max_runs=None,
+        )
+    orig = inc._file_stats
+    zapped = {"done": False}
+
+    def stats_then_zap(live, key):
+        stats = orig(live, key)
+        if not zapped["done"] and live.endswith("bands"):
+            victim = sorted(stats)[0]
+            os.remove(os.path.join(live, victim))
+            zapped["done"] = True
+        return stats
+
+    inc._file_stats = stats_then_zap
+    try:
+        counts = inc.compact_index(spark, idx)
+    finally:
+        inc._file_stats = orig
+    assert counts == {}
+    assert zapped["done"]
+    # no stage debris, and the index still audits (minus the zapped file's
+    # rows — acceptable here: the test fabricated the delete; real races
+    # only delete files whose rows the winner already rewrote)
+    staging = os.path.join(idx, inc._STAGING)
+    leftover = [t for t in (os.listdir(staging) if os.path.isdir(staging) else [])]
+    assert leftover == [], leftover
+    kept = ingest_batch_dedup(
+        spark, _docs(spark, [(900, "wholly novel words after abort")]), idx
+    )
+    assert kept.count() == 1
+
+
+def test_rebuild_raises_when_publish_race_lost(spark, tmp_path):
+    """A rebuild whose committed stage is discarded as a publish-race loser
+    (a concurrent compaction subsumed a live file after the rebuild's
+    snapshot) must RAISE, not return success — silently throwing away a
+    multi-hour rebuild while reporting row counts strands the operator on
+    the old index (review, round 12)."""
+    import os
+
+    import pytest
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+    from datalakejson_spark.plans import killpoints
+
+    idx = str(tmp_path / "idx")
+    corpus = [(i, _distinct_text(i)) for i in range(6)]
+    ingest_batch_dedup(spark, _docs(spark, corpus), idx)
+    live_before = {
+        sub: inc._live_files(os.path.join(idx, sub))
+        for sub in ("hashes", "bands")
+    }
+
+    def concurrent_subsume() -> None:  # what a racing compaction's publish does
+        killpoints.disarm("dedup:rebuild_committed")
+        victim = live_before["hashes"][0]
+        os.remove(os.path.join(idx, "hashes", victim))
+
+    killpoints.arm("dedup:rebuild_committed", concurrent_subsume)
+    try:
+        with pytest.raises(RuntimeError, match="publish race"):
+            inc.rebuild_index(spark, _docs(spark, corpus), idx)
+    finally:
+        killpoints.disarm()
+    # the old layout (minus the simulated winner's delete) is still live;
+    # a clean re-run rebuilds successfully
+    written = inc.rebuild_index(spark, _docs(spark, corpus), idx)
+    assert written["hashes"] == 6
+    kept = ingest_batch_dedup(spark, _docs(spark, [(700, _distinct_text(3))]), idx)
+    assert kept.count() == 0  # exact dup of the rebuilt corpus
+
+
+def test_rebuild_resume_rejects_same_count_different_content(spark, tmp_path):
+    """Resume identity includes a corpus-content fingerprint: a crash-then-
+    resume over a SAME-SIZE corpus whose texts changed must reset the stage
+    (adopting the old hashes checkpoint would publish a mixed pair — hashes
+    from the old corpus, bands from the new) (review, round 12)."""
+    import os
+
+    import pytest
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+    from datalakejson_spark.plans import killpoints
+    from datalakejson_spark.plans.killpoints import InjectedKill
+
+    idx = str(tmp_path / "idx")
+    old_corpus = [(i, _distinct_text(i)) for i in range(6)]
+    new_corpus = old_corpus[:-1] + [(5, _distinct_text(500))]  # same count
+    ingest_batch_dedup(spark, _docs(spark, old_corpus), idx)
+
+    killpoints.kill_once("dedup:rebuild_subdir_done")  # after hashes done
+    with pytest.raises(InjectedKill):
+        inc.rebuild_index(spark, _docs(spark, old_corpus), idx)
+    stage = os.path.join(idx, inc._STAGING, inc._REBUILD_STAGE)
+    assert os.path.exists(os.path.join(stage, "_DONE_hashes.json"))
+
+    inc.rebuild_index(spark, _docs(spark, new_corpus), idx)
+    # the pair must agree on the NEW corpus: old doc 5's text audits novel,
+    # new doc 5's text audits as an exact dup — in BOTH indexes
+    probe = _docs(
+        spark, [(800, _distinct_text(5)), (801, _distinct_text(500))]
+    )
+    snap = {r.doc_id: (r.is_exact_dup, r.kept) for r in _audit_snapshot(spark, idx, probe)}
+    assert snap[800] == (False, True)  # replaced text: novel again
+    assert snap[801] == (True, False)  # new text: known exactly
+
+
+def test_sidecar_tmp_files_are_swept(spark, tmp_path):
+    """Crashed sidecar writers leave runner-unique .tmp files that nothing
+    would ever overwrite; the merge sweeps them once stale (review, r12)."""
+    import os
+    import time
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    idx = str(tmp_path / "idx")
+    ingest_batch_dedup(spark, _docs(spark, [(1, _distinct_text(1))]), idx)
+    live = os.path.join(idx, "hashes")
+    orphan = os.path.join(live, f"{inc._RANGES}.deadbeef.tmp")
+    open(orphan, "w").write("{")
+    old = time.time() - 2 * inc.STALE_STAGE_S
+    os.utime(orphan, (old, old))
+    fresh = os.path.join(live, f"{inc._RANGES}.cafecafe.tmp")
+    open(fresh, "w").write("{")  # a LIVE writer's tmp must survive
+    inc._merge_sidecar_cache(live, {}, [])
+    assert not os.path.exists(orphan)
+    assert os.path.exists(fresh)
