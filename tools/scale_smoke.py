@@ -38,22 +38,56 @@ def main() -> None:
     # unchanged (and per-query times remain comparable — session start is
     # excluded from timings).
     SESSION_RECYCLE = 40
-    spark = get_spark("scale-smoke")
+
+    def fresh_session():
+        # a dead JVM leaves a zombie singleton SparkContext behind;
+        # getOrCreate would hand it back — clear it first
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            try:
+                active.stop()
+            except Exception:  # noqa: BLE001 — stopping a dead JVM
+                pass
+        SparkContext._active_spark_context = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        return get_spark("scale-smoke")
+
+    def gateway_dead(exc: Exception) -> bool:
+        text = f"{type(exc).__name__}: {exc}"
+        return any(
+            m in text
+            for m in (
+                "ConnectionRefused",
+                "Connection reset",
+                "Java gateway process",
+                "Answer from Java side is empty",
+                "Py4JNetworkError",
+            )
+        )
+
+    spark = fresh_session()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for i, (name, spec) in enumerate(sorted(all_specs().items())):
         if i and i % SESSION_RECYCLE == 0:
-            try:
-                spark.stop()
-            except Exception:  # noqa: BLE001 — a dead gateway must not
-                pass  # lose the accumulated report; the rebuild below heals
-            spark = get_spark("scale-smoke")
+            spark = fresh_session()
         t0 = time.time()
         try:
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.time() - t0, 2)
+            print(f"  ok {name} {timings[name]}s", flush=True)
         except Exception as exc:  # noqa: BLE001 — report, keep smoking
             failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:120]}"
+            print(f"  FAILED {name}: {failures[name]}", flush=True)
+            if gateway_dead(exc):
+                # an executor OOM in local mode kills the WHOLE JVM — without
+                # an immediate rebuild every later query false-fails on the
+                # dead gateway and the report is useless (round 12)
+                spark = fresh_session()
     total = round(sum(timings.values()), 1)
     print(f"{len(timings)} ok / {len(failures)} failed, total {total}s")
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1])[:10]:
