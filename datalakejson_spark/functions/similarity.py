@@ -408,6 +408,31 @@ def _lsh_ann_topk(emb: DataFrame) -> DataFrame:
 LSH_SEED = 7
 
 
+def autotune_lsh(
+    n_vectors: int, target_bucket_rows: int = 2000, n_tables: int = 8
+) -> tuple[int, int]:
+    """(n_planes, n_tables) for a corpus of ``n_vectors`` (round 12).
+
+    Unlike IVF (where recall is set by nprobe/nlist and scan fraction is
+    the knob), LSH recall at FIXED planes is decade-stable — collision
+    probability depends on angles, not corpus size (measured 0.896 → 0.908
+    for (8, 8) across 10^5 → 10^6) — but candidate volume per query grows
+    linearly with n at fixed planes. The tunable cost invariant is the
+    expected bucket size n / 2^planes: planes = round(log2(n / target)),
+    clamped to [2, 24], holds candidates per query ≈ tables × target at
+    any scale. Tables is then the recall knob (1-(1-p^planes)^tables).
+    Measured (tools/ann_recall_curve_r12.jsonl, phase lsh_autotuned):
+    10^5 → (6, 8) recall 0.960, 670k candidate pairs; 10^6 → (9, 8) recall
+    0.864, 1.09M pairs — the pair count stays the same order across the
+    decade (uneven clustered buckets keep it from exactly flat) while the
+    fixed-planes pair count would have grown 10×. Floors pinned in
+    tests/test_tierc.py::test_ann_recall_floor_at_1e5."""
+    import math
+
+    planes = round(math.log2(max(2.0, n_vectors / target_bucket_rows)))
+    return max(2, min(24, planes)), n_tables
+
+
 def lsh_planes(
     dim: int, n_planes: int, n_tables: int, seed: int = LSH_SEED
 ) -> np.ndarray:

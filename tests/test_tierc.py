@@ -348,3 +348,13 @@ def test_ann_recall_floor_at_1e5(spark):
     lsh = topk_sets(lsh_ann_topk_np(emb, queries, n_planes=8, n_tables=8))
     lsh_recall = recall_at_k(lsh, exact)
     assert lsh_recall >= 0.75, f"LSH(8,8) recall regressed: {lsh_recall}"
+
+    from datalakejson_spark.functions.similarity import autotune_lsh
+
+    a_planes, a_tables = autotune_lsh(n)
+    assert (a_planes, a_tables) == (6, 8)
+    auto = topk_sets(
+        lsh_ann_topk_np(emb, queries, n_planes=a_planes, n_tables=a_tables)
+    )
+    auto_recall = recall_at_k(auto, exact)  # measured 0.96 at this decade
+    assert auto_recall >= 0.8, f"autotuned LSH recall regressed: {auto_recall}"

@@ -150,6 +150,38 @@ def main() -> None:
                 + "\n"
             )
 
+            # ---- autotuned LSH point (round 12, autotune_lsh) ----
+            from datalakejson_spark.functions.similarity import autotune_lsh
+
+            a_planes, a_tables = autotune_lsh(n)
+            t0 = time.time()
+            ann = topk_sets(
+                lsh_ann_topk_np(
+                    emb, queries, k=K, n_planes=a_planes, n_tables=a_tables
+                )
+            )
+            a_sec = round(time.time() - t0, 2)
+            a_cand = lsh_ann_candidates(
+                emb, queries, n_planes=a_planes, n_tables=a_tables
+            ).count()
+            fh.write(
+                json.dumps(
+                    {
+                        "phase": "lsh_autotuned",
+                        "n": n,
+                        "n_planes": a_planes,
+                        "n_tables": a_tables,
+                        "sec": a_sec,
+                        "recall_at_5": round(recall_at_k(ann, exact), 4),
+                        "candidate_pairs": a_cand,
+                        "scan_fraction": round(a_cand / (n * N_QUERIES), 5),
+                    }
+                )
+                + "\n"
+            )
+            if "--lsh-auto-only" in sys.argv:
+                continue
+
             # ---- IVF sweep: build once per nlist, probe at each nprobe ----
             auto_nlist, auto_nprobe = ivf_mod.autotune_ivf(n)
             for nlist in sorted({64, 256, auto_nlist}):
