@@ -94,13 +94,25 @@ def test_minhash_shingle_pipeline_not_duplicated_at_scan(spark):
             assert "concat_ws" not in line, line
 
 
+#: registered queries whose PLAN may contain ArrowEvalPython — the round-12
+#: vectorized ANN scale paths, where the einsum cosine pandas UDF IS the
+#: design. (MapInPandas has always been sanctioned for the Arrow-batched
+#: per-partition operators — l8/l9 shard packing, multimodal extraction —
+#: and is not what this guard polices.) Row-at-a-time BatchEvalPython is
+#: banned EVERYWHERE, allowlist included.
+_ARROW_PYTHON_OK = {"l3d_exact_topk_vectorized", "l3e_ann_ivf_persisted"}
+
+
 def test_no_python_eval_in_registered_queries(spark):
     """Every registered operator stays JVM-side (UDFs live only in the
-    explicitly-Python §2.11 surface, not in the oracle-checked library)."""
+    explicitly-Python §2.11 surface, not in the oracle-checked library) —
+    except the explicitly-allowlisted Arrow/BLAS ANN queries, which must
+    still never fall back to row-at-a-time Python."""
     for name, spec in all_specs().items():
         plan = spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
-        assert "ArrowEvalPython" not in plan, name
+        if name not in _ARROW_PYTHON_OK:
+            assert "ArrowEvalPython" not in plan, name
 
 
 def test_partition_pruning_on_curated_lake(spark, tmp_path):
