@@ -415,6 +415,12 @@ def ivf_index_append(spark: SparkSession, new_emb: DataFrame, index_dir: str) ->
     )
     meta["n_vectors"] = meta["n_vectors"] + n_new
     _write_ivf_meta(index_dir, meta)
+    # Known maintenance gap (STATUS.md round-13 candidates): each append
+    # job adds one file per touched cell, so a long append cadence
+    # accumulates small files per cell — the dedup index's disease; the
+    # cure is the same tiered fold, or simply rebuilding (build_ivf_index
+    # is a full compaction by construction). Probes stay CORRECT either
+    # way; only per-file open overhead grows.
     return n_new
 
 
