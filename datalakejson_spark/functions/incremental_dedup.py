@@ -25,6 +25,7 @@ over document *content* instead of file paths.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 import shutil
@@ -37,6 +38,8 @@ from datalakejson_spark.functions.dedup import band_table, minhash_signatures
 from datalakejson_spark.plans.killpoints import fire
 from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table
+
+_LOG = logging.getLogger(__name__)
 
 BAND_KEY = ["band", "band_hash"]
 _STAGING = "_staging"
@@ -261,6 +264,34 @@ def _publish_staged(
     return outcomes
 
 
+def _write_lost_tombstone(
+    index_dir: str, token: str, missing: list[str]
+) -> None:
+    """Record that a committed maintenance stage was discarded as a
+    publish-race loser — ``_staging/_LOST_<token>.json`` with a timestamp
+    and the vanished snapshot files. Advisory observability only (the live
+    index is the winner's complete layout); best-effort by design."""
+    import json
+    import time
+
+    try:
+        path = os.path.join(index_dir, _STAGING, f"_LOST_{token}.json")
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "stage": token,
+                    "discarded_at": time.time(),
+                    "missing_subsumed": missing[:32],
+                    "missing_count": len(missing),
+                },
+                fh,
+            )
+        os.replace(tmp, path)
+    except OSError:  # pragma: no cover - advisory
+        pass
+
+
 def _publish_one_stage(index_dir: str, stage: str, stale_stage_s: float) -> str:
     """Roll one stage forward; returns "published", "lost" (discarded as a
     publish-race loser), or "pending" (uncommitted, left alone/swept)."""
@@ -300,12 +331,29 @@ def _publish_one_stage(index_dir: str, stage: str, stale_stage_s: float) -> str:
         # stage's own completed deletes, not a lost race).
         publishing = os.path.join(stage, "_PUBLISHING")
         if subsumed and not os.path.exists(publishing):
-            lost = any(
-                not os.path.exists(os.path.join(index_dir, sub, name))
+            missing = [
+                f"{sub}/{name}"
                 for sub, names in subsumed.items()
                 for name in names
-            )
-            if lost:
+                if not os.path.exists(os.path.join(index_dir, sub, name))
+            ]
+            if missing:
+                # Discarding must never be SILENT (ADVICE r12): the
+                # in-process rebuild_index verifies its own outcome, but a
+                # rebuild that CRASHED after _COMMITTED and is discarded
+                # here by a LATER entry point would otherwise throw away
+                # hours of work with no operator signal. Warn always and
+                # leave a tombstone for a rebuild stage (a plain file in
+                # the staging root — the publish loop only walks dirs).
+                token = os.path.basename(stage)
+                _LOG.warning(
+                    "discarding committed maintenance stage %s under %s as a "
+                    "publish-race loser (%d subsumed-snapshot files already "
+                    "gone, e.g. %s) — the concurrent winner's layout is live",
+                    token, index_dir, len(missing), missing[0],
+                )
+                if token == _REBUILD_STAGE:
+                    _write_lost_tombstone(index_dir, token, missing)
                 shutil.rmtree(stage, ignore_errors=True)
                 return "lost"
             with open(publishing, "w") as fh:
@@ -333,11 +381,7 @@ def _publish_one_stage(index_dir: str, stage: str, stale_stage_s: float) -> str:
                             rng, rows = _footer_stats(
                                 os.path.join(src_dir, name), _PRUNE_KEY[sub]
                             )
-                            adds[name] = (
-                                [rng[0], rng[1], rows]
-                                if rng
-                                else {"rows": rows}
-                            )
+                            adds[name] = _encode_sidecar_entry(rng, rows)
                         except Exception:  # noqa: BLE001
                             pass
                         try:
@@ -464,24 +508,41 @@ def _live_files(live_dir: str) -> list[str]:
     return sorted(n for n in os.listdir(live_dir) if n.endswith(".parquet"))
 
 
+class _Undecodable:
+    """Sentinel range: the footer HAS min/max stats but they don't decode
+    losslessly as UTF-8 (a lossy decode substitutes U+FFFD, which can reorder
+    the decoded bound relative to true byte order — pruning on it would be
+    unsound for a generic binary key). Distinct from ``None`` (stats MISSING,
+    fixable by a rewrite): rewriting a truly binary-keyed file reproduces
+    undecodable stats, so classifying it stats-dirty would put it in a
+    permanent rewrite-every-compaction loop (ADVICE r12). An UNDECODABLE
+    file is never pruned (always scanned) and never repaired for its stats.
+    Unreachable for today's md5-hex probe keys; the helpers are generic."""
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return "UNDECODABLE"
+
+
+UNDECODABLE = _Undecodable()
+
+
 def _footer_stats(
     path: str, column: str
-) -> tuple[tuple[str, str] | None, int]:
-    """(min/max range or None, num_rows) from one parquet FOOTER —
-    driver-side, no Spark job. Truncated stats stay conservative (a
-    truncated min is a prefix <= true min; a truncated max has its last
-    byte incremented >= true max). Range is None when stats are absent —
-    or when a byte stat doesn't decode LOSSLESSLY as UTF-8: a lossy
-    decode substitutes U+FFFD, which can reorder the decoded bound
-    relative to true byte order and make a pruning skip unsound for a
-    generic binary key (ADVICE r11; unreachable for today's md5-hex
-    probe keys, but the helper is generic)."""
+) -> tuple[tuple[str, str] | _Undecodable | None, int]:
+    """(min/max range | UNDECODABLE | None, num_rows) from one parquet
+    FOOTER — driver-side, no Spark job. Truncated stats stay conservative
+    (a truncated min is a prefix <= true min; a truncated max has its last
+    byte incremented >= true max). Range is None when stats are absent from
+    any row group (a rewrite fixes that), and UNDECODABLE when stats exist
+    but at least one byte stat doesn't decode losslessly as UTF-8 (see
+    :class:`_Undecodable` — permanent; don't repair, just never prune)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     mins: list[str] = []
     maxs: list[str] = []
-    absent = False
+    missing = False
+    undecodable = False
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
@@ -489,7 +550,7 @@ def _footer_stats(
                 continue
             st = col.statistics
             if st is None or not st.has_min_max:
-                absent = True
+                missing = True
                 continue
             lo, hi = st.min, st.max
             try:
@@ -498,11 +559,16 @@ def _footer_stats(
                 if isinstance(hi, bytes):
                     hi = hi.decode("utf-8", "strict")
             except UnicodeDecodeError:
-                absent = True  # conservatively: always scan this file
+                undecodable = True  # conservatively: always scan this file
                 continue
             mins.append(str(lo))
             maxs.append(str(hi))
-    rng = (min(mins), max(maxs)) if mins and not absent else None
+    if undecodable:
+        rng: tuple[str, str] | _Undecodable | None = UNDECODABLE
+    elif mins and not missing:
+        rng = (min(mins), max(maxs))
+    else:
+        rng = None
     return rng, md.num_rows
 
 
@@ -517,10 +583,12 @@ def _file_stats(
     sidecar is a pure CACHE — never authoritative — so no crash window can
     make pruning or compaction policy unsound, only slower/conservative.
     Entry formats: ``[lo, hi, rows]``; ``{"rows": n}`` for a file whose
-    footer has no usable key stats (always scanned, rows still known); a
-    footer READ ERROR maps to ``(None, None)`` and is NOT cached
-    (transient). Legacy 2-element ``[lo, hi]`` entries (pre-rows cache)
-    are treated as unknown and re-read once."""
+    footer is MISSING key stats (always scanned, rows still known);
+    ``{"rows": n, "undecodable": true}`` for stats that exist but don't
+    decode losslessly (see :class:`_Undecodable` — always scanned, never
+    stats-repaired); a footer READ ERROR maps to ``(None, None)`` and is
+    NOT cached (transient). Legacy 2-element ``[lo, hi]`` entries
+    (pre-rows cache) are treated as unknown and re-read once."""
     import json
 
     cache: dict = {}
@@ -533,7 +601,7 @@ def _file_stats(
     except (OSError, ValueError):
         pass
     files = _live_files(live_dir)
-    out: dict[str, tuple[tuple[str, str] | None, int | None]] = {}
+    out: dict[str, tuple[tuple[str, str] | _Undecodable | None, int | None]] = {}
     transient: set[str] = set()
     for f in files:
         v = cache.get(f)
@@ -541,7 +609,10 @@ def _file_stats(
             out[f] = ((str(v[0]), str(v[1])), int(v[2]))
             continue
         if isinstance(v, dict) and "rows" in v:
-            out[f] = (None, int(v["rows"]))
+            out[f] = (
+                UNDECODABLE if v.get("undecodable") else None,
+                int(v["rows"]),
+            )
             continue
         try:
             out[f] = _footer_stats(os.path.join(live_dir, f), column)
@@ -554,7 +625,7 @@ def _file_stats(
     # stats-LESS footer is permanent and is cached, with its row count).
     # Rewrite only on real change so steady-state probes don't touch it.
     persist = {
-        f: ([rng[0], rng[1], rows] if rng else {"rows": rows})
+        f: _encode_sidecar_entry(rng, rows)
         for f, (rng, rows) in out.items()
         if f not in transient
     }
@@ -574,9 +645,26 @@ def _file_stats(
     return out
 
 
+def _encode_sidecar_entry(
+    rng: tuple[str, str] | _Undecodable | None, rows: int | None
+):
+    """JSON form of one stats-sidecar entry (see _file_stats formats)."""
+    if isinstance(rng, tuple):
+        return [rng[0], rng[1], rows]
+    if rng is UNDECODABLE:
+        return {"rows": rows, "undecodable": True}
+    return {"rows": rows}
+
+
 def _file_ranges(live_dir: str, column: str) -> dict[str, tuple[str, str] | None]:
-    """Per-live-file key ranges (see _file_stats for cache semantics)."""
-    return {f: rng for f, (rng, _rows) in _file_stats(live_dir, column).items()}
+    """Per-live-file key ranges for PRUNING (see _file_stats for cache
+    semantics). The pruning view collapses UNDECODABLE to None — both mean
+    "always scan this file"; only the repair/layout policy in compact_index
+    distinguishes them (None is fixable by rewrite, UNDECODABLE is not)."""
+    return {
+        f: (rng if isinstance(rng, tuple) else None)
+        for f, (rng, _rows) in _file_stats(live_dir, column).items()
+    }
 
 
 def _ranges_disjoint(ranges: dict[str, tuple[str, str] | None]) -> bool:
@@ -588,7 +676,7 @@ def _ranges_disjoint(ranges: dict[str, tuple[str, str] | None]) -> bool:
     are NOT a sorted run (ADVICE r11; probe pruning is per-file and stays
     sound either way, but the dirty-run check should not let a mildly
     overlapping run pass as clean)."""
-    spans = sorted(r for r in ranges.values() if r is not None)
+    spans = sorted(r for r in ranges.values() if isinstance(r, tuple))
     if len(spans) != len(ranges):
         return False
     return all(hi1 < lo2 for (_, hi1), (lo2, _) in zip(spans, spans[1:]))
@@ -617,6 +705,17 @@ def _prune_files(
 
 #: the probe key column each index subdir is range-compacted and pruned on
 _PRUNE_KEY = {"hashes": "text_hash", "bands": "band_hash"}
+
+#: consecutive race-aborted compactions per index_dir (this runner's view).
+#: A LOST maintenance race is normal and self-healing — the winner's layout
+#: is complete and the next trigger re-plans — but _is_missing_file_error
+#: matches on substrings (incl. the broad "does not exist"), so a PERSISTENT
+#: non-race failure (manually deleted file, bad mount, an unrelated error
+#: whose text matches) could masquerade as an endless lost race: every
+#: compaction a silent no-op, runs growing unboundedly, nothing surfacing
+#: (ADVICE r12). Each abort logs a warning; crossing the cap raises.
+_COMPACT_ABORTS: dict[str, int] = {}
+MAX_COMPACT_ABORTS = 5
 
 # -- segmented (per-range) base maintenance (round 12) ----------------------
 # The r11 tiered merge made the append tail O(appends), but a dirty BASE run
@@ -656,8 +755,12 @@ def _classify_base(
     repair). ``ok=False`` when a TRANSIENT footer failure (rows unknown)
     makes per-file layout reasoning unsafe — the caller must then treat the
     base as one opaque clean run (never rewrite on a flaky read — the
-    O(corpus) spiral the tiered design exists to avoid)."""
-    if any(rows[f] is None for f in run):
+    O(corpus) spiral the tiered design exists to avoid). An UNDECODABLE
+    range (stats present but not losslessly UTF-8 — permanent for a binary
+    key; a rewrite reproduces it) also returns ok=False: the file must NOT
+    be repaired (ADVICE r12's rewrite-every-compaction loop), and with its
+    true range unknowable the kept-set overlap reasoning is unsafe too."""
+    if any(rows[f] is None or ranges[f] is UNDECODABLE for f in run):
         return list(run), [], False
     repair = {
         f
@@ -733,7 +836,12 @@ def _resolve_ranges(
     is O(repair bytes), never a hot-path scan). Mutates the caller's local
     ``ranges`` copy only (the sidecar cache is untouched: a footer with no
     stats stays cached as rows-only). Returns False when any range stays
-    unknown — the caller falls back to the wholesale path."""
+    unknown — the caller falls back to the wholesale path. An UNDECODABLE
+    range is never resolved here (a Spark string min/max over a
+    lossily-decoded binary key would reproduce the unsound bound the
+    sentinel exists to reject) — it forces the wholesale fallback too."""
+    if any(ranges[f] is UNDECODABLE for f in files):
+        return False
     unknown = [f for f in files if ranges[f] is None]
     if not unknown:
         return True
@@ -956,7 +1064,10 @@ def compact_index(
                 statless = any(
                     ranges[n] is None and rows[n] is not None for n in run
                 )
-                known = {n: ranges[n] for n in run if ranges[n] is not None}
+                # UNDECODABLE ranges are excluded like missing ones: they
+                # can't witness a sort violation, and feeding the sentinel
+                # to _ranges_disjoint would flag the run dirty forever
+                known = {n: ranges[n] for n in run if isinstance(ranges[n], tuple)}
                 unsorted = len(run) > 1 and len(known) > 1 and not _ranges_disjoint(known)
                 if oversized or fragmented or statless or unsorted:
                     dirty.extend(run)
@@ -1072,9 +1183,32 @@ def compact_index(
         # race. Losing is wasted work, never corruption — the winner's
         # layout is complete, and the next trigger re-plans from a
         # fresh listing. Abort cleanly instead of failing the caller
-        # (the inline trigger runs inside streaming foreachBatch).
+        # (the inline trigger runs inside streaming foreachBatch) — but
+        # never SILENTLY: a persistent non-race failure whose message
+        # happens to match the missing-file markers must not be able to
+        # masquerade as an endless lost race (ADVICE r12), so each abort
+        # warns with its consecutive count and crossing MAX_COMPACT_ABORTS
+        # in a row (per runner, per index_dir; any successful compaction
+        # resets it) escalates to an error the operator sees.
         shutil.rmtree(stage, ignore_errors=True)
+        n_aborts = _COMPACT_ABORTS.get(index_dir, 0) + 1
+        _COMPACT_ABORTS[index_dir] = n_aborts
+        _LOG.warning(
+            "compact_index(%s) aborted as a maintenance-race loser "
+            "(%d consecutive; raises at %d): %s",
+            index_dir, n_aborts, MAX_COMPACT_ABORTS, exc,
+        )
+        if n_aborts >= MAX_COMPACT_ABORTS:
+            raise RuntimeError(
+                f"compact_index({index_dir}) aborted {n_aborts} consecutive "
+                "times on missing-file errors — a genuinely lost concurrent "
+                "race is transient, so this is likely a PERSISTENT failure "
+                "(externally deleted file, bad mount, or an unrelated error "
+                "whose text matches the race markers) masquerading as one. "
+                f"Last error: {exc}"
+            ) from exc
         return {}
+    _COMPACT_ABORTS.pop(index_dir, None)  # planned cleanly: not a wedge
     if not subsumed:
         shutil.rmtree(stage, ignore_errors=True)
         return counts

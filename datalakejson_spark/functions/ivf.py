@@ -158,6 +158,16 @@ def assign_cells_np(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
 _VECTORIZE_CELLS_ABOVE = 32
 
 
+def default_nprobe(n_cells: int) -> int:
+    """The ONE spelling of the nprobe default: probe ~1/16 of cells,
+    floored at 4 — nprobe must scale WITH nlist (at nlist=1024, recall@5
+    falls 1.0 → 0.984 → 0.596 across nprobe 64 → 4 → 1; SCALE.md,
+    tools/ann_recall_curve_r12.jsonl). Both autotune_ivf and the
+    persisted-index probe derive from here so they can never drift apart
+    (ADVICE r12 — the two-spellings-of-one-default trap)."""
+    return max(4, n_cells // 16)
+
+
 def autotune_ivf(n_vectors: int) -> tuple[int, int]:
     """(n_cells, nprobe) for a corpus of ``n_vectors`` (round 12).
 
@@ -172,7 +182,7 @@ def autotune_ivf(n_vectors: int) -> tuple[int, int]:
     scales WITH nlist here instead of being a constant. The floor is
     regression-pinned in tests/test_tierc.py::test_ann_recall_floor_at_1e5."""
     nlist = 1 << max(4, min(16, round(math.log2(max(1.0, math.sqrt(n_vectors))))))
-    return nlist, max(4, nlist // 16)
+    return nlist, default_nprobe(nlist)
 
 
 def ivf_topk(
@@ -441,7 +451,7 @@ def ivf_index_topk(
 
     meta = load_ivf_meta(index_dir)
     if nprobe is None:
-        nprobe = max(4, meta["n_cells"] // 16)
+        nprobe = default_nprobe(meta["n_cells"])
     probes = probe_cells(queries, meta["centroids"], nprobe).localCheckpoint(
         eager=True  # computed once: feeds the cell collect AND the join
     )
@@ -480,14 +490,26 @@ def ivf_index_topk(
 def l3e_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a persisted cell-partitioned IVF index in a scratch dir, probe
     it with partition pruning, and verify recall against the exact baseline
-    — the end-to-end serving shape (build once / probe many) of L3."""
+    — the end-to-end serving shape (build once / probe many) of L3.
+
+    The scratch index is removed before returning (ADVICE r12: mkdtemp
+    with no cleanup leaked one index copy per sweep/bench/plan-walk
+    invocation): the probe result is eagerly materialized with
+    localCheckpoint — bounded at queries x k rows — so the returned plan
+    no longer reads the deleted directory."""
+    import shutil
     import tempfile
 
     from datalakejson_spark.functions.similarity import ann_recall_check
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    idx = tempfile.mkdtemp(prefix="l3e_ivf_")  # scratch; OS-reclaimed
-    build_ivf_index(emb, idx, n_cells=N_CELLS)
-    ann = ivf_index_topk(spark, queries, idx, nprobe=N_PROBE)
+    idx = tempfile.mkdtemp(prefix="l3e_ivf_")
+    try:
+        build_ivf_index(emb, idx, n_cells=N_CELLS)
+        ann = ivf_index_topk(spark, queries, idx, nprobe=N_PROBE).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
     return ann_recall_check(ann, emb, queries)

@@ -1051,15 +1051,22 @@ def test_all_empty_tiered_merge_publishes(spark, tmp_path):
     assert kept.count() == 1
 
 
-def test_footer_stats_lossy_binary_returns_no_range(tmp_path):
+def test_footer_stats_lossy_binary_returns_undecodable(tmp_path):
     """A parquet byte stat that does not decode losslessly as UTF-8 must
-    yield rng=None (always-scan) rather than a U+FFFD-substituted bound
-    that can reorder against true byte order (ADVICE r11-low). Unreachable
-    for today's md5-hex keys; pinned because the helper is generic."""
+    yield the UNDECODABLE sentinel (always-scan, but NOT stats-missing)
+    rather than a U+FFFD-substituted bound that can reorder against true
+    byte order (ADVICE r11-low). It must be distinct from None — None means
+    "fixable by rewrite", but rewriting a truly binary-keyed file
+    reproduces undecodable stats, a permanent rewrite-every-compaction
+    loop (ADVICE r12-low). Unreachable for today's md5-hex keys; pinned
+    because the helper is generic."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from datalakejson_spark.functions.incremental_dedup import _footer_stats
+    from datalakejson_spark.functions.incremental_dedup import (
+        UNDECODABLE,
+        _footer_stats,
+    )
 
     path = str(tmp_path / "bin.parquet")
     tbl = pa.table({"text_hash": pa.array([b"\xc3(", b"\xff\xfe"], pa.binary())})
@@ -1069,7 +1076,50 @@ def test_footer_stats_lossy_binary_returns_no_range(tmp_path):
     rng, rows = _footer_stats(path, "text_hash")
     assert rows == 2
     if st is not None and st.has_min_max:
-        assert rng is None
+        assert rng is UNDECODABLE
+
+
+def test_undecodable_stats_survive_the_sidecar_and_never_dirty(tmp_path):
+    """The UNDECODABLE classification round-trips through the _RANGES.json
+    sidecar cache, prunes as always-scan, and does NOT mark the file
+    stats-dirty in _classify_base (ok=False: opaque clean base, no rewrite
+    loop)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    live = tmp_path / "hashes"
+    live.mkdir()
+    name = "part-00000-11111111-1111-1111-1111-111111111111-c000.parquet"
+    tbl = pa.table({"text_hash": pa.array([b"\xc3(", b"\xff\xfe"], pa.binary())})
+    pq.write_table(tbl, str(live / name))
+    st = pq.ParquetFile(str(live / name)).metadata.row_group(0).column(0).statistics
+    if st is None or not st.has_min_max:
+        import pytest
+
+        pytest.skip("writer recorded no byte stats for this column")
+
+    # first read: footer → sentinel; second read: cache → same sentinel
+    first = inc._file_stats(str(live), "text_hash")[name]
+    assert first[0] is inc.UNDECODABLE and first[1] == 2
+    import json
+
+    cached = json.load(open(live / inc._RANGES))[name]
+    assert cached == {"rows": 2, "undecodable": True}
+    second = inc._file_stats(str(live), "text_hash")[name]
+    assert second[0] is inc.UNDECODABLE
+
+    # pruning view: unusable range → always scanned (kept)
+    keep, total = inc._prune_files(str(live), "text_hash", ["zzzz"])
+    assert keep == [name] and total == 1
+
+    # layout view: NOT repair material — classify refuses per-file reasoning
+    stats = inc._file_stats(str(live), "text_hash")
+    ranges = {f: rng for f, (rng, _r) in stats.items()}
+    rows = {f: r for f, (_rng, r) in stats.items()}
+    kept, repair, ok = inc._classify_base([name], ranges, rows, 1_000_000)
+    assert ok is False and kept == [name] and repair == []
 
 
 def test_ranges_disjoint_strict_at_boundary():
@@ -1563,3 +1613,88 @@ def test_sidecar_tmp_files_are_swept(spark, tmp_path):
     inc._merge_sidecar_cache(live, {}, [])
     assert not os.path.exists(orphan)
     assert os.path.exists(fresh)
+
+
+def test_compact_abort_streak_escalates(spark, tmp_path, monkeypatch, caplog):
+    """A swallowed missing-file abort must never be SILENT: each one warns
+    with its consecutive count, and MAX_COMPACT_ABORTS in a row raises —
+    a persistent non-race failure (deleted file, bad mount, unrelated
+    error whose text matches the race markers) cannot masquerade as an
+    endless lost race (ADVICE r12-medium). A successful compaction resets
+    the streak."""
+    import logging
+    import os
+
+    import pytest
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    idx = str(tmp_path / "idx")
+    for i in range(3):
+        ingest_batch_dedup(
+            spark,
+            _docs(spark, [(i, _distinct_text(i))]),
+            idx,
+            compact_max_runs=None,
+        )
+
+    def always_vanished(live, key):
+        raise RuntimeError("java.io.FileNotFoundException: fabricated")
+
+    monkeypatch.setattr(inc, "_file_stats", always_vanished)
+    with caplog.at_level(logging.WARNING):
+        for n in range(1, inc.MAX_COMPACT_ABORTS):
+            assert inc.compact_index(spark, idx) == {}
+        assert any(
+            "aborted as a maintenance-race loser" in r.message
+            for r in caplog.records
+        )
+        with pytest.raises(RuntimeError, match="consecutive"):
+            inc.compact_index(spark, idx)
+    monkeypatch.undo()
+    # a real (successful) compaction resets the streak
+    assert inc.compact_index(spark, idx)
+    assert inc._COMPACT_ABORTS.get(idx, 0) == 0
+    # index still audits fine afterwards
+    kept = ingest_batch_dedup(
+        spark, _docs(spark, [(700, "novel words after the streak reset")]), idx
+    )
+    assert kept.count() == 1
+
+
+def test_lost_rebuild_stage_leaves_tombstone(spark, tmp_path):
+    """A committed REBUILD stage discarded by a later entry point as a
+    publish-race loser must leave an operator-visible record: the
+    _staging/_LOST_rebuild.json tombstone plus a warning (ADVICE r12-low —
+    the in-process verification in rebuild_index only protects the run
+    that didn't crash)."""
+    import json
+    import os
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    idx = str(tmp_path / "idx")
+    ingest_batch_dedup(spark, _docs(spark, [(1, _distinct_text(1))]), idx)
+
+    # fabricate a crashed-but-committed rebuild stage whose _SUBSUMED
+    # snapshot no longer matches the live files (the winner compacted)
+    stage = os.path.join(idx, inc._STAGING, inc._REBUILD_STAGE)
+    os.makedirs(stage)
+    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
+        json.dump({"hashes": ["part-gone-forever.snappy.parquet"]}, fh)
+    open(os.path.join(stage, "_COMMITTED"), "w").write("ok")
+
+    out = inc._publish_staged(idx)
+    assert out.get(inc._REBUILD_STAGE) == "lost"
+    tomb = os.path.join(idx, inc._STAGING, f"_LOST_{inc._REBUILD_STAGE}.json")
+    assert os.path.exists(tomb)
+    rec = json.load(open(tomb))
+    assert rec["missing_count"] == 1
+    assert rec["missing_subsumed"] == ["hashes/part-gone-forever.snappy.parquet"]
+    # the tombstone (a plain file) must not confuse later publish passes
+    assert inc._publish_staged(idx) == {}
+    # and a fresh ingest over the same index still works
+    kept = ingest_batch_dedup(
+        spark, _docs(spark, [(2, _distinct_text(2))]), idx
+    )
+    assert kept.count() == 1
