@@ -354,6 +354,8 @@ def build_ivf_index(
     index_dir: str,
     n_cells: int | None = None,
     seed: int = 42,
+    measure_recall: bool = False,
+    recall_queries: int = 32,
 ) -> dict:
     """Train the quantizer, assign every vector, and persist the inverted
     file under ``index_dir`` as parquet PARTITIONED BY cell (one file per
@@ -362,8 +364,21 @@ def build_ivf_index(
     small files). ``n_cells=None`` autotunes nlist from the corpus count.
     The centroid matrix + layout knobs persist in ``_IVF.json`` (atomic
     write), so probes and appends across sessions share one quantizer.
-    Returns the meta dict."""
+    Returns the meta dict.
+
+    ``measure_recall=True`` additionally records ``baseline_recall`` in the
+    meta: recall@k of the fresh index on a deterministic probe set against
+    the exact top-k (:func:`ivf_recall_probe`) — the reference point the
+    drift-retrain trigger (:func:`ivf_needs_retrain`) compares against.
+    One extra exact pass over the corpus (Arrow/BLAS, no shuffle); skip it
+    for throwaway indexes.
+
+    A (re)build is a new index identity: any staged deltas or applied-batch
+    markers left from the previous life are cleared — publishing an old
+    stage into freshly-built cells would resurrect rows the rebuild
+    deliberately replaced."""
     import os
+    import shutil
 
     n = emb.count()
     if n_cells is None:
@@ -391,26 +406,72 @@ def build_ivf_index(
         "embedding_type": emb.schema["embedding"].dataType.simpleString(),
         "centroids": centroids,
     }
+    # new index identity: stale stages/applied markers from a previous life
+    # must never publish into (or suppress appends to) the rebuilt cells
+    for sub in (_IVF_STAGING, _IVF_APPLIED):
+        shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     _write_ivf_meta(index_dir, meta)
+    if measure_recall:
+        meta["baseline_recall"] = ivf_recall_probe(
+            emb.sparkSession, index_dir, n_queries=recall_queries
+        )
+        meta["recall_queries"] = recall_queries
+        _write_ivf_meta(index_dir, meta)
     return meta
 
 
-def ivf_index_append(spark: SparkSession, new_emb: DataFrame, index_dir: str) -> int:
+def ivf_index_append(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    index_dir: str,
+    batch_id: str | None = None,
+) -> int:
     """Assign a delta against the EXISTING quantizer and append it into the
     cell partitions — the classic IVF posture (cells stay fixed between
-    retrains; drifting data degrades recall gradually, measured by the same
-    recall checks, and a rebuild is just build_ivf_index again). The parquet
-    append rides Spark's job-commit protocol (all-or-nothing per job); the
-    meta row count is advisory observability, refreshed after the append.
-    Returns rows appended."""
+    retrains; drift is measured by :func:`ivf_needs_retrain`, and a retrain
+    is just build_ivf_index again). Returns rows appended (0 for an
+    already-applied replay).
+
+    The append is STAGED (round 13): assigned rows land under
+    ``_staging/<token>/cells/`` with a ``_COMMITTED`` marker, then publish
+    by idempotent per-cell file moves (:func:`_publish_ivf_staged`) — the
+    same crash contract as the dedup index's appends, so a kill at any
+    point replays to exactly the committed state. ``batch_id`` (streaming
+    foreachBatch) makes the append EXACTLY-ONCE across replays: the stage
+    token is deterministic (``batch-<id>``), publish records an
+    applied-batch marker after all moves complete, and a replay that finds
+    the marker skips — without it a replayed micro-batch would duplicate
+    its vectors in the cells and every later top-k would emit duplicate
+    neighbor rows. The meta row count stays advisory observability
+    (refreshed after publish; a crash between publish and refresh leaves
+    it stale-low, never wrong-results).
+
+    Small-file accumulation per cell (one file per touched cell per
+    append) is the known cadence disease — cured in the loop by
+    :func:`ivf_needs_compaction` + :func:`compact_ivf_cells`, mirroring
+    the dedup index's tiered fold."""
+    import json
     import os
+    import shutil
+    import uuid as _uuid
+
+    from datalakejson_spark.plans.killpoints import fire
 
     meta = load_ivf_meta(index_dir)
+    _publish_ivf_staged(index_dir)  # roll forward a crashed predecessor
+    if batch_id is not None and ivf_batch_applied(index_dir, batch_id):
+        return 0
     if "embedding_type" in meta:
         new_emb = new_emb.withColumn(
             "embedding", F.col("embedding").cast(meta["embedding_type"])
         )
     n_new = new_emb.count()
+    token = f"batch-{batch_id}" if batch_id is not None else _uuid.uuid4().hex
+    stage = os.path.join(index_dir, _IVF_STAGING, token)
+    if os.path.isdir(stage):
+        # a replay of an UNCOMMITTED attempt (committed ones were rolled
+        # forward above): clear the half-written stage and re-stage clean
+        shutil.rmtree(stage, ignore_errors=True)
     assigner = (
         assign_cells_np
         if meta["n_cells"] > _VECTORIZE_CELLS_ABOVE
@@ -420,17 +481,19 @@ def ivf_index_append(spark: SparkSession, new_emb: DataFrame, index_dir: str) ->
         assigner(new_emb, meta["centroids"])
         .repartition("cell")
         .write.partitionBy("cell")
-        .mode("append")
-        .parquet(os.path.join(index_dir, "cells"))
+        .mode("overwrite")
+        .parquet(os.path.join(stage, _IVF_CELLS))
     )
+    if batch_id is not None:
+        with open(os.path.join(stage, "_BATCH.json"), "w") as fh:
+            json.dump({"batch_id": str(batch_id)}, fh)
+    fire("ivf:append_staged")  # no marker yet: crash = no append happened
+    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
+        fh.write("ok")
+    fire("ivf:append_committed")  # committed, not yet published
+    _publish_ivf_staged(index_dir)
     meta["n_vectors"] = meta["n_vectors"] + n_new
     _write_ivf_meta(index_dir, meta)
-    # Known maintenance gap (STATUS.md round-13 candidates): each append
-    # job adds one file per touched cell, so a long append cadence
-    # accumulates small files per cell — the dedup index's disease; the
-    # cure is the same tiered fold, or simply rebuilding (build_ivf_index
-    # is a full compaction by construction). Probes stay CORRECT either
-    # way; only per-file open overhead grows.
     return n_new
 
 
@@ -450,6 +513,7 @@ def ivf_index_topk(
     import os
 
     meta = load_ivf_meta(index_dir)
+    _publish_ivf_staged(index_dir)  # committed deltas become visible first
     if nprobe is None:
         nprobe = default_nprobe(meta["n_cells"])
     probes = probe_cells(queries, meta["centroids"], nprobe).localCheckpoint(
@@ -513,3 +577,397 @@ def l3e_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(idx, ignore_errors=True)
     return ann_recall_check(ann, emb, queries)
+
+
+# --------------------------------------------------------------------------
+# Persisted-index MAINTENANCE plane (round 13). Round 12 shipped the index
+# and named its own disease (each append job adds one file per touched cell;
+# a long append cadence accumulates small files per cell, and cells stay
+# frozen between manual rebuilds while drifting data degrades recall
+# silently). The cure mirrors the dedup index's loop policy, re-expressed
+# for a partition-keyed layout:
+#
+# - Appends and compactions ride a staged publish (``_staging/<token>/``
+#   with a ``_COMMITTED`` marker, idempotent file moves, ``_SUBSUMED``
+#   snapshot manifests with publish-race loser detection) — the exact
+#   contract proven out in incremental_dedup._publish_staged, so every
+#   crash window leaves either the old layout or a harmlessly-duplicated
+#   cell (duplicate rows change nothing for a top-k probe over distinct
+#   vec_ids... they'd duplicate result rows — which is why appends are
+#   exactly-once via applied-batch markers, not at-least-once).
+# - Run counting reuses the dedup index's generation identity (the job
+#   UUID Spark embeds in part filenames): each append is one run per
+#   touched cell, a compacted cell is ONE run however many rows it holds —
+#   so the trigger measures appends-since-last-compaction, never raw file
+#   count (the r11 trap).
+# - Recall drift is MEASURED, not guessed: a deterministic probe set is
+#   re-evaluated against the exact top-k over the current corpus, and the
+#   retrain trigger compares to the build-time baseline recorded in
+#   ``_IVF.json``.
+# --------------------------------------------------------------------------
+_IVF_STAGING = "_staging"
+_IVF_APPLIED = "_applied"
+_IVF_CELLS = "cells"
+
+
+def _ivf_live_files(
+    index_dir: str, subdir: str = _IVF_CELLS
+) -> dict[str, list[str]]:
+    """``{"<col>=N": [parquet file names]}`` for every live partition of a
+    partition-keyed index (``cell=`` for IVF, ``tb=`` for the persisted LSH
+    index, which shares this whole maintenance plane) — driver-side listing
+    only, no Spark job."""
+    import os
+
+    root = os.path.join(index_dir, subdir)
+    out: dict[str, list[str]] = {}
+    if not os.path.isdir(root):
+        return out
+    for cell in sorted(os.listdir(root)):
+        if "=" not in cell:
+            continue
+        cdir = os.path.join(root, cell)
+        if os.path.isdir(cdir):
+            out[cell] = sorted(
+                n for n in os.listdir(cdir) if n.endswith(".parquet")
+            )
+    return out
+
+
+def _publish_ivf_staged(
+    index_dir: str, subdir: str = _IVF_CELLS
+) -> dict[str, str]:
+    """Roll staged IVF deltas forward into the live cell partitions —
+    the partition-keyed twin of incremental_dedup._publish_staged
+    (same outcomes: published / lost / pending / raced; same crash
+    taxonomy: unmarked stages are garbage swept after a grace period,
+    committed stages are idempotent roll-forward work, a maintenance
+    stage whose ``_SUBSUMED`` snapshot no longer matches the live files
+    lost a concurrent publish race and discards itself)."""
+    import os
+
+    from datalakejson_spark.functions.incremental_dedup import STALE_STAGE_S
+
+    staging = os.path.join(index_dir, _IVF_STAGING)
+    outcomes: dict[str, str] = {}
+    if not os.path.isdir(staging):
+        return outcomes
+    for token in sorted(os.listdir(staging)):
+        stage = os.path.join(staging, token)
+        if not os.path.isdir(stage):
+            continue
+        try:
+            outcomes[token] = _publish_one_ivf_stage(
+                index_dir, stage, STALE_STAGE_S, subdir
+            )
+        except FileNotFoundError:
+            # two runners rolling the same stage forward: the other one
+            # finished it — either terminal state is complete on its own
+            outcomes[token] = "raced"
+    return outcomes
+
+
+def _publish_one_ivf_stage(
+    index_dir: str, stage: str, stale_stage_s: float, subdir: str = _IVF_CELLS
+) -> str:
+    import json
+    import os
+    import shutil
+    import time
+
+    from datalakejson_spark.plans.killpoints import fire
+
+    if not os.path.exists(os.path.join(stage, "_COMMITTED")):
+        try:
+            age = time.time() - os.path.getmtime(stage)
+        except OSError:  # vanished: its owner just published/removed it
+            return "pending"
+        if age >= stale_stage_s:
+            shutil.rmtree(stage, ignore_errors=True)
+        return "pending"
+    subsumed: list[str] = []
+    manifest = os.path.join(stage, "_SUBSUMED.json")
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            subsumed = json.load(fh)
+    publishing = os.path.join(stage, "_PUBLISHING")
+    if subsumed and not os.path.exists(publishing):
+        # loser detection BEFORE this stage's own deletes begin; once the
+        # _PUBLISHING marker is down, a replay always rolls FORWARD
+        missing = [
+            rel
+            for rel in subsumed
+            if not os.path.exists(os.path.join(index_dir, subdir, rel))
+        ]
+        if missing:
+            shutil.rmtree(stage, ignore_errors=True)
+            return "lost"
+        with open(publishing, "w") as fh:
+            fh.write("ok")
+    fire("ivf:publish_publishing")
+    src_root = os.path.join(stage, subdir)
+    if os.path.isdir(src_root):
+        for cell in sorted(os.listdir(src_root)):
+            src_cell = os.path.join(src_root, cell)
+            if "=" not in cell or not os.path.isdir(src_cell):
+                continue
+            dst_cell = os.path.join(index_dir, subdir, cell)
+            os.makedirs(dst_cell, exist_ok=True)
+            for name in sorted(os.listdir(src_cell)):
+                if not name.endswith(".parquet"):
+                    continue
+                dst = os.path.join(dst_cell, name)
+                if not os.path.exists(dst):  # idempotent re-publish
+                    try:
+                        os.replace(os.path.join(src_cell, name), dst)
+                    except FileNotFoundError:
+                        if not os.path.exists(dst):
+                            raise
+    for rel in subsumed:
+        try:
+            os.remove(os.path.join(index_dir, subdir, rel))
+        except FileNotFoundError:  # idempotent re-delete
+            pass
+    fire("ivf:publish_moved")
+    # applied-batch marker LAST-but-one (before stage removal): a replayed
+    # streaming batch checks this to skip re-staging — the exactly-once
+    # half of the append contract. Written only after every move+delete
+    # completed, so "marker present" always means "fully live".
+    batch_meta = os.path.join(stage, "_BATCH.json")
+    if os.path.exists(batch_meta):
+        with open(batch_meta) as fh:
+            bid = json.load(fh).get("batch_id")
+        if bid is not None:
+            applied = os.path.join(index_dir, _IVF_APPLIED)
+            os.makedirs(applied, exist_ok=True)
+            with open(os.path.join(applied, str(bid)), "w") as fh:
+                fh.write("ok")
+    shutil.rmtree(stage, ignore_errors=True)
+    return "published"
+
+
+def ivf_batch_applied(index_dir: str, batch_id: str) -> bool:
+    """True when a staged append carrying ``batch_id`` has fully published —
+    the replay-skip check for streaming foreachBatch (roll committed stages
+    forward via :func:`_publish_ivf_staged` BEFORE consulting this)."""
+    import os
+
+    return os.path.exists(os.path.join(index_dir, _IVF_APPLIED, str(batch_id)))
+
+
+def ivf_needs_compaction(
+    index_dir: str, max_runs_per_cell: int = 8, subdir: str = _IVF_CELLS
+) -> bool:
+    """Driver-side loop trigger: does any cell hold more WRITE GENERATIONS
+    (job-UUID runs — each append is one run per touched cell, a compacted
+    cell is one run regardless of rows) than ``max_runs_per_cell``? Never
+    raw file count — a legitimately large cell compacted into several
+    target-sized files must not re-trigger (the dedup index's r11 trap).
+    Cost: one listdir per cell, short-circuiting on the first dirty one —
+    in the steady append loop (uniform data touches every cell) the first
+    cell checked answers it."""
+    from datalakejson_spark.functions.incremental_dedup import _derive_runs
+
+    return any(
+        len(_derive_runs(files)) > max_runs_per_cell
+        for files in _ivf_live_files(index_dir, subdir).values()
+    )
+
+
+def compact_ivf_cells(
+    spark: SparkSession,
+    index_dir: str,
+    max_runs_per_cell: int = 8,
+    subdir: str = _IVF_CELLS,
+    part_col: str = "cell",
+) -> dict[str, tuple[int, int]]:
+    """TIERED per-cell fold, the dedup index's LSM policy re-expressed for
+    a partition-keyed layout: in every cell holding more write generations
+    than ``max_runs_per_cell``, the LARGEST ``max_runs_per_cell - 1`` runs
+    stay untouched (the per-cell base and merged middles) and only the
+    small tail folds into one new run — so a trigger costs O(rows appended
+    since the last fold), never O(cell), and each row is rewritten
+    O(log(cell/batch)) times over its life as folded runs grow into the
+    kept tier (a naive fold-everything policy would rewrite the whole
+    corpus every trigger under uniform appends, since uniform data touches
+    every cell). Run sizes are ranked by BYTES (one driver-side stat per
+    file — a layout decision needs a size proxy, not a row count, and
+    footer reads across cells x runs files would be the expensive part).
+    One Spark job covers ALL dirty cells: the read is pinned to the
+    snapshot listing with basePath-preserved partition values,
+    repartition("cell") lands each cell's fold wholly in one task,
+    partitionBy("cell") writes one new file per cell. Returns
+    ``{"cell=N": (files_before, files_after)}`` for the folded cells.
+
+    ``max_runs_per_cell=1`` folds everything — full per-cell compaction,
+    the offline admin posture. Per-cell rows are bounded by design at
+    ~n/nlist (the autotune keeps nlist ∝ √n); a cell that outgrows that is
+    the retrain trigger's business (:func:`ivf_needs_retrain`).
+
+    Crash/concurrency posture: rides the same staged ``_COMMITTED`` /
+    ``_SUBSUMED`` publish as the dedup index — every kill window leaves
+    either the old layout (unmarked stage, swept) or roll-forward work
+    (:func:`_publish_ivf_staged` finishes the moves AND deletes before the
+    next probe); a concurrent publish that deletes a snapshot file mid-scan
+    makes this run a clean race LOSER ({} returned), and a racing publish
+    that subsumed this stage's snapshot discards the stage itself."""
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from datalakejson_spark.functions.incremental_dedup import (
+        _derive_runs,
+        _is_missing_file_error,
+    )
+    from datalakejson_spark.plans.killpoints import fire
+
+    _publish_ivf_staged(index_dir, subdir)  # complete any predecessor first
+    live = _ivf_live_files(index_dir, subdir)
+    cells_root = os.path.join(index_dir, subdir)
+    dirty: dict[str, list[str]] = {}  # cell -> FOLD set (tail runs only)
+    before: dict[str, int] = {}
+    for cell, files in live.items():
+        runs = _derive_runs(files)
+        if len(runs) <= max_runs_per_cell:
+            continue
+
+        def run_bytes(run: list[str]) -> int:
+            total = 0
+            for f in run:
+                try:
+                    total += os.path.getsize(os.path.join(cells_root, cell, f))
+                except OSError:  # vanished under us: settled at scan time
+                    pass
+            return total
+
+        runs.sort(key=run_bytes)
+        keep = max(0, max_runs_per_cell - 1)
+        fold = [f for run in (runs[:-keep] if keep else runs) for f in run]
+        if fold:
+            dirty[cell] = sorted(fold)
+            before[cell] = len(files)
+    if not dirty:
+        return {}
+    stage = os.path.join(index_dir, _IVF_STAGING, _uuid.uuid4().hex)
+    paths = [
+        os.path.join(cells_root, cell, f)
+        for cell, files in sorted(dirty.items())
+        for f in files
+    ]
+    try:
+        (
+            spark.read.option("basePath", cells_root)
+            .parquet(*paths)
+            .repartition(part_col)
+            .write.partitionBy(part_col)
+            .mode("overwrite")
+            .parquet(os.path.join(stage, subdir))
+        )
+    except Exception as exc:  # noqa: BLE001 — narrowed to the race below
+        if not _is_missing_file_error(exc):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+        return {}
+    fire("ivf:compact_staged")  # no marker yet: crash = old layout wins
+    subsumed = sorted(
+        f"{cell}/{f}" for cell, files in dirty.items() for f in files
+    )
+    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
+        json.dump(subsumed, fh)
+    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
+        fh.write("ok")
+    fire("ivf:compact_committed")  # committed, not yet published
+    _publish_ivf_staged(index_dir, subdir)
+    after = _ivf_live_files(index_dir, subdir)
+    return {
+        cell: (before[cell], len(after.get(cell, [])))
+        for cell in sorted(dirty)
+    }
+
+
+def ivf_recall_probe(
+    spark: SparkSession,
+    index_dir: str,
+    n_queries: int = 32,
+    k: int = TOP_K,
+    nprobe: int | None = None,
+) -> float:
+    """MEASURED recall@k of the persisted index on the CURRENT corpus: a
+    deterministic sample of ``n_queries`` indexed vectors (md5-ordered, the
+    same engine-portable trick as the quantizer sample) is answered both
+    exactly (Arrow/BLAS brute force over the full index — an admin-check
+    cost, one narrow scan, no shuffle of embeddings) and through the index
+    probe; recall = fraction of exact top-k pairs the probe recovered.
+
+    Sampling from the current corpus is the point: cells are frozen between
+    retrains, so as appended data drifts away from the quantizer's training
+    distribution, newly-sampled queries increasingly sit near cell
+    boundaries the probe misses — recall measured HERE is the quantity that
+    silently degrades (the round-12 verdict's named gap)."""
+    import os
+
+    from datalakejson_spark.functions.similarity import brute_force_topk_np
+
+    _publish_ivf_staged(index_dir)
+    emb = spark.read.parquet(os.path.join(index_dir, _IVF_CELLS)).select(
+        "vec_id", "embedding"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    queries = (
+        emb.withColumn("_h", h)
+        .orderBy("_h", "vec_id")
+        .limit(n_queries)
+        .drop("_h")
+        .localCheckpoint(eager=True)  # one sample feeds both sides
+    )
+    exact = brute_force_topk_np(queries, emb, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    ann = ivf_index_topk(spark, queries, index_dir, k=k, nprobe=nprobe).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "leftsemi").count()
+    total = exact.count()
+    return hits / total if total else 1.0
+
+
+#: absolute recall floor used when an index has no recorded baseline —
+#: below this the index is failing its approximation contract outright
+#: (the r12 nprobe=1 collapse measured 0.596; SCALE.md).
+RETRAIN_RECALL_FLOOR = 0.6
+#: measured-drift tolerance: retrain when current recall falls more than
+#: this below the build-time baseline.
+RETRAIN_DRIFT_TOLERANCE = 0.15
+
+
+def ivf_needs_retrain(
+    spark: SparkSession,
+    index_dir: str,
+    drift_tolerance: float = RETRAIN_DRIFT_TOLERANCE,
+    floor: float = RETRAIN_RECALL_FLOOR,
+    n_queries: int | None = None,
+) -> tuple[bool, float]:
+    """The drift-retrain trigger: ``(needs_retrain, current_recall)``.
+
+    MEASURED, not guessed — the trigger never fires on row counts or append
+    cadence (appends matching the training distribution keep recall flat
+    forever and deserve no retrain; a modest volume of out-of-distribution
+    appends can crater it). It re-runs the recall probe on the current
+    corpus and compares to the ``baseline_recall`` recorded at build time
+    (``measure_recall=True``): retrain when current < baseline −
+    ``drift_tolerance``, or below the absolute ``floor`` either way. With
+    no recorded baseline only the floor applies. A retrain is
+    :func:`build_ivf_index` over the current corpus again — a full
+    compaction AND a fresh quantizer by construction."""
+    meta = load_ivf_meta(index_dir)
+    if n_queries is None:
+        n_queries = int(meta.get("recall_queries", 32))
+    current = ivf_recall_probe(spark, index_dir, n_queries=n_queries)
+    baseline = meta.get("baseline_recall")
+    needs = current < floor or (
+        baseline is not None and current < baseline - drift_tolerance
+    )
+    return needs, current

@@ -1,0 +1,315 @@
+"""Persisted LSH ANN index (SURVEY.md §2.12 L3, round 13): the
+random-hyperplane LSH of similarity.py as a build-once / probe-many index,
+mirroring the persisted IVF index (functions/ivf.py) — bucket-partitioned
+parquet with partition-pruned probes.
+
+Layout: ``{index_dir}/buckets/tb=N/part-*.parquet`` where ``tb = table *
+2^planes + bucket`` (one composite partition key instead of a nested
+table=/bucket= tree: a single IN-list partition filter, one directory level,
+and the same ``<col>=`` shape the shared maintenance plane already speaks).
+``_LSH.json`` persists the family definition (planes, tables, seed, dim) so
+probes and appends across sessions derive the SAME hyperplane tensor — the
+tensor itself is fully determined by (dim, planes, tables, seed), so only
+those four numbers need to persist (similarity.lsh_planes).
+
+Probe cost: each query hashes driver-side (numpy, identical matmul+sign to
+the executor-side bucketer), collects its bounded ``tables`` bucket ids,
+and the scan reads ONLY those tb partitions — probe I/O ≈ q x tables x
+(n / 2^planes) rows at any corpus size, the LSH twin of the IVF
+PartitionFilters posture. The autotune rule (similarity.autotune_lsh) keeps
+n / 2^planes ≈ constant as the corpus grows, so probe cost stays flat.
+
+Maintenance is SHARED with the IVF index: staged exactly-once appends,
+publish-race fencing, tiered per-partition compaction, all via the
+``subdir``-parameterized machinery in functions/ivf.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datalakejson_spark.functions.ivf import (
+    _ivf_live_files,
+    _publish_ivf_staged,
+    compact_ivf_cells,
+    ivf_batch_applied,
+    ivf_needs_compaction,
+)
+from datalakejson_spark.functions.similarity import (
+    LSH_SEED,
+    N_TABLES,
+    TOP_K,
+    autotune_lsh,
+    cosine_np,
+    lsh_bucket_np,
+    lsh_planes,
+)
+from datalakejson_spark.registry import register
+from datalakejson_spark.sources.tables import load_table
+
+_LSH_META = "_LSH.json"
+_BUCKETS = "buckets"
+
+
+def _write_lsh_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, _LSH_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, _LSH_META))
+
+
+def load_lsh_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(index_dir, _LSH_META)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no LSH index at {index_dir} ({_LSH_META} missing) — build one "
+            "with build_lsh_index(emb, index_dir)"
+        ) from None
+
+
+def _with_tb(bucketed: DataFrame, n_planes: int) -> DataFrame:
+    """Collapse (table, bucket) into the composite partition key."""
+    return bucketed.withColumn(
+        "tb",
+        (F.col("table").cast("int") * (1 << n_planes) + F.col("bucket")).cast(
+            "int"
+        ),
+    ).drop("table", "bucket")
+
+
+def build_lsh_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_planes: int | None = None,
+    n_tables: int = N_TABLES,
+    seed: int = LSH_SEED,
+) -> dict:
+    """Bucket every vector under the seeded-Gaussian family and persist the
+    exploded (vector x table) rows as parquet PARTITIONED BY tb (one file
+    per bucket: repartition("tb") first, same reasoning as the IVF build).
+    ``n_planes=None`` autotunes from the corpus count
+    (similarity.autotune_lsh: planes = log2(n / target_bucket_rows), the
+    knob that keeps probe cost flat across corpus decades). Like
+    build_ivf_index, a (re)build is a new index identity: stale stages and
+    applied-batch markers are cleared."""
+    import os
+    import shutil
+
+    n = emb.count()
+    if n_planes is None:
+        n_planes, n_tables = autotune_lsh(n, n_tables=n_tables)
+    dim = len(emb.select("embedding").first()[0])
+    (
+        _with_tb(lsh_bucket_np(emb, n_planes, n_tables, seed), n_planes)
+        .repartition("tb")
+        .write.partitionBy("tb")
+        .mode("overwrite")
+        .parquet(os.path.join(index_dir, _BUCKETS))
+    )
+    meta = {
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "seed": seed,
+        "dim": dim,
+        "n_vectors": n,
+        "embedding_type": emb.schema["embedding"].dataType.simpleString(),
+    }
+    for sub in ("_staging", "_applied"):
+        shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    _write_lsh_meta(index_dir, meta)
+    return meta
+
+
+def lsh_index_append(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    index_dir: str,
+    batch_id: str | None = None,
+) -> int:
+    """Bucket a delta under the PERSISTED family definition and append it
+    into the tb partitions — staged, exactly-once under ``batch_id``,
+    riding the shared publish machinery (see ivf_index_append for the
+    crash-window ledger; identical here with subdir="buckets")."""
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from datalakejson_spark.plans.killpoints import fire
+
+    meta = load_lsh_meta(index_dir)
+    _publish_ivf_staged(index_dir, _BUCKETS)
+    if batch_id is not None and ivf_batch_applied(index_dir, batch_id):
+        return 0
+    if "embedding_type" in meta:
+        new_emb = new_emb.withColumn(
+            "embedding", F.col("embedding").cast(meta["embedding_type"])
+        )
+    n_new = new_emb.count()
+    token = f"batch-{batch_id}" if batch_id is not None else _uuid.uuid4().hex
+    stage = os.path.join(index_dir, "_staging", token)
+    if os.path.isdir(stage):
+        shutil.rmtree(stage, ignore_errors=True)
+    (
+        _with_tb(
+            lsh_bucket_np(
+                new_emb, meta["n_planes"], meta["n_tables"], meta["seed"]
+            ),
+            meta["n_planes"],
+        )
+        .repartition("tb")
+        .write.partitionBy("tb")
+        .mode("overwrite")
+        .parquet(os.path.join(stage, _BUCKETS))
+    )
+    if batch_id is not None:
+        with open(os.path.join(stage, "_BATCH.json"), "w") as fh:
+            json.dump({"batch_id": str(batch_id)}, fh)
+    fire("lsh:append_staged")
+    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
+        fh.write("ok")
+    fire("lsh:append_committed")
+    _publish_ivf_staged(index_dir, _BUCKETS)
+    meta["n_vectors"] = meta["n_vectors"] + n_new
+    _write_lsh_meta(index_dir, meta)
+    return n_new
+
+
+def lsh_needs_compaction(index_dir: str, max_runs_per_bucket: int = 8) -> bool:
+    return ivf_needs_compaction(index_dir, max_runs_per_bucket, _BUCKETS)
+
+
+def compact_lsh_buckets(
+    spark: SparkSession, index_dir: str, max_runs_per_bucket: int = 8
+) -> dict[str, tuple[int, int]]:
+    """Tiered per-bucket fold — compact_ivf_cells over subdir="buckets"."""
+    return compact_ivf_cells(
+        spark, index_dir, max_runs_per_bucket, subdir=_BUCKETS, part_col="tb"
+    )
+
+
+def _query_tbs(meta: dict, qm: np.ndarray) -> np.ndarray:
+    """(q, tables) composite bucket ids for a query matrix, computed
+    DRIVER-SIDE with the identical matmul + sign-packing the executor-side
+    bucketer (similarity.lsh_bucket_np) runs — same float64 ops on the same
+    seeded tensor give bit-identical buckets, so the probe's partition list
+    is exactly the partitions the candidates live in."""
+    pl = lsh_planes(meta["dim"], meta["n_planes"], meta["n_tables"], meta["seed"])
+    weights = 1 << np.arange(meta["n_planes"])
+    out = np.empty((len(qm), meta["n_tables"]), dtype=np.int64)
+    for t in range(meta["n_tables"]):
+        bits = (qm @ pl[t].T) > 0
+        out[:, t] = t * (1 << meta["n_planes"]) + (bits * weights).sum(axis=1)
+    return out
+
+
+def lsh_index_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Approximate top-k against a persisted LSH index. Each query's
+    ``n_tables`` bucket ids are computed driver-side (bounded: the query
+    set is the broadcast side by contract) and pushed into the scan as a
+    PARTITION filter — only those tb directories are read, so probe I/O is
+    q x tables x (corpus / 2^planes) rows no matter how big the corpus
+    grows. Candidates sharing a bucket in ANY table score once
+    (dropDuplicates, same semantics as similarity.lsh_ann_topk_np — parity
+    pinned row-for-row in tests/test_lsh_index.py). Output:
+    (query_id, neighbor_id, cosine, rn)."""
+    import os
+
+    from datalakejson_spark.session import local_df
+
+    meta = load_lsh_meta(index_dir)
+    _publish_ivf_staged(index_dir, _BUCKETS)
+    qrows = queries.select("vec_id", "embedding").orderBy("vec_id").collect()
+    q_ids = [int(r[0]) for r in qrows]
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    tbs = _query_tbs(meta, qm)
+    probe = local_df(
+        spark,
+        [
+            (q_ids[i], [float(v) for v in qm[i]], int(tb))
+            for i in range(len(q_ids))
+            for tb in sorted(set(tbs[i].tolist()))
+        ],
+        "query_id bigint, q_emb array<double>, tb int",
+    )
+    wanted = sorted({int(tb) for row in tbs for tb in row})
+    cands = (
+        spark.read.parquet(os.path.join(index_dir, _BUCKETS))
+        .filter(F.col("tb").isin(wanted))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            "tb",
+        )
+    )
+    pairs = (
+        F.broadcast(probe)
+        .join(cands, "tb")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine_np("q_emb", "c_emb").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+@register(
+    "l3f_ann_lsh_persisted",
+    survey="L3,S6,X1",
+    extended=True,
+    sql="""
+    -- Same recall contract as l3b/l3e: the persisted-index probe must
+    -- recover, for every query, at least one true nearest neighbor from
+    -- the exact brute-force top-k; the oracle asserts the boolean per
+    -- query. What this adds over l3b is the persistence layer:
+    -- bucket-partitioned parquet, a cross-session family definition in
+    -- _LSH.json, and a partition-pruned probe (PartitionFilters pinned in
+    -- tests/test_lsh_index.py).
+    SELECT CAST(vec_id AS BIGINT) AS query_id, true AS found_true_neighbor
+    FROM embeddings
+    WHERE vec_id < 8
+    """,
+)
+def l3f_ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a persisted bucket-partitioned LSH index in a scratch dir,
+    probe it with partition pruning, and verify recall against the exact
+    baseline — the LSH twin of l3e. The scratch index is removed before
+    returning (the probe result is eagerly materialized, bounded at
+    queries x k rows)."""
+    import shutil
+    import tempfile
+
+    from datalakejson_spark.functions.similarity import ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    idx = tempfile.mkdtemp(prefix="l3f_lsh_")
+    try:
+        build_lsh_index(emb, idx)  # autotuned planes, 8 tables
+        ann = lsh_index_topk(spark, queries, idx).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return ann_recall_check(ann, emb, queries)

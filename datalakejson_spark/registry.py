@@ -100,6 +100,7 @@ def all_specs() -> dict[str, QuerySpec]:
         incremental_dedup,
         ivf,
         llm_pipeline,
+        lsh_index,
         variant,
     )
     from datalakejson_spark.streaming import windows as stream_windows  # noqa: F401

@@ -1,0 +1,111 @@
+"""Streaming embedding ingest into a persisted IVF ANN index: the
+composition of the checkpointed file-source drain (streaming/
+ingest_stream.py's T1-T3 shape) with the persisted inverted file
+(functions/ivf.py) — the embedding-plane twin of streaming/dedup_stream.py.
+
+The checkpoint deduplicates *files* (each landing file enters exactly one
+micro-batch); the applied-batch markers under the index make each batch's
+index append *exactly-once* across crash replays (a replayed foreachBatch
+that re-appended its vectors would duplicate them in the cells, and every
+later top-k would emit duplicate neighbor rows — unlike the dedup index,
+where duplicate rows are harmless to semi-join probes, duplicates here are
+user-visible wrong results, hence markers instead of tolerance).
+
+Per micro-batch cost: one bounded assignment pass over the batch (argmin
+against the frozen quantizer — map-side, no shuffle) + a staged parquet
+publish of one file per touched cell. Maintenance is loop policy, exactly
+like the dedup stream: when any cell accumulates more append runs than
+``compact_max_runs_per_cell``, an inline :func:`compact_ivf_cells` folds
+the over-run cells — cost O(dirty cells' rows), never O(corpus).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F  # noqa: F401  (kept for parity/extension)
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datalakejson_spark.functions.ivf import (
+    build_ivf_index,
+    compact_ivf_cells,
+    ivf_index_append,
+    ivf_needs_compaction,
+)
+from datalakejson_spark.session import configure_runtime
+
+#: default inline-compaction trigger: fold a cell once it holds more than
+#: this many append runs. Mirrors incremental_dedup.COMPACT_MAX_RUNS; each
+#: micro-batch is one run per touched cell, so a 15-minute cadence crosses
+#: this every ~2 hours and the fold touches only the over-run cells.
+ANN_COMPACT_MAX_RUNS = 8
+
+
+def streaming_ann_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+    n_cells: int | None = None,
+    seed: int = 42,
+    compact_max_runs_per_cell: int | None = ANN_COMPACT_MAX_RUNS,
+):
+    """Drain landing JSON-lines embeddings once (AvailableNow); the FIRST
+    micro-batch bootstraps the index (trains the quantizer on that batch —
+    classic IVF cold start; the drift trigger ivf_needs_retrain tells you
+    when the bootstrap quantizer has aged out), every later batch is
+    assigned against the frozen quantizer and appended exactly-once.
+
+    Crash-safety ledger (all windows pinned in tests/test_ann_stream.py):
+
+    - bootstrap batch replay: build_ivf_index is deterministic (seeded
+      quantizer, overwrite write) and resets the staging/applied planes —
+      a replay rebuilds the identical index; later batches cannot have
+      run yet (the source commits batches in order).
+    - append crash before ``_COMMITTED``: the half-written stage is swept;
+      the replay re-stages the same rows (same deterministic
+      ``batch-<id>`` token).
+    - append crash after ``_COMMITTED`` but before publish: the replay's
+      entry publish rolls the stage forward, finds the applied marker,
+      and skips — no duplicate vectors.
+    - crash inside an inline compaction: the compaction stage either
+      never committed (old layout wins) or rolls forward on the next
+      entry; the batch's own append already published before the
+      compaction started, so the replay skips it via the marker and only
+      the maintenance work repeats.
+
+    Returns the StreamingQuery; call ``.awaitTermination()``.
+    """
+    configure_runtime(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(landing_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from datalakejson_spark.functions.ivf import _IVF_META
+
+        sess = batch_df.sparkSession
+        batch = batch_df.select("vec_id", "embedding")
+        if not os.path.exists(os.path.join(index_dir, _IVF_META)):
+            build_ivf_index(batch, index_dir, n_cells=n_cells, seed=seed)
+            return
+        ivf_index_append(sess, batch, index_dir, batch_id=f"b{batch_id}")
+        if compact_max_runs_per_cell is not None and ivf_needs_compaction(
+            index_dir, compact_max_runs_per_cell
+        ):
+            compact_ivf_cells(
+                sess,
+                index_dir,
+                max_runs_per_cell=max(1, compact_max_runs_per_cell // 2),
+            )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

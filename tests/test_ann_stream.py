@@ -1,0 +1,188 @@
+"""Streaming embedding ingest into the persisted IVF index
+(streaming/ann_stream.py): bootstrap-then-append drains, stream ≡ batch-loop
+parity across a checkpoint restart, and exactly-once appends across an
+injected mid-batch failure."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from datalakejson_spark.functions.ivf import (
+    build_ivf_index,
+    ivf_index_append,
+    ivf_index_topk,
+)
+from datalakejson_spark.streaming.ann_stream import streaming_ann_ingest
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _vectors(seed: int, n: int, start: int, dim: int = 16):
+    rng = np.random.RandomState(seed)
+    x = rng.standard_normal((n, dim))
+    return [(start + i, [float(v) for v in x[i]]) for i in range(n)]
+
+
+def _write_landing(landing, name: str, rows) -> None:
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, name), "w") as fh:
+        for vec_id, emb in rows:
+            fh.write(json.dumps({"vec_id": vec_id, "embedding": emb}) + "\n")
+
+
+def _index_rows(spark, idx):
+    return sorted(
+        r.vec_id
+        for r in spark.read.parquet(os.path.join(idx, "cells"))
+        .select("vec_id")
+        .collect()
+    )
+
+
+def test_stream_matches_batch_loop_across_restart(spark, tmp_path):
+    """Two drains over a growing landing dir (bootstrap build + appends,
+    restart on the same checkpoint between them) produce exactly the index
+    a batch loop builds from the same splits — same rows, and row-for-row
+    the same probe top-k."""
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    boot = _vectors(1, 200, 0)
+    d1 = _vectors(2, 50, 1000)
+    d2 = _vectors(3, 50, 2000)
+    _write_landing(landing, "boot.json", boot)
+
+    args = dict(
+        landing_dir=landing,
+        index_dir=idx,
+        checkpoint_dir=ckpt,
+        schema=_SCHEMA,
+        max_files_per_trigger=1,
+        n_cells=16,
+        compact_max_runs_per_cell=2,
+    )
+    streaming_ann_ingest(spark, **args).awaitTermination()  # bootstrap
+    _write_landing(landing, "d1.json", d1)
+    _write_landing(landing, "d2.json", d2)
+    streaming_ann_ingest(spark, **args).awaitTermination()  # restart+appends
+
+    assert _index_rows(spark, idx) == sorted(
+        i for i, _ in boot + d1 + d2
+    )
+
+    # the batch loop over the same splits (same seed, same knobs)
+    ref_idx = str(tmp_path / "ref_idx")
+    schema = "vec_id bigint, embedding array<double>"
+    build_ivf_index(spark.createDataFrame(boot, schema), ref_idx, n_cells=16)
+    ivf_index_append(spark, spark.createDataFrame(d1, schema), ref_idx)
+    ivf_index_append(spark, spark.createDataFrame(d2, schema), ref_idx)
+
+    queries = spark.createDataFrame(boot[:4], schema)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rn)
+        for r in ivf_index_topk(spark, queries, idx, nprobe=4).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rn)
+        for r in ivf_index_topk(spark, queries, ref_idx, nprobe=4).collect()
+    )
+    assert got == want and got
+
+
+def test_inline_cell_compaction_runs_in_stream(spark, tmp_path):
+    """With a low run threshold, repeated append batches cross the trigger
+    INSIDE the drain and the cells fold back to few runs — the probe scans
+    one file per cell afterwards, not one per micro-batch."""
+    from datalakejson_spark.functions.ivf import (
+        _ivf_live_files,
+        ivf_needs_compaction,
+    )
+
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    _write_landing(landing, "boot.json", _vectors(1, 100, 0))
+    for g in range(6):
+        _write_landing(landing, f"d{g}.json", _vectors(10 + g, 20, 1000 * (g + 1)))
+
+    streaming_ann_ingest(
+        spark,
+        landing_dir=landing,
+        index_dir=idx,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=_SCHEMA,
+        max_files_per_trigger=1,
+        n_cells=16,
+        compact_max_runs_per_cell=2,
+    ).awaitTermination()
+
+    # compaction fired mid-stream: no cell is left above the trigger
+    assert not ivf_needs_compaction(idx, max_runs_per_cell=2)
+    assert _index_rows(spark, idx) == sorted(
+        list(range(100)) + [1000 * (g + 1) + j for g in range(6) for j in range(20)]
+    )
+    # and the fold actually bounded files per cell
+    assert max(len(files) for files in _ivf_live_files(idx).values()) <= 3
+
+
+def test_mid_batch_failure_replays_exactly_once(spark, tmp_path):
+    """An injected failure between the append's _COMMITTED marker and the
+    batch's checkpoint commit fails the query; a plain restart replays the
+    batch, the entry publish rolls the committed stage forward, and the
+    applied-batch marker skips the re-append — every vector lands exactly
+    once. (RuntimeError, not InjectedKill: a BaseException raised inside
+    foreachBatch never crosses the py4j callback boundary and would hang
+    the stream-execution thread instead of failing the query.)"""
+    import pyspark.errors as PE
+
+    from datalakejson_spark.plans import killpoints
+
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    args = dict(
+        landing_dir=landing,
+        index_dir=idx,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=_SCHEMA,
+        max_files_per_trigger=1,
+        n_cells=16,
+    )
+    boot = _vectors(1, 100, 0)
+    _write_landing(landing, "boot.json", boot)
+    streaming_ann_ingest(spark, **args).awaitTermination()  # bootstrap
+
+    d1 = _vectors(2, 30, 5000)
+    _write_landing(landing, "d1.json", d1)
+
+    def die_once() -> None:
+        killpoints.disarm("ivf:append_committed")
+        raise RuntimeError("injected failure after append commit")
+
+    killpoints.arm("ivf:append_committed", die_once)
+    try:
+        try:
+            streaming_ann_ingest(spark, **args).awaitTermination()
+            raise AssertionError("injected failure did not fail the query")
+        except PE.exceptions.base.PySparkException:
+            pass
+    finally:
+        killpoints.disarm()
+
+    streaming_ann_ingest(spark, **args).awaitTermination()  # recover
+    rows = _index_rows(spark, idx)
+    assert rows == sorted(i for i, _ in boot + d1)  # exactly once
+    # a later novel batch still flows
+    d2 = _vectors(3, 10, 9000)
+    _write_landing(landing, "d2.json", d2)
+    streaming_ann_ingest(spark, **args).awaitTermination()
+    assert _index_rows(spark, idx) == sorted(i for i, _ in boot + d1 + d2)

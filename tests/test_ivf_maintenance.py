@@ -1,0 +1,358 @@
+"""Persisted-IVF index maintenance (functions/ivf.py round-13 additions):
+staged exactly-once appends, per-cell run-counting compaction, kill-window
+crash safety, and the measured recall-drift retrain trigger."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from datalakejson_spark.functions.ivf import (
+    N_CELLS,
+    N_PROBE,
+    _ivf_live_files,
+    _publish_ivf_staged,
+    build_ivf_index,
+    compact_ivf_cells,
+    ivf_batch_applied,
+    ivf_index_append,
+    ivf_index_topk,
+    ivf_needs_compaction,
+    ivf_needs_retrain,
+    ivf_recall_probe,
+    load_ivf_meta,
+)
+from datalakejson_spark.plans import killpoints
+from datalakejson_spark.plans.killpoints import InjectedKill
+
+SF = "/root/testdata/sf0.01"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _twin_of(spark, emb, vec_id, new_id, eps=1e-4):
+    base = emb.filter(F.col("vec_id") == vec_id).first()
+    twin = [float(v) + eps for v in base.embedding]
+    return spark.createDataFrame(
+        [(new_id, twin)], "vec_id bigint, embedding array<double>"
+    )
+
+
+def _topk_rows(spark, queries, idx, nprobe=N_PROBE):
+    return sorted(
+        (r.query_id, r.neighbor_id, r.rn)
+        for r in ivf_index_topk(spark, queries, idx, nprobe=nprobe).collect()
+    )
+
+
+def test_append_with_batch_id_is_exactly_once(spark, tmp_path):
+    """Replaying an append with the same batch_id is a no-op: the vector
+    lands in the cells exactly once, so probes never emit duplicate
+    neighbor rows (unlike the dedup index's semi-join probes, duplicates
+    here would be user-visible wrong results)."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+
+    new = _twin_of(spark, emb, 7, 100000)
+    assert ivf_index_append(spark, new, idx, batch_id="b1") == 1
+    assert ivf_batch_applied(idx, "b1")
+    assert ivf_index_append(spark, new, idx, batch_id="b1") == 0  # replay
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    assert cells.filter(F.col("vec_id") == 100000).count() == 1
+    # and the meta count advanced exactly once
+    assert load_ivf_meta(idx)["n_vectors"] == emb.count() + 1
+
+
+def test_append_kill_windows_replay_to_exactly_once(spark, tmp_path):
+    """Crash before _COMMITTED: nothing appended (old index intact), the
+    replay re-stages and lands the rows once. Crash after _COMMITTED but
+    before publish: the replay's entry publish rolls the stage forward and
+    the applied marker makes the re-append a skip — never a duplicate."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    cells_root = os.path.join(idx, "cells")
+
+    # window 1: staged, unmarked
+    new1 = _twin_of(spark, emb, 3, 200000)
+    killpoints.kill_once("ivf:append_staged")
+    try:
+        with pytest.raises(InjectedKill):
+            ivf_index_append(spark, new1, idx, batch_id="w1")
+    finally:
+        killpoints.disarm()
+    live = spark.read.parquet(cells_root)
+    assert live.filter(F.col("vec_id") == 200000).count() == 0
+    assert not ivf_batch_applied(idx, "w1")
+    assert ivf_index_append(spark, new1, idx, batch_id="w1") == 1  # replay
+    assert (
+        spark.read.parquet(cells_root).filter(F.col("vec_id") == 200000).count()
+        == 1
+    )
+
+    # window 2: committed, unpublished
+    new2 = _twin_of(spark, emb, 5, 300000)
+    killpoints.kill_once("ivf:append_committed")
+    try:
+        with pytest.raises(InjectedKill):
+            ivf_index_append(spark, new2, idx, batch_id="w2")
+    finally:
+        killpoints.disarm()
+    # the committed stage rolls forward on the replay's entry publish;
+    # the applied marker then skips the re-append
+    assert ivf_index_append(spark, new2, idx, batch_id="w2") == 0
+    assert ivf_batch_applied(idx, "w2")
+    assert (
+        spark.read.parquet(cells_root).filter(F.col("vec_id") == 300000).count()
+        == 1
+    )
+    # probes see the rolled-forward row
+    queries = emb.filter(F.col("vec_id") == 5)
+    top = (
+        ivf_index_topk(spark, queries, idx, nprobe=N_PROBE)
+        .filter(F.col("rn") == 1)
+        .first()
+    )
+    assert top.neighbor_id == 300000
+
+
+def test_needs_compaction_counts_runs_not_files(spark, tmp_path):
+    """The trigger counts WRITE GENERATIONS per cell (job-UUID runs), never
+    raw file count: a freshly-built index is one run per cell no matter how
+    many cells; each append adds one run to the cells it touches."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    assert not ivf_needs_compaction(idx, max_runs_per_cell=1)  # 1 run/cell
+    ivf_index_append(spark, _twin_of(spark, emb, 2, 400000), idx)
+    assert ivf_needs_compaction(idx, max_runs_per_cell=1)  # 2 runs somewhere
+    assert not ivf_needs_compaction(idx, max_runs_per_cell=2)
+
+
+def test_compaction_folds_runs_and_preserves_probes(spark, tmp_path):
+    """Several appends fragment the touched cells into one file per append;
+    compaction folds every over-run cell back to one file and the probe
+    returns row-for-row the same top-k before and after."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    for g in range(5):
+        delta = spark.createDataFrame(
+            [
+                (500000 + 10 * g + j, [float(g + j)] * 64)
+                for j in range(3)
+            ],
+            "vec_id bigint, embedding array<double>",
+        )
+        ivf_index_append(spark, delta, idx, batch_id=f"gen{g}")
+    assert ivf_needs_compaction(idx, max_runs_per_cell=4)
+
+    queries = _emb(spark).filter(F.col("vec_id") < 8)
+    before_rows = spark.read.parquet(os.path.join(idx, "cells")).count()
+    before_topk = _topk_rows(spark, queries, idx)
+
+    folded = compact_ivf_cells(spark, idx, max_runs_per_cell=1)
+    assert folded  # something was dirty
+    assert all(after == 1 for _b, after in folded.values())
+    assert not ivf_needs_compaction(idx, max_runs_per_cell=1)
+    # no stage debris
+    staging = os.path.join(idx, "_staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+    assert spark.read.parquet(os.path.join(idx, "cells")).count() == before_rows
+    assert _topk_rows(spark, queries, idx) == before_topk
+    # idempotent: nothing left to fold
+    assert compact_ivf_cells(spark, idx, max_runs_per_cell=1) == {}
+
+
+def test_compact_kill_windows(spark, tmp_path):
+    """Kill after staging but before _COMMITTED: the old layout wins (the
+    unmarked stage is garbage). Kill after _COMMITTED: the next probe's
+    entry publish rolls the fold forward — moves AND subsumed deletes —
+    before reading."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    ivf_index_append(spark, _twin_of(spark, emb, 4, 600000), idx)
+    queries = emb.filter(F.col("vec_id") < 8)
+    want = _topk_rows(spark, queries, idx)
+    layout_before = _ivf_live_files(idx)
+
+    killpoints.kill_once("ivf:compact_staged")
+    try:
+        with pytest.raises(InjectedKill):
+            compact_ivf_cells(spark, idx, max_runs_per_cell=1)
+    finally:
+        killpoints.disarm()
+    assert _ivf_live_files(idx) == layout_before  # old layout intact
+    assert _topk_rows(spark, queries, idx) == want
+
+    killpoints.kill_once("ivf:compact_committed")
+    try:
+        with pytest.raises(InjectedKill):
+            compact_ivf_cells(spark, idx, max_runs_per_cell=1)
+    finally:
+        killpoints.disarm()
+    # committed: the next probe rolls it forward before reading
+    assert _topk_rows(spark, queries, idx) == want
+    assert not ivf_needs_compaction(idx, max_runs_per_cell=1)
+    # only window 1's UNCOMMITTED stage may linger (age-guarded sweep: it
+    # could belong to a live concurrent runner); no committed stage remains
+    staging = os.path.join(idx, "_staging")
+    for token in os.listdir(staging) if os.path.isdir(staging) else []:
+        assert not os.path.exists(
+            os.path.join(staging, token, "_COMMITTED")
+        ), token
+
+
+def test_rebuild_clears_stale_staging_and_applied(spark, tmp_path):
+    """build_ivf_index over an existing index is a new identity: leftover
+    staged deltas and applied-batch markers from the previous life are
+    cleared (publishing an old stage into rebuilt cells would resurrect
+    replaced rows; a stale applied marker would silently swallow a new
+    batch that happens to reuse the id)."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    ivf_index_append(spark, _twin_of(spark, emb, 6, 700000), idx, batch_id="bX")
+    assert ivf_batch_applied(idx, "bX")
+    # fabricate a leftover uncommitted stage
+    os.makedirs(os.path.join(idx, "_staging", "leftover"), exist_ok=True)
+
+    build_ivf_index(emb, idx, n_cells=N_CELLS)  # retrain/rebuild
+    assert not ivf_batch_applied(idx, "bX")
+    assert not os.path.isdir(os.path.join(idx, "_staging"))
+    # the same batch id appends cleanly into the new life
+    assert (
+        ivf_index_append(
+            spark, _twin_of(spark, emb, 6, 700000), idx, batch_id="bX"
+        )
+        == 1
+    )
+
+
+def test_retrain_trigger_fires_on_measured_drift(spark, tmp_path):
+    """The drift trigger is MEASURED recall, not append cadence: a corpus
+    clustered like the quantizer's training data keeps recall at the
+    build-time baseline, appending a same-size out-of-distribution blob
+    (uniform noise over a 64-cell index probing 4 cells) drops measured
+    recall by several points and fires the trigger at the measured
+    tolerance; a retrain (build_ivf_index again) re-records the baseline
+    and the trigger clears."""
+    rng = np.random.RandomState(0)
+    DIM, KD, NC = 8, 64, 64
+    cents = rng.standard_normal((KD, DIM)) * 5.0
+
+    def clustered(n, start):
+        lab = rng.randint(0, KD, n)
+        x = cents[lab] + rng.standard_normal((n, DIM)) * 0.2
+        return [(start + i, [float(v) for v in x[i]]) for i in range(n)]
+
+    def uniform(n, start):
+        x = rng.uniform(-10, 10, (n, DIM))
+        return [(start + i, [float(v) for v in x[i]]) for i in range(n)]
+
+    schema = "vec_id bigint, embedding array<double>"
+    base = spark.createDataFrame(clustered(6000, 0), schema)
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(base, idx, n_cells=NC, measure_recall=True)
+    assert meta["baseline_recall"] >= 0.95  # clustered data: near-exact
+
+    # in-distribution appends do NOT fire the trigger
+    indist = spark.createDataFrame(clustered(2000, 50000), schema)
+    ivf_index_append(spark, indist, idx)
+    needs, cur = ivf_needs_retrain(spark, idx, drift_tolerance=0.05)
+    assert not needs, (needs, cur)
+
+    # out-of-distribution drift drops MEASURED recall and fires
+    drift = spark.createDataFrame(uniform(6000, 100000), schema)
+    ivf_index_append(spark, drift, idx)
+    needs, cur = ivf_needs_retrain(spark, idx, drift_tolerance=0.05)
+    assert cur < meta["baseline_recall"] - 0.05, cur
+    assert needs
+    # the absolute floor fires independently of a baseline
+    needs_floor, _ = ivf_needs_retrain(
+        spark, idx, drift_tolerance=1.0, floor=cur + 0.01
+    )
+    assert needs_floor
+
+    # retrain over the current corpus cures it: fresh quantizer, fresh
+    # baseline, trigger clears at the same tolerance
+    build_ivf_index(
+        base.unionByName(indist).unionByName(drift),
+        idx,
+        n_cells=NC,
+        measure_recall=True,
+    )
+    needs, cur = ivf_needs_retrain(spark, idx, drift_tolerance=0.05)
+    assert not needs, (needs, cur)
+
+
+def test_recall_probe_is_deterministic(spark, tmp_path):
+    """Same index, same sample protocol → the same measured recall (the
+    trigger must never flap on its own measurement)."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    a = ivf_recall_probe(spark, idx, n_queries=16)
+    b = ivf_recall_probe(spark, idx, n_queries=16)
+    assert a == b
+    assert 0.0 <= a <= 1.0
+
+
+def test_publish_race_loser_compaction_is_discarded(spark, tmp_path):
+    """A committed compaction stage whose _SUBSUMED snapshot no longer
+    matches the live cells (a concurrent winner already folded them) is
+    discarded whole — never published on top of the winner's layout."""
+    import json
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+
+    stage = os.path.join(idx, "_staging", "t-loser")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
+        json.dump(["cell=0/part-gone-forever.snappy.parquet"], fh)
+    open(os.path.join(stage, "_COMMITTED"), "w").write("ok")
+    out = _publish_ivf_staged(idx)
+    assert out.get("t-loser") == "lost"
+    assert not os.path.isdir(stage)
+
+
+def test_tiered_fold_keeps_the_largest_runs_untouched(spark, tmp_path):
+    """max_runs_per_cell > 1 is the loop posture: the per-cell BASE (the
+    largest runs) is never read or rewritten — only the small append tail
+    folds — so a trigger costs O(appends since last fold), not O(cell).
+    Pinned by file identity: the base generation's files survive by name."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)  # base: ~160 rows/cell
+    base_layout = _ivf_live_files(idx)
+    for g in range(4):  # tiny tail appends
+        delta = spark.createDataFrame(
+            [(800000 + 10 * g + j, [float(g + j + 1)] * 64) for j in range(2)],
+            "vec_id bigint, embedding array<double>",
+        )
+        ivf_index_append(spark, delta, idx, batch_id=f"tail{g}")
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    want = _topk_rows(spark, queries, idx)
+    folded = compact_ivf_cells(spark, idx, max_runs_per_cell=2)
+    assert folded
+    after = _ivf_live_files(idx)
+    for cell, files in base_layout.items():
+        # every original base file is still live under its own name
+        assert set(files) <= set(after.get(cell, [])), cell
+    # folded cells now hold exactly base + one folded tail run
+    from datalakejson_spark.functions.incremental_dedup import _derive_runs
+
+    for cell in folded:
+        assert len(_derive_runs(after[cell])) <= 2, (cell, after[cell])
+    assert _topk_rows(spark, queries, idx) == want
