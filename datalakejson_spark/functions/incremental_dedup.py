@@ -300,11 +300,14 @@ def _publish_one_stage(index_dir: str, stage: str, stale_stage_s: float) -> str:
 
     if True:  # hold the original loop body's indentation (diff-minimal)
         if not os.path.exists(os.path.join(stage, "_COMMITTED")):
-            if os.path.exists(os.path.join(stage, _REBUILD_META)):
-                # A resumable rebuild checkpoint (round 12): a multi-hour
-                # subdir write has no heartbeat that distinguishes it from
-                # a crash, so the age sweep must never reclaim it — only
-                # rebuild_index itself adopts or resets this stage.
+            if os.path.exists(
+                os.path.join(stage, _REBUILD_META)
+            ) or os.path.exists(os.path.join(stage, _MAJOR_META)):
+                # A resumable rebuild/major-compaction checkpoint: a
+                # multi-hour subdir write has no heartbeat that
+                # distinguishes it from a crash, so the age sweep must
+                # never reclaim it — only the owning admin verb adopts or
+                # resets this stage.
                 return "pending"
             try:
                 age = time.time() - os.path.getmtime(stage)
@@ -1058,9 +1061,18 @@ def compact_index(
                 oversized = any(
                     (rows[n] or 0) > 2 * target_rows_per_file for n in run
                 )
-                fragmented = len(run) > max(
-                    1, math.ceil(run_rows(run) / target_rows_per_file)
-                )
+                # The BASE candidate (largest run) is exempt from the
+                # fragmentation criterion in TIERED mode (round 13): a
+                # scattered-small-file base can only be cured by a
+                # cross-range rewrite — O(corpus), which must never run
+                # inline in the streaming loop. It is left clean here,
+                # recorded in the fold history, and cured by the staged,
+                # resumable major_compact_index admin verb (or an explicit
+                # max_runs=1 full compaction, where the cascade folds the
+                # base anyway).
+                fragmented = not (max_runs > 1 and run is base_run) and len(
+                    run
+                ) > max(1, math.ceil(run_rows(run) / target_rows_per_file))
                 statless = any(
                     ranges[n] is None and rows[n] is not None for n in run
                 )
@@ -1211,6 +1223,7 @@ def compact_index(
     _COMPACT_ABORTS.pop(index_dir, None)  # planned cleanly: not a wedge
     if not subsumed:
         shutil.rmtree(stage, ignore_errors=True)
+        _record_fold_history(index_dir, target_rows_per_file, max_runs, counts)
         return counts
     fire("dedup:compact_staged")  # no marker yet: crash = old layout wins
     # The stage dir normally comes into existence via the Spark parquet
@@ -1228,6 +1241,7 @@ def compact_index(
         marker.write("ok")
     fire("dedup:compact_committed")  # committed, not yet published
     _publish_staged(index_dir)
+    _record_fold_history(index_dir, target_rows_per_file, max_runs, counts)
     return counts
 
 
@@ -1702,12 +1716,20 @@ def _needs_compaction(
             for _rng, rows in stats.values()
         ):
             return True
-        for run in runs:
-            r = sum(
+
+        def run_rows(run: list[str]) -> int:
+            return sum(
                 target_rows_per_file if stats[f][1] is None else stats[f][1]
                 for f in run
             )
-            if len(run) > max(4, math.ceil(r / target_rows_per_file)):
+
+        runs.sort(key=run_rows)
+        # base fragmentation (the LARGEST run) is the major-compaction
+        # trigger's business (needs_major_compaction) — firing the inline
+        # tiered loop on it would spin forever, since the tiered fold
+        # deliberately never rewrites the base (round 13)
+        for run in runs[:-1]:
+            if len(run) > max(4, math.ceil(run_rows(run) / target_rows_per_file)):
                 return True
     return False
 
@@ -1970,3 +1992,262 @@ def l15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_audit(
         delta, exact_hash_index(corpus), corpus_bands, broadcast_delta=False
     )
+
+
+# -- fragmented-base MAJOR compaction (round 13) -----------------------------
+# The tiered loop deliberately never rewrites the base run, so scattered
+# small base files (accumulated segmented repairs and narrow folds) are the
+# one layout disease the loop cannot cure — the last amortized O(corpus)
+# event in the index lifecycle. The cure is an explicit, staged, RESUMABLE
+# admin verb (major_compact_index), and its trigger is derived from the
+# MEASURED fold history — fragmentation that persisted across several
+# completed tiered folds — never from total file count (a big corpus
+# legitimately holds many files; the r11 trap).
+_FOLD_HISTORY = "_FOLDS.jsonl"
+_MAJOR_META = "_MAJOR.json"
+_MAJOR_STAGE = "major"
+#: the major trigger fires only when this many CONSECUTIVE completed folds
+#: all left the base fragmented — one noisy reading never costs a corpus
+#: rewrite.
+MAJOR_MIN_PERSIST = 3
+
+
+def _base_frag_excess(
+    stats: dict, target_rows_per_file: int
+) -> tuple[int, int, int]:
+    """(files, rows, excess) for the LARGEST run in one subdir's stats:
+    ``excess`` = files beyond what the run's rows justify at the target
+    (mirrors _needs_compaction's 4-file slack), >0 = fragmented."""
+    import math
+
+    runs = _derive_runs(stats)
+    if not runs:
+        return 0, 0, 0
+
+    def run_rows(run: list[str]) -> int:
+        return sum(
+            target_rows_per_file if stats[f][1] is None else stats[f][1]
+            for f in run
+        )
+
+    base = max(runs, key=run_rows)
+    rows = run_rows(base)
+    ideal = max(4, math.ceil(rows / target_rows_per_file))
+    return len(base), rows, len(base) - ideal
+
+
+def _record_fold_history(
+    index_dir: str,
+    target_rows_per_file: int,
+    max_runs: int,
+    counts: dict[str, tuple[int, int]],
+) -> None:
+    """Append one measured record per COMPLETED compaction to
+    ``_FOLDS.jsonl``: the post-fold base fragmentation per subdir plus what
+    the fold did. Best-effort observability (O_APPEND single write; a torn
+    tail line is skipped by the reader) — the trigger needs a few recent
+    records, never a consistent full log."""
+    import json
+    import time
+
+    try:
+        rec: dict = {"ts": time.time(), "max_runs": max_runs,
+                     "target_rows_per_file": target_rows_per_file,
+                     "counts": {k: list(v) for k, v in counts.items()}}
+        for sub in _INDEX_SUBDIRS:
+            stats = _file_stats(os.path.join(index_dir, sub), _PRUNE_KEY[sub])
+            files, rows, excess = _base_frag_excess(stats, target_rows_per_file)
+            rec[sub] = {"base_files": files, "base_rows": rows,
+                        "base_frag_excess": excess}
+        with open(os.path.join(index_dir, _FOLD_HISTORY), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+    except OSError:  # pragma: no cover - advisory
+        pass
+
+
+def _read_fold_history(index_dir: str) -> list[dict]:
+    import json
+
+    out: list[dict] = []
+    try:
+        with open(os.path.join(index_dir, _FOLD_HISTORY)) as fh:
+            for line in fh:
+                try:
+                    out.append(json.loads(line))
+                except ValueError:  # torn tail line from a crash
+                    continue
+    except OSError:
+        pass
+    return out
+
+
+def needs_major_compaction(
+    index_dir: str,
+    target_rows_per_file: int = COMPACT_TARGET_ROWS_PER_FILE,
+    min_persist: int = MAJOR_MIN_PERSIST,
+) -> bool:
+    """The major-compaction trigger, derived from MEASURED fold history:
+    True when the last ``min_persist`` completed tiered folds ALL left some
+    subdir's base fragmented (base files exceeding what its rows justify at
+    the target, with the standard 4-file slack). Persistence across folds is
+    the point — it proves the tiered loop cannot cure this layout, so the
+    one remaining cross-range rewrite is actually needed; a single noisy
+    record (a fold that simply hadn't reached the base yet) never schedules
+    an O(corpus) event. Records with a different ``target_rows_per_file``
+    are ignored (a knob change resets the evidence)."""
+    hist = [
+        r
+        for r in _read_fold_history(index_dir)
+        if r.get("target_rows_per_file") == target_rows_per_file
+    ]
+    if len(hist) < min_persist:
+        return False
+    recent = hist[-min_persist:]
+    for sub in _INDEX_SUBDIRS:
+        if all(r.get(sub, {}).get("base_frag_excess", 0) > 0 for r in recent):
+            return True
+    return False
+
+
+def major_compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_rows_per_file: int = COMPACT_TARGET_ROWS_PER_FILE,
+    resume: bool = True,
+) -> dict[str, int]:
+    """The cross-range MAJOR rewrite: every live file (snapshotted at entry)
+    rewrites into ONE range-disjoint run per subdir at the target file size
+    — the LSM major compaction the tiered loop defers to. Corpus-scale by
+    design: run it offline, single-runner, when
+    :func:`needs_major_compaction` says the fold history proves it's
+    needed. Returns ``{subdir: rows_written}``.
+
+    RESUMABLE, reusing the rebuild's checkpoint machinery: the stage lives
+    at the fixed name ``_staging/major`` with a ``_MAJOR.json`` checkpoint
+    whose identity is the SNAPSHOT FILE LISTING plus the layout knob — a
+    crash after one subdir's multi-hour write resumes with only the
+    unfinished subdir (per-subdir ``_DONE_<sub>.json``), while a checkpoint
+    whose snapshot no longer matches the live files (a concurrent
+    maintenance publish subsumed one) or whose knob changed is discarded
+    and the rewrite restarts from a fresh snapshot. The stale-stage sweeper
+    never reclaims a ``_MAJOR.json`` stage (same contract as rebuild).
+
+    Appends that land AFTER the snapshot stay live untouched (they are not
+    in ``_SUBSUMED``) — the major merge and the ingest loop compose. The
+    publish is verified like rebuild's: losing a concurrent maintenance
+    race RAISES instead of silently discarding hours of work."""
+    import json
+    import math
+
+    stage = os.path.join(index_dir, _STAGING, _MAJOR_STAGE)
+    meta_path = os.path.join(stage, _MAJOR_META)
+    _publish_staged(index_dir)  # complete any predecessor first
+    _check_lane_meta(index_dir)
+    snapshot = {
+        sub: _live_files(os.path.join(index_dir, sub))
+        for sub in _INDEX_SUBDIRS
+    }
+    ckpt_meta = {
+        "target_rows_per_file": target_rows_per_file,
+        "snapshot": snapshot,
+    }
+    if os.path.isdir(stage) and not os.path.exists(
+        os.path.join(stage, "_COMMITTED")
+    ):
+        recorded = None
+        try:
+            with open(meta_path) as fh:
+                recorded = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        # adopt only when the recorded snapshot is STILL the live prefix:
+        # every snapshotted file must still exist (a concurrent publish
+        # that subsumed one invalidates the half-done rewrite), and the
+        # knob must match. Files appended since the snapshot don't matter —
+        # the rewrite only covers its recorded snapshot either way.
+        ok = (
+            resume
+            and isinstance(recorded, dict)
+            and recorded.get("target_rows_per_file") == target_rows_per_file
+            and all(
+                os.path.exists(os.path.join(index_dir, sub, name))
+                for sub, names in (recorded.get("snapshot") or {}).items()
+                for name in names
+            )
+        )
+        if ok:
+            ckpt_meta = recorded
+            snapshot = recorded["snapshot"]
+        else:
+            shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    if not os.path.exists(meta_path):
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ckpt_meta, fh)
+        os.replace(tmp, meta_path)
+    written: dict[str, int] = {}
+    for sub in _INDEX_SUBDIRS:
+        key = _PRUNE_KEY[sub]
+        done_path = os.path.join(stage, f"_DONE_{sub}.json")
+        if os.path.exists(done_path):  # checkpointed by a killed run
+            with open(done_path) as fh:
+                written[sub] = json.load(fh)["rows"]
+            continue
+        live = os.path.join(index_dir, sub)
+        names = snapshot.get(sub) or []
+        if not names:
+            written[sub] = 0
+            with open(done_path + ".tmp", "w") as fh:
+                json.dump({"rows": 0}, fh)
+            os.replace(done_path + ".tmp", done_path)
+            continue
+        stats = _file_stats(live, key)
+        n_rows = sum(
+            stats[n][1] or 0 for n in names if n in stats
+        )
+        df = spark.read.parquet(*(os.path.join(live, n) for n in names))
+        if any(n not in stats or stats[n][1] is None for n in names):
+            n_rows = df.count()  # fall back to a count job
+        parts = max(1, math.ceil(n_rows / target_rows_per_file))
+        df.repartitionByRange(parts, key).sortWithinPartitions(key).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, sub))
+        written[sub] = n_rows
+        tmp = done_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"rows": n_rows}, fh)
+        os.replace(tmp, done_path)
+        fire("dedup:major_subdir_done")  # checkpoint: resume skips this sub
+    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
+        json.dump(snapshot, fh)
+    staged_names = {
+        sub: _live_files(os.path.join(stage, sub)) for sub in _INDEX_SUBDIRS
+    }
+    fire("dedup:major_staged")  # no marker yet: crash = old layout wins
+    with open(os.path.join(stage, "_COMMITTED"), "w") as marker:
+        marker.write("ok")
+    fire("dedup:major_committed")  # committed, not yet published
+    outcome = _publish_staged(index_dir).get(_MAJOR_STAGE)
+    if outcome != "published":
+        missing = [
+            n
+            for sub, names in staged_names.items()
+            for n in names
+            if not os.path.exists(os.path.join(index_dir, sub, n))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"major_compact_index lost a concurrent maintenance publish "
+                f"race (outcome={outcome!r}, {len(missing)} staged files "
+                "never went live) — the live index is the concurrent "
+                "winner's layout; rerun, or stop concurrent maintenance "
+                "and retry"
+            )
+    # the major rewrite IS the cure the history was evidencing: reset it so
+    # the trigger re-arms only on fresh post-major measurements
+    try:
+        os.remove(os.path.join(index_dir, _FOLD_HISTORY))
+    except OSError:
+        pass
+    return written

@@ -287,6 +287,9 @@ def ivf_probe_topk(
 @register(
     "l3c_ann_ivf_topk",
     survey="L3",
+    extended=True,  # seat rotation r13: L3's driver seats are l3 (exact) +
+    # l3e (persisted IVF, which row-for-row-pins parity with this in-memory
+    # path in tests/test_ivf_index.py); this stays local-sweep-verified
     sql="""
     -- The ANN result set is approximation-defined, so the checkable contract
     -- is RECALL: the Spark side joins the IVF top-k against the exact
@@ -537,7 +540,8 @@ def ivf_index_topk(
 @register(
     "l3e_ann_ivf_persisted",
     survey="L3,S6,X1",
-    extended=True,
+    # driver tier since r13 (seat rotation): the persisted build-once/
+    # probe-many serving shape is the L3 path that matters at scale
     sql="""
     -- Same recall contract as l3c: the persisted-index probe must recover,
     -- for every query, at least one true nearest neighbor from the exact

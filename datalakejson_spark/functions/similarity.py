@@ -198,7 +198,8 @@ def brute_force_topk_np(
 @register(
     "l3d_exact_topk_vectorized",
     survey="L3,D5",
-    extended=True,
+    # driver tier since r13 (seat rotation): gives D5 (mapInPandas) its own
+    # driver-verified row
     sql="""
     -- The vectorized path's contract: the Spark side computes top-k twice
     -- (JVM higher-order expressions vs Arrow/numpy matmul partial top-k +

@@ -128,7 +128,13 @@ _G9_SQL = f"""
 
 # promoted to the driver tier in r12 (seat rotation: pivot had never had a
 # driver-green row)
-@register("g9_pivot_segments", survey="G3,G6", sql=_G9_SQL)
+@register(
+    "g9_pivot_segments",
+    survey="G3,G6",
+    extended=True,  # seat rotation r13: G3 keeps driver seats via g3/j3/j11
+    # and G6 via g6_rollup_time_hierarchy; this stays local-sweep-verified
+    sql=_G9_SQL,
+)
 def g9_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot market segments to columns via Spark's pivot API (which plans
     exactly the conditional aggregation the oracle spells out — one pass,
