@@ -453,17 +453,50 @@ _RANGES = "_RANGES.json"
 PRUNE_MIN_SKIP_FRACTION = 0.5
 
 
-def _load_sidecar(live_dir: str) -> dict:
-    """Read the stats sidecar; any unreadable/odd content degrades to an
-    empty cache (advisory everywhere)."""
+#: in-process parsed-sidecar cache: {sidecar path: (mtime_ns, size, dict)}.
+#: The decade-5 planning measurement (tools/dedup_probe_decade5_r13.jsonl)
+#: found the per-batch JSON REPARSE is the first driver-side structure to
+#: break on the file-count axis — ~11 s and ~1 GB of fresh allocations per
+#: batch at 10^6 files (a 112 MB sidecar), while the listing and the bisect
+#: pruning loop stay sub-second. The parse is now keyed by (mtime, size):
+#: steady-state batches reparse only when a publish actually rewrote the
+#: sidecar. Entries are replaced per path (one live parse per subdir), and
+#: the parsed dict is shared READ-ONLY — every consumer that mutates takes
+#: a copy.
+_SIDECAR_PARSE_CACHE: dict[str, tuple[int, int, dict]] = {}
+#: fully-materialized _file_stats results, keyed per live_dir by
+#: (sidecar mtime_ns, sidecar size, hash(listing)) — see _file_stats.
+_STATS_RESULT_CACHE: dict[str, tuple[tuple, dict]] = {}
+
+
+def _load_sidecar_shared(live_dir: str) -> dict:
+    """The parsed stats sidecar, mtime/size-cached in-process. READ-ONLY:
+    callers must not mutate the returned dict (take a copy to edit). Any
+    unreadable/odd content degrades to an empty cache (advisory
+    everywhere)."""
     import json
 
+    sidecar = os.path.join(live_dir, _RANGES)
     try:
-        with open(os.path.join(live_dir, _RANGES)) as fh:
-            raw = json.load(fh)
-        return raw if isinstance(raw, dict) else {}
-    except (OSError, ValueError):
+        st = os.stat(sidecar)
+    except OSError:
         return {}
+    hit = _SIDECAR_PARSE_CACHE.get(sidecar)
+    if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
+        return hit[2]
+    try:
+        with open(sidecar) as fh:
+            raw = json.load(fh)
+        parsed = raw if isinstance(raw, dict) else {}
+    except (OSError, ValueError):
+        parsed = {}
+    _SIDECAR_PARSE_CACHE[sidecar] = (st.st_mtime_ns, st.st_size, parsed)
+    return parsed
+
+
+def _load_sidecar(live_dir: str) -> dict:
+    """A MUTABLE copy of the stats sidecar (see _load_sidecar_shared)."""
+    return dict(_load_sidecar_shared(live_dir))
 
 
 def _merge_sidecar_cache(live_dir: str, add: dict, remove: list[str]) -> None:
@@ -594,18 +627,28 @@ def _file_stats(
     (pre-rows cache) are treated as unknown and re-read once."""
     import json
 
-    cache: dict = {}
+    cache = _load_sidecar_shared(live_dir)  # read-only; never mutated here
     sidecar = os.path.join(live_dir, _RANGES)
-    try:
-        with open(sidecar) as fh:
-            raw = json.load(fh)
-        if isinstance(raw, dict):
-            cache = raw
-    except (OSError, ValueError):
-        pass
     files = _live_files(live_dir)
+    # Result cache (decade-5, tools/dedup_probe_decade5_r13.jsonl): at 10^6
+    # live files even the cache-hit rebuild of this dict is a multi-second
+    # pure-python loop, and the steady loop calls _file_stats several times
+    # per batch (pruned read x2 subdirs, compaction trigger, compaction
+    # planning) against an IDENTICAL (sidecar, listing) state. Keyed by the
+    # sidecar's (mtime, size) + the listing tuple's hash, so any publish
+    # (new files or rewritten sidecar) misses and recomputes.
+    try:
+        st = os.stat(sidecar)
+        state_key = (st.st_mtime_ns, st.st_size, hash(tuple(files)))
+    except OSError:
+        state_key = None
+    if state_key is not None:
+        hit = _STATS_RESULT_CACHE.get(live_dir)
+        if hit is not None and hit[0] == state_key:
+            return hit[1]
     out: dict[str, tuple[tuple[str, str] | _Undecodable | None, int | None]] = {}
     transient: set[str] = set()
+    misses = 0
     for f in files:
         v = cache.get(f)
         if isinstance(v, list) and len(v) == 3:
@@ -617,6 +660,7 @@ def _file_stats(
                 int(v["rows"]),
             )
             continue
+        misses += 1
         try:
             out[f] = _footer_stats(os.path.join(live_dir, f), column)
         except Exception:  # noqa: BLE001 — advisory: scan it, retry later
@@ -626,7 +670,14 @@ def _file_stats(
     # failed read would otherwise be cached as "no usable stats" forever
     # and the file never pruned again — review catch, round 11; a
     # stats-LESS footer is permanent and is cached, with its row count).
-    # Rewrite only on real change so steady-state probes don't touch it.
+    # Rewrite only on real change so steady-state probes don't touch it —
+    # and when EVERY file hit the sidecar verbatim and none were dropped,
+    # nothing can have changed, so the O(files) persist/compare pass is
+    # skipped outright (the decade-5 warm path).
+    if misses == 0 and len(cache) == len(out):
+        if state_key is not None:
+            _STATS_RESULT_CACHE[live_dir] = (state_key, out)
+        return out
     persist = {
         f: _encode_sidecar_entry(rng, rows)
         for f, (rng, rows) in out.items()
@@ -645,6 +696,15 @@ def _file_stats(
                 os.remove(tmp)
             except OSError:
                 pass
+    if not transient:
+        try:
+            st = os.stat(sidecar)
+            _STATS_RESULT_CACHE[live_dir] = (
+                (st.st_mtime_ns, st.st_size, hash(tuple(files))),
+                out,
+            )
+        except OSError:
+            pass
     return out
 
 

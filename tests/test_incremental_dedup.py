@@ -1698,3 +1698,36 @@ def test_lost_rebuild_stage_leaves_tombstone(spark, tmp_path):
         spark, _docs(spark, [(2, _distinct_text(2))]), idx
     )
     assert kept.count() == 1
+
+
+def test_stats_caches_invalidate_on_publish(spark, tmp_path):
+    """The decade-5 planning caches (parsed sidecar keyed by mtime/size,
+    materialized _file_stats result keyed by sidecar state + listing) must
+    never serve stale layout: a publish that adds files or rewrites the
+    sidecar misses the cache and re-plans, while back-to-back calls against
+    an unchanged index return the identical object without re-parsing."""
+    import os
+
+    from datalakejson_spark.functions import incremental_dedup as inc
+
+    idx = str(tmp_path / "idx")
+    ingest_batch_dedup(spark, _docs(spark, [(1, _distinct_text(1))]), idx)
+    live = os.path.join(idx, "hashes")
+
+    a = inc._file_stats(live, "text_hash")
+    b = inc._file_stats(live, "text_hash")
+    assert b is a  # steady state: the result cache serves the same object
+
+    # a publish (new append files) must invalidate via the listing key
+    ingest_batch_dedup(spark, _docs(spark, [(2, _distinct_text(2))]), idx)
+    c = inc._file_stats(live, "text_hash")
+    assert c is not a and len(c) == len(a) + 1
+
+    # a compaction (sidecar rewritten, files replaced) invalidates too,
+    # and the fresh plan prunes on the compacted layout
+    inc.compact_index(spark, idx, target_rows_per_file=1_000_000, max_runs=1)
+    d = inc._file_stats(live, "text_hash")
+    assert d is not c
+    assert set(d) == set(inc._live_files(live))
+    ranges = inc._file_ranges(live, "text_hash")
+    assert inc._ranges_disjoint(ranges)
