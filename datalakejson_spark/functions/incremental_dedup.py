@@ -355,7 +355,7 @@ def _publish_one_stage(index_dir: str, stage: str, stale_stage_s: float) -> str:
                     "gone, e.g. %s) — the concurrent winner's layout is live",
                     token, index_dir, len(missing), missing[0],
                 )
-                if token == _REBUILD_STAGE:
+                if token in (_REBUILD_STAGE, _MAJOR_STAGE):
                     _write_lost_tombstone(index_dir, token, missing)
                 shutil.rmtree(stage, ignore_errors=True)
                 return "lost"

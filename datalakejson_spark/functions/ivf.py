@@ -359,6 +359,7 @@ def build_ivf_index(
     seed: int = 42,
     measure_recall: bool = False,
     recall_queries: int = 32,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Train the quantizer, assign every vector, and persist the inverted
     file under ``index_dir`` as parquet PARTITIONED BY cell (one file per
@@ -408,6 +409,11 @@ def build_ivf_index(
         # element types) — the append path casts deltas to this
         "embedding_type": emb.schema["embedding"].dataType.simpleString(),
         "centroids": centroids,
+        # extra_meta lands in the SAME atomic meta write as the index
+        # identity — the streaming bootstrap records its batch id here so a
+        # replayed bootstrap batch is recognizable with no marker-write
+        # crash window (review catch, round 13)
+        **(extra_meta or {}),
     }
     # new index identity: stale stages/applied markers from a previous life
     # must never publish into (or suppress appends to) the rebuilt cells
@@ -742,12 +748,42 @@ def _publish_one_ivf_stage(
         with open(batch_meta) as fh:
             bid = json.load(fh).get("batch_id")
         if bid is not None:
-            applied = os.path.join(index_dir, _IVF_APPLIED)
-            os.makedirs(applied, exist_ok=True)
-            with open(os.path.join(applied, str(bid)), "w") as fh:
-                fh.write("ok")
+            _mark_ivf_batch_applied(index_dir, str(bid))
     shutil.rmtree(stage, ignore_errors=True)
     return "published"
+
+
+#: applied-batch markers older than this are swept when a new one is
+#: written. A marker only matters until its batch's streaming checkpoint
+#: commits (seconds-to-minutes after publish) — after that the batch can
+#: never replay — so hours of retention is already paranoid; without a
+#: sweep a 15-minute cadence accretes ~35k marker files per year per index
+#: (review catch, round 13: the same unbounded-small-file disease the
+#: compactors exist to cure).
+_APPLIED_RETENTION_S = 24 * 3600.0
+
+
+def _mark_ivf_batch_applied(index_dir: str, batch_id: str) -> None:
+    """Record a published append batch (the replay-skip marker) and sweep
+    markers past retention — the sweep keeps the _applied directory bounded
+    by the retention window's batch count, never the index lifetime's."""
+    import os
+    import time
+
+    applied = os.path.join(index_dir, _IVF_APPLIED)
+    os.makedirs(applied, exist_ok=True)
+    with open(os.path.join(applied, batch_id), "w") as fh:
+        fh.write("ok")
+    cutoff = time.time() - _APPLIED_RETENTION_S
+    try:
+        for entry in os.scandir(applied):
+            try:
+                if entry.is_file() and entry.stat().st_mtime < cutoff:
+                    os.remove(entry.path)
+            except OSError:  # raced with another runner's sweep
+                pass
+    except OSError:  # pragma: no cover - advisory
+        pass
 
 
 def ivf_batch_applied(index_dir: str, batch_id: str) -> bool:
@@ -767,15 +803,27 @@ def ivf_needs_compaction(
     cell is one run regardless of rows) than ``max_runs_per_cell``? Never
     raw file count — a legitimately large cell compacted into several
     target-sized files must not re-trigger (the dedup index's r11 trap).
-    Cost: one listdir per cell, short-circuiting on the first dirty one —
-    in the steady append loop (uniform data touches every cell) the first
-    cell checked answers it."""
+    Cost: one directory scan per cell, short-circuiting on the first dirty
+    one — in the steady append loop (uniform data touches every cell) the
+    first cell checked answers it, so the trigger never pays nlist listings
+    per micro-batch (review catch, round 13: the eager _ivf_live_files form
+    materialized every cell's listing before any() saw the first)."""
+    import os
+
     from datalakejson_spark.functions.incremental_dedup import _derive_runs
 
-    return any(
-        len(_derive_runs(files)) > max_runs_per_cell
-        for files in _ivf_live_files(index_dir, subdir).values()
-    )
+    root = os.path.join(index_dir, subdir)
+    if not os.path.isdir(root):
+        return False
+    for entry in os.scandir(root):
+        if "=" not in entry.name or not entry.is_dir():
+            continue
+        files = [
+            n for n in os.listdir(entry.path) if n.endswith(".parquet")
+        ]
+        if len(_derive_runs(files)) > max_runs_per_cell:
+            return True
+    return False
 
 
 def compact_ivf_cells(

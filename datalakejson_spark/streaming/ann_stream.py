@@ -59,10 +59,12 @@ def streaming_ann_ingest(
 
     Crash-safety ledger (all windows pinned in tests/test_ann_stream.py):
 
-    - bootstrap batch replay: build_ivf_index is deterministic (seeded
-      quantizer, overwrite write) and resets the staging/applied planes —
-      a replay rebuilds the identical index; later batches cannot have
-      run yet (the source commits batches in order).
+    - bootstrap batch replay: the bootstrap batch id is recorded in the
+      SAME atomic ``_IVF.json`` write as the index identity
+      (``bootstrap_batch``), so a replayed bootstrap batch is recognized
+      and skipped — it can never fall into the append path and duplicate
+      every bootstrap vector (later batches cannot have run yet; the
+      source commits batches in order).
     - append crash before ``_COMMITTED``: the half-written stage is swept;
       the replay re-stages the same rows (same deterministic
       ``batch-<id>`` token).
@@ -84,24 +86,15 @@ def streaming_ann_ingest(
     stream = reader.json(landing_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        from datalakejson_spark.functions.ivf import _IVF_META
-
-        sess = batch_df.sparkSession
-        batch = batch_df.select("vec_id", "embedding")
-        if not os.path.exists(os.path.join(index_dir, _IVF_META)):
-            build_ivf_index(batch, index_dir, n_cells=n_cells, seed=seed)
-            return
-        ivf_index_append(sess, batch, index_dir, batch_id=f"b{batch_id}")
-        if compact_max_runs_per_cell is not None and ivf_needs_compaction(
-            index_dir, compact_max_runs_per_cell
-        ):
-            compact_ivf_cells(
-                sess,
-                index_dir,
-                max_runs_per_cell=max(1, compact_max_runs_per_cell // 2),
-            )
+        process_ann_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            index_dir,
+            n_cells=n_cells,
+            seed=seed,
+            compact_max_runs_per_cell=compact_max_runs_per_cell,
+        )
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -109,3 +102,49 @@ def streaming_ann_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def process_ann_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    n_cells: int | None = None,
+    seed: int = 42,
+    compact_max_runs_per_cell: int | None = ANN_COMPACT_MAX_RUNS,
+) -> None:
+    """One micro-batch of the ANN ingest loop (module-level so the replay
+    semantics are directly testable): bootstrap-or-append, exactly-once
+    across replays, inline compaction policy."""
+    import os
+
+    from datalakejson_spark.functions.ivf import _IVF_META, load_ivf_meta
+
+    batch = batch_df.select("vec_id", "embedding")
+    bid = f"b{batch_id}"
+    if not os.path.exists(os.path.join(index_dir, _IVF_META)):
+        # bootstrap_batch rides the SAME atomic meta write as the index
+        # identity: a replay of the bootstrap batch (crash before the
+        # checkpoint commit) is recognized below and skipped, instead of
+        # falling into the append path and duplicating every bootstrap
+        # vector in the cells (review catch, round 13 — a marker written
+        # after the build would leave a crash window between the writes).
+        build_ivf_index(
+            batch,
+            index_dir,
+            n_cells=n_cells,
+            seed=seed,
+            extra_meta={"bootstrap_batch": bid},
+        )
+        return
+    if load_ivf_meta(index_dir).get("bootstrap_batch") == bid:
+        return  # replayed bootstrap batch: already the index itself
+    ivf_index_append(spark, batch, index_dir, batch_id=bid)
+    if compact_max_runs_per_cell is not None and ivf_needs_compaction(
+        index_dir, compact_max_runs_per_cell
+    ):
+        compact_ivf_cells(
+            spark,
+            index_dir,
+            max_runs_per_cell=max(1, compact_max_runs_per_cell // 2),
+        )

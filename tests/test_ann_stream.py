@@ -186,3 +186,65 @@ def test_mid_batch_failure_replays_exactly_once(spark, tmp_path):
     _write_landing(landing, "d2.json", d2)
     streaming_ann_ingest(spark, **args).awaitTermination()
     assert _index_rows(spark, idx) == sorted(i for i, _ in boot + d1 + d2)
+
+
+def test_bootstrap_batch_replay_never_duplicates(spark, tmp_path):
+    """A bootstrap batch replayed after its build but BEFORE its checkpoint
+    commit (the meta exists, so the naive decision would be 'append') must
+    be recognized via the bootstrap_batch recorded atomically in _IVF.json
+    and skipped — otherwise every bootstrap vector lands twice and top-k
+    emits duplicate neighbor rows (review catch, round 13)."""
+    from datalakejson_spark.streaming.ann_stream import process_ann_batch
+
+    idx = str(tmp_path / "idx")
+    boot = _vectors(1, 120, 0)
+    schema = "vec_id bigint, embedding array<double>"
+    df = spark.createDataFrame(boot, schema)
+
+    process_ann_batch(spark, df, 0, idx, n_cells=16)  # bootstrap build
+    # the crash window: checkpoint never committed, batch 0 replays whole
+    process_ann_batch(spark, df, 0, idx, n_cells=16)
+    assert _index_rows(spark, idx) == sorted(i for i, _ in boot)
+    # and a real later batch still appends exactly once
+    d1 = spark.createDataFrame(_vectors(2, 30, 5000), schema)
+    process_ann_batch(spark, d1, 1, idx)
+    process_ann_batch(spark, d1, 1, idx)  # its own replay: marker skip
+    assert _index_rows(spark, idx) == sorted(
+        i for i, _ in boot + _vectors(2, 30, 5000)
+    )
+
+
+def test_applied_markers_are_swept_past_retention(spark, tmp_path):
+    """Applied-batch markers bound the replay-skip check, not the index
+    lifetime: markers older than the retention window are swept when a new
+    one is written, so a long-running cadence cannot accrete one tiny file
+    per micro-batch forever (review catch, round 13)."""
+    import time
+
+    from datalakejson_spark.functions import ivf as ivf_mod
+    from datalakejson_spark.functions.ivf import (
+        build_ivf_index,
+        ivf_batch_applied,
+        ivf_index_append,
+    )
+
+    idx = str(tmp_path / "idx")
+    schema = "vec_id bigint, embedding array<double>"
+    build_ivf_index(spark.createDataFrame(_vectors(1, 100, 0), schema), idx,
+                    n_cells=16)
+    ivf_index_append(
+        spark, spark.createDataFrame(_vectors(2, 5, 1000), schema), idx,
+        batch_id="old",
+    )
+    assert ivf_batch_applied(idx, "old")
+    # age the marker past retention
+    marker = os.path.join(idx, "_applied", "old")
+    past = time.time() - 2 * ivf_mod._APPLIED_RETENTION_S
+    os.utime(marker, (past, past))
+
+    ivf_index_append(
+        spark, spark.createDataFrame(_vectors(3, 5, 2000), schema), idx,
+        batch_id="new",
+    )
+    assert ivf_batch_applied(idx, "new")
+    assert not ivf_batch_applied(idx, "old")  # swept

@@ -269,3 +269,24 @@ def test_major_stage_survives_the_stale_sweeper(spark, tmp_path):
     out = inc._publish_staged(idx)
     assert out.get(inc._MAJOR_STAGE) == "pending"
     assert os.path.isdir(stage)
+
+
+def test_lost_major_stage_leaves_tombstone(spark, tmp_path):
+    """A committed MAJOR stage discarded by a later entry point as a
+    publish-race loser leaves the same operator-visible tombstone as a lost
+    rebuild — hours of corpus-rewrite work must never vanish silently
+    (review catch, round 13)."""
+    import json
+
+    idx = _seed_index(spark, tmp_path, n_docs=8)
+    stage = os.path.join(idx, inc._STAGING, inc._MAJOR_STAGE)
+    os.makedirs(stage)
+    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
+        json.dump({"hashes": ["part-gone-forever.snappy.parquet"]}, fh)
+    open(os.path.join(stage, "_COMMITTED"), "w").write("ok")
+
+    out = inc._publish_staged(idx)
+    assert out.get(inc._MAJOR_STAGE) == "lost"
+    tomb = os.path.join(idx, inc._STAGING, f"_LOST_{inc._MAJOR_STAGE}.json")
+    assert os.path.exists(tomb)
+    assert json.load(open(tomb))["missing_count"] == 1
