@@ -94,6 +94,7 @@ def build_lsh_index(
     n_planes: int | None = None,
     n_tables: int = N_TABLES,
     seed: int = LSH_SEED,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Bucket every vector under the seeded-Gaussian family and persist the
     exploded (vector x table) rows as parquet PARTITIONED BY tb (one file
@@ -124,6 +125,9 @@ def build_lsh_index(
         "dim": dim,
         "n_vectors": n,
         "embedding_type": emb.schema["embedding"].dataType.simpleString(),
+        # same contract as build_ivf_index: extra_meta (e.g. the streaming
+        # bootstrap batch id) lands in the same atomic meta write
+        **(extra_meta or {}),
     }
     for sub in ("_staging", "_applied"):
         shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)

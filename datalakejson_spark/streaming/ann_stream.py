@@ -148,3 +148,92 @@ def process_ann_batch(
             index_dir,
             max_runs_per_cell=max(1, compact_max_runs_per_cell // 2),
         )
+
+
+def streaming_lsh_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    compact_max_runs_per_bucket: int | None = ANN_COMPACT_MAX_RUNS,
+):
+    """The LSH twin of :func:`streaming_ann_ingest`: drain landing
+    JSON-lines embeddings into a persisted bucket-partitioned LSH index
+    (functions/lsh_index.py). Same bootstrap-on-first-batch, the same
+    exactly-once crash ledger (the two indexes share the staged-publish
+    machinery), the same inline tiered compaction policy over tb
+    partitions. Returns the StreamingQuery."""
+    configure_runtime(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(landing_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        process_lsh_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            index_dir,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            compact_max_runs_per_bucket=compact_max_runs_per_bucket,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def process_lsh_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    compact_max_runs_per_bucket: int | None = ANN_COMPACT_MAX_RUNS,
+) -> None:
+    """One micro-batch of the LSH ingest loop (module-level so the replay
+    semantics are directly testable) — bootstrap-or-append with the same
+    bootstrap_batch/applied-marker exactly-once contract as
+    :func:`process_ann_batch`."""
+    import os
+
+    from datalakejson_spark.functions.lsh_index import (
+        _LSH_META,
+        build_lsh_index,
+        compact_lsh_buckets,
+        load_lsh_meta,
+        lsh_index_append,
+        lsh_needs_compaction,
+    )
+
+    batch = batch_df.select("vec_id", "embedding")
+    bid = f"b{batch_id}"
+    if not os.path.exists(os.path.join(index_dir, _LSH_META)):
+        kwargs = {} if n_planes is None else {"n_planes": n_planes}
+        if n_tables is not None:
+            kwargs["n_tables"] = n_tables
+        build_lsh_index(
+            batch, index_dir, extra_meta={"bootstrap_batch": bid}, **kwargs
+        )
+        return
+    if load_lsh_meta(index_dir).get("bootstrap_batch") == bid:
+        return  # replayed bootstrap batch: already the index itself
+    lsh_index_append(spark, batch, index_dir, batch_id=bid)
+    if compact_max_runs_per_bucket is not None and lsh_needs_compaction(
+        index_dir, compact_max_runs_per_bucket
+    ):
+        compact_lsh_buckets(
+            spark,
+            index_dir,
+            max_runs_per_bucket=max(1, compact_max_runs_per_bucket // 2),
+        )

@@ -248,3 +248,71 @@ def test_applied_markers_are_swept_past_retention(spark, tmp_path):
     )
     assert ivf_batch_applied(idx, "new")
     assert not ivf_batch_applied(idx, "old")  # swept
+
+
+def test_streaming_lsh_matches_batch_loop(spark, tmp_path):
+    """The LSH plane gets the same stream ≡ batch-loop contract: a
+    bootstrap-then-append drain (restart on the same checkpoint between
+    drains) produces row-for-row the probe results of a batch loop over the
+    same splits, and bootstrap/append replays stay exactly-once."""
+    from datalakejson_spark.functions.lsh_index import (
+        build_lsh_index,
+        lsh_index_append,
+        lsh_index_topk,
+    )
+    from datalakejson_spark.streaming.ann_stream import (
+        process_lsh_batch,
+        streaming_lsh_ingest,
+    )
+
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    boot = _vectors(1, 200, 0)
+    d1 = _vectors(2, 50, 1000)
+    _write_landing(landing, "boot.json", boot)
+    args = dict(
+        landing_dir=landing,
+        index_dir=idx,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=_SCHEMA,
+        max_files_per_trigger=1,
+        n_planes=4,
+        n_tables=4,
+        compact_max_runs_per_bucket=2,
+    )
+    streaming_ann = streaming_lsh_ingest(spark, **args)
+    streaming_ann.awaitTermination()  # bootstrap
+    _write_landing(landing, "d1.json", d1)
+    streaming_lsh_ingest(spark, **args).awaitTermination()  # restart+append
+
+    schema = "vec_id bigint, embedding array<double>"
+    ref_idx = str(tmp_path / "ref")
+    build_lsh_index(
+        spark.createDataFrame(boot, schema), ref_idx, n_planes=4, n_tables=4
+    )
+    lsh_index_append(spark, spark.createDataFrame(d1, schema), ref_idx)
+
+    queries = spark.createDataFrame(boot[:4], schema)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rn)
+        for r in lsh_index_topk(spark, queries, idx).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rn)
+        for r in lsh_index_topk(spark, queries, ref_idx).collect()
+    )
+    assert got == want and got
+
+    # replay safety, both windows, against the live stream's index
+    df_boot = spark.createDataFrame(boot, schema)
+    process_lsh_batch(spark, df_boot, 0, idx)  # bootstrap replay: skip
+    d1_df = spark.createDataFrame(d1, schema)
+    process_lsh_batch(spark, d1_df, 1, idx)  # append replay: marker skip
+    rows = sorted(
+        r.vec_id
+        for r in spark.read.parquet(os.path.join(idx, "buckets"))
+        .select("vec_id")
+        .distinct()
+        .collect()
+    )
+    assert rows == sorted(i for i, _ in boot + d1)
