@@ -317,3 +317,67 @@ def l3f_ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(idx, ignore_errors=True)
     return ann_recall_check(ann, emb, queries)
+
+
+def lsh_bucket_stats(index_dir: str) -> dict:
+    """MEASURED per-bucket row statistics from the live parquet footers —
+    driver-side, no Spark job (partition count is bounded by
+    tables x 2^planes, file count per partition by the tiered compactor).
+    Returns {"partitions", "total_rows", "mean_rows", "max_rows"}."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = os.path.join(index_dir, _BUCKETS)
+    per_tb: dict[str, int] = {}
+    for tb, files in _ivf_live_files(index_dir, _BUCKETS).items():
+        rows = 0
+        for f in files:
+            try:
+                rows += pq.ParquetFile(
+                    os.path.join(root, tb, f)
+                ).metadata.num_rows
+            except OSError:  # racing publish: settled next call
+                pass
+        per_tb[tb] = rows
+    counts = [c for c in per_tb.values() if c > 0]
+    total = sum(counts)
+    return {
+        "partitions": len(counts),
+        "total_rows": total,
+        "mean_rows": (total / len(counts)) if counts else 0.0,
+        "max_rows": max(counts) if counts else 0,
+    }
+
+
+def lsh_needs_retune(
+    index_dir: str,
+    target_bucket_rows: int = 2000,
+    factor: float = 4.0,
+) -> tuple[bool, dict]:
+    """The LSH health trigger, MEASURED like the IVF recall-drift one but
+    on the quantity that actually degrades for LSH: candidate VOLUME.
+    Recall at fixed planes is decade-stable (collision probability depends
+    on angles, not corpus size — SCALE.md, r12 curve), but every query
+    scans ~tables x mean_bucket_rows candidates, so a corpus that outgrows
+    its planes pays linearly growing probes while returning the same
+    answers — a silent cost regression, not a wrong answer. Fires when the
+    measured mean bucket size exceeds ``factor x target_bucket_rows`` (the
+    autotune invariant it was built to hold); the cure is a rebuild with
+    autotuned planes (``build_lsh_index(..., n_planes=None)``), which the
+    returned stats spell out (``recommended_planes``). Returns
+    ``(needs_retune, stats)``."""
+    meta = load_lsh_meta(index_dir)
+    stats = lsh_bucket_stats(index_dir)
+    per_vector_rows = max(1, stats["total_rows"] // max(1, meta["n_tables"]))
+    rec_planes, _ = autotune_lsh(
+        per_vector_rows, target_bucket_rows, meta["n_tables"]
+    )
+    stats.update(
+        {
+            "planes": meta["n_planes"],
+            "recommended_planes": rec_planes,
+            "target_bucket_rows": target_bucket_rows,
+        }
+    )
+    return stats["mean_rows"] > factor * target_bucket_rows, stats

@@ -50,6 +50,8 @@ def streaming_ann_ingest(
     n_cells: int | None = None,
     seed: int = 42,
     compact_max_runs_per_cell: int | None = ANN_COMPACT_MAX_RUNS,
+    retrain_check_every: int | None = None,
+    retrain_drift_tolerance: float | None = None,
 ):
     """Drain landing JSON-lines embeddings once (AvailableNow); the FIRST
     micro-batch bootstraps the index (trains the quantizer on that batch —
@@ -94,6 +96,8 @@ def streaming_ann_ingest(
             n_cells=n_cells,
             seed=seed,
             compact_max_runs_per_cell=compact_max_runs_per_cell,
+            retrain_check_every=retrain_check_every,
+            retrain_drift_tolerance=retrain_drift_tolerance,
         )
 
     return (
@@ -112,6 +116,8 @@ def process_ann_batch(
     n_cells: int | None = None,
     seed: int = 42,
     compact_max_runs_per_cell: int | None = ANN_COMPACT_MAX_RUNS,
+    retrain_check_every: int | None = None,
+    retrain_drift_tolerance: float | None = None,
 ) -> None:
     """One micro-batch of the ANN ingest loop (module-level so the replay
     semantics are directly testable): bootstrap-or-append, exactly-once
@@ -148,6 +154,61 @@ def process_ann_batch(
             index_dir,
             max_runs_per_cell=max(1, compact_max_runs_per_cell // 2),
         )
+    if retrain_check_every and batch_id % retrain_check_every == 0:
+        monitor_ivf_drift(
+            spark, index_dir, bid, drift_tolerance=retrain_drift_tolerance
+        )
+
+
+def monitor_ivf_drift(
+    spark: SparkSession,
+    index_dir: str,
+    bid: str,
+    drift_tolerance: float | None = None,
+) -> dict:
+    """The in-stream drift MONITOR: measure recall on the current corpus
+    (ivf_needs_retrain), append the reading to ``{index}/_RECALL.jsonl``
+    (the measured history an operator or an offline scheduler acts on),
+    and WARN when the trigger fires. Deliberately never rebuilds in-stream:
+    a retrain is a corpus-scale admin verb, and auto-running it inside
+    foreachBatch would stall the drain exactly when data is arriving
+    fastest. The probe is an exact Arrow/BLAS pass over the index, so the
+    caller gates it on a cadence (``retrain_check_every``), not every
+    batch."""
+    import json
+    import logging
+    import os
+    import time
+
+    from datalakejson_spark.functions.ivf import (
+        RETRAIN_DRIFT_TOLERANCE,
+        ivf_needs_retrain,
+    )
+
+    needs, recall = ivf_needs_retrain(
+        spark,
+        index_dir,
+        drift_tolerance=(
+            RETRAIN_DRIFT_TOLERANCE
+            if drift_tolerance is None
+            else drift_tolerance
+        ),
+    )
+    rec = {"ts": time.time(), "batch": bid, "recall": recall,
+           "needs_retrain": bool(needs)}
+    try:
+        with open(os.path.join(index_dir, "_RECALL.jsonl"), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+    except OSError:  # advisory observability
+        pass
+    if needs:
+        logging.getLogger(__name__).warning(
+            "IVF index %s: measured recall %.3f fell past the retrain "
+            "trigger at batch %s — schedule build_ivf_index over the "
+            "current corpus (offline admin verb)",
+            index_dir, recall, bid,
+        )
+    return rec
 
 
 def streaming_lsh_ingest(

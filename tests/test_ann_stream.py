@@ -316,3 +316,66 @@ def test_streaming_lsh_matches_batch_loop(spark, tmp_path):
         .collect()
     )
     assert rows == sorted(i for i, _ in boot + d1)
+
+
+def test_stream_drift_monitor_records_and_warns(spark, tmp_path, caplog):
+    """With retrain_check_every set, the stream measures recall on its
+    cadence, appends every reading to _RECALL.jsonl, and WARNS when the
+    drift trigger fires — never rebuilding in-stream (the index stays the
+    bootstrap quantizer's)."""
+    import logging
+
+    import numpy as np
+
+    from datalakejson_spark.functions.ivf import load_ivf_meta
+    from datalakejson_spark.streaming.ann_stream import streaming_ann_ingest
+
+    rng = np.random.RandomState(0)
+    DIM, KD = 8, 64
+    cents = rng.standard_normal((KD, DIM)) * 5.0
+
+    def clustered(n, start):
+        lab = rng.randint(0, KD, n)
+        x = cents[lab] + rng.standard_normal((n, DIM)) * 0.2
+        return [(start + i, [float(v) for v in x[i]]) for i in range(n)]
+
+    def uniform(n, start):
+        x = rng.uniform(-10, 10, (n, DIM))
+        return [(start + i, [float(v) for v in x[i]]) for i in range(n)]
+
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    args = dict(
+        landing_dir=landing,
+        index_dir=idx,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=_SCHEMA,
+        max_files_per_trigger=1,
+        n_cells=64,
+        retrain_check_every=1,
+        retrain_drift_tolerance=0.05,
+    )
+    _write_landing(landing, "boot.json", clustered(6000, 0))
+    streaming_ann_ingest(spark, **args).awaitTermination()  # bootstrap
+    # give the bootstrap a baseline so drift is measured against it
+    from datalakejson_spark.functions.ivf import (
+        _write_ivf_meta,
+        ivf_recall_probe,
+    )
+
+    meta = load_ivf_meta(idx)
+    meta["baseline_recall"] = ivf_recall_probe(spark, idx)
+    _write_ivf_meta(idx, meta)
+
+    _write_landing(landing, "drift.json", uniform(6000, 100000))
+    with caplog.at_level(logging.WARNING):
+        streaming_ann_ingest(spark, **args).awaitTermination()
+    readings = [
+        json.loads(line)
+        for line in open(os.path.join(idx, "_RECALL.jsonl"))
+    ]
+    assert readings and readings[-1]["needs_retrain"]
+    assert readings[-1]["recall"] < meta["baseline_recall"]
+    assert any("schedule build_ivf_index" in r.message for r in caplog.records)
+    # the monitor never rebuilt: the quantizer is still the bootstrap's
+    assert load_ivf_meta(idx).get("bootstrap_batch") == "b0"

@@ -153,3 +153,56 @@ def test_bucket_compaction_folds_and_preserves_probes(spark, tmp_path):
 def test_missing_index_raises_with_guidance(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="build_lsh_index"):
         lsh_index_topk(spark, _emb(spark).limit(1), str(tmp_path / "nowhere"))
+
+
+def test_lsh_retune_trigger_fires_on_measured_bucket_growth(spark, tmp_path):
+    """LSH's silent degradation is candidate VOLUME, not recall: the
+    trigger measures mean bucket rows from the live footers and fires when
+    the corpus has outgrown its planes; a rebuild with autotuned planes
+    restores the invariant and clears it."""
+    import numpy as np
+
+    from datalakejson_spark.functions.lsh_index import (
+        lsh_bucket_stats,
+        lsh_needs_retune,
+    )
+
+    rng = np.random.RandomState(0)
+    schema = "vec_id bigint, embedding array<double>"
+
+    def vecs(n, start):
+        x = rng.standard_normal((n, 8))
+        return spark.createDataFrame(
+            [(start + i, [float(v) for v in x[i]]) for i in range(n)], schema
+        )
+
+    idx = str(tmp_path / "lsh")
+    # planes sized for a small corpus and a small target
+    base = vecs(2000, 0)
+    build_lsh_index(base, idx, n_planes=3, n_tables=4)  # 8 buckets/table
+    needs, stats = lsh_needs_retune(idx, target_bucket_rows=250)
+    assert not needs, stats  # mean ≈ 250 rows/bucket: at target
+
+    # the corpus outgrows its planes 10x → mean bucket ≈ 2750 > 4x target
+    lsh_index_append(spark, vecs(20000, 100000), idx)
+    needs, stats = lsh_needs_retune(idx, target_bucket_rows=250)
+    assert needs, stats
+    assert stats["recommended_planes"] > stats["planes"]
+    assert stats["total_rows"] == 22000 * 4  # tables x vectors, measured
+
+    # the cure: rebuild with the autotuned planes over the full corpus
+    # (read back from the index itself) → invariant restored
+    import os
+
+    corpus = (
+        spark.read.parquet(os.path.join(idx, "buckets"))
+        .select("vec_id", "embedding")
+        .distinct()
+    )
+    build_lsh_index(
+        corpus, idx, n_planes=stats["recommended_planes"], n_tables=4
+    )
+    needs, stats = lsh_needs_retune(idx, target_bucket_rows=250)
+    assert not needs, stats
+    st = lsh_bucket_stats(idx)
+    assert st["total_rows"] == 22000 * 4
