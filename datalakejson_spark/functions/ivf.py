@@ -277,6 +277,13 @@ def ivf_probe_topk(
         F.broadcast(probes)
         .join(cands, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # duplicate-tolerant like the LSH probe: a probe that races a
+        # maintenance publish can see a vector TWICE (compacted file moved
+        # in, subsumed original not yet deleted) — the copies carry the
+        # same embedding, so keeping one of each (query, neighbor) pair is
+        # exact, and without this the window would emit duplicate top-k
+        # rows (round 13). Free in steady state: pairs are already unique.
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", score)
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -700,16 +707,36 @@ def _publish_one_ivf_stage(
     if os.path.exists(manifest):
         with open(manifest) as fh:
             subsumed = json.load(fh)
+    split_meta = None
+    split_path = os.path.join(stage, "_SPLIT.json")
+    if os.path.exists(split_path):
+        with open(split_path) as fh:
+            split_meta = json.load(fh)
     publishing = os.path.join(stage, "_PUBLISHING")
-    if subsumed and not os.path.exists(publishing):
-        # loser detection BEFORE this stage's own deletes begin; once the
-        # _PUBLISHING marker is down, a replay always rolls FORWARD
+    if (subsumed or split_meta is not None) and not os.path.exists(publishing):
+        # loser detection BEFORE this stage's own moves/deletes begin; once
+        # the _PUBLISHING marker is down, a replay always rolls FORWARD
         missing = [
             rel
             for rel in subsumed
             if not os.path.exists(os.path.join(index_dir, subdir, rel))
         ]
-        if missing:
+        # a SPLIT stage additionally claims a new-centroid SLOT: if another
+        # split already took it (two splits racing), publishing this
+        # stage's files would merge two different cells' vectors into one
+        # partition — discard whole, BEFORE any move happens (the slot
+        # check is why splits are fenced even though single-runner
+        # maintenance makes the race unreachable in practice)
+        slot_taken = False
+        if split_meta is not None:
+            live_meta = load_ivf_meta(index_dir)
+            n_now = len(live_meta["centroids"])
+            expected = int(split_meta["new_cell"])
+            already_applied = n_now > expected and (
+                live_meta["centroids"][expected] == split_meta["centroids"][1]
+            )
+            slot_taken = n_now != expected and not already_applied
+        if missing or slot_taken:
             shutil.rmtree(stage, ignore_errors=True)
             return "lost"
         with open(publishing, "w") as fh:
@@ -733,6 +760,23 @@ def _publish_one_ivf_stage(
                     except FileNotFoundError:
                         if not os.path.exists(dst):
                             raise
+    # a SPLIT flips the quantizer meta BETWEEN the moves and the deletes —
+    # the ordering is load-bearing: after the moves, cell=old transiently
+    # holds both the full originals and the split halves, which is EXACT
+    # under the probes' pair dedup with EITHER meta; flipping before the
+    # deletes means no meta ever probes a cell whose rows already moved
+    # away. Idempotent on replay (a flip that already happened is skipped).
+    if split_meta is not None:
+        meta_now = load_ivf_meta(index_dir)
+        cents = meta_now["centroids"]
+        new_cell = int(split_meta["new_cell"])
+        if len(cents) == new_cell:
+            cents[int(split_meta["cell"])] = split_meta["centroids"][0]
+            cents.append(split_meta["centroids"][1])
+            meta_now["centroids"] = cents
+            meta_now["n_cells"] = len(cents)
+            _write_ivf_meta(index_dir, meta_now)
+        fire("ivf:split_meta_flipped")
     for rel in subsumed:
         try:
             os.remove(os.path.join(index_dir, subdir, rel))
@@ -1023,3 +1067,140 @@ def ivf_needs_retrain(
         baseline is not None and current < baseline - drift_tolerance
     )
     return needs, current
+
+
+def probe_retrying(make_df, attempts: int = 3):
+    """Materialize an ANN probe against a LIVE index, re-planning from a
+    fresh listing when a concurrent maintenance publish deletes a planned
+    file mid-scan — the serving-side twin of the dedup audit's bounded
+    retry (the publish is driver-side file moves, so a second snapshot is
+    consistent with overwhelming probability). ``make_df`` must build the
+    probe DataFrame from scratch (so the retry re-lists); returns
+    ``.collect()`` rows. The OTHER side of the race — seeing a vector
+    twice (compacted copy moved in, original not yet deleted) — is handled
+    inside the probes themselves (candidate pair dedup), so between the
+    two mechanisms a probe racing maintenance is always exact or a clean
+    bounded retry, never silently wrong."""
+    from datalakejson_spark.functions.incremental_dedup import (
+        _is_missing_file_error,
+    )
+
+    for attempt in range(attempts):
+        try:
+            return make_df().collect()
+        except Exception as exc:  # noqa: BLE001 — retried narrowly
+            if attempt == attempts - 1 or not _is_missing_file_error(exc):
+                raise
+
+
+def ivf_cell_rows(index_dir: str) -> dict[int, int]:
+    """Rows per cell from the live parquet footers — driver-side, no Spark
+    job (cell count bounded by autotune, files per cell by the tiered
+    compactor)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = os.path.join(index_dir, _IVF_CELLS)
+    out: dict[int, int] = {}
+    for cell, files in _ivf_live_files(index_dir).items():
+        rows = 0
+        for f in files:
+            try:
+                rows += pq.ParquetFile(
+                    os.path.join(root, cell, f)
+                ).metadata.num_rows
+            except OSError:  # racing publish: settled next call
+                pass
+        out[int(cell.split("=", 1)[1])] = rows
+    return out
+
+
+def ivf_overloaded_cells(
+    index_dir: str, factor: float = 2.0, min_rows: int = 4096
+) -> list[int]:
+    """Cells whose MEASURED row count exceeds ``factor x`` the mean (and an
+    absolute floor, so tiny indexes never split on noise) — the localized
+    symptom a cell SPLIT cures without a corpus retrain: skewed or locally
+    drifted data piling into one cell degrades that cell's probe cost
+    linearly while every other cell stays healthy."""
+    rows = ivf_cell_rows(index_dir)
+    if not rows:
+        return []
+    mean = sum(rows.values()) / max(1, len(rows))
+    return sorted(
+        c
+        for c, r in rows.items()
+        if r >= min_rows and r > factor * max(mean, 1.0)
+    )
+
+
+def split_ivf_cell(
+    spark: SparkSession, index_dir: str, cell: int, seed: int = 43
+) -> int | None:
+    """Split one overloaded cell in two — the LOCALIZED re-assignment delta
+    (round 13): a 2-means over the cell's own vectors yields two
+    sub-centroids, the cell's rows re-assign between the old id and a new
+    one, and every other cell is never read or written. Cost O(cell), vs
+    the O(corpus) full retrain — the right verb when drift or skew is
+    localized (ivf_overloaded_cells), while global drift stays
+    ivf_needs_retrain/build_ivf_index's business.
+
+    Crash/concurrency contract rides the staged publish with TWO
+    extensions: the stage's ``_SPLIT.json`` claims the new-centroid SLOT
+    (two racing splits fence — the loser discards before any move), and
+    the quantizer meta flips BETWEEN the moves and the subsumed deletes,
+    so every window is probe-exact under the pair dedup: before the flip,
+    old-meta probes see the full original files (plus harmless duplicate
+    halves after the moves); after the flip, both halves are live before
+    anything is deleted. Returns the new cell id, or None when the cell
+    was too small/uniform to split or the publish lost a race (rerun)."""
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from datalakejson_spark.plans.killpoints import fire
+
+    _publish_ivf_staged(index_dir)
+    meta = load_ivf_meta(index_dir)
+    cells_root = os.path.join(index_dir, _IVF_CELLS)
+    live = _ivf_live_files(index_dir)
+    cell_dir = f"cell={cell}"
+    names = live.get(cell_dir) or []
+    if not names:
+        return None
+    paths = [os.path.join(cells_root, cell_dir, n) for n in names]
+    rows_df = (
+        spark.read.option("basePath", cells_root).parquet(*paths).drop("cell")
+    )
+    sub_centroids = train_quantizer(rows_df, k=2, seed=seed)
+    if len(sub_centroids) < 2 or sub_centroids[0] == sub_centroids[1]:
+        return None  # too small or degenerate: nothing to split
+    new_cell = len(meta["centroids"])
+    assigned = assign_cells(rows_df, sub_centroids).withColumn(
+        "cell",
+        F.when(F.col("cell") == 0, F.lit(cell)).otherwise(F.lit(new_cell)),
+    )
+    stage = os.path.join(index_dir, _IVF_STAGING, _uuid.uuid4().hex)
+    (
+        assigned.repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(stage, _IVF_CELLS))
+    )
+    fire("ivf:split_staged")  # no marker yet: crash = old layout+meta win
+    with open(os.path.join(stage, "_SPLIT.json"), "w") as fh:
+        json.dump(
+            {"cell": cell, "new_cell": new_cell, "centroids": sub_centroids},
+            fh,
+        )
+    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
+        json.dump([f"{cell_dir}/{n}" for n in names], fh)
+    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
+        fh.write("ok")
+    fire("ivf:split_committed")  # committed, not yet published
+    outcomes = _publish_ivf_staged(index_dir)
+    if outcomes.get(os.path.basename(stage)) != "published":
+        return None  # lost a race (slot or snapshot): rerun against the winner
+    return new_cell

@@ -356,3 +356,174 @@ def test_tiered_fold_keeps_the_largest_runs_untouched(spark, tmp_path):
     for cell in folded:
         assert len(_derive_runs(after[cell])) <= 2, (cell, after[cell])
     assert _topk_rows(spark, queries, idx) == want
+
+
+def _cell_of(meta, vec):
+    import numpy as np
+
+    c = np.array(meta["centroids"])
+    v = np.array(vec)
+    return int(((c - v) ** 2).sum(axis=1).argmin())
+
+
+def test_cell_split_is_localized_and_probe_exact(spark, tmp_path):
+    """Splitting one overloaded cell touches ONLY that cell (every other
+    cell's files survive by name), re-homes each row to its nearer
+    sub-centroid, grows the quantizer atomically, and probes stay exact:
+    a twin planted in the split cell is still its query's top neighbor."""
+    import numpy as np
+
+    from datalakejson_spark.functions.ivf import (
+        ivf_cell_rows,
+        ivf_overloaded_cells,
+        split_ivf_cell,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    meta0 = load_ivf_meta(idx)
+
+    # overload one cell: pile a localized blob into the cell of vector 7
+    base = emb.filter(F.col("vec_id") == 7).first()
+    target_cell = _cell_of(meta0, base.embedding)
+    rng = np.random.RandomState(5)
+    blob = [
+        (
+            900000 + i,
+            [float(v) + float(rng.standard_normal() * 0.05) for v in base.embedding],
+        )
+        for i in range(800)
+    ]
+    ivf_index_append(
+        spark,
+        spark.createDataFrame(blob, "vec_id bigint, embedding array<double>"),
+        idx,
+    )
+    rows_before = ivf_cell_rows(idx)
+    assert target_cell in ivf_overloaded_cells(idx, factor=2.0, min_rows=256)
+
+    queries = emb.filter(F.col("vec_id") == 7)
+    layout_before = _ivf_live_files(idx)
+
+    new_cell = split_ivf_cell(spark, idx, target_cell)
+    assert new_cell == N_CELLS  # the next slot
+
+    meta1 = load_ivf_meta(idx)
+    assert meta1["n_cells"] == N_CELLS + 1
+    assert len(meta1["centroids"]) == N_CELLS + 1
+    # locality: every OTHER cell's files are untouched by name
+    after = _ivf_live_files(idx)
+    for cell, files in layout_before.items():
+        if cell == f"cell={target_cell}":
+            continue
+        assert after.get(cell) == files, cell
+    # conservation + correct re-homing
+    rows_after = ivf_cell_rows(idx)
+    assert (
+        rows_after.get(target_cell, 0) + rows_after.get(new_cell, 0)
+        == rows_before[target_cell]
+    )
+    # the split's invariant is the 2-WAY argmin (it refines within the
+    # cell; it does not re-run global assignment — that would be O(corpus),
+    # and IVF residency is an approximation contract, not strict argmin)
+    import numpy as np
+
+    c_old = np.array(meta1["centroids"][target_cell])
+    c_new = np.array(meta1["centroids"][new_cell])
+    cells_df = spark.read.parquet(os.path.join(idx, "cells"))
+    moved = cells_df.filter(F.col("cell").isin([target_cell, new_cell]))
+    for r in moved.limit(2000).collect():
+        v = np.array(r.embedding)
+        nearer = (
+            target_cell
+            if ((v - c_old) ** 2).sum() <= ((v - c_new) ** 2).sum()
+            else new_cell
+        )
+        assert nearer == r.cell, r.vec_id
+    # probe exactness: the twin blob dominates vector 7's neighborhood
+    top = (
+        ivf_index_topk(spark, queries, idx)
+        .filter(F.col("rn") == 1)
+        .first()
+    )
+    assert 900000 <= top.neighbor_id < 900800
+    # the trigger is satisfied for that hotspot
+    assert target_cell not in ivf_overloaded_cells(idx, factor=2.0, min_rows=256) or (
+        new_cell in rows_after
+    )
+
+
+def test_cell_split_kill_windows(spark, tmp_path):
+    """Kill before _COMMITTED: old layout AND old quantizer win (no meta
+    flip). Kill after _COMMITTED: the next entry publish rolls the split
+    forward — moves, meta flip, deletes — and a replayed split call
+    against the now-grown meta targets a fresh slot instead of corrupting
+    the taken one."""
+    from datalakejson_spark.functions.ivf import split_ivf_cell
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+
+    killpoints.kill_once("ivf:split_staged")
+    try:
+        with pytest.raises(InjectedKill):
+            split_ivf_cell(spark, idx, 3)
+    finally:
+        killpoints.disarm()
+    assert load_ivf_meta(idx)["n_cells"] == N_CELLS  # meta untouched
+
+    killpoints.kill_once("ivf:split_committed")
+    try:
+        with pytest.raises(InjectedKill):
+            split_ivf_cell(spark, idx, 3)
+    finally:
+        killpoints.disarm()
+    # committed: any entry point's publish completes it (here: a probe)
+    queries = emb.filter(F.col("vec_id") < 4)
+    rows = ivf_index_topk(spark, queries, idx).collect()
+    assert rows
+    meta = load_ivf_meta(idx)
+    assert meta["n_cells"] == N_CELLS + 1
+    # total rows conserved through the crash-recovered split
+    cells_df = spark.read.parquet(os.path.join(idx, "cells"))
+    assert cells_df.count() == emb.count()
+    assert cells_df.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_racing_splits_fence_on_the_centroid_slot(spark, tmp_path):
+    """Two splits of DIFFERENT cells racing for the same new-centroid slot:
+    the loser's committed stage is discarded before any move — publishing
+    it would merge two different cells' vectors into one partition."""
+    import json
+
+    from datalakejson_spark.functions.ivf import split_ivf_cell
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+
+    # fabricate the LOSER: a committed split of cell 5 claiming slot 16
+    live = _ivf_live_files(idx)
+    loser = os.path.join(idx, "_staging", "a-loser")
+    os.makedirs(os.path.join(loser, "cells", "cell=5"))
+    with open(os.path.join(loser, "_SPLIT.json"), "w") as fh:
+        json.dump(
+            {"cell": 5, "new_cell": N_CELLS,
+             "centroids": [[0.0] * 64, [1.0] * 64]},
+            fh,
+        )
+    with open(os.path.join(loser, "_SUBSUMED.json"), "w") as fh:
+        json.dump([f"cell=5/{n}" for n in live["cell=5"]], fh)
+
+    # the WINNER takes slot 16 first (a real split of cell 3)
+    assert split_ivf_cell(spark, idx, 3) == N_CELLS
+
+    open(os.path.join(loser, "_COMMITTED"), "w").write("ok")
+    out = _publish_ivf_staged(idx)
+    assert out.get("a-loser") == "lost"
+    meta = load_ivf_meta(idx)
+    assert meta["n_cells"] == N_CELLS + 1  # only the winner's slot
+    # cell 5 is fully intact
+    assert _ivf_live_files(idx)["cell=5"] == live["cell=5"]

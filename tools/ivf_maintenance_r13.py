@@ -47,9 +47,10 @@ from datalakejson_spark.session import get_spark  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ivf_maintenance_r13.jsonl")
 DIM = 32
-BASE_N = 100_000
-GEN_N = 2_000
-GENERATIONS = 24
+# overridable: python tools/ivf_maintenance_r13.py [base_n] [gen_n] [gens]
+BASE_N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+GEN_N = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+GENERATIONS = int(sys.argv[3]) if len(sys.argv) > 3 else 24
 TRIGGER_RUNS = 8
 FOLD_TO = 4
 
@@ -90,6 +91,7 @@ def phase_a(spark, fh) -> None:
         meta = build_ivf_index(base, idx, n_cells=None)  # autotune: 256 cells
         worlds[mode] = idx
         emit(fh, {"phase": "latency", "mode": mode, "event": "build",
+                  "base_n": BASE_N, "gen_n": GEN_N,
                   "n_cells": meta["n_cells"], "secs": round(time.time() - t0, 2)})
     queries = vecs(spark, np.random.RandomState(99), 8, 10_000_000)
 
@@ -105,7 +107,7 @@ def phase_a(spark, fh) -> None:
                 compact_s = time.time() - t0
             total, per_cell_max = file_stats(idx)
             emit(fh, {
-                "phase": "latency", "mode": mode, "gen": g,
+                "phase": "latency", "mode": mode, "gen": g, "base_n": BASE_N,
                 "probe_s": round(probe_seconds(spark, idx, queries), 3),
                 "files_total": total, "files_per_cell_max": per_cell_max,
                 "compact_s": round(compact_s, 2),
@@ -163,9 +165,11 @@ def phase_b(spark, fh) -> None:
 
 def main() -> None:
     spark = get_spark("ivf-maintenance-r13", cpus=8, shuffle_partitions=16)
-    with open(OUT, "w") as fh:
+    run_b = len(sys.argv) <= 1  # phase B once (the default invocation)
+    with open(OUT, "a") as fh:
         phase_a(spark, fh)
-        phase_b(spark, fh)
+        if run_b:
+            phase_b(spark, fh)
     spark.stop()
     print(f"wrote {OUT}")
 
