@@ -254,6 +254,7 @@ def ivf_probe_topk(
     nprobe: int = N_PROBE,
     vectorized_score: bool = False,
     probes: DataFrame | None = None,
+    dedup_candidates: bool = False,
 ) -> DataFrame:
     """Probe + exact-rerank over a pre-assigned inverted file — factored out
     so an index built once (train + assign are the expensive passes) can be
@@ -273,19 +274,22 @@ def ivf_probe_topk(
         if vectorized_score
         else F.round(cosine_expr("q_emb", "c_emb"), 6)
     )
-    scored = (
+    pairs = (
         F.broadcast(probes)
         .join(cands, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    if dedup_candidates:
         # duplicate-tolerant like the LSH probe: a probe that races a
         # maintenance publish can see a vector TWICE (compacted file moved
         # in, subsumed original not yet deleted) — the copies carry the
         # same embedding, so keeping one of each (query, neighbor) pair is
-        # exact, and without this the window would emit duplicate top-k
-        # rows (round 13). Free in steady state: pairs are already unique.
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", score)
-        .select("query_id", "neighbor_id", "cosine")
+        # exact, and without it the window would emit duplicate top-k rows
+        # (round 13). Persisted-index probes only: the in-memory path can
+        # never race maintenance, and the dedup is its own exchange.
+        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    scored = pairs.withColumn("cosine", score).select(
+        "query_id", "neighbor_id", "cosine"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
@@ -473,8 +477,12 @@ def ivf_index_append(
 
     from datalakejson_spark.plans.killpoints import fire
 
-    meta = load_ivf_meta(index_dir)
     _publish_ivf_staged(index_dir)  # roll forward a crashed predecessor
+    # meta AFTER the publish (review catch, round 13): a rolled-forward
+    # SPLIT flips the quantizer, and assigning this delta against the
+    # pre-split centroids — or worse, writing the stale snapshot back at
+    # the end — would revert the flip and orphan the new cell forever
+    meta = load_ivf_meta(index_dir)
     if batch_id is not None and ivf_batch_applied(index_dir, batch_id):
         return 0
     if "embedding_type" in meta:
@@ -508,8 +516,11 @@ def ivf_index_append(
         fh.write("ok")
     fire("ivf:append_committed")  # committed, not yet published
     _publish_ivf_staged(index_dir)
-    meta["n_vectors"] = meta["n_vectors"] + n_new
-    _write_ivf_meta(index_dir, meta)
+    # advisory count refresh on a FRESH meta read — never the snapshot
+    # loaded above, which a concurrent maintenance flip may have outdated
+    fresh = load_ivf_meta(index_dir)
+    fresh["n_vectors"] = int(fresh.get("n_vectors", 0)) + n_new
+    _write_ivf_meta(index_dir, fresh)
     return n_new
 
 
@@ -528,8 +539,12 @@ def ivf_index_topk(
     (query_id, neighbor_id, cosine, rn)."""
     import os
 
-    meta = load_ivf_meta(index_dir)
     _publish_ivf_staged(index_dir)  # committed deltas become visible first
+    # meta is loaded AFTER the publish (review catch, round 13): rolling a
+    # committed SPLIT forward flips the quantizer, and probing the
+    # post-split layout with pre-split centroids would silently drop every
+    # vector re-homed to the new cell (no error for probe_retrying to see)
+    meta = load_ivf_meta(index_dir)
     if nprobe is None:
         nprobe = default_nprobe(meta["n_cells"])
     probes = probe_cells(queries, meta["centroids"], nprobe).localCheckpoint(
@@ -547,6 +562,7 @@ def ivf_index_topk(
         nprobe=nprobe,
         vectorized_score=True,
         probes=probes,
+        dedup_candidates=True,  # live index: maintenance windows duplicate
     )
 
 
@@ -671,8 +687,8 @@ def _publish_ivf_staged(
         return outcomes
     for token in sorted(os.listdir(staging)):
         stage = os.path.join(staging, token)
-        if not os.path.isdir(stage):
-            continue
+        if not os.path.isdir(stage) or token.startswith("_SLOT_"):
+            continue  # slot-claim dirs are fence state, not stages
         try:
             outcomes[token] = _publish_one_ivf_stage(
                 index_dir, stage, STALE_STAGE_S, subdir
@@ -722,11 +738,13 @@ def _publish_one_ivf_stage(
             if not os.path.exists(os.path.join(index_dir, subdir, rel))
         ]
         # a SPLIT stage additionally claims a new-centroid SLOT: if another
-        # split already took it (two splits racing), publishing this
-        # stage's files would merge two different cells' vectors into one
-        # partition — discard whole, BEFORE any move happens (the slot
-        # check is why splits are fenced even though single-runner
-        # maintenance makes the race unreachable in practice)
+        # split already took it, publishing this stage's files would merge
+        # two different cells' vectors into one partition — discard whole,
+        # BEFORE any move happens. The claim is an ATOMIC os.mkdir (a plain
+        # check-then-act would leave a seconds-long window where two
+        # concurrent publishes both pass and both move — review catch,
+        # round 13); the winner releases it after its meta flip makes the
+        # slot permanent.
         slot_taken = False
         if split_meta is not None:
             live_meta = load_ivf_meta(index_dir)
@@ -735,7 +753,12 @@ def _publish_one_ivf_stage(
             already_applied = n_now > expected and (
                 live_meta["centroids"][expected] == split_meta["centroids"][1]
             )
-            slot_taken = n_now != expected and not already_applied
+            if n_now != expected and not already_applied:
+                slot_taken = True
+            elif not already_applied and not _claim_split_slot(
+                index_dir, expected, os.path.basename(stage)
+            ):
+                slot_taken = True
         if missing or slot_taken:
             shutil.rmtree(stage, ignore_errors=True)
             return "lost"
@@ -776,6 +799,13 @@ def _publish_one_ivf_stage(
             meta_now["centroids"] = cents
             meta_now["n_cells"] = len(cents)
             _write_ivf_meta(index_dir, meta_now)
+        # the flip made the slot permanent in the meta — release the fence
+        # claim (idempotent; claim dirs are per slot number, so a later
+        # split's claim of the NEXT slot is never touched)
+        shutil.rmtree(
+            os.path.join(index_dir, _IVF_STAGING, f"_SLOT_{new_cell}"),
+            ignore_errors=True,
+        )
         fire("ivf:split_meta_flipped")
     for rel in subsumed:
         try:
@@ -1157,9 +1187,11 @@ def split_ivf_cell(
     was too small/uniform to split or the publish lost a race (rerun)."""
     import json
     import os
-    import shutil
     import uuid as _uuid
 
+    from datalakejson_spark.functions.incremental_dedup import (
+        _is_missing_file_error,
+    )
     from datalakejson_spark.plans.killpoints import fire
 
     _publish_ivf_staged(index_dir)
@@ -1171,24 +1203,37 @@ def split_ivf_cell(
     if not names:
         return None
     paths = [os.path.join(cells_root, cell_dir, n) for n in names]
-    rows_df = (
-        spark.read.option("basePath", cells_root).parquet(*paths).drop("cell")
-    )
-    sub_centroids = train_quantizer(rows_df, k=2, seed=seed)
-    if len(sub_centroids) < 2 or sub_centroids[0] == sub_centroids[1]:
-        return None  # too small or degenerate: nothing to split
-    new_cell = len(meta["centroids"])
-    assigned = assign_cells(rows_df, sub_centroids).withColumn(
-        "cell",
-        F.when(F.col("cell") == 0, F.lit(cell)).otherwise(F.lit(new_cell)),
-    )
     stage = os.path.join(index_dir, _IVF_STAGING, _uuid.uuid4().hex)
-    (
-        assigned.repartition("cell")
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(os.path.join(stage, _IVF_CELLS))
-    )
+    try:
+        rows_df = (
+            spark.read.option("basePath", cells_root)
+            .parquet(*paths)
+            .drop("cell")
+        )
+        sub_centroids = train_quantizer(rows_df, k=2, seed=seed)
+        if len(sub_centroids) < 2 or sub_centroids[0] == sub_centroids[1]:
+            return None  # too small or degenerate: nothing to split
+        new_cell = len(meta["centroids"])
+        assigned = assign_cells(rows_df, sub_centroids).withColumn(
+            "cell",
+            F.when(F.col("cell") == 0, F.lit(cell)).otherwise(F.lit(new_cell)),
+        )
+        (
+            assigned.repartition("cell")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(os.path.join(stage, _IVF_CELLS))
+        )
+    except Exception as exc:  # noqa: BLE001 — narrowed to the race below
+        if not _is_missing_file_error(exc):
+            raise
+        # a concurrent maintenance publish deleted a listed file between
+        # this split's listing and its reads: clean race loser, same
+        # contract as compact_ivf_cells (review catch, round 13)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        return None
     fire("ivf:split_staged")  # no marker yet: crash = old layout+meta win
     with open(os.path.join(stage, "_SPLIT.json"), "w") as fh:
         json.dump(
@@ -1204,3 +1249,41 @@ def split_ivf_cell(
     if outcomes.get(os.path.basename(stage)) != "published":
         return None  # lost a race (slot or snapshot): rerun against the winner
     return new_cell
+
+
+def _claim_split_slot(index_dir: str, slot: int, token: str) -> bool:
+    """Atomically claim the new-centroid slot for one split publish. The
+    claim is an os.mkdir (atomic on one filesystem) of
+    ``_staging/_SLOT_<slot>`` holding the claiming stage's token. Rules:
+
+    - fresh claim → ours;
+    - claim holds OUR token → a previous (crashed) publish pass of this
+      same stage: still ours, proceed;
+    - claim holds another token whose stage DIR still exists → that
+      publish is in flight (or committed and will roll forward): lost;
+    - claim holds another token whose stage is GONE and the meta never
+      advanced (the owner was swept uncommitted) → stale: take over, with
+      the takeover race itself decided by the atomic re-mkdir.
+    """
+    import os
+    import shutil
+
+    claim = os.path.join(index_dir, _IVF_STAGING, f"_SLOT_{slot}")
+    for _attempt in range(2):
+        try:
+            os.mkdir(claim)
+            with open(os.path.join(claim, "token"), "w") as fh:
+                fh.write(token)
+            return True
+        except FileExistsError:
+            try:
+                with open(os.path.join(claim, "token")) as fh:
+                    owner = fh.read().strip()
+            except OSError:
+                return False  # mid-creation by another runner: theirs
+            if owner == token:
+                return True
+            if os.path.isdir(os.path.join(index_dir, _IVF_STAGING, owner)):
+                return False  # live (or roll-forward-able) owner: lost
+            shutil.rmtree(claim, ignore_errors=True)  # stale: take over
+    return False

@@ -5,6 +5,7 @@ crash safety, and the measured recall-drift retrain trigger."""
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 import pyspark.sql.functions as F
@@ -371,8 +372,6 @@ def test_cell_split_is_localized_and_probe_exact(spark, tmp_path):
     cell's files survive by name), re-homes each row to its nearer
     sub-centroid, grows the quantizer atomically, and probes stay exact:
     a twin planted in the split cell is still its query's top neighbor."""
-    import numpy as np
-
     from datalakejson_spark.functions.ivf import (
         ivf_cell_rows,
         ivf_overloaded_cells,
@@ -427,8 +426,6 @@ def test_cell_split_is_localized_and_probe_exact(spark, tmp_path):
     # the split's invariant is the 2-WAY argmin (it refines within the
     # cell; it does not re-run global assignment — that would be O(corpus),
     # and IVF residency is an approximation contract, not strict argmin)
-    import numpy as np
-
     c_old = np.array(meta1["centroids"][target_cell])
     c_new = np.array(meta1["centroids"][new_cell])
     cells_df = spark.read.parquet(os.path.join(idx, "cells"))
@@ -480,7 +477,11 @@ def test_cell_split_kill_windows(spark, tmp_path):
             split_ivf_cell(spark, idx, 3)
     finally:
         killpoints.disarm()
-    # committed: any entry point's publish completes it (here: a probe)
+    # committed: any entry point's publish completes it (here: a probe) —
+    # and the SAME probe call must already use the flipped quantizer
+    # (meta loads AFTER the entry publish — review catch, round 13: with
+    # the pre-publish load, a probe that rolled the split forward planned
+    # over pre-split centroids and silently dropped the re-homed half)
     queries = emb.filter(F.col("vec_id") < 4)
     rows = ivf_index_topk(spark, queries, idx).collect()
     assert rows
@@ -490,6 +491,20 @@ def test_cell_split_kill_windows(spark, tmp_path):
     cells_df = spark.read.parquet(os.path.join(idx, "cells"))
     assert cells_df.count() == emb.count()
     assert cells_df.groupBy("vec_id").count().filter("count > 1").count() == 0
+    # probe exactness post-roll-forward: a vector re-homed into the NEW
+    # cell is found as its own twin's top neighbor
+    moved = cells_df.filter(F.col("cell") == N_CELLS).first()
+    if moved is not None:  # the split may be lopsided but never empty-new
+        twin = spark.createDataFrame(
+            [(7777777, [float(v) + 1e-5 for v in moved.embedding])],
+            "vec_id bigint, embedding array<double>",
+        )
+        top = (
+            ivf_index_topk(spark, twin, idx)
+            .filter(F.col("rn") == 1)
+            .first()
+        )
+        assert top.neighbor_id == moved.vec_id
 
 
 def test_racing_splits_fence_on_the_centroid_slot(spark, tmp_path):
@@ -527,3 +542,46 @@ def test_racing_splits_fence_on_the_centroid_slot(spark, tmp_path):
     assert meta["n_cells"] == N_CELLS + 1  # only the winner's slot
     # cell 5 is fully intact
     assert _ivf_live_files(idx)["cell=5"] == live["cell=5"]
+
+
+def test_concurrent_splits_serialize_on_the_slot_claim(spark, tmp_path):
+    """Two split_ivf_cell calls racing from two threads: the atomic mkdir
+    slot claim serializes their publishes, so the outcome is always a
+    consistent quantizer — either one split won (the loser reruns against
+    the grown meta) or both landed on DIFFERENT slots; never two cells
+    merged under one centroid."""
+    from datalakejson_spark.functions.ivf import ivf_cell_rows, split_ivf_cell
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    total = emb.count()
+
+    results: dict[int, int | None] = {}
+
+    def run_split(cell: int) -> None:
+        results[cell] = split_ivf_cell(spark, idx, cell, seed=43 + cell)
+
+    t1 = threading.Thread(target=run_split, args=(3,), daemon=True)
+    t2 = threading.Thread(target=run_split, args=(5,), daemon=True)
+    t1.start(); t2.start()
+    t1.join(timeout=180); t2.join(timeout=180)
+
+    meta = load_ivf_meta(idx)
+    winners = [c for c, new in results.items() if new is not None]
+    assert winners  # at least one split landed
+    # slots are UNIQUE: the winners' new cells are distinct and the meta
+    # grew by exactly the number of winners
+    new_cells = [results[c] for c in winners]
+    assert len(set(new_cells)) == len(new_cells)
+    assert meta["n_cells"] == N_CELLS + len(winners)
+    # conservation + no cell-merge corruption: every vector exactly once
+    cells_df = spark.read.parquet(os.path.join(idx, "cells"))
+    assert cells_df.count() == total
+    assert cells_df.groupBy("vec_id").count().filter("count > 1").count() == 0
+    assert sum(ivf_cell_rows(idx).values()) == total
+    # no leaked slot claims
+    staging = os.path.join(idx, "_staging")
+    if os.path.isdir(staging):
+        leftover = [t for t in os.listdir(staging) if t.startswith("_SLOT_")]
+        assert leftover == [], leftover

@@ -166,7 +166,10 @@ def phase_b(spark, fh) -> None:
 def main() -> None:
     spark = get_spark("ivf-maintenance-r13", cpus=8, shuffle_partitions=16)
     run_b = len(sys.argv) <= 1  # phase B once (the default invocation)
-    with open(OUT, "a") as fh:
+    # default run REGENERATES the artifact (append would double-count on a
+    # rerun — review catch, round 13); explicit-scale runs append their
+    # base_n-tagged records to the accumulated multi-decade curve
+    with open(OUT, "w" if run_b else "a") as fh:
         phase_a(spark, fh)
         if run_b:
             phase_b(spark, fh)
