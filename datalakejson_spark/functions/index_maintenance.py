@@ -1,0 +1,581 @@
+"""Shared maintenance plane for persisted, partition-keyed vector indexes
+(SURVEY.md §2.12 L3 scale path): the staged-publish / exactly-once-append /
+tiered-compaction machinery that BOTH persisted ANN indexes ride —
+
+- the IVF index (functions/ivf.py): parquet partitioned by ``cell=N`` with a
+  ``_IVF.json`` quantizer meta, and
+- the LSH index (functions/lsh_index.py): parquet partitioned by ``tb=N``
+  with a ``_LSH.json`` family meta.
+
+Factored out of functions/ivf.py in round 14 (VERDICT r13 #6 — the same
+one-definition rule ADVICE r12 applied to the nprobe default): the machinery
+was already subdir-parameterized and LSH imported it privately; now there is
+exactly one implementation both indexes import by its public name.
+
+The crash/concurrency contract is the one proven out by the dedup index
+(incremental_dedup._publish_staged) and carried over verbatim:
+
+- deltas and rewrites land under ``_staging/<token>/`` and become real only
+  when a ``_COMMITTED`` marker exists; unmarked stages are garbage, swept
+  after a grace period;
+- committed stages publish by IDEMPOTENT per-partition file moves, so a
+  kill at any point is roll-forward work for the next entry;
+- a maintenance stage records the exact files it replaces in
+  ``_SUBSUMED.json``; a publish that finds any of them already gone lost a
+  concurrent race and discards itself BEFORE any move;
+- quantizer-changing stages (``_SPLIT.json`` cell splits, ``_RETRAIN.json``
+  delta retrains — IVF only) flip the index meta BETWEEN the moves and the
+  subsumed deletes, the ordering that keeps every crash window probe-exact
+  under the probes' candidate-pair dedup;
+- streaming appends carry a ``_BATCH.json``; publish records an
+  applied-batch marker after all moves+deletes complete, making replays
+  exactly-once.
+
+Killpoint names keep their historical ``ivf:`` prefix — they are a stable
+test surface (tests/test_ivf_maintenance.py, test_ann_stream.py) and fire
+identically for both indexes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid as _uuid
+
+from pyspark.sql import SparkSession
+
+from datalakejson_spark.functions.incremental_dedup import (
+    STALE_STAGE_S,
+    _derive_runs,
+    _is_missing_file_error,
+)
+from datalakejson_spark.plans.killpoints import fire
+
+STAGING = "_staging"
+APPLIED = "_applied"
+
+#: applied-batch markers older than this are swept when a new one is
+#: written. A marker only matters until its batch's streaming checkpoint
+#: commits (seconds-to-minutes after publish) — after that the batch can
+#: never replay — so hours of retention is already paranoid; without a
+#: sweep a 15-minute cadence accretes ~35k marker files per year per index
+#: (review catch, round 13: the same unbounded-small-file disease the
+#: compactors exist to cure).
+APPLIED_RETENTION_S = 24 * 3600.0
+
+#: the advisory vector-count sidecar. The count lives OUTSIDE the index
+#: meta (ADVICE r13): the append path's counter refresh was a read-modify-
+#: write of the whole quantizer meta, and a concurrent split publish's
+#: centroid flip landing between the load and the write-back would be
+#: REVERTED — orphaning the new cell's rows forever. With the counter in
+#: its own file, appends never write quantizer meta at all; the worst a
+#: counter race can lose is an advisory increment.
+COUNT_SIDECAR = "_COUNT.json"
+
+
+# ---------------------------------------------------------------------------
+# Index meta + advisory count sidecar
+# ---------------------------------------------------------------------------
+def write_index_meta(index_dir: str, meta: dict, meta_name: str) -> None:
+    """Atomic replace of the index meta. ``n_vectors`` is STRIPPED before
+    writing — the advisory count lives in the sidecar (``COUNT_SIDECAR``)
+    and is injected by :func:`load_index_meta`; persisting a loaded meta
+    would otherwise bake the merged count in and double it on reload."""
+    os.makedirs(index_dir, exist_ok=True)
+    meta = {k: v for k, v in meta.items() if k != "n_vectors"}
+    tmp = os.path.join(index_dir, meta_name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, meta_name))
+
+
+def load_index_meta(index_dir: str, meta_name: str, build_hint: str) -> dict:
+    """Load the index meta, injecting the advisory ``n_vectors`` from the
+    count sidecar (read-only view — see :func:`write_index_meta`)."""
+    path = os.path.join(index_dir, meta_name)
+    try:
+        with open(path) as fh:
+            meta = json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no index at {index_dir} ({meta_name} missing) — build one "
+            f"with {build_hint}"
+        ) from None
+    meta["n_vectors"] = read_index_count(index_dir, meta.get("n_vectors", 0))
+    return meta
+
+
+def write_index_count(index_dir: str, n: int) -> None:
+    """(Re)set the advisory count — the build path, before the meta write
+    (a crash between the two leaves a stale count next to the OLD meta:
+    advisory-wrong, never results-wrong)."""
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, COUNT_SIDECAR + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"n": int(n)}, fh)
+    os.replace(tmp, os.path.join(index_dir, COUNT_SIDECAR))
+
+
+def read_index_count(index_dir: str, default: int = 0) -> int:
+    try:
+        with open(os.path.join(index_dir, COUNT_SIDECAR)) as fh:
+            return int(json.load(fh)["n"])
+    except (OSError, ValueError, KeyError):
+        return int(default)
+
+
+def bump_index_count(index_dir: str, delta: int) -> None:
+    """Advisory read-modify-write of the count sidecar ONLY. Two racing
+    appends can lose one increment — acceptable for an observability
+    counter; what matters is that this path can never clobber the quantizer
+    meta (ADVICE r13)."""
+    write_index_count(index_dir, read_index_count(index_dir) + delta)
+
+
+# ---------------------------------------------------------------------------
+# Live layout listing
+# ---------------------------------------------------------------------------
+def live_partition_files(index_dir: str, subdir: str) -> dict[str, list[str]]:
+    """``{"<col>=N": [parquet file names]}`` for every live partition of a
+    partition-keyed index (``cell=`` for IVF, ``tb=`` for LSH) —
+    driver-side listing only, no Spark job."""
+    root = os.path.join(index_dir, subdir)
+    out: dict[str, list[str]] = {}
+    if not os.path.isdir(root):
+        return out
+    for part in sorted(os.listdir(root)):
+        if "=" not in part:
+            continue
+        pdir = os.path.join(root, part)
+        if os.path.isdir(pdir):
+            out[part] = sorted(
+                n for n in os.listdir(pdir) if n.endswith(".parquet")
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Staged publish
+# ---------------------------------------------------------------------------
+def publish_staged(index_dir: str, subdir: str, meta_name: str) -> dict[str, str]:
+    """Roll staged deltas forward into the live partitions — the
+    partition-keyed twin of incremental_dedup._publish_staged (same
+    outcomes: published / lost / pending / raced; same crash taxonomy:
+    unmarked stages are garbage swept after a grace period, committed
+    stages are idempotent roll-forward work, a maintenance stage whose
+    ``_SUBSUMED`` snapshot no longer matches the live files lost a
+    concurrent publish race and discards itself)."""
+    staging = os.path.join(index_dir, STAGING)
+    outcomes: dict[str, str] = {}
+    if not os.path.isdir(staging):
+        return outcomes
+    for token in sorted(os.listdir(staging)):
+        stage = os.path.join(staging, token)
+        if not os.path.isdir(stage) or token.startswith("_SLOT_"):
+            continue  # slot-claim dirs are fence state, not stages
+        try:
+            outcomes[token] = _publish_one_stage(
+                index_dir, stage, STALE_STAGE_S, subdir, meta_name
+            )
+        except FileNotFoundError:
+            # two runners rolling the same stage forward: the other one
+            # finished it — either terminal state is complete on its own
+            outcomes[token] = "raced"
+    return outcomes
+
+
+def _publish_one_stage(
+    index_dir: str,
+    stage: str,
+    stale_stage_s: float,
+    subdir: str,
+    meta_name: str,
+) -> str:
+    if not os.path.exists(os.path.join(stage, "_COMMITTED")):
+        try:
+            age = time.time() - os.path.getmtime(stage)
+        except OSError:  # vanished: its owner just published/removed it
+            return "pending"
+        if age >= stale_stage_s:
+            shutil.rmtree(stage, ignore_errors=True)
+        return "pending"
+    subsumed: list[str] = []
+    manifest = os.path.join(stage, "_SUBSUMED.json")
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            subsumed = json.load(fh)
+    split_meta = None
+    split_path = os.path.join(stage, "_SPLIT.json")
+    if os.path.exists(split_path):
+        with open(split_path) as fh:
+            split_meta = json.load(fh)
+    retrain_meta = None
+    retrain_path = os.path.join(stage, "_RETRAIN.json")
+    if os.path.exists(retrain_path):
+        with open(retrain_path) as fh:
+            retrain_meta = json.load(fh)
+    is_quantizer_stage = split_meta is not None or retrain_meta is not None
+    publishing = os.path.join(stage, "_PUBLISHING")
+    if (subsumed or is_quantizer_stage) and not os.path.exists(publishing):
+        # loser detection BEFORE this stage's own moves/deletes begin; once
+        # the _PUBLISHING marker is down, a replay always rolls FORWARD
+        missing = [
+            rel
+            for rel in subsumed
+            if not os.path.exists(os.path.join(index_dir, subdir, rel))
+        ]
+        # a SPLIT stage additionally claims a new-centroid SLOT: if another
+        # split already took it, publishing this stage's files would merge
+        # two different cells' vectors into one partition — discard whole,
+        # BEFORE any move happens. The claim is an ATOMIC os.mkdir (a plain
+        # check-then-act would leave a seconds-long window where two
+        # concurrent publishes both pass and both move — review catch,
+        # round 13); the winner releases it after its meta flip makes the
+        # slot permanent.
+        fenced_out = False
+        if split_meta is not None:
+            live_meta = load_index_meta(index_dir, meta_name, "the builder")
+            n_now = len(live_meta["centroids"])
+            expected = int(split_meta["new_cell"])
+            already_applied = n_now > expected and (
+                live_meta["centroids"][expected] == split_meta["centroids"][1]
+            )
+            if n_now != expected and not already_applied:
+                fenced_out = True
+            elif not already_applied and not claim_slot(
+                index_dir, expected, os.path.basename(stage)
+            ):
+                fenced_out = True
+        # a RETRAIN stage fences on the quantizer GENERATION it was planned
+        # against: any split or other retrain that flipped the meta since
+        # (gen advanced) makes this stage's re-assignment stale — publishing
+        # it would resurrect pre-flip residency and clobber the winner's
+        # centroids. A replay of an already-flipped retrain (its own token
+        # is recorded in the meta) rolls forward instead.
+        if retrain_meta is not None:
+            live_meta = load_index_meta(index_dir, meta_name, "the builder")
+            already_applied = live_meta.get("retrain_token") == retrain_meta[
+                "token"
+            ]
+            if not already_applied and live_meta.get("gen", 0) != retrain_meta[
+                "base_gen"
+            ]:
+                fenced_out = True
+        if missing or fenced_out:
+            shutil.rmtree(stage, ignore_errors=True)
+            return "lost"
+        with open(publishing, "w") as fh:
+            fh.write("ok")
+    fire("ivf:publish_publishing")
+    src_root = os.path.join(stage, subdir)
+    if os.path.isdir(src_root):
+        for part in sorted(os.listdir(src_root)):
+            src_part = os.path.join(src_root, part)
+            if "=" not in part or not os.path.isdir(src_part):
+                continue
+            dst_part = os.path.join(index_dir, subdir, part)
+            os.makedirs(dst_part, exist_ok=True)
+            for name in sorted(os.listdir(src_part)):
+                if not name.endswith(".parquet"):
+                    continue
+                dst = os.path.join(dst_part, name)
+                if not os.path.exists(dst):  # idempotent re-publish
+                    try:
+                        os.replace(os.path.join(src_part, name), dst)
+                    except FileNotFoundError:
+                        if not os.path.exists(dst):
+                            raise
+    # a quantizer-changing stage flips the meta BETWEEN the moves and the
+    # deletes — the ordering is load-bearing: after the moves, the source
+    # partitions transiently hold both the full originals and the re-homed
+    # copies, which is EXACT under the probes' pair dedup with EITHER meta;
+    # flipping before the deletes means no meta ever probes a partition
+    # whose rows already moved away. Idempotent on replay (a flip that
+    # already happened is skipped).
+    if split_meta is not None:
+        meta_now = load_index_meta(index_dir, meta_name, "the builder")
+        cents = meta_now["centroids"]
+        new_cell = int(split_meta["new_cell"])
+        if len(cents) == new_cell:
+            cents[int(split_meta["cell"])] = split_meta["centroids"][0]
+            cents.append(split_meta["centroids"][1])
+            meta_now["centroids"] = cents
+            meta_now["n_cells"] = len(cents)
+            meta_now["gen"] = meta_now.get("gen", 0) + 1
+            write_index_meta(index_dir, meta_now, meta_name)
+        # the flip made the slot permanent in the meta — release the fence
+        # claim (idempotent; claim dirs are per slot number, so a later
+        # split's claim of the NEXT slot is never touched)
+        shutil.rmtree(
+            os.path.join(index_dir, STAGING, f"_SLOT_{new_cell}"),
+            ignore_errors=True,
+        )
+        fire("ivf:split_meta_flipped")
+    if retrain_meta is not None:
+        meta_now = load_index_meta(index_dir, meta_name, "the builder")
+        if (
+            meta_now.get("retrain_token") != retrain_meta["token"]
+            and meta_now.get("gen", 0) == retrain_meta["base_gen"]
+        ):
+            meta_now["centroids"] = retrain_meta["centroids"]
+            meta_now["n_cells"] = len(retrain_meta["centroids"])
+            meta_now["gen"] = retrain_meta["base_gen"] + 1
+            meta_now["retrain_token"] = retrain_meta["token"]
+            write_index_meta(index_dir, meta_now, meta_name)
+        fire("ivf:retrain_meta_flipped")
+    for rel in subsumed:
+        try:
+            os.remove(os.path.join(index_dir, subdir, rel))
+        except FileNotFoundError:  # idempotent re-delete
+            pass
+    fire("ivf:publish_moved")
+    # applied-batch marker LAST-but-one (before stage removal): a replayed
+    # streaming batch checks this to skip re-staging — the exactly-once
+    # half of the append contract. Written only after every move+delete
+    # completed, so "marker present" always means "fully live".
+    batch_meta = os.path.join(stage, "_BATCH.json")
+    if os.path.exists(batch_meta):
+        with open(batch_meta) as fh:
+            bid = json.load(fh).get("batch_id")
+        if bid is not None:
+            mark_batch_applied(index_dir, str(bid))
+    shutil.rmtree(stage, ignore_errors=True)
+    return "published"
+
+
+# ---------------------------------------------------------------------------
+# Applied-batch markers (exactly-once streaming appends)
+# ---------------------------------------------------------------------------
+def mark_batch_applied(index_dir: str, batch_id: str) -> None:
+    """Record a published append batch (the replay-skip marker) and sweep
+    markers past retention — the sweep keeps the _applied directory bounded
+    by the retention window's batch count, never the index lifetime's."""
+    applied = os.path.join(index_dir, APPLIED)
+    os.makedirs(applied, exist_ok=True)
+    with open(os.path.join(applied, batch_id), "w") as fh:
+        fh.write("ok")
+    cutoff = time.time() - APPLIED_RETENTION_S
+    try:
+        for entry in os.scandir(applied):
+            try:
+                if entry.is_file() and entry.stat().st_mtime < cutoff:
+                    os.remove(entry.path)
+            except OSError:  # raced with another runner's sweep
+                pass
+    except OSError:  # pragma: no cover - advisory
+        pass
+
+
+def batch_applied(index_dir: str, batch_id: str) -> bool:
+    """True when a staged append carrying ``batch_id`` has fully published —
+    the replay-skip check for streaming foreachBatch (roll committed stages
+    forward via :func:`publish_staged` BEFORE consulting this)."""
+    return os.path.exists(os.path.join(index_dir, APPLIED, str(batch_id)))
+
+
+# ---------------------------------------------------------------------------
+# Tiered compaction
+# ---------------------------------------------------------------------------
+def needs_compaction(index_dir: str, max_runs: int, subdir: str) -> bool:
+    """Driver-side loop trigger: does any partition hold more WRITE
+    GENERATIONS (job-UUID runs — each append is one run per touched
+    partition, a compacted partition is one run regardless of rows) than
+    ``max_runs``? Never raw file count — a legitimately large partition
+    compacted into several target-sized files must not re-trigger (the
+    dedup index's r11 trap). Cost: one directory scan per partition,
+    short-circuiting on the first dirty one — in the steady append loop
+    (uniform data touches every partition) the first one checked answers
+    it (review catch, round 13: the eager listing form materialized every
+    partition's listing before any() saw the first)."""
+    root = os.path.join(index_dir, subdir)
+    if not os.path.isdir(root):
+        return False
+    for entry in os.scandir(root):
+        if "=" not in entry.name or not entry.is_dir():
+            continue
+        files = [n for n in os.listdir(entry.path) if n.endswith(".parquet")]
+        if len(_derive_runs(files)) > max_runs:
+            return True
+    return False
+
+
+def compact_partitions(
+    spark: SparkSession,
+    index_dir: str,
+    max_runs: int,
+    subdir: str,
+    part_col: str,
+    meta_name: str,
+) -> dict[str, tuple[int, int]]:
+    """TIERED per-partition fold, the dedup index's LSM policy re-expressed
+    for a partition-keyed layout: in every partition holding more write
+    generations than ``max_runs``, the LARGEST ``max_runs - 1`` runs stay
+    untouched (the per-partition base and merged middles) and only the
+    small tail folds into one new run — so a trigger costs O(rows appended
+    since the last fold), never O(partition), and each row is rewritten
+    O(log(partition/batch)) times over its life as folded runs grow into
+    the kept tier (a naive fold-everything policy would rewrite the whole
+    corpus every trigger under uniform appends, since uniform data touches
+    every partition). Run sizes are ranked by BYTES (one driver-side stat
+    per file — a layout decision needs a size proxy, not a row count, and
+    footer reads across partitions x runs files would be the expensive
+    part). One Spark job covers ALL dirty partitions: the read is pinned to
+    the snapshot listing with basePath-preserved partition values,
+    ``repartition(part_col)`` lands each partition's fold wholly in one
+    task, ``partitionBy(part_col)`` writes one new file per partition.
+    Returns ``{"<col>=N": (files_before, files_after)}`` for the folded
+    partitions.
+
+    ``max_runs=1`` folds everything — full per-partition compaction, the
+    offline admin posture.
+
+    Crash/concurrency posture: rides the staged ``_COMMITTED`` /
+    ``_SUBSUMED`` publish — every kill window leaves either the old layout
+    (unmarked stage, swept) or roll-forward work (:func:`publish_staged`
+    finishes the moves AND deletes before the next probe); a concurrent
+    publish that deletes a snapshot file mid-scan makes this run a clean
+    race LOSER ({} returned), and a racing publish that subsumed this
+    stage's snapshot discards the stage itself."""
+    publish_staged(index_dir, subdir, meta_name)  # complete any predecessor
+    live = live_partition_files(index_dir, subdir)
+    root = os.path.join(index_dir, subdir)
+    dirty: dict[str, list[str]] = {}  # partition -> FOLD set (tail runs)
+    before: dict[str, int] = {}
+    for part, files in live.items():
+        runs = _derive_runs(files)
+        if len(runs) <= max_runs:
+            continue
+
+        def run_bytes(run: list[str]) -> int:
+            total = 0
+            for f in run:
+                try:
+                    total += os.path.getsize(os.path.join(root, part, f))
+                except OSError:  # vanished under us: settled at scan time
+                    pass
+            return total
+
+        runs.sort(key=run_bytes)
+        keep = max(0, max_runs - 1)
+        fold = [f for run in (runs[:-keep] if keep else runs) for f in run]
+        if fold:
+            dirty[part] = sorted(fold)
+            before[part] = len(files)
+    if not dirty:
+        return {}
+    stage = os.path.join(index_dir, STAGING, _uuid.uuid4().hex)
+    paths = [
+        os.path.join(root, part, f)
+        for part, files in sorted(dirty.items())
+        for f in files
+    ]
+    try:
+        (
+            spark.read.option("basePath", root)
+            .parquet(*paths)
+            .repartition(part_col)
+            .write.partitionBy(part_col)
+            .mode("overwrite")
+            .parquet(os.path.join(stage, subdir))
+        )
+    except Exception as exc:  # noqa: BLE001 — narrowed to the race below
+        if not _is_missing_file_error(exc):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+        return {}
+    fire("ivf:compact_staged")  # no marker yet: crash = old layout wins
+    subsumed = sorted(
+        f"{part}/{f}" for part, files in dirty.items() for f in files
+    )
+    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
+        json.dump(subsumed, fh)
+    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
+        fh.write("ok")
+    fire("ivf:compact_committed")  # committed, not yet published
+    publish_staged(index_dir, subdir, meta_name)
+    after = live_partition_files(index_dir, subdir)
+    return {
+        part: (before[part], len(after.get(part, [])))
+        for part in sorted(dirty)
+    }
+
+
+# ---------------------------------------------------------------------------
+# Slot claims (split fencing)
+# ---------------------------------------------------------------------------
+def claim_slot(index_dir: str, slot: int, token: str) -> bool:
+    """Atomically claim the new-centroid slot for one split publish. The
+    claim is an os.mkdir (atomic on one filesystem) of
+    ``_staging/_SLOT_<slot>`` holding the claiming stage's token. Rules:
+
+    - fresh claim → ours;
+    - claim holds OUR token → a previous (crashed) publish pass of this
+      same stage: still ours, proceed;
+    - claim holds another token whose stage DIR still exists → that
+      publish is in flight (or committed and will roll forward): lost;
+    - claim holds another token whose stage is GONE and the meta never
+      advanced (the owner was swept uncommitted) → stale: take over, with
+      the takeover race itself decided by the atomic re-mkdir;
+    - claim holds NO token (a crash between the mkdir and the token write,
+      ADVICE r13 — previously this read as "mid-creation by another
+      runner" forever, leaving the slot permanently unclaimable): young
+      claims are a live claimer mid-creation (lost), claims older than the
+      stale-stage grace are debris — swept and re-raced, the same age
+      taxonomy as unmarked stages.
+    """
+    claim = os.path.join(index_dir, STAGING, f"_SLOT_{slot}")
+    for _attempt in range(3):
+        try:
+            os.mkdir(claim)
+            with open(os.path.join(claim, "token"), "w") as fh:
+                fh.write(token)
+            return True
+        except FileExistsError:
+            try:
+                with open(os.path.join(claim, "token")) as fh:
+                    owner = fh.read().strip()
+            except OSError:
+                try:
+                    age = time.time() - os.path.getmtime(claim)
+                except OSError:
+                    continue  # claim vanished under us: re-race the mkdir
+                if age >= STALE_STAGE_S:
+                    # token-less AND old: the claimer died between mkdir
+                    # and token write — sweep and re-race
+                    shutil.rmtree(claim, ignore_errors=True)
+                    continue
+                return False  # mid-creation by a live claimer: theirs
+            if owner == token:
+                return True
+            if os.path.isdir(os.path.join(index_dir, STAGING, owner)):
+                return False  # live (or roll-forward-able) owner: lost
+            shutil.rmtree(claim, ignore_errors=True)  # stale: take over
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Probe-side race handling
+# ---------------------------------------------------------------------------
+def probe_retrying(make_df, attempts: int = 3):
+    """Materialize an ANN probe against a LIVE index, re-planning from a
+    fresh listing when a concurrent maintenance publish deletes a planned
+    file mid-scan — the serving-side twin of the dedup audit's bounded
+    retry (the publish is driver-side file moves, so a second snapshot is
+    consistent with overwhelming probability). ``make_df`` must build the
+    probe DataFrame from scratch (so the retry re-lists); returns
+    ``.collect()`` rows. The OTHER side of the race — seeing a vector
+    twice (compacted copy moved in, original not yet deleted) — is handled
+    inside the probes themselves (candidate pair dedup); and since round 14
+    the probes pin their FILE LIST at plan time (after a meta identity
+    re-check), so a quantizer flip racing a probe surfaces as exactly this
+    retryable missing-file error, never a silent miss. Between the
+    mechanisms a probe racing maintenance is always exact or a clean
+    bounded retry, never silently wrong."""
+    for attempt in range(attempts):
+        try:
+            return make_df().collect()
+        except Exception as exc:  # noqa: BLE001 — retried narrowly
+            if attempt == attempts - 1 or not _is_missing_file_error(exc):
+                raise

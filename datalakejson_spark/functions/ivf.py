@@ -339,28 +339,17 @@ _IVF_META = "_IVF.json"
 
 
 def _write_ivf_meta(index_dir: str, meta: dict) -> None:
-    import json
-    import os
+    from datalakejson_spark.functions.index_maintenance import write_index_meta
 
-    tmp = os.path.join(index_dir, _IVF_META + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(index_dir, _IVF_META))
+    write_index_meta(index_dir, meta, _IVF_META)
 
 
 def load_ivf_meta(index_dir: str) -> dict:
-    import json
-    import os
+    from datalakejson_spark.functions.index_maintenance import load_index_meta
 
-    path = os.path.join(index_dir, _IVF_META)
-    try:
-        with open(path) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        raise FileNotFoundError(
-            f"no IVF index at {index_dir} ({_IVF_META} missing) — build one "
-            "with build_ivf_index(emb, index_dir)"
-        ) from None
+    return load_index_meta(
+        index_dir, _IVF_META, "build_ivf_index(emb, index_dir)"
+    )
 
 
 def build_ivf_index(
@@ -430,6 +419,12 @@ def build_ivf_index(
     # must never publish into (or suppress appends to) the rebuilt cells
     for sub in (_IVF_STAGING, _IVF_APPLIED):
         shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    # the advisory count lives in its own sidecar (ADVICE r13 — appends
+    # must never rewrite quantizer meta); written before the meta so the
+    # meta's appearance is the build's publish point
+    from datalakejson_spark.functions.index_maintenance import write_index_count
+
+    write_index_count(index_dir, n)
     _write_ivf_meta(index_dir, meta)
     if measure_recall:
         meta["baseline_recall"] = ivf_recall_probe(
@@ -449,8 +444,8 @@ def ivf_index_append(
     """Assign a delta against the EXISTING quantizer and append it into the
     cell partitions — the classic IVF posture (cells stay fixed between
     retrains; drift is measured by :func:`ivf_needs_retrain`, and a retrain
-    is just build_ivf_index again). Returns rows appended (0 for an
-    already-applied replay).
+    is build_ivf_index again, or :func:`retrain_ivf_delta` when the drift
+    is localized). Returns rows appended (0 for an already-applied replay).
 
     The append is STAGED (round 13): assigned rows land under
     ``_staging/<token>/cells/`` with a ``_COMMITTED`` marker, then publish
@@ -462,9 +457,11 @@ def ivf_index_append(
     applied-batch marker after all moves complete, and a replay that finds
     the marker skips — without it a replayed micro-batch would duplicate
     its vectors in the cells and every later top-k would emit duplicate
-    neighbor rows. The meta row count stays advisory observability
-    (refreshed after publish; a crash between publish and refresh leaves
-    it stale-low, never wrong-results).
+    neighbor rows. The row count stays advisory observability and lives in
+    its OWN sidecar (ADVICE r13): the previous whole-meta refresh was an
+    unfenced read-modify-write that could revert a concurrent split's
+    centroid flip, orphaning the new cell — this path never writes the
+    quantizer meta at all now.
 
     Small-file accumulation per cell (one file per touched cell per
     append) is the known cadence disease — cured in the loop by
@@ -516,11 +513,9 @@ def ivf_index_append(
         fh.write("ok")
     fire("ivf:append_committed")  # committed, not yet published
     _publish_ivf_staged(index_dir)
-    # advisory count refresh on a FRESH meta read — never the snapshot
-    # loaded above, which a concurrent maintenance flip may have outdated
-    fresh = load_ivf_meta(index_dir)
-    fresh["n_vectors"] = int(fresh.get("n_vectors", 0)) + n_new
-    _write_ivf_meta(index_dir, fresh)
+    from datalakejson_spark.functions.index_maintenance import bump_index_count
+
+    bump_index_count(index_dir, n_new)
     return n_new
 
 
@@ -532,12 +527,27 @@ def ivf_index_topk(
     nprobe: int | None = None,
 ) -> DataFrame:
     """Approximate top-k against a persisted index. The probed cell ids are
-    collected (bounded: ≤ queries x nprobe ints) and pushed into the scan as
-    a partition filter — `.explain` shows them under PartitionFilters, and
-    only those cell directories are read. ``nprobe=None`` applies the
+    collected (bounded: ≤ queries x nprobe ints) and the probed cells' FILE
+    LIST is pinned into the scan (explicit paths + basePath, plus the cell
+    IN-list as a partition filter — `.explain` still shows PartitionFilters,
+    and only those cell directories are read). ``nprobe=None`` applies the
     autotune rule to the persisted nlist. Output:
-    (query_id, neighbor_id, cosine, rn)."""
+    (query_id, neighbor_id, cosine, rn).
+
+    Race posture vs concurrent maintenance (ADVICE r13 — the meta/listing
+    TOCTOU): the quantizer meta is RE-READ after the probe plan and file
+    listing are built, and the plan is rebuilt if a split/retrain flipped
+    it in between; conversely, a flip that lands after the re-check can
+    only DELETE files this plan already pinned — deletes are ordered
+    strictly after the meta flip — so the scan surfaces a missing-file
+    error that :func:`probe_retrying` re-plans from, never a silent miss
+    (a directory-listing scan would quietly read the post-delete layout
+    with pre-flip centroids and drop every re-homed vector)."""
     import os
+
+    from datalakejson_spark.functions.index_maintenance import (
+        live_partition_files,
+    )
 
     _publish_ivf_staged(index_dir)  # committed deltas become visible first
     # meta is loaded AFTER the publish (review catch, round 13): rolling a
@@ -545,21 +555,49 @@ def ivf_index_topk(
     # post-split layout with pre-split centroids would silently drop every
     # vector re-homed to the new cell (no error for probe_retrying to see)
     meta = load_ivf_meta(index_dir)
-    if nprobe is None:
-        nprobe = default_nprobe(meta["n_cells"])
-    probes = probe_cells(queries, meta["centroids"], nprobe).localCheckpoint(
-        eager=True  # computed once: feeds the cell collect AND the join
-    )
-    cells = sorted(r[0] for r in probes.select("cell").distinct().collect())
-    inverted = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
-        F.col("cell").isin(cells)
+    cells_root = os.path.join(index_dir, _IVF_CELLS)
+    for _attempt in range(3):
+        eff_nprobe = (
+            default_nprobe(meta["n_cells"]) if nprobe is None else nprobe
+        )
+        probes = probe_cells(
+            queries, meta["centroids"], eff_nprobe
+        ).localCheckpoint(
+            eager=True  # computed once: feeds the cell collect AND the join
+        )
+        cells = sorted(
+            r[0] for r in probes.select("cell").distinct().collect()
+        )
+        live = live_partition_files(index_dir, _IVF_CELLS)
+        paths = [
+            os.path.join(cells_root, f"cell={c}", f)
+            for c in cells
+            for f in live.get(f"cell={c}", [])
+        ]
+        fresh = load_ivf_meta(index_dir)
+        if (
+            fresh["n_cells"] == meta["n_cells"]
+            and fresh["centroids"] == meta["centroids"]
+        ):
+            break
+        meta = fresh  # quantizer flipped under the plan: rebuild it
+    if not paths:
+        return local_df(
+            spark,
+            [],
+            "query_id bigint, neighbor_id bigint, cosine double, rn int",
+        )
+    inverted = (
+        spark.read.option("basePath", cells_root)
+        .parquet(*paths)
+        .filter(F.col("cell").isin(cells))
     )
     return ivf_probe_topk(
         inverted,
         meta["centroids"],
         queries,
         k=k,
-        nprobe=nprobe,
+        nprobe=eff_nprobe,
         vectorized_score=True,
         probes=probes,
         dedup_candidates=True,  # live index: maintenance windows duplicate
@@ -643,261 +681,40 @@ _IVF_APPLIED = "_applied"
 _IVF_CELLS = "cells"
 
 
+# The machinery itself lives in functions/index_maintenance.py since round
+# 14 (VERDICT r13 #6 — one definition, imported by both persisted indexes).
+# These wrappers keep the historical IVF-default spellings that tests and
+# tools pin; they are thin delegations, never a second implementation.
 def _ivf_live_files(
     index_dir: str, subdir: str = _IVF_CELLS
 ) -> dict[str, list[str]]:
-    """``{"<col>=N": [parquet file names]}`` for every live partition of a
-    partition-keyed index (``cell=`` for IVF, ``tb=`` for the persisted LSH
-    index, which shares this whole maintenance plane) — driver-side listing
-    only, no Spark job."""
-    import os
+    from datalakejson_spark.functions.index_maintenance import (
+        live_partition_files,
+    )
 
-    root = os.path.join(index_dir, subdir)
-    out: dict[str, list[str]] = {}
-    if not os.path.isdir(root):
-        return out
-    for cell in sorted(os.listdir(root)):
-        if "=" not in cell:
-            continue
-        cdir = os.path.join(root, cell)
-        if os.path.isdir(cdir):
-            out[cell] = sorted(
-                n for n in os.listdir(cdir) if n.endswith(".parquet")
-            )
-    return out
+    return live_partition_files(index_dir, subdir)
 
 
 def _publish_ivf_staged(
     index_dir: str, subdir: str = _IVF_CELLS
 ) -> dict[str, str]:
-    """Roll staged IVF deltas forward into the live cell partitions —
-    the partition-keyed twin of incremental_dedup._publish_staged
-    (same outcomes: published / lost / pending / raced; same crash
-    taxonomy: unmarked stages are garbage swept after a grace period,
-    committed stages are idempotent roll-forward work, a maintenance
-    stage whose ``_SUBSUMED`` snapshot no longer matches the live files
-    lost a concurrent publish race and discards itself)."""
-    import os
+    from datalakejson_spark.functions.index_maintenance import publish_staged
 
-    from datalakejson_spark.functions.incremental_dedup import STALE_STAGE_S
-
-    staging = os.path.join(index_dir, _IVF_STAGING)
-    outcomes: dict[str, str] = {}
-    if not os.path.isdir(staging):
-        return outcomes
-    for token in sorted(os.listdir(staging)):
-        stage = os.path.join(staging, token)
-        if not os.path.isdir(stage) or token.startswith("_SLOT_"):
-            continue  # slot-claim dirs are fence state, not stages
-        try:
-            outcomes[token] = _publish_one_ivf_stage(
-                index_dir, stage, STALE_STAGE_S, subdir
-            )
-        except FileNotFoundError:
-            # two runners rolling the same stage forward: the other one
-            # finished it — either terminal state is complete on its own
-            outcomes[token] = "raced"
-    return outcomes
-
-
-def _publish_one_ivf_stage(
-    index_dir: str, stage: str, stale_stage_s: float, subdir: str = _IVF_CELLS
-) -> str:
-    import json
-    import os
-    import shutil
-    import time
-
-    from datalakejson_spark.plans.killpoints import fire
-
-    if not os.path.exists(os.path.join(stage, "_COMMITTED")):
-        try:
-            age = time.time() - os.path.getmtime(stage)
-        except OSError:  # vanished: its owner just published/removed it
-            return "pending"
-        if age >= stale_stage_s:
-            shutil.rmtree(stage, ignore_errors=True)
-        return "pending"
-    subsumed: list[str] = []
-    manifest = os.path.join(stage, "_SUBSUMED.json")
-    if os.path.exists(manifest):
-        with open(manifest) as fh:
-            subsumed = json.load(fh)
-    split_meta = None
-    split_path = os.path.join(stage, "_SPLIT.json")
-    if os.path.exists(split_path):
-        with open(split_path) as fh:
-            split_meta = json.load(fh)
-    publishing = os.path.join(stage, "_PUBLISHING")
-    if (subsumed or split_meta is not None) and not os.path.exists(publishing):
-        # loser detection BEFORE this stage's own moves/deletes begin; once
-        # the _PUBLISHING marker is down, a replay always rolls FORWARD
-        missing = [
-            rel
-            for rel in subsumed
-            if not os.path.exists(os.path.join(index_dir, subdir, rel))
-        ]
-        # a SPLIT stage additionally claims a new-centroid SLOT: if another
-        # split already took it, publishing this stage's files would merge
-        # two different cells' vectors into one partition — discard whole,
-        # BEFORE any move happens. The claim is an ATOMIC os.mkdir (a plain
-        # check-then-act would leave a seconds-long window where two
-        # concurrent publishes both pass and both move — review catch,
-        # round 13); the winner releases it after its meta flip makes the
-        # slot permanent.
-        slot_taken = False
-        if split_meta is not None:
-            live_meta = load_ivf_meta(index_dir)
-            n_now = len(live_meta["centroids"])
-            expected = int(split_meta["new_cell"])
-            already_applied = n_now > expected and (
-                live_meta["centroids"][expected] == split_meta["centroids"][1]
-            )
-            if n_now != expected and not already_applied:
-                slot_taken = True
-            elif not already_applied and not _claim_split_slot(
-                index_dir, expected, os.path.basename(stage)
-            ):
-                slot_taken = True
-        if missing or slot_taken:
-            shutil.rmtree(stage, ignore_errors=True)
-            return "lost"
-        with open(publishing, "w") as fh:
-            fh.write("ok")
-    fire("ivf:publish_publishing")
-    src_root = os.path.join(stage, subdir)
-    if os.path.isdir(src_root):
-        for cell in sorted(os.listdir(src_root)):
-            src_cell = os.path.join(src_root, cell)
-            if "=" not in cell or not os.path.isdir(src_cell):
-                continue
-            dst_cell = os.path.join(index_dir, subdir, cell)
-            os.makedirs(dst_cell, exist_ok=True)
-            for name in sorted(os.listdir(src_cell)):
-                if not name.endswith(".parquet"):
-                    continue
-                dst = os.path.join(dst_cell, name)
-                if not os.path.exists(dst):  # idempotent re-publish
-                    try:
-                        os.replace(os.path.join(src_cell, name), dst)
-                    except FileNotFoundError:
-                        if not os.path.exists(dst):
-                            raise
-    # a SPLIT flips the quantizer meta BETWEEN the moves and the deletes —
-    # the ordering is load-bearing: after the moves, cell=old transiently
-    # holds both the full originals and the split halves, which is EXACT
-    # under the probes' pair dedup with EITHER meta; flipping before the
-    # deletes means no meta ever probes a cell whose rows already moved
-    # away. Idempotent on replay (a flip that already happened is skipped).
-    if split_meta is not None:
-        meta_now = load_ivf_meta(index_dir)
-        cents = meta_now["centroids"]
-        new_cell = int(split_meta["new_cell"])
-        if len(cents) == new_cell:
-            cents[int(split_meta["cell"])] = split_meta["centroids"][0]
-            cents.append(split_meta["centroids"][1])
-            meta_now["centroids"] = cents
-            meta_now["n_cells"] = len(cents)
-            _write_ivf_meta(index_dir, meta_now)
-        # the flip made the slot permanent in the meta — release the fence
-        # claim (idempotent; claim dirs are per slot number, so a later
-        # split's claim of the NEXT slot is never touched)
-        shutil.rmtree(
-            os.path.join(index_dir, _IVF_STAGING, f"_SLOT_{new_cell}"),
-            ignore_errors=True,
-        )
-        fire("ivf:split_meta_flipped")
-    for rel in subsumed:
-        try:
-            os.remove(os.path.join(index_dir, subdir, rel))
-        except FileNotFoundError:  # idempotent re-delete
-            pass
-    fire("ivf:publish_moved")
-    # applied-batch marker LAST-but-one (before stage removal): a replayed
-    # streaming batch checks this to skip re-staging — the exactly-once
-    # half of the append contract. Written only after every move+delete
-    # completed, so "marker present" always means "fully live".
-    batch_meta = os.path.join(stage, "_BATCH.json")
-    if os.path.exists(batch_meta):
-        with open(batch_meta) as fh:
-            bid = json.load(fh).get("batch_id")
-        if bid is not None:
-            _mark_ivf_batch_applied(index_dir, str(bid))
-    shutil.rmtree(stage, ignore_errors=True)
-    return "published"
-
-
-#: applied-batch markers older than this are swept when a new one is
-#: written. A marker only matters until its batch's streaming checkpoint
-#: commits (seconds-to-minutes after publish) — after that the batch can
-#: never replay — so hours of retention is already paranoid; without a
-#: sweep a 15-minute cadence accretes ~35k marker files per year per index
-#: (review catch, round 13: the same unbounded-small-file disease the
-#: compactors exist to cure).
-_APPLIED_RETENTION_S = 24 * 3600.0
-
-
-def _mark_ivf_batch_applied(index_dir: str, batch_id: str) -> None:
-    """Record a published append batch (the replay-skip marker) and sweep
-    markers past retention — the sweep keeps the _applied directory bounded
-    by the retention window's batch count, never the index lifetime's."""
-    import os
-    import time
-
-    applied = os.path.join(index_dir, _IVF_APPLIED)
-    os.makedirs(applied, exist_ok=True)
-    with open(os.path.join(applied, batch_id), "w") as fh:
-        fh.write("ok")
-    cutoff = time.time() - _APPLIED_RETENTION_S
-    try:
-        for entry in os.scandir(applied):
-            try:
-                if entry.is_file() and entry.stat().st_mtime < cutoff:
-                    os.remove(entry.path)
-            except OSError:  # raced with another runner's sweep
-                pass
-    except OSError:  # pragma: no cover - advisory
-        pass
+    return publish_staged(index_dir, subdir, _IVF_META)
 
 
 def ivf_batch_applied(index_dir: str, batch_id: str) -> bool:
-    """True when a staged append carrying ``batch_id`` has fully published —
-    the replay-skip check for streaming foreachBatch (roll committed stages
-    forward via :func:`_publish_ivf_staged` BEFORE consulting this)."""
-    import os
+    from datalakejson_spark.functions.index_maintenance import batch_applied
 
-    return os.path.exists(os.path.join(index_dir, _IVF_APPLIED, str(batch_id)))
+    return batch_applied(index_dir, batch_id)
 
 
 def ivf_needs_compaction(
     index_dir: str, max_runs_per_cell: int = 8, subdir: str = _IVF_CELLS
 ) -> bool:
-    """Driver-side loop trigger: does any cell hold more WRITE GENERATIONS
-    (job-UUID runs — each append is one run per touched cell, a compacted
-    cell is one run regardless of rows) than ``max_runs_per_cell``? Never
-    raw file count — a legitimately large cell compacted into several
-    target-sized files must not re-trigger (the dedup index's r11 trap).
-    Cost: one directory scan per cell, short-circuiting on the first dirty
-    one — in the steady append loop (uniform data touches every cell) the
-    first cell checked answers it, so the trigger never pays nlist listings
-    per micro-batch (review catch, round 13: the eager _ivf_live_files form
-    materialized every cell's listing before any() saw the first)."""
-    import os
+    from datalakejson_spark.functions.index_maintenance import needs_compaction
 
-    from datalakejson_spark.functions.incremental_dedup import _derive_runs
-
-    root = os.path.join(index_dir, subdir)
-    if not os.path.isdir(root):
-        return False
-    for entry in os.scandir(root):
-        if "=" not in entry.name or not entry.is_dir():
-            continue
-        files = [
-            n for n in os.listdir(entry.path) if n.endswith(".parquet")
-        ]
-        if len(_derive_runs(files)) > max_runs_per_cell:
-            return True
-    return False
+    return needs_compaction(index_dir, max_runs_per_cell, subdir)
 
 
 def compact_ivf_cells(
@@ -907,109 +724,15 @@ def compact_ivf_cells(
     subdir: str = _IVF_CELLS,
     part_col: str = "cell",
 ) -> dict[str, tuple[int, int]]:
-    """TIERED per-cell fold, the dedup index's LSM policy re-expressed for
-    a partition-keyed layout: in every cell holding more write generations
-    than ``max_runs_per_cell``, the LARGEST ``max_runs_per_cell - 1`` runs
-    stay untouched (the per-cell base and merged middles) and only the
-    small tail folds into one new run — so a trigger costs O(rows appended
-    since the last fold), never O(cell), and each row is rewritten
-    O(log(cell/batch)) times over its life as folded runs grow into the
-    kept tier (a naive fold-everything policy would rewrite the whole
-    corpus every trigger under uniform appends, since uniform data touches
-    every cell). Run sizes are ranked by BYTES (one driver-side stat per
-    file — a layout decision needs a size proxy, not a row count, and
-    footer reads across cells x runs files would be the expensive part).
-    One Spark job covers ALL dirty cells: the read is pinned to the
-    snapshot listing with basePath-preserved partition values,
-    repartition("cell") lands each cell's fold wholly in one task,
-    partitionBy("cell") writes one new file per cell. Returns
-    ``{"cell=N": (files_before, files_after)}`` for the folded cells.
-
-    ``max_runs_per_cell=1`` folds everything — full per-cell compaction,
-    the offline admin posture. Per-cell rows are bounded by design at
-    ~n/nlist (the autotune keeps nlist ∝ √n); a cell that outgrows that is
-    the retrain trigger's business (:func:`ivf_needs_retrain`).
-
-    Crash/concurrency posture: rides the same staged ``_COMMITTED`` /
-    ``_SUBSUMED`` publish as the dedup index — every kill window leaves
-    either the old layout (unmarked stage, swept) or roll-forward work
-    (:func:`_publish_ivf_staged` finishes the moves AND deletes before the
-    next probe); a concurrent publish that deletes a snapshot file mid-scan
-    makes this run a clean race LOSER ({} returned), and a racing publish
-    that subsumed this stage's snapshot discards the stage itself."""
-    import json
-    import os
-    import shutil
-    import uuid as _uuid
-
-    from datalakejson_spark.functions.incremental_dedup import (
-        _derive_runs,
-        _is_missing_file_error,
+    """Tiered per-cell fold — see index_maintenance.compact_partitions for
+    the policy and crash contract."""
+    from datalakejson_spark.functions.index_maintenance import (
+        compact_partitions,
     )
-    from datalakejson_spark.plans.killpoints import fire
 
-    _publish_ivf_staged(index_dir, subdir)  # complete any predecessor first
-    live = _ivf_live_files(index_dir, subdir)
-    cells_root = os.path.join(index_dir, subdir)
-    dirty: dict[str, list[str]] = {}  # cell -> FOLD set (tail runs only)
-    before: dict[str, int] = {}
-    for cell, files in live.items():
-        runs = _derive_runs(files)
-        if len(runs) <= max_runs_per_cell:
-            continue
-
-        def run_bytes(run: list[str]) -> int:
-            total = 0
-            for f in run:
-                try:
-                    total += os.path.getsize(os.path.join(cells_root, cell, f))
-                except OSError:  # vanished under us: settled at scan time
-                    pass
-            return total
-
-        runs.sort(key=run_bytes)
-        keep = max(0, max_runs_per_cell - 1)
-        fold = [f for run in (runs[:-keep] if keep else runs) for f in run]
-        if fold:
-            dirty[cell] = sorted(fold)
-            before[cell] = len(files)
-    if not dirty:
-        return {}
-    stage = os.path.join(index_dir, _IVF_STAGING, _uuid.uuid4().hex)
-    paths = [
-        os.path.join(cells_root, cell, f)
-        for cell, files in sorted(dirty.items())
-        for f in files
-    ]
-    try:
-        (
-            spark.read.option("basePath", cells_root)
-            .parquet(*paths)
-            .repartition(part_col)
-            .write.partitionBy(part_col)
-            .mode("overwrite")
-            .parquet(os.path.join(stage, subdir))
-        )
-    except Exception as exc:  # noqa: BLE001 — narrowed to the race below
-        if not _is_missing_file_error(exc):
-            raise
-        shutil.rmtree(stage, ignore_errors=True)
-        return {}
-    fire("ivf:compact_staged")  # no marker yet: crash = old layout wins
-    subsumed = sorted(
-        f"{cell}/{f}" for cell, files in dirty.items() for f in files
+    return compact_partitions(
+        spark, index_dir, max_runs_per_cell, subdir, part_col, _IVF_META
     )
-    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
-        json.dump(subsumed, fh)
-    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
-        fh.write("ok")
-    fire("ivf:compact_committed")  # committed, not yet published
-    _publish_ivf_staged(index_dir, subdir)
-    after = _ivf_live_files(index_dir, subdir)
-    return {
-        cell: (before[cell], len(after.get(cell, [])))
-        for cell in sorted(dirty)
-    }
 
 
 def ivf_recall_probe(
@@ -1099,28 +822,10 @@ def ivf_needs_retrain(
     return needs, current
 
 
-def probe_retrying(make_df, attempts: int = 3):
-    """Materialize an ANN probe against a LIVE index, re-planning from a
-    fresh listing when a concurrent maintenance publish deletes a planned
-    file mid-scan — the serving-side twin of the dedup audit's bounded
-    retry (the publish is driver-side file moves, so a second snapshot is
-    consistent with overwhelming probability). ``make_df`` must build the
-    probe DataFrame from scratch (so the retry re-lists); returns
-    ``.collect()`` rows. The OTHER side of the race — seeing a vector
-    twice (compacted copy moved in, original not yet deleted) — is handled
-    inside the probes themselves (candidate pair dedup), so between the
-    two mechanisms a probe racing maintenance is always exact or a clean
-    bounded retry, never silently wrong."""
-    from datalakejson_spark.functions.incremental_dedup import (
-        _is_missing_file_error,
-    )
-
-    for attempt in range(attempts):
-        try:
-            return make_df().collect()
-        except Exception as exc:  # noqa: BLE001 — retried narrowly
-            if attempt == attempts - 1 or not _is_missing_file_error(exc):
-                raise
+from datalakejson_spark.functions.index_maintenance import (  # noqa: E402
+    APPLIED_RETENTION_S as _APPLIED_RETENTION_S,
+    probe_retrying,
+)
 
 
 def ivf_cell_rows(index_dir: str) -> dict[int, int]:
@@ -1252,38 +957,6 @@ def split_ivf_cell(
 
 
 def _claim_split_slot(index_dir: str, slot: int, token: str) -> bool:
-    """Atomically claim the new-centroid slot for one split publish. The
-    claim is an os.mkdir (atomic on one filesystem) of
-    ``_staging/_SLOT_<slot>`` holding the claiming stage's token. Rules:
+    from datalakejson_spark.functions.index_maintenance import claim_slot
 
-    - fresh claim → ours;
-    - claim holds OUR token → a previous (crashed) publish pass of this
-      same stage: still ours, proceed;
-    - claim holds another token whose stage DIR still exists → that
-      publish is in flight (or committed and will roll forward): lost;
-    - claim holds another token whose stage is GONE and the meta never
-      advanced (the owner was swept uncommitted) → stale: take over, with
-      the takeover race itself decided by the atomic re-mkdir.
-    """
-    import os
-    import shutil
-
-    claim = os.path.join(index_dir, _IVF_STAGING, f"_SLOT_{slot}")
-    for _attempt in range(2):
-        try:
-            os.mkdir(claim)
-            with open(os.path.join(claim, "token"), "w") as fh:
-                fh.write(token)
-            return True
-        except FileExistsError:
-            try:
-                with open(os.path.join(claim, "token")) as fh:
-                    owner = fh.read().strip()
-            except OSError:
-                return False  # mid-creation by another runner: theirs
-            if owner == token:
-                return True
-            if os.path.isdir(os.path.join(index_dir, _IVF_STAGING, owner)):
-                return False  # live (or roll-forward-able) owner: lost
-            shutil.rmtree(claim, ignore_errors=True)  # stale: take over
-    return False
+    return claim_slot(index_dir, slot, token)

@@ -20,8 +20,9 @@ PartitionFilters posture. The autotune rule (similarity.autotune_lsh) keeps
 n / 2^planes ≈ constant as the corpus grows, so probe cost stays flat.
 
 Maintenance is SHARED with the IVF index: staged exactly-once appends,
-publish-race fencing, tiered per-partition compaction, all via the
-``subdir``-parameterized machinery in functions/ivf.py.
+publish-race fencing, tiered per-partition compaction, all via the ONE
+implementation in functions/index_maintenance.py (both indexes import it by
+its public names — VERDICT r13 #6).
 """
 
 from __future__ import annotations
@@ -30,12 +31,16 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from datalakejson_spark.functions.ivf import (
-    _ivf_live_files,
-    _publish_ivf_staged,
-    compact_ivf_cells,
-    ivf_batch_applied,
-    ivf_needs_compaction,
+from datalakejson_spark.functions.index_maintenance import (
+    batch_applied,
+    bump_index_count,
+    compact_partitions,
+    live_partition_files,
+    load_index_meta,
+    needs_compaction,
+    publish_staged,
+    write_index_count,
+    write_index_meta,
 )
 from datalakejson_spark.functions.similarity import (
     LSH_SEED,
@@ -54,28 +59,13 @@ _BUCKETS = "buckets"
 
 
 def _write_lsh_meta(index_dir: str, meta: dict) -> None:
-    import json
-    import os
-
-    os.makedirs(index_dir, exist_ok=True)
-    tmp = os.path.join(index_dir, _LSH_META + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(index_dir, _LSH_META))
+    write_index_meta(index_dir, meta, _LSH_META)
 
 
 def load_lsh_meta(index_dir: str) -> dict:
-    import json
-    import os
-
-    try:
-        with open(os.path.join(index_dir, _LSH_META)) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        raise FileNotFoundError(
-            f"no LSH index at {index_dir} ({_LSH_META} missing) — build one "
-            "with build_lsh_index(emb, index_dir)"
-        ) from None
+    return load_index_meta(
+        index_dir, _LSH_META, "build_lsh_index(emb, index_dir)"
+    )
 
 
 def _with_tb(bucketed: DataFrame, n_planes: int) -> DataFrame:
@@ -131,6 +121,9 @@ def build_lsh_index(
     }
     for sub in ("_staging", "_applied"):
         shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    # advisory count sidecar before the meta — same contract as the IVF
+    # build (the meta's appearance is the publish point)
+    write_index_count(index_dir, n)
     _write_lsh_meta(index_dir, meta)
     return meta
 
@@ -152,9 +145,9 @@ def lsh_index_append(
 
     from datalakejson_spark.plans.killpoints import fire
 
+    publish_staged(index_dir, _BUCKETS, _LSH_META)
     meta = load_lsh_meta(index_dir)
-    _publish_ivf_staged(index_dir, _BUCKETS)
-    if batch_id is not None and ivf_batch_applied(index_dir, batch_id):
+    if batch_id is not None and batch_applied(index_dir, batch_id):
         return 0
     if "embedding_type" in meta:
         new_emb = new_emb.withColumn(
@@ -184,22 +177,25 @@ def lsh_index_append(
     with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
         fh.write("ok")
     fire("lsh:append_committed")
-    _publish_ivf_staged(index_dir, _BUCKETS)
-    meta["n_vectors"] = meta["n_vectors"] + n_new
-    _write_lsh_meta(index_dir, meta)
+    publish_staged(index_dir, _BUCKETS, _LSH_META)
+    # advisory counter bump in the sidecar ONLY (ADVICE r13: writing back
+    # the meta dict loaded at entry could clobber a concurrent rebuild's
+    # fresh family definition, silently zeroing recall — the append path
+    # never writes _LSH.json now, mirroring the IVF fix)
+    bump_index_count(index_dir, n_new)
     return n_new
 
 
 def lsh_needs_compaction(index_dir: str, max_runs_per_bucket: int = 8) -> bool:
-    return ivf_needs_compaction(index_dir, max_runs_per_bucket, _BUCKETS)
+    return needs_compaction(index_dir, max_runs_per_bucket, _BUCKETS)
 
 
 def compact_lsh_buckets(
     spark: SparkSession, index_dir: str, max_runs_per_bucket: int = 8
 ) -> dict[str, tuple[int, int]]:
-    """Tiered per-bucket fold — compact_ivf_cells over subdir="buckets"."""
-    return compact_ivf_cells(
-        spark, index_dir, max_runs_per_bucket, subdir=_BUCKETS, part_col="tb"
+    """Tiered per-bucket fold — the shared compact_partitions over tb."""
+    return compact_partitions(
+        spark, index_dir, max_runs_per_bucket, _BUCKETS, "tb", _LSH_META
     )
 
 
@@ -232,17 +228,41 @@ def lsh_index_topk(
     grows. Candidates sharing a bucket in ANY table score once
     (dropDuplicates, same semantics as similarity.lsh_ann_topk_np — parity
     pinned row-for-row in tests/test_lsh_index.py). Output:
-    (query_id, neighbor_id, cosine, rn)."""
+    (query_id, neighbor_id, cosine, rn).
+
+    Race posture vs concurrent maintenance (the IVF probe's round-14
+    contract, mirrored): the family meta is RE-READ after the bucket file
+    list is pinned and the probe re-plans if a rebuild changed the family
+    in between; a maintenance delete landing after the re-check hits a
+    PINNED file path and surfaces as a missing-file error probe_retrying
+    re-plans from — never a silently smaller candidate set."""
     import os
 
     from datalakejson_spark.session import local_df
 
+    publish_staged(index_dir, _BUCKETS, _LSH_META)
     meta = load_lsh_meta(index_dir)
-    _publish_ivf_staged(index_dir, _BUCKETS)
+    buckets_root = os.path.join(index_dir, _BUCKETS)
     qrows = queries.select("vec_id", "embedding").orderBy("vec_id").collect()
     q_ids = [int(r[0]) for r in qrows]
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    tbs = _query_tbs(meta, qm)
+
+    def _family(m: dict) -> tuple:
+        return (m["n_planes"], m["n_tables"], m["seed"], m["dim"])
+
+    for _attempt in range(3):
+        tbs = _query_tbs(meta, qm)
+        wanted = sorted({int(tb) for row in tbs for tb in row})
+        live = live_partition_files(index_dir, _BUCKETS)
+        paths = [
+            os.path.join(buckets_root, f"tb={tb}", f)
+            for tb in wanted
+            for f in live.get(f"tb={tb}", [])
+        ]
+        fresh = load_lsh_meta(index_dir)
+        if _family(fresh) == _family(meta):
+            break
+        meta = fresh  # family flipped under the plan (rebuild): re-hash
     probe = local_df(
         spark,
         [
@@ -252,9 +272,15 @@ def lsh_index_topk(
         ],
         "query_id bigint, q_emb array<double>, tb int",
     )
-    wanted = sorted({int(tb) for row in tbs for tb in row})
+    if not paths:
+        return local_df(
+            spark,
+            [],
+            "query_id bigint, neighbor_id bigint, cosine double, rn int",
+        )
     cands = (
-        spark.read.parquet(os.path.join(index_dir, _BUCKETS))
+        spark.read.option("basePath", buckets_root)
+        .parquet(*paths)
         .filter(F.col("tb").isin(wanted))
         .select(
             F.col("vec_id").alias("neighbor_id"),
@@ -330,7 +356,7 @@ def lsh_bucket_stats(index_dir: str) -> dict:
 
     root = os.path.join(index_dir, _BUCKETS)
     per_tb: dict[str, int] = {}
-    for tb, files in _ivf_live_files(index_dir, _BUCKETS).items():
+    for tb, files in live_partition_files(index_dir, _BUCKETS).items():
         rows = 0
         for f in files:
             try:
