@@ -39,6 +39,83 @@ from datalakejson_spark.session import configure_runtime
 #: this every ~2 hours and the fold touches only the over-run cells.
 ANN_COMPACT_MAX_RUNS = 8
 
+#: the stream-identity sidecar under the index root. Exactly-once markers
+#: (bootstrap_batch, _applied/<bid>) are keyed by foreachBatch batch ids,
+#: which are unique only PER CHECKPOINT LOCATION (ADVICE r13): pointing a
+#: NEW checkpoint at an existing index recycles ids b0,b1,... and those
+#: batches would be silently dropped — b0 forever via the bootstrap skip,
+#: later ones until marker retention. Two defenses: batch ids are
+#: NAMESPACED by the stream's identity (Spark's checkpoint metadata query
+#: id), and the index records which stream owns it — a mismatched stream
+#: FAILS LOUDLY instead of guessing (resetting a checkpoint is an operator
+#: action; :func:`adopt_stream` is the explicit verb that re-homes the
+#: index under the new checkpoint).
+_STREAM_SIDECAR = "_STREAM.json"
+
+
+def stream_identity(checkpoint_dir: str) -> str:
+    """The stream's durable identity: the query id Spark records in
+    ``{checkpoint}/metadata`` at query start (stable across restarts of the
+    same checkpoint, fresh for a new checkpoint location — exactly the
+    granularity the exactly-once markers need). Falls back to a hash of the
+    checkpoint path when the metadata file is unreadable (which keeps
+    restarts consistent but cannot distinguish a wiped-and-recreated
+    checkpoint — the metadata file is the real fix and exists whenever
+    Spark runs the query)."""
+    import hashlib
+    import json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            qid = str(json.load(fh)["id"])
+        return qid.split("-")[0]
+    except (OSError, ValueError, KeyError):
+        return hashlib.sha1(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:8]
+
+
+def adopt_stream(index_dir: str, stream_id: str) -> None:
+    """Explicitly re-home an index under a new stream/checkpoint identity —
+    the operator verb for 'I reset the checkpoint on purpose'. After this,
+    the new stream's batches append from its batch 0 (files already
+    ingested by the OLD stream will re-ingest if they are still in the new
+    stream's landing source — point the new checkpoint at new data)."""
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, _STREAM_SIDECAR + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"stream_id": stream_id}, fh)
+    os.replace(tmp, os.path.join(index_dir, _STREAM_SIDECAR))
+
+
+def _guard_stream_identity(index_dir: str, stream_id: str) -> None:
+    """Raise loudly when a DIFFERENT stream (new checkpoint) drives an index
+    another stream owns; adopt the index on first contact."""
+    import json
+    import os
+
+    path = os.path.join(index_dir, _STREAM_SIDECAR)
+    try:
+        with open(path) as fh:
+            owner = json.load(fh).get("stream_id")
+    except (OSError, ValueError):
+        adopt_stream(index_dir, stream_id)
+        return
+    if owner != stream_id:
+        raise ValueError(
+            f"index {index_dir} is owned by stream {owner!r} but this "
+            f"query's checkpoint identifies as {stream_id!r} — a NEW "
+            "checkpoint pointed at an existing index would replay batch "
+            "ids and corrupt the exactly-once markers. If the checkpoint "
+            "reset is intentional, call adopt_stream(index_dir, "
+            f"{stream_id!r}) first (new batches will append from this "
+            "stream's batch 0)."
+        )
+
 
 def streaming_ann_ingest(
     spark: SparkSession,
@@ -87,7 +164,11 @@ def streaming_ann_ingest(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.json(landing_dir)
 
+    sid: list[str] = []  # resolved lazily: metadata exists once the query runs
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not sid:
+            sid.append(stream_identity(checkpoint_dir))
         process_ann_batch(
             batch_df.sparkSession,
             batch_df,
@@ -98,6 +179,7 @@ def streaming_ann_ingest(
             compact_max_runs_per_cell=compact_max_runs_per_cell,
             retrain_check_every=retrain_check_every,
             retrain_drift_tolerance=retrain_drift_tolerance,
+            stream_id=sid[0],
         )
 
     return (
@@ -118,16 +200,23 @@ def process_ann_batch(
     compact_max_runs_per_cell: int | None = ANN_COMPACT_MAX_RUNS,
     retrain_check_every: int | None = None,
     retrain_drift_tolerance: float | None = None,
+    stream_id: str | None = None,
 ) -> None:
     """One micro-batch of the ANN ingest loop (module-level so the replay
     semantics are directly testable): bootstrap-or-append, exactly-once
-    across replays, inline compaction policy."""
+    across replays, inline compaction policy. ``stream_id`` namespaces the
+    exactly-once markers per checkpoint identity and guards the index
+    against a foreign stream (ADVICE r13 — see ``_STREAM_SIDECAR``)."""
     import os
 
     from datalakejson_spark.functions.ivf import _IVF_META, load_ivf_meta
 
     batch = batch_df.select("vec_id", "embedding")
-    bid = f"b{batch_id}"
+    if stream_id is not None:
+        _guard_stream_identity(index_dir, stream_id)
+        bid = f"{stream_id}-b{batch_id}"
+    else:
+        bid = f"b{batch_id}"
     if not os.path.exists(os.path.join(index_dir, _IVF_META)):
         # bootstrap_batch rides the SAME atomic meta write as the index
         # identity: a replay of the bootstrap batch (crash before the
@@ -234,7 +323,11 @@ def streaming_lsh_ingest(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.json(landing_dir)
 
+    sid: list[str] = []  # resolved lazily: metadata exists once the query runs
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not sid:
+            sid.append(stream_identity(checkpoint_dir))
         process_lsh_batch(
             batch_df.sparkSession,
             batch_df,
@@ -243,6 +336,7 @@ def streaming_lsh_ingest(
             n_planes=n_planes,
             n_tables=n_tables,
             compact_max_runs_per_bucket=compact_max_runs_per_bucket,
+            stream_id=sid[0],
         )
 
     return (
@@ -261,11 +355,12 @@ def process_lsh_batch(
     n_planes: int | None = None,
     n_tables: int | None = None,
     compact_max_runs_per_bucket: int | None = ANN_COMPACT_MAX_RUNS,
+    stream_id: str | None = None,
 ) -> None:
     """One micro-batch of the LSH ingest loop (module-level so the replay
     semantics are directly testable) — bootstrap-or-append with the same
-    bootstrap_batch/applied-marker exactly-once contract as
-    :func:`process_ann_batch`."""
+    bootstrap_batch/applied-marker exactly-once contract and stream-identity
+    guard as :func:`process_ann_batch`."""
     import os
 
     from datalakejson_spark.functions.lsh_index import (
@@ -278,7 +373,11 @@ def process_lsh_batch(
     )
 
     batch = batch_df.select("vec_id", "embedding")
-    bid = f"b{batch_id}"
+    if stream_id is not None:
+        _guard_stream_identity(index_dir, stream_id)
+        bid = f"{stream_id}-b{batch_id}"
+    else:
+        bid = f"b{batch_id}"
     if not os.path.exists(os.path.join(index_dir, _LSH_META)):
         kwargs = {} if n_planes is None else {"n_planes": n_planes}
         if n_tables is not None:

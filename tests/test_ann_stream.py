@@ -303,11 +303,17 @@ def test_streaming_lsh_matches_batch_loop(spark, tmp_path):
     )
     assert got == want and got
 
-    # replay safety, both windows, against the live stream's index
+    # replay safety, both windows, against the live stream's index — the
+    # replay must carry the STREAM'S identity (batch ids are namespaced
+    # per checkpoint since round 14; a replay is by definition the same
+    # stream)
+    from datalakejson_spark.streaming.ann_stream import stream_identity
+
+    sid = stream_identity(str(tmp_path / "ckpt"))
     df_boot = spark.createDataFrame(boot, schema)
-    process_lsh_batch(spark, df_boot, 0, idx)  # bootstrap replay: skip
+    process_lsh_batch(spark, df_boot, 0, idx, stream_id=sid)  # bootstrap replay
     d1_df = spark.createDataFrame(d1, schema)
-    process_lsh_batch(spark, d1_df, 1, idx)  # append replay: marker skip
+    process_lsh_batch(spark, d1_df, 1, idx, stream_id=sid)  # marker skip
     rows = sorted(
         r.vec_id
         for r in spark.read.parquet(os.path.join(idx, "buckets"))
@@ -378,4 +384,48 @@ def test_stream_drift_monitor_records_and_warns(spark, tmp_path, caplog):
     assert readings[-1]["recall"] < meta["baseline_recall"]
     assert any("schedule build_ivf_index" in r.message for r in caplog.records)
     # the monitor never rebuilt: the quantizer is still the bootstrap's
-    assert load_ivf_meta(idx).get("bootstrap_batch") == "b0"
+    # (the id is namespaced by the stream identity since round 14)
+    assert load_ivf_meta(idx).get("bootstrap_batch", "").endswith("-b0")
+
+
+def test_new_checkpoint_on_owned_index_fails_loudly(spark, tmp_path):
+    """Pointing a NEW checkpoint at an index another stream bootstrapped
+    recycles batch ids b0,b1,... — under bare ids those batches were
+    SILENTLY dropped via the bootstrap skip and marker retention (ADVICE
+    r13). Now the index records its owning stream identity: the foreign
+    stream's first batch raises with guidance instead of guessing, and the
+    explicit adopt_stream verb re-homes the index so the new stream's
+    batches append (nothing silently swallowed)."""
+    import pytest
+
+    from datalakejson_spark.streaming.ann_stream import (
+        adopt_stream,
+        process_ann_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    schema = "vec_id bigint, embedding array<double>"
+    boot = _vectors(1, 100, 0)
+    df_boot = spark.createDataFrame(boot, schema)
+    process_ann_batch(spark, df_boot, 0, idx, n_cells=16, stream_id="streamA")
+    assert _index_rows(spark, idx) == sorted(i for i, _ in boot)
+
+    # the operator resets the checkpoint: a fresh stream identity replays
+    # batch id 0 with NEW data — must fail loudly, not vanish
+    d_new = spark.createDataFrame(_vectors(2, 30, 5000), schema)
+    with pytest.raises(ValueError, match="adopt_stream"):
+        process_ann_batch(spark, d_new, 0, idx, stream_id="streamB")
+    assert _index_rows(spark, idx) == sorted(i for i, _ in boot)  # untouched
+
+    # the explicit verb re-homes the index; the new stream's batch 0 then
+    # APPENDS (the meta's bootstrap_batch is streamA-b0, never streamB-b0)
+    adopt_stream(idx, "streamB")
+    process_ann_batch(spark, d_new, 0, idx, stream_id="streamB")
+    assert _index_rows(spark, idx) == sorted(
+        i for i, _ in boot + _vectors(2, 30, 5000)
+    )
+    # and a replay of that batch under the SAME identity is exactly-once
+    process_ann_batch(spark, d_new, 0, idx, stream_id="streamB")
+    assert _index_rows(spark, idx) == sorted(
+        i for i, _ in boot + _vectors(2, 30, 5000)
+    )
