@@ -604,9 +604,35 @@ def ivf_index_topk(
     )
 
 
+def _l3e_plan(spark: SparkSession, sf_dir: str) -> str:
+    """The PRE-checkpoint physical plan of the l3e probe, for the plan
+    guard (VERDICT r13: the query's returned plan is a checkpointed-RDD
+    scan — bounded at queries x k rows, required because the scratch index
+    is deleted before returning — which made the probe's ArrowEvalPython
+    invisible to test_no_python_eval_in_registered_queries). Rebuilds the
+    same scratch index, plans the same probe pipeline, and returns the
+    plan string before any checkpoint truncates it."""
+    import shutil
+    import tempfile
+
+    from datalakejson_spark.functions.similarity import ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    idx = tempfile.mkdtemp(prefix="l3e_plan_")
+    try:
+        build_ivf_index(emb, idx, n_cells=N_CELLS)
+        ann = ivf_index_topk(spark, queries, idx, nprobe=N_PROBE)
+        full = ann_recall_check(ann, emb, queries)
+        return full._jdf.queryExecution().executedPlan().toString()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 @register(
     "l3e_ann_ivf_persisted",
     survey="L3,S6,X1",
+    plan_fn=_l3e_plan,
     # driver tier since r13 (seat rotation): the persisted build-once/
     # probe-many serving shape is the L3 path that matters at scale
     sql="""

@@ -306,10 +306,33 @@ def lsh_index_topk(
     )
 
 
+def _l3f_plan(spark: SparkSession, sf_dir: str) -> str:
+    """The PRE-checkpoint physical plan of the l3f probe, for the plan
+    guard — same contract as ivf._l3e_plan (VERDICT r13: the returned
+    checkpointed-RDD plan hid the probe's cosine_np ArrowEvalPython from
+    the Python-eval guard)."""
+    import shutil
+    import tempfile
+
+    from datalakejson_spark.functions.similarity import ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    idx = tempfile.mkdtemp(prefix="l3f_plan_")
+    try:
+        build_lsh_index(emb, idx)
+        ann = lsh_index_topk(spark, queries, idx)
+        full = ann_recall_check(ann, emb, queries)
+        return full._jdf.queryExecution().executedPlan().toString()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 @register(
     "l3f_ann_lsh_persisted",
     survey="L3,S6,X1",
     extended=True,
+    plan_fn=_l3f_plan,
     sql="""
     -- Same recall contract as l3b/l3e: the persisted-index probe must
     -- recover, for every query, at least one true nearest neighbor from

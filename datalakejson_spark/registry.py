@@ -24,6 +24,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, "QuerySpec"] = {}
 
 
+#: (spark, sf_dir) -> physical-plan string. Queries that return an eagerly
+#: checkpointed result (the l3e/l3f scratch-index pattern: the index is
+#: deleted before returning, so the result MUST be materialized first)
+#: expose the plan that actually executed through this hook — the returned
+#: DataFrame's own plan is just a checkpointed-RDD scan, opaque to the
+#: plan-hygiene guard (VERDICT r13: any query could bypass the Python-eval
+#: ban by checkpointing). tests/test_plans.py walks plan_fn when present
+#: and REFUSES checkpoint-backed plans that provide neither plan_fn nor an
+#: adjudicated allowlist entry.
+PlanFn = Callable[[SparkSession, str], str]
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
@@ -32,6 +44,7 @@ class QuerySpec:
     survey: str = ""  # SURVEY.md §2 operator ids this query covers
     doc: str = ""
     extended: bool = False  # True → locally verified only, not in the driver set
+    plan_fn: PlanFn | None = None  # pre-checkpoint plan for the plan guard
 
 
 def register(
@@ -40,6 +53,7 @@ def register(
     survey: str = "",
     doc: str = "",
     extended: bool = False,
+    plan_fn: PlanFn | None = None,
 ):
     """Decorator: register ``fn`` as an oracle-checked query.
 
@@ -61,6 +75,7 @@ def register(
             survey=survey,
             doc=doc or (fn.__doc__ or ""),
             extended=extended,
+            plan_fn=plan_fn,
         )
         return fn
 
