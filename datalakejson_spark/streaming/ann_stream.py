@@ -310,13 +310,18 @@ def streaming_lsh_ingest(
     n_planes: int | None = None,
     n_tables: int | None = None,
     compact_max_runs_per_bucket: int | None = ANN_COMPACT_MAX_RUNS,
+    retune_check_every: int | None = None,
+    retune_target_bucket_rows: int = 2000,
 ):
     """The LSH twin of :func:`streaming_ann_ingest`: drain landing
     JSON-lines embeddings into a persisted bucket-partitioned LSH index
     (functions/lsh_index.py). Same bootstrap-on-first-batch, the same
     exactly-once crash ledger (the two indexes share the staged-publish
     machinery), the same inline tiered compaction policy over tb
-    partitions. Returns the StreamingQuery."""
+    partitions, and — with ``retune_check_every`` set — the same in-stream
+    drift MONITOR shape as the IVF plane, on the quantity that actually
+    degrades for LSH: candidate volume (:func:`monitor_lsh_retune`).
+    Returns the StreamingQuery."""
     configure_runtime(spark)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -336,6 +341,8 @@ def streaming_lsh_ingest(
             n_planes=n_planes,
             n_tables=n_tables,
             compact_max_runs_per_bucket=compact_max_runs_per_bucket,
+            retune_check_every=retune_check_every,
+            retune_target_bucket_rows=retune_target_bucket_rows,
             stream_id=sid[0],
         )
 
@@ -355,6 +362,8 @@ def process_lsh_batch(
     n_planes: int | None = None,
     n_tables: int | None = None,
     compact_max_runs_per_bucket: int | None = ANN_COMPACT_MAX_RUNS,
+    retune_check_every: int | None = None,
+    retune_target_bucket_rows: int = 2000,
     stream_id: str | None = None,
 ) -> None:
     """One micro-batch of the LSH ingest loop (module-level so the replay
@@ -397,3 +406,63 @@ def process_lsh_batch(
             index_dir,
             max_runs_per_bucket=max(1, compact_max_runs_per_bucket // 2),
         )
+    if retune_check_every and batch_id % retune_check_every == 0:
+        monitor_lsh_retune(
+            index_dir, bid, target_bucket_rows=retune_target_bucket_rows
+        )
+
+
+def monitor_lsh_retune(
+    index_dir: str,
+    bid: str,
+    target_bucket_rows: int = 2000,
+    factor: float = 4.0,
+) -> dict:
+    """The in-stream LSH drift MONITOR, mirroring :func:`monitor_ivf_drift`
+    on the quantity that actually degrades for LSH: candidate VOLUME
+    (recall at fixed planes is decade-stable; a corpus outgrowing its
+    planes pays linearly growing probes while returning the same answers —
+    lsh_needs_retune, functions/lsh_index.py). Measures the live bucket
+    stats (parquet FOOTERS only — no Spark job, cheap enough for every
+    batch), appends the reading to ``{index}/_RETUNE.jsonl``, and WARNS
+    with the autotune-recommended planes when the invariant breaks.
+    Deliberately never rebuilds in-stream — a re-plane rebuild is a
+    corpus-scale admin verb (build_lsh_index with n_planes=None over the
+    current corpus)."""
+    import json
+    import logging
+    import os
+    import time
+
+    from datalakejson_spark.functions.lsh_index import lsh_needs_retune
+
+    needs, stats = lsh_needs_retune(
+        index_dir, target_bucket_rows=target_bucket_rows, factor=factor
+    )
+    rec = {
+        "ts": time.time(),
+        "batch": bid,
+        "mean_rows": stats["mean_rows"],
+        "planes": stats["planes"],
+        "recommended_planes": stats["recommended_planes"],
+        "target_bucket_rows": target_bucket_rows,
+        "needs_retune": bool(needs),
+    }
+    try:
+        with open(os.path.join(index_dir, "_RETUNE.jsonl"), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+    except OSError:  # advisory observability
+        pass
+    if needs:
+        logging.getLogger(__name__).warning(
+            "LSH index %s: measured mean bucket rows %.0f exceeded %dx the "
+            "%d-row autotune target at batch %s — schedule build_lsh_index "
+            "over the current corpus with n_planes=%d (offline admin verb)",
+            index_dir,
+            stats["mean_rows"],
+            int(factor),
+            target_bucket_rows,
+            bid,
+            stats["recommended_planes"],
+        )
+    return rec

@@ -429,3 +429,51 @@ def test_new_checkpoint_on_owned_index_fails_loudly(spark, tmp_path):
     assert _index_rows(spark, idx) == sorted(
         i for i, _ in boot + _vectors(2, 30, 5000)
     )
+
+
+def test_lsh_stream_retune_monitor_records_and_warns(spark, tmp_path, caplog):
+    """With retune_check_every set, the LSH stream measures bucket volume
+    on its cadence (footers only), appends every reading to _RETUNE.jsonl,
+    and WARNS with the autotune-recommended planes when the corpus outgrows
+    its family — never re-planing in-stream (the family definition stays
+    the bootstrap's)."""
+    import logging
+
+    from datalakejson_spark.functions.lsh_index import load_lsh_meta
+    from datalakejson_spark.streaming.ann_stream import streaming_lsh_ingest
+
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    args = dict(
+        landing_dir=landing,
+        index_dir=idx,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=_SCHEMA,
+        max_files_per_trigger=1,
+        n_planes=3,  # 8 buckets/table: sized for the small bootstrap
+        n_tables=4,
+        retune_check_every=1,
+        retune_target_bucket_rows=250,
+    )
+    _write_landing(landing, "boot.json", _vectors(1, 2000, 0, dim=8))
+    streaming_lsh_ingest(spark, **args).awaitTermination()  # bootstrap
+    fam0 = {
+        k: load_lsh_meta(idx)[k] for k in ("n_planes", "n_tables", "seed")
+    }
+
+    # the corpus outgrows its planes 10x inside the drain
+    _write_landing(landing, "grow.json", _vectors(2, 20000, 100000, dim=8))
+    with caplog.at_level(logging.WARNING):
+        streaming_lsh_ingest(spark, **args).awaitTermination()
+
+    readings = [
+        json.loads(line) for line in open(os.path.join(idx, "_RETUNE.jsonl"))
+    ]
+    assert readings and readings[-1]["needs_retune"]
+    assert readings[-1]["recommended_planes"] > readings[-1]["planes"]
+    assert any("schedule build_lsh_index" in r.message for r in caplog.records)
+    # the monitor never re-planed: the family is still the bootstrap's
+    assert {
+        k: load_lsh_meta(idx)[k] for k in ("n_planes", "n_tables", "seed")
+    } == fam0
+    assert load_lsh_meta(idx).get("bootstrap_batch", "").endswith("-b0")
