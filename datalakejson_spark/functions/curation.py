@@ -1383,7 +1383,10 @@ _L22_SQL = _qg_sql(
 )
 
 
-@register("l22_quality_gate", survey="L6,L4,F7", extended=True, sql=_L22_SQL)
+# driver tier since r14 (seat rotation): the curation family's composite
+# quality gate gets a driver seat; sq2_not_in_anti rotated to extended
+# (J6 keeps driver rows via j2 + sq1)
+@register("l22_quality_gate", survey="L6,L4,F7", sql=_L22_SQL)
 def l22_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite keep/drop quality verdict over the documents table: l6
     shape rules + Gopher repetition cutoffs, each failure a bit in a

@@ -303,7 +303,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-@register("l2_minhash_lsh_pairs", survey="L2", sql=_L2_SQL)
+@register(
+    "l2_minhash_lsh_pairs",
+    survey="L2",
+    extended=True,  # seat rotation r14: L2 keeps its driver row via
+    # l7_decontamination; this stays local-sweep-verified, bench-headline,
+    # and plan-pinned (tests/test_plans.py minhash suite)
+    sql=_L2_SQL,
+)
 def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs: 3-word shingles → 8 md5-minhashes → 4 LSH
     bands of 2 → bucket join. Both engines run the byte-identical md5

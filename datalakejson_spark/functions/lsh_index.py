@@ -331,7 +331,9 @@ def _l3f_plan(spark: SparkSession, sf_dir: str) -> str:
 @register(
     "l3f_ann_lsh_persisted",
     survey="L3,S6,X1",
-    extended=True,
+    # driver tier since r14 (seat rotation): the persisted-LSH serving path
+    # had no driver seat; L2's l2_minhash_lsh_pairs rotated to extended
+    # (L2 keeps its driver row via l7_decontamination)
     plan_fn=_l3f_plan,
     sql="""
     -- Same recall contract as l3b/l3e: the persisted-index probe must

@@ -50,8 +50,9 @@ def sq1_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sq2_not_in_anti",
     survey="J6",
-    # promoted to the driver tier in r12 (seat rotation, with sq1: the
-    # NOT IN null-semantics rewrite is its own correctness surface)
+    extended=True,  # seat rotation r14 (driver seats went to l3f + l22):
+    # J6 keeps driver rows via j2 + sq1; the NOT IN null-semantics rewrite
+    # stays local-sweep-verified
     sql="""
     SELECT p_partkey, p_brand
     FROM part
