@@ -253,7 +253,9 @@ def _publish_one_stage(
         # (gen advanced) makes this stage's re-assignment stale — publishing
         # it would resurrect pre-flip residency and clobber the winner's
         # centroids. A replay of an already-flipped retrain (its own token
-        # is recorded in the meta) rolls forward instead.
+        # is recorded in the meta) rolls forward instead. (This check is
+        # re-validated under the flip mutex below — here it only discards
+        # obvious losers before any move is wasted.)
         if retrain_meta is not None:
             live_meta = load_index_meta(index_dir, meta_name, "the builder")
             already_applied = live_meta.get("retrain_token") == retrain_meta[
@@ -270,6 +272,14 @@ def _publish_one_stage(
             fh.write("ok")
     fire("ivf:publish_publishing")
     src_root = os.path.join(stage, subdir)
+    # quantizer stages record the files they are about to move BEFORE any
+    # move (write-once): if the flip is later fenced out (another runner's
+    # flip landed in between — see the mutex block below), the additive
+    # moved-in copies are removed by exactly this manifest, so a fenced
+    # stage can never leave rows reachable only under a meta that will
+    # never probe them, nor permanent duplicates.
+    if is_quantizer_stage and os.path.isdir(src_root):
+        _record_planned_moves(stage, src_root)
     if os.path.isdir(src_root):
         for part in sorted(os.listdir(src_root)):
             src_part = os.path.join(src_root, part)
@@ -292,39 +302,23 @@ def _publish_one_stage(
     # partitions transiently hold both the full originals and the re-homed
     # copies, which is EXACT under the probes' pair dedup with EITHER meta;
     # flipping before the deletes means no meta ever probes a partition
-    # whose rows already moved away. Idempotent on replay (a flip that
-    # already happened is skipped).
-    if split_meta is not None:
-        meta_now = load_index_meta(index_dir, meta_name, "the builder")
-        cents = meta_now["centroids"]
-        new_cell = int(split_meta["new_cell"])
-        if len(cents) == new_cell:
-            cents[int(split_meta["cell"])] = split_meta["centroids"][0]
-            cents.append(split_meta["centroids"][1])
-            meta_now["centroids"] = cents
-            meta_now["n_cells"] = len(cents)
-            meta_now["gen"] = meta_now.get("gen", 0) + 1
-            write_index_meta(index_dir, meta_now, meta_name)
-        # the flip made the slot permanent in the meta — release the fence
-        # claim (idempotent; claim dirs are per slot number, so a later
-        # split's claim of the NEXT slot is never touched)
-        shutil.rmtree(
-            os.path.join(index_dir, STAGING, f"_SLOT_{new_cell}"),
-            ignore_errors=True,
+    # whose rows already moved away. All flips SERIALIZE on one atomic
+    # claim and re-validate their precondition under it (round 14: with
+    # retrain joining split as a second flipping verb, two RUNNERS'
+    # publishes could otherwise interleave a flip between this stage's
+    # loser check and its own flip — the fenced stage would then run its
+    # subsumed DELETES with its own flip skipped, leaving rows reachable
+    # only under a meta that never probes them). Outcomes: flip applied or
+    # already applied → fall through to the deletes; fenced under the
+    # mutex → moved-in copies rolled back, stage discarded, "lost"; mutex
+    # held by a live competing flip → "pending" (a later publish pass
+    # retries; nothing is deleted early).
+    if is_quantizer_stage:
+        verdict = _flip_quantizer_meta(
+            index_dir, stage, split_meta, retrain_meta, subdir, meta_name
         )
-        fire("ivf:split_meta_flipped")
-    if retrain_meta is not None:
-        meta_now = load_index_meta(index_dir, meta_name, "the builder")
-        if (
-            meta_now.get("retrain_token") != retrain_meta["token"]
-            and meta_now.get("gen", 0) == retrain_meta["base_gen"]
-        ):
-            meta_now["centroids"] = retrain_meta["centroids"]
-            meta_now["n_cells"] = len(retrain_meta["centroids"])
-            meta_now["gen"] = retrain_meta["base_gen"] + 1
-            meta_now["retrain_token"] = retrain_meta["token"]
-            write_index_meta(index_dir, meta_now, meta_name)
-        fire("ivf:retrain_meta_flipped")
+        if verdict is not None:
+            return verdict
     for rel in subsumed:
         try:
             os.remove(os.path.join(index_dir, subdir, rel))
@@ -343,6 +337,137 @@ def _publish_one_stage(
             mark_batch_applied(index_dir, str(bid))
     shutil.rmtree(stage, ignore_errors=True)
     return "published"
+
+
+def _record_planned_moves(stage: str, src_root: str) -> None:
+    """Write-once ``_MOVED.json``: the relative paths this stage's publish
+    will move into the live layout, recorded BEFORE the first move (a crash
+    mid-manifest-write leaves no moves behind, so recomputing from the
+    intact stage listing on replay is always complete)."""
+    manifest = os.path.join(stage, "_MOVED.json")
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as fh:
+                json.load(fh)
+            return  # complete manifest from a previous pass
+        except (ValueError, OSError):
+            pass  # corrupt (crash mid-write, pre-moves): recompute
+    planned = sorted(
+        f"{part}/{name}"
+        for part in os.listdir(src_root)
+        if "=" in part and os.path.isdir(os.path.join(src_root, part))
+        for name in os.listdir(os.path.join(src_root, part))
+        if name.endswith(".parquet")
+    )
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(planned, fh)
+    os.replace(tmp, manifest)
+
+
+def _rollback_stage_moves(index_dir: str, stage: str, subdir: str) -> None:
+    """Remove the additive moved-in copies of a fenced-out quantizer stage
+    (``_MOVED.json`` names them; the part-file names embed the stage's own
+    job UUID, so they can never collide with another stage's files). The
+    subsumed originals were never deleted — removing the copies restores
+    the pre-stage layout exactly; a probe that pinned a copy mid-removal
+    sees the established retryable missing-file error."""
+    try:
+        with open(os.path.join(stage, "_MOVED.json")) as fh:
+            planned = json.load(fh)
+    except (OSError, ValueError):
+        planned = []
+    for rel in planned:
+        try:
+            os.remove(os.path.join(index_dir, subdir, rel))
+        except FileNotFoundError:
+            pass
+
+
+#: the one flip mutex: every quantizer-meta flip (split or retrain, either
+#: index) claims this slot name, so no flip can land between another
+#: stage's under-mutex re-validation and its own write.
+_FLIP_SLOT = "FLIP"
+
+
+def _release_slot(index_dir: str, slot, token: str) -> None:
+    """Release a claim we own (idempotent; a claim owned by another token
+    is never touched)."""
+    claim = os.path.join(index_dir, STAGING, f"_SLOT_{slot}")
+    try:
+        with open(os.path.join(claim, "token")) as fh:
+            if fh.read().strip() != token:
+                return
+    except OSError:
+        return
+    shutil.rmtree(claim, ignore_errors=True)
+
+
+def _flip_quantizer_meta(
+    index_dir: str,
+    stage: str,
+    split_meta: dict | None,
+    retrain_meta: dict | None,
+    subdir: str,
+    meta_name: str,
+) -> str | None:
+    """Apply a quantizer stage's meta flip under the flip mutex. Returns
+    None when the publish should continue to its deletes (flip applied or
+    already applied), "pending" when a live competing flip holds the mutex
+    (retry on a later publish pass — nothing deleted, nothing rolled
+    back), or "lost" after rolling the stage's moved-in copies back (the
+    precondition failed under the mutex: another flip won)."""
+    token = os.path.basename(stage)
+    if not claim_slot(index_dir, _FLIP_SLOT, token):
+        return "pending"
+    try:
+        meta_now = load_index_meta(index_dir, meta_name, "the builder")
+        if split_meta is not None:
+            cents = meta_now["centroids"]
+            new_cell = int(split_meta["new_cell"])
+            already = len(cents) > new_cell and (
+                cents[new_cell] == split_meta["centroids"][1]
+            )
+            if not already and len(cents) != new_cell:
+                # fenced under the mutex: another split took the slot (or a
+                # retrain regenerated the quantizer) after our loser check
+                _rollback_stage_moves(index_dir, stage, subdir)
+                shutil.rmtree(stage, ignore_errors=True)
+                _release_slot(index_dir, new_cell, token)
+                return "lost"
+            if not already:
+                cents[int(split_meta["cell"])] = split_meta["centroids"][0]
+                cents.append(split_meta["centroids"][1])
+                meta_now["centroids"] = cents
+                meta_now["n_cells"] = len(cents)
+                meta_now["gen"] = meta_now.get("gen", 0) + 1
+                write_index_meta(index_dir, meta_now, meta_name)
+            # the flip made the slot permanent in the meta — release the
+            # fence claim (idempotent; claim dirs are per slot number, so
+            # a later split's claim of the NEXT slot is never touched)
+            shutil.rmtree(
+                os.path.join(index_dir, STAGING, f"_SLOT_{new_cell}"),
+                ignore_errors=True,
+            )
+            fire("ivf:split_meta_flipped")
+        if retrain_meta is not None:
+            already = meta_now.get("retrain_token") == retrain_meta["token"]
+            if not already and meta_now.get("gen", 0) != retrain_meta[
+                "base_gen"
+            ]:
+                _rollback_stage_moves(index_dir, stage, subdir)
+                shutil.rmtree(stage, ignore_errors=True)
+                return "lost"
+            if not already:
+                meta_now["centroids"] = retrain_meta["centroids"]
+                meta_now["n_cells"] = len(retrain_meta["centroids"])
+                meta_now["gen"] = retrain_meta["base_gen"] + 1
+                meta_now["retrain_token"] = retrain_meta["token"]
+                write_index_meta(index_dir, meta_now, meta_name)
+            fire("ivf:retrain_meta_flipped")
+    finally:
+        _release_slot(index_dir, _FLIP_SLOT, token)
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -505,7 +630,7 @@ def compact_partitions(
 # ---------------------------------------------------------------------------
 # Slot claims (split fencing)
 # ---------------------------------------------------------------------------
-def claim_slot(index_dir: str, slot: int, token: str) -> bool:
+def claim_slot(index_dir: str, slot: int | str, token: str) -> bool:
     """Atomically claim the new-centroid slot for one split publish. The
     claim is an os.mkdir (atomic on one filesystem) of
     ``_staging/_SLOT_<slot>`` holding the claiming stage's token. Rules:

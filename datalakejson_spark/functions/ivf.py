@@ -587,6 +587,12 @@ def ivf_index_topk(
             for c in cells
             for f in live.get(f"cell={c}", [])
         ]
+        if _attempt == 2:
+            break  # plan/meta consistency over freshness on exhaustion:
+            # probes and paths above were built from THIS meta, and a
+            # third consecutive mid-plan flip is already pathological —
+            # the pinned file list still turns any staleness into a
+            # retryable missing-file error, never a silent miss
         fresh = load_ivf_meta(index_dir)
         if (
             fresh["n_cells"] == meta["n_cells"]
@@ -991,10 +997,37 @@ def split_ivf_cell(
     with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
         fh.write("ok")
     fire("ivf:split_committed")  # committed, not yet published
-    outcomes = _publish_ivf_staged(index_dir)
-    if outcomes.get(os.path.basename(stage)) != "published":
+    outcome = _await_publish(index_dir, os.path.basename(stage))
+    if outcome != "published":
+        # "raced" can mean another runner rolled OUR stage forward — check
+        # the evidence (our sub-centroid in our slot) before reporting a
+        # loss, else the caller's rerun would split the cell twice
+        meta_now = load_ivf_meta(index_dir)
+        if (
+            len(meta_now["centroids"]) > new_cell
+            and meta_now["centroids"][new_cell] == sub_centroids[1]
+        ):
+            return new_cell
         return None  # lost a race (slot or snapshot): rerun against the winner
     return new_cell
+
+
+def _await_publish(index_dir: str, token: str, attempts: int = 20) -> str:
+    """Publish a just-committed quantizer stage to a TERMINAL outcome.
+    "pending" here means a live competing flip holds the mutex — returning
+    it to the caller would read as "lost, rerun" while the committed stage
+    still rolls forward later (a rerun would then double-apply the verb).
+    Bounded retries; if the contender wedges past them, the stage stays
+    committed and the next entry publish finishes it — the caller sees
+    "pending" and must NOT rerun the verb."""
+    import time as _time
+
+    for _ in range(attempts):
+        outcome = _publish_ivf_staged(index_dir).get(token, "raced")
+        if outcome != "pending":
+            return outcome
+        _time.sleep(0.05)
+    return "pending"
 
 
 #: delta-retrain movement threshold, as a fraction of the mean
@@ -1148,9 +1181,17 @@ def retrain_ivf_delta(
     with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
         fh.write("ok")
     fire("ivf:retrain_committed")  # committed, not yet published
-    outcomes = _publish_ivf_staged(index_dir)
-    if outcomes.get(token) != "published":
-        return {**summary, "outcome": "lost"}  # gen fence: rerun vs winner
+    outcome = _await_publish(index_dir, token)
+    if outcome != "published":
+        if load_ivf_meta(index_dir).get("retrain_token") == token:
+            pass  # another runner rolled our stage forward: published
+        elif outcome == "pending":
+            # a wedged contender holds the flip mutex: the committed stage
+            # WILL roll forward on a later publish — surface "pending" so
+            # the caller does not rerun the verb on top of it
+            return {**summary, "outcome": "pending"}
+        else:
+            return {**summary, "outcome": "lost"}  # gen fence: rerun vs winner
     summary.update(rows_moved=int(n_moved), outcome="published")
     if measure_recall:
         nq = int(meta.get("recall_queries", 32))

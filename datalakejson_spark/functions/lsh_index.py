@@ -259,6 +259,11 @@ def lsh_index_topk(
             for tb in wanted
             for f in live.get(f"tb={tb}", [])
         ]
+        if _attempt == 2:
+            break  # plan/meta consistency over freshness on exhaustion —
+            # same contract as the IVF probe: tbs/paths were built from
+            # THIS meta, and the pinned paths make staleness a retryable
+            # error, never a silently smaller candidate set
         fresh = load_lsh_meta(index_dir)
         if _family(fresh) == _family(meta):
             break

@@ -241,3 +241,104 @@ def test_delta_retrain_beats_full_rebuild_on_touched_rows(spark, tmp_path):
     assert res["outcome"] == "published"
     assert res["rows_moved"] < total / 2  # the rebuild rewrote `total`
     assert res["recall"] >= full_recall - 0.08, (res["recall"], full_recall)
+
+
+def _committed_retrain_stage(spark, tmp_path, seed):
+    """A real retrain stage left committed-but-unpublished (the
+    retrain_committed kill window)."""
+    idx, _ = _drifted_index(spark, tmp_path, seed=seed)
+    killpoints.kill_once("ivf:retrain_committed")
+    try:
+        with pytest.raises(InjectedKill):
+            retrain_ivf_delta(spark, idx)
+    finally:
+        killpoints.disarm()
+    staging = os.path.join(idx, "_staging")
+    (token,) = [
+        t
+        for t in os.listdir(staging)
+        if os.path.exists(os.path.join(staging, t, "_COMMITTED"))
+    ]
+    return idx, token
+
+
+def test_fenced_replay_rolls_back_moved_copies(spark, tmp_path):
+    """The multi-runner window the round-14 flip mutex exists for, replayed
+    deterministically: a retrain stage that already MOVED its re-assigned
+    copies (mid-publish crash) finds, on replay, that another flip advanced
+    the generation. Its own flip must not apply — and neither may its
+    subsumed DELETES (they would orphan rows under the winner's meta) nor
+    the moved-in copies (permanent duplicates): the stage rolls its copies
+    back via _MOVED.json and discards itself."""
+    import json
+
+    from datalakejson_spark.functions.index_maintenance import (
+        _record_planned_moves,
+        load_index_meta,
+        write_index_meta,
+    )
+
+    idx, token = _committed_retrain_stage(spark, tmp_path, seed=5)
+    stage = os.path.join(idx, "_staging", token)
+    cells_root = os.path.join(idx, "cells")
+    total = spark.read.parquet(cells_root).count()
+    layout_before = _ivf_live_files(idx)
+
+    # simulate the crashed publish: _PUBLISHING down, manifest recorded,
+    # every staged file already moved into the live cells
+    open(os.path.join(stage, "_PUBLISHING"), "w").write("ok")
+    src_root = os.path.join(stage, "cells")
+    _record_planned_moves(stage, src_root)
+    moved = json.load(open(os.path.join(stage, "_MOVED.json")))
+    assert moved
+    for rel in moved:
+        dst = os.path.join(cells_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(os.path.join(src_root, rel), dst)
+    # duplicates present mid-window (originals + copies) — probe-exact by
+    # design, but they must not survive the fenced replay
+    assert spark.read.parquet(cells_root).count() > total
+
+    # a competing flip wins while this stage is down (simulated winner)
+    meta = load_index_meta(idx, "_IVF.json", "test")
+    meta["gen"] = meta.get("gen", 0) + 1
+    write_index_meta(idx, meta, "_IVF.json")
+
+    out = _publish_ivf_staged(idx)
+    assert out.get(token) == "lost"
+    assert not os.path.isdir(stage)
+    # copies rolled back, originals intact: layout and rows exactly as
+    # before the stage ever moved anything
+    assert _ivf_live_files(idx) == layout_before
+    cells_df = spark.read.parquet(cells_root)
+    assert cells_df.count() == total
+    assert cells_df.groupBy("vec_id").count().filter("count > 1").count() == 0
+    m = load_ivf_meta(idx)
+    assert m.get("gen") == meta["gen"]  # the winner's flip stands
+    assert "retrain_token" not in m
+
+
+def test_contended_flip_mutex_is_pending_not_lost(spark, tmp_path):
+    """A live competing flip holding the mutex must surface as "pending"
+    (retry later), never "lost" (whose contract is 'safe to rerun the
+    verb') and never a flip-skipped-then-delete."""
+    idx, token = _committed_retrain_stage(spark, tmp_path, seed=6)
+    staging = os.path.join(idx, "_staging")
+    # a LIVE foreign claimant: its stage dir exists, so the claim is not
+    # stale-sweepable
+    os.makedirs(os.path.join(staging, "other-stage"))
+    os.mkdir(os.path.join(staging, "_SLOT_FLIP"))
+    with open(os.path.join(staging, "_SLOT_FLIP", "token"), "w") as fh:
+        fh.write("other-stage")
+
+    out = _publish_ivf_staged(idx)
+    assert out.get(token) == "pending"
+    assert os.path.isdir(os.path.join(staging, token))  # stage intact
+
+    # contender releases: the stage rolls forward to published
+    import shutil
+
+    shutil.rmtree(os.path.join(staging, "_SLOT_FLIP"))
+    out = _publish_ivf_staged(idx)
+    assert out.get(token) == "published"
+    assert load_ivf_meta(idx).get("retrain_token") == token
