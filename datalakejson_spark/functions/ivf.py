@@ -1209,3 +1209,77 @@ def _claim_split_slot(index_dir: str, slot: int, token: str) -> bool:
     from datalakejson_spark.functions.index_maintenance import claim_slot
 
     return claim_slot(index_dir, slot, token)
+
+
+def ivf_maintenance_tick(
+    spark: SparkSession,
+    index_dir: str,
+    max_runs_per_cell: int = 8,
+    overload_factor: float = 2.0,
+    overload_min_rows: int = 4096,
+    max_splits: int = 4,
+    drift_check: bool = False,
+    drift_tolerance: float = RETRAIN_DRIFT_TOLERANCE,
+) -> dict:
+    """One pass of the persisted-IVF ops loop: every maintenance verb the
+    index has, applied in cost order, each gated on ITS OWN measured
+    trigger — the single entry point an operator (or a cron) runs on a
+    cadence, mirroring the dedup index's drain-loop policy.
+
+    1. roll committed stages forward (crash recovery is free here);
+    2. tiered fold when any cell crossed ``max_runs_per_cell`` write
+       generations (O(appended tail));
+    3. split each measured-overloaded cell, up to ``max_splits`` per tick
+       (O(cell) each — skew repair without touching healthy cells);
+    4. with ``drift_check=True``: measure recall (an exact corpus pass —
+       that is why it is opt-in per tick, matching the streams'
+       ``retrain_check_every`` cadence), and when the trigger fires run
+       the LOCALIZED delta retrain (O(moved rows), baseline re-recorded).
+       If recall still fails the trigger afterwards the drift is global:
+       the tick RECOMMENDS ``build_ivf_index`` in its report and never
+       runs it — a full rebuild is an explicit admin decision, exactly
+       like the dedup index's major compaction.
+
+    Returns a report dict listing what ran, what it measured, and what it
+    recommends; {"actions": []} means a healthy index cost one directory
+    scan."""
+    actions: list[dict] = []
+    report: dict = {"actions": actions, "recommend_rebuild": False}
+    _publish_ivf_staged(index_dir)
+    if ivf_needs_compaction(index_dir, max_runs_per_cell):
+        folded = compact_ivf_cells(
+            spark, index_dir, max_runs_per_cell=max(1, max_runs_per_cell // 2)
+        )
+        actions.append({"verb": "compact", "cells": len(folded)})
+    overloaded = ivf_overloaded_cells(
+        index_dir, factor=overload_factor, min_rows=overload_min_rows
+    )
+    for cell in overloaded[:max_splits]:
+        new_cell = split_ivf_cell(spark, index_dir, cell)
+        actions.append({"verb": "split", "cell": cell, "new_cell": new_cell})
+    if drift_check:
+        needs, recall = ivf_needs_retrain(
+            spark, index_dir, drift_tolerance=drift_tolerance
+        )
+        report["recall"] = recall
+        if needs:
+            res = retrain_ivf_delta(spark, index_dir, measure_recall=True)
+            actions.append(
+                {
+                    "verb": "delta_retrain",
+                    "outcome": res["outcome"],
+                    "moved_cells": len(res["moved_cells"]),
+                    "rows_moved": res["rows_moved"],
+                    "recall": res.get("recall"),
+                }
+            )
+            still_needs, recall2 = ivf_needs_retrain(
+                spark, index_dir, drift_tolerance=drift_tolerance
+            )
+            report["recall"] = recall2
+            if still_needs:
+                # localized repair could not cure it: the drift is global
+                # (or the floor is breached) — full rebuild is the remedy,
+                # and it is an admin decision, not a tick side effect
+                report["recommend_rebuild"] = True
+    return report

@@ -342,3 +342,80 @@ def test_contended_flip_mutex_is_pending_not_lost(spark, tmp_path):
     out = _publish_ivf_staged(idx)
     assert out.get(token) == "published"
     assert load_ivf_meta(idx).get("retrain_token") == token
+
+
+def test_maintenance_tick_applies_measured_remedies_in_cost_order(
+    spark, tmp_path
+):
+    """The ops-loop capstone: one tick on an index that is simultaneously
+    fragmented (append tail), skewed (one overloaded cell), and drifted
+    (localized OOD) runs fold -> split -> delta-retrain, each from its own
+    measured trigger, conserves every vector, and clears every trigger —
+    without ever running (only ever recommending) a full rebuild."""
+    from datalakejson_spark.functions.ivf import (
+        ivf_maintenance_tick,
+        ivf_needs_compaction,
+        ivf_overloaded_cells,
+    )
+
+    rng = np.random.RandomState(8)
+    cents = rng.standard_normal((KD, DIM)) * 5.0
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(
+        _mk(spark, _clustered(rng, cents, 6000, 0)), idx, n_cells=NC,
+        measure_recall=True,
+    )
+    # fragment: several small appends
+    for g in range(4):
+        ivf_index_append(
+            spark, _mk(spark, _clustered(rng, cents, 200, 50000 + g * 1000)),
+            idx, batch_id=f"t{g}",
+        )
+    # skew: a tight blob overloads one cell
+    base = spark.read.parquet(os.path.join(idx, "cells")).first()
+    tight = [
+        (900000 + i,
+         [float(v) + float(rng.standard_normal() * 0.05) for v in base.embedding])
+        for i in range(900)
+    ]
+    ivf_index_append(spark, _mk(spark, tight), idx)
+    # drift: the localized OOD blob
+    ivf_index_append(spark, _mk(spark, _orthant_blob(rng, 6000, 100000)), idx)
+
+    assert ivf_needs_compaction(idx, max_runs_per_cell=2)
+    assert ivf_overloaded_cells(idx, factor=2.0, min_rows=256)
+    total = spark.read.parquet(os.path.join(idx, "cells")).count()
+
+    report = ivf_maintenance_tick(
+        spark, idx, max_runs_per_cell=2, overload_min_rows=256,
+        drift_check=True, drift_tolerance=0.02,
+    )
+    verbs = [a["verb"] for a in report["actions"]]
+    assert verbs[:1] == ["compact"]
+    assert "split" in verbs and "delta_retrain" in verbs
+    assert not report["recommend_rebuild"], report
+
+    # every trigger cleared, every vector conserved
+    assert not ivf_needs_compaction(idx, max_runs_per_cell=2)
+    needs, _ = ivf_needs_retrain(spark, idx, drift_tolerance=0.02)
+    assert not needs
+    cells_df = spark.read.parquet(os.path.join(idx, "cells"))
+    assert cells_df.count() == total
+    assert cells_df.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+    # repeated ticks CONVERGE: the dense blob still exceeds the overload
+    # trigger at this aggressive min_rows, so later ticks keep splitting
+    # (capped per tick) until no cell is overloaded — then a tick is a
+    # no-op and stays one
+    for _ in range(8):
+        rep = ivf_maintenance_tick(
+            spark, idx, max_runs_per_cell=2, overload_min_rows=256
+        )
+        if not rep["actions"]:
+            break
+        assert all(a["verb"] in ("split", "compact") for a in rep["actions"])
+    assert rep["actions"] == [], rep
+    assert not ivf_overloaded_cells(idx, factor=2.0, min_rows=256)
+    cells_df = spark.read.parquet(os.path.join(idx, "cells"))
+    assert cells_df.count() == total
+    assert cells_df.groupBy("vec_id").count().filter("count > 1").count() == 0
