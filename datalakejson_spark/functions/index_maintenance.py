@@ -564,6 +564,7 @@ def compact_partitions(
     race LOSER ({} returned), and a racing publish that subsumed this
     stage's snapshot discards the stage itself."""
     publish_staged(index_dir, subdir, meta_name)  # complete any predecessor
+    tombstoned, _tnames = load_tombstones(index_dir)
     live = live_partition_files(index_dir, subdir)
     root = os.path.join(index_dir, subdir)
     dirty: dict[str, list[str]] = {}  # partition -> FOLD set (tail runs)
@@ -597,10 +598,15 @@ def compact_partitions(
         for f in files
     ]
     try:
+        fold_df = spark.read.option("basePath", root).parquet(*paths)
+        if tombstoned:
+            # free physical cleanup: rows a fold rewrites anyway drop out
+            # if they are logically deleted (their tombstones stay until a
+            # vacuum verifies nothing holds them — the probe filter is a
+            # no-op for already-folded-out ids)
+            fold_df = drop_tombstoned(fold_df, index_dir)
         (
-            spark.read.option("basePath", root)
-            .parquet(*paths)
-            .repartition(part_col)
+            fold_df.repartition(part_col)
             .write.partitionBy(part_col)
             .mode("overwrite")
             .parquet(os.path.join(stage, subdir))
@@ -678,6 +684,228 @@ def claim_slot(index_dir: str, slot: int | str, token: str) -> bool:
                 return False  # live (or roll-forward-able) owner: lost
             shutil.rmtree(claim, ignore_errors=True)  # stale: take over
     return False
+
+
+# ---------------------------------------------------------------------------
+# Deletes: tombstones + measured vacuum trigger (round 14 — the one
+# lifecycle verb neither persisted index had). A delete is LOGICAL first:
+# the ids land in an immutable tombstone file (concurrent deletes never
+# read-modify-write shared state) and every probe anti-filters them; the
+# PHYSICAL removal is an explicit staged admin verb (vacuum) with a
+# measured trigger, exactly the taxonomy the rest of the maintenance plane
+# uses. Tombstoned ids cannot be re-appended until vacuumed — the probe
+# filter is by id, so a revived row would be invisible; the append verbs
+# check and fail loudly with the upsert recipe.
+# ---------------------------------------------------------------------------
+TOMBSTONES = "_tombstones"
+
+#: probe-side bound: the tombstone set ships to the probe as a driver-side
+#: structure (isin literal or broadcast anti-join side), so its size must
+#: stay bounded — the vacuum trigger's absolute cap.
+VACUUM_MAX_IDS = 65_536
+#: …and its relative cap: tombstones past this fraction of the advisory
+#: corpus count mean probes scan mostly-dead candidates.
+VACUUM_MAX_FRACTION = 0.01
+
+
+def add_tombstones(index_dir: str, ids) -> int:
+    """Record ids as deleted (logical, immediate for every later probe).
+    One immutable file per call — idempotent by content (re-deleting an id
+    is harmless), race-free by construction (no shared file is rewritten).
+    Returns how many NEW ids this call tombstoned (advisory)."""
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        return 0
+    tdir = os.path.join(index_dir, TOMBSTONES)
+    os.makedirs(tdir, exist_ok=True)
+    name = f"{_uuid.uuid4().hex}.json"
+    tmp = os.path.join(tdir, name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"ids": ids}, fh)
+    os.replace(tmp, os.path.join(tdir, name))
+    return len(ids)
+
+
+def load_tombstones(index_dir: str) -> tuple[set[int], list[str]]:
+    """(union of tombstoned ids, the file names the union came from) —
+    vacuum clears exactly the files it covered, so deletes landing DURING
+    a vacuum survive as fresh files."""
+    tdir = os.path.join(index_dir, TOMBSTONES)
+    ids: set[int] = set()
+    names: list[str] = []
+    if not os.path.isdir(tdir):
+        return ids, names
+    for name in sorted(os.listdir(tdir)):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(tdir, name)) as fh:
+                ids.update(int(i) for i in json.load(fh)["ids"])
+        except (OSError, ValueError, KeyError):
+            continue  # mid-write by a concurrent delete: next reader sees it
+        names.append(name)
+    return ids, names
+
+
+def clear_tombstone_files(index_dir: str, names: list[str]) -> None:
+    for name in names:
+        try:
+            os.remove(os.path.join(index_dir, TOMBSTONES, name))
+        except FileNotFoundError:  # idempotent (replayed vacuum tail)
+            pass
+
+
+def needs_vacuum(
+    index_dir: str,
+    max_fraction: float = VACUUM_MAX_FRACTION,
+    max_ids: int = VACUUM_MAX_IDS,
+) -> tuple[bool, dict]:
+    """Measured vacuum trigger: fires when the tombstone set exceeds the
+    probe-side absolute bound or the relative share of the advisory corpus
+    count — never on time or call cadence."""
+    ids, names = load_tombstones(index_dir)
+    n = read_index_count(index_dir)
+    stats = {
+        "tombstoned": len(ids),
+        "files": len(names),
+        "n_vectors": n,
+        "fraction": (len(ids) / n) if n else 0.0,
+    }
+    return (
+        len(ids) > max_ids or (n > 0 and len(ids) > max_fraction * n),
+        stats,
+    )
+
+
+def vacuum_deleted(
+    spark: SparkSession,
+    index_dir: str,
+    subdir: str,
+    part_col: str,
+    meta_name: str,
+) -> dict:
+    """PHYSICAL removal of tombstoned vectors — the explicit admin verb
+    behind the measured :func:`needs_vacuum` trigger. One narrow scan
+    (vec_id + partition column, semi-joined against the broadcast
+    tombstone set) finds the partitions that actually hold deleted rows;
+    ONLY those partitions rewrite (staged, ``_SUBSUMED``-fenced, the same
+    crash/race contract as the tiered compactor: a concurrent publish
+    deleting a snapshot file makes this run a clean race loser — {} and
+    tombstones kept, rerun); after the publish, exactly the tombstone
+    FILES this run covered are cleared — deletes landing mid-vacuum
+    survive as fresh tombstones for the next run. Returns
+    ``{"rows_removed", "vectors_removed", "partitions_rewritten",
+    "tombstone_files_cleared"}``."""
+    import pyspark.sql.functions as F
+
+    from datalakejson_spark.session import local_df
+
+    publish_staged(index_dir, subdir, meta_name)
+    ids, names = load_tombstones(index_dir)
+    report = {
+        "rows_removed": 0,
+        "vectors_removed": 0,
+        "partitions_rewritten": 0,
+        "tombstone_files_cleared": 0,
+    }
+    if not ids:
+        return report
+    root = os.path.join(index_dir, subdir)
+    live = live_partition_files(index_dir, subdir)
+    all_paths = [
+        os.path.join(root, part, f) for part, files in live.items() for f in files
+    ]
+    if not all_paths:
+        clear_tombstone_files(index_dir, names)
+        return {**report, "tombstone_files_cleared": len(names)}
+    ids_df = local_df(
+        spark, [(int(i),) for i in sorted(ids)], "vec_id bigint"
+    )
+    stage = os.path.join(index_dir, STAGING, _uuid.uuid4().hex)
+    try:
+        scan = spark.read.option("basePath", root).parquet(*all_paths)
+        matches = scan.select("vec_id", part_col).join(
+            F.broadcast(ids_df), "vec_id", "leftsemi"
+        )
+        per_part = {
+            r[0]: r[1]
+            for r in matches.groupBy(part_col).count().collect()
+        }
+        vectors_removed = matches.select("vec_id").distinct().count()
+        if not per_part:
+            # every tombstoned id is already physically gone (folded out by
+            # compaction, or never present): retire the tombstones
+            clear_tombstone_files(index_dir, names)
+            return {**report, "tombstone_files_cleared": len(names)}
+        affected = sorted(per_part)
+        paths = [
+            os.path.join(root, f"{part_col}={p}", f)
+            for p in affected
+            for f in live.get(f"{part_col}={p}", [])
+        ]
+        (
+            spark.read.option("basePath", root)
+            .parquet(*paths)
+            .join(F.broadcast(ids_df), "vec_id", "leftanti")
+            .repartition(part_col)
+            .write.partitionBy(part_col)
+            .mode("overwrite")
+            .parquet(os.path.join(stage, subdir))
+        )
+    except Exception as exc:  # noqa: BLE001 — narrowed to the race below
+        if not _is_missing_file_error(exc):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+        return report  # race loser: tombstones kept, rerun
+    fire("ivf:vacuum_staged")  # no marker yet: crash = old layout wins
+    subsumed = sorted(
+        f"{part_col}={p}/{f}"
+        for p in affected
+        for f in live.get(f"{part_col}={p}", [])
+    )
+    with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
+        json.dump(subsumed, fh)
+    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
+        fh.write("ok")
+    fire("ivf:vacuum_committed")  # committed, not yet published
+    outcome = publish_staged(index_dir, subdir, meta_name).get(
+        os.path.basename(stage)
+    )
+    if outcome != "published":
+        return report  # snapshot fence: a concurrent publish won, rerun
+    # tombstone retirement strictly AFTER the publish: a crash in between
+    # leaves retired-in-fact tombstones whose probe filter is a no-op and
+    # whose next vacuum finds zero matches and clears them
+    clear_tombstone_files(index_dir, names)
+    rows_removed = int(sum(per_part.values()))
+    bump_index_count(index_dir, -vectors_removed)
+    return {
+        "rows_removed": rows_removed,
+        "vectors_removed": int(vectors_removed),
+        "partitions_rewritten": len(affected),
+        "tombstone_files_cleared": len(names),
+    }
+
+
+def drop_tombstoned(df, index_dir: str, col: str = "vec_id"):
+    """Anti-filter a candidate frame against the live tombstone set — the
+    logical-delete half of the lifecycle, applied by every probe and by
+    the compactor's folds. Small sets inline as a NOT-IN predicate (which
+    reaches the parquet scan); larger sets (bounded by the vacuum trigger)
+    ride a broadcast anti-join."""
+    import pyspark.sql.functions as F
+
+    from datalakejson_spark.session import local_df
+
+    ids, _names = load_tombstones(index_dir)
+    if not ids:
+        return df
+    if len(ids) <= 256:
+        return df.filter(~F.col(col).isin(sorted(ids)))
+    ids_df = local_df(
+        df.sparkSession, [(int(i),) for i in sorted(ids)], f"{col} bigint"
+    )
+    return df.join(F.broadcast(ids_df), col, "leftanti")
 
 
 # ---------------------------------------------------------------------------

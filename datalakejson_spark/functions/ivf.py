@@ -428,9 +428,12 @@ def build_ivf_index(
         # crash window (review catch, round 13)
         **(extra_meta or {}),
     }
-    # new index identity: stale stages/applied markers from a previous life
-    # must never publish into (or suppress appends to) the rebuilt cells
-    for sub in (_IVF_STAGING, _IVF_APPLIED):
+    # new index identity: stale stages/applied markers/tombstones from a
+    # previous life must never publish into (or suppress appends to, or
+    # filter probes of) the rebuilt cells. NOTE for rebuild-from-the-index
+    # flows: read the corpus through drop_tombstoned (or after a vacuum) —
+    # a raw read of cells/ resurrects logically-deleted rows.
+    for sub in (_IVF_STAGING, _IVF_APPLIED, "_tombstones"):
         shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     # the advisory count lives in its own sidecar (ADVICE r13 — appends
     # must never rewrite quantizer meta); written before the meta so the
@@ -499,6 +502,7 @@ def ivf_index_append(
         new_emb = new_emb.withColumn(
             "embedding", F.col("embedding").cast(meta["embedding_type"])
         )
+    _reject_tombstoned_appends(new_emb, index_dir)
     n_new = new_emb.count()
     token = f"batch-{batch_id}" if batch_id is not None else _uuid.uuid4().hex
     stage = os.path.join(index_dir, _IVF_STAGING, token)
@@ -530,6 +534,39 @@ def ivf_index_append(
 
     bump_index_count(index_dir, n_new)
     return n_new
+
+
+def _reject_tombstoned_appends(new_emb: DataFrame, index_dir: str) -> None:
+    """Appending a logically-deleted id would create an INVISIBLE row (the
+    probes' tombstone filter is by id) — fail loudly with the upsert
+    recipe instead. Cost: zero when no tombstones exist; one bounded
+    semi-join count against the broadcast tombstone set otherwise."""
+    import pyspark.sql.functions as _F
+
+    from datalakejson_spark.functions.index_maintenance import load_tombstones
+    from datalakejson_spark.session import local_df
+
+    ids, _ = load_tombstones(index_dir)
+    if not ids:
+        return
+    ids_df = local_df(
+        new_emb.sparkSession, [(int(i),) for i in sorted(ids)], "vec_id bigint"
+    )
+    clash = (
+        new_emb.select("vec_id")
+        .join(_F.broadcast(ids_df), "vec_id", "leftsemi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"append into {index_dir} contains tombstoned vec_ids "
+            f"{sorted(r[0] for r in clash)}… — a tombstoned id stays "
+            "invisible to probes, so the new row would be lost. Vacuum "
+            "first (vacuum_ivf_deletes / vacuum_lsh_deletes) or use the "
+            "upsert verb (ivf_index_upsert), which is delete → vacuum → "
+            "append."
+        )
 
 
 def ivf_index_topk(
@@ -606,10 +643,13 @@ def ivf_index_topk(
             [],
             "query_id bigint, neighbor_id bigint, cosine double, rn int",
         )
-    inverted = (
+    from datalakejson_spark.functions.index_maintenance import drop_tombstoned
+
+    inverted = drop_tombstoned(
         spark.read.option("basePath", cells_root)
         .parquet(*paths)
-        .filter(F.col("cell").isin(cells))
+        .filter(F.col("cell").isin(cells)),
+        index_dir,
     )
     return ivf_probe_topk(
         inverted,
@@ -801,11 +841,18 @@ def ivf_recall_probe(
     silently degrades (the round-12 verdict's named gap)."""
     import os
 
+    from datalakejson_spark.functions.index_maintenance import drop_tombstoned
     from datalakejson_spark.functions.similarity import brute_force_topk_np
 
     _publish_ivf_staged(index_dir)
-    emb = spark.read.parquet(os.path.join(index_dir, _IVF_CELLS)).select(
-        "vec_id", "embedding"
+    # tombstoned vectors are invisible to probes, so the EXACT side must
+    # exclude them too — else every deleted near-neighbor would count as a
+    # probe miss and the drift trigger would fire on deletes
+    emb = drop_tombstoned(
+        spark.read.parquet(os.path.join(index_dir, _IVF_CELLS)).select(
+            "vec_id", "embedding"
+        ),
+        index_dir,
     )
     h = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
@@ -1101,7 +1148,13 @@ def retrain_ivf_delta(
     old = np.array(meta["centroids"], dtype=np.float64)
     k = len(old)
     cells_root = os.path.join(index_dir, _IVF_CELLS)
-    corpus = spark.read.parquet(cells_root).select("vec_id", "embedding")
+    from datalakejson_spark.functions.index_maintenance import drop_tombstoned
+
+    # "current corpus" means the LIVE corpus: logically-deleted vectors
+    # neither train the new quantizer nor survive the moved-cell rewrite
+    corpus = drop_tombstoned(
+        spark.read.parquet(cells_root).select("vec_id", "embedding"), index_dir
+    )
     new = np.array(
         train_quantizer(corpus, k=k, seed=seed, init=meta["centroids"]),
         dtype=np.float64,
@@ -1140,8 +1193,15 @@ def retrain_ivf_delta(
     stage = os.path.join(index_dir, _IVF_STAGING, _uuid.uuid4().hex)
     token = os.path.basename(stage)
     try:
-        rows_df = (
-            spark.read.option("basePath", cells_root).parquet(*paths).drop("cell")
+        from datalakejson_spark.functions.index_maintenance import (
+            drop_tombstoned,
+        )
+
+        rows_df = drop_tombstoned(
+            spark.read.option("basePath", cells_root)
+            .parquet(*paths)
+            .drop("cell"),
+            index_dir,
         )
         n_moved = rows_df.count()
         assigner = (
@@ -1211,6 +1271,49 @@ def _claim_split_slot(index_dir: str, slot: int, token: str) -> bool:
     return claim_slot(index_dir, slot, token)
 
 
+def ivf_index_delete(index_dir: str, ids) -> int:
+    """LOGICAL delete (SURVEY L3 lifecycle, round 14): tombstone the ids —
+    every later probe anti-filters them immediately; the PHYSICAL removal
+    is :func:`vacuum_ivf_deletes` behind the measured
+    :func:`ivf_needs_vacuum` trigger. Idempotent (re-deleting is
+    harmless), race-free (one immutable tombstone file per call). A
+    tombstoned id cannot be re-appended until vacuumed — the probe filter
+    is by id, so the revived row would be invisible; ivf_index_append
+    checks and fails loudly, and :func:`ivf_index_upsert` is the
+    delete-vacuum-append composition."""
+    from datalakejson_spark.functions.index_maintenance import add_tombstones
+
+    return add_tombstones(index_dir, ids)
+
+
+def ivf_needs_vacuum(index_dir: str) -> tuple[bool, dict]:
+    from datalakejson_spark.functions.index_maintenance import needs_vacuum
+
+    return needs_vacuum(index_dir)
+
+
+def vacuum_ivf_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """Physically remove tombstoned vectors: rewrite ONLY the cells that
+    hold them (staged, snapshot-fenced), then retire exactly the tombstone
+    files covered — see index_maintenance.vacuum_deleted."""
+    from datalakejson_spark.functions.index_maintenance import vacuum_deleted
+
+    return vacuum_deleted(spark, index_dir, _IVF_CELLS, "cell", _IVF_META)
+
+
+def ivf_index_upsert(
+    spark: SparkSession, rows: DataFrame, index_dir: str
+) -> int:
+    """Replace-by-id: tombstone the incoming ids, vacuum them physically
+    (only the cells holding them rewrite), then append the new rows
+    against the existing quantizer. An admin-verb composition — the
+    streaming path stays append-only by design."""
+    ids = [r[0] for r in rows.select("vec_id").distinct().collect()]
+    ivf_index_delete(index_dir, ids)
+    vacuum_ivf_deletes(spark, index_dir)
+    return ivf_index_append(spark, rows, index_dir)
+
+
 def ivf_maintenance_tick(
     spark: SparkSession,
     index_dir: str,
@@ -1227,11 +1330,13 @@ def ivf_maintenance_tick(
     cadence, mirroring the dedup index's drain-loop policy.
 
     1. roll committed stages forward (crash recovery is free here);
-    2. tiered fold when any cell crossed ``max_runs_per_cell`` write
+    2. vacuum when the measured tombstone trigger fires (O(affected
+       cells) rewrite — logical deletes stay probe-filtered until then);
+    3. tiered fold when any cell crossed ``max_runs_per_cell`` write
        generations (O(appended tail));
-    3. split each measured-overloaded cell, up to ``max_splits`` per tick
+    4. split each measured-overloaded cell, up to ``max_splits`` per tick
        (O(cell) each — skew repair without touching healthy cells);
-    4. with ``drift_check=True``: measure recall (an exact corpus pass —
+    5. with ``drift_check=True``: measure recall (an exact corpus pass —
        that is why it is opt-in per tick, matching the streams'
        ``retrain_check_every`` cadence), and when the trigger fires run
        the LOCALIZED delta retrain (O(moved rows), baseline re-recorded).
@@ -1246,6 +1351,10 @@ def ivf_maintenance_tick(
     actions: list[dict] = []
     report: dict = {"actions": actions, "recommend_rebuild": False}
     _publish_ivf_staged(index_dir)
+    vac_needed, _vac_stats = ivf_needs_vacuum(index_dir)
+    if vac_needed:
+        vac = vacuum_ivf_deletes(spark, index_dir)
+        actions.append({"verb": "vacuum", **vac})
     if ivf_needs_compaction(index_dir, max_runs_per_cell):
         folded = compact_ivf_cells(
             spark, index_dir, max_runs_per_cell=max(1, max_runs_per_cell // 2)

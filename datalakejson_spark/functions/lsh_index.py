@@ -119,7 +119,7 @@ def build_lsh_index(
         # bootstrap batch id) lands in the same atomic meta write
         **(extra_meta or {}),
     }
-    for sub in ("_staging", "_applied"):
+    for sub in ("_staging", "_applied", "_tombstones"):
         shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     # advisory count sidecar before the meta — same contract as the IVF
     # build (the meta's appearance is the publish point)
@@ -153,6 +153,9 @@ def lsh_index_append(
         new_emb = new_emb.withColumn(
             "embedding", F.col("embedding").cast(meta["embedding_type"])
         )
+    from datalakejson_spark.functions.ivf import _reject_tombstoned_appends
+
+    _reject_tombstoned_appends(new_emb, index_dir)
     n_new = new_emb.count()
     token = f"batch-{batch_id}" if batch_id is not None else _uuid.uuid4().hex
     stage = os.path.join(index_dir, "_staging", token)
@@ -184,6 +187,31 @@ def lsh_index_append(
     # never writes _LSH.json now, mirroring the IVF fix)
     bump_index_count(index_dir, n_new)
     return n_new
+
+
+def lsh_index_delete(index_dir: str, ids) -> int:
+    """Logical delete — the LSH twin of ivf_index_delete (one immutable
+    tombstone file; probes anti-filter immediately; physical removal is
+    :func:`vacuum_lsh_deletes` behind the measured needs_vacuum
+    trigger)."""
+    from datalakejson_spark.functions.index_maintenance import add_tombstones
+
+    return add_tombstones(index_dir, ids)
+
+
+def lsh_needs_vacuum(index_dir: str) -> tuple[bool, dict]:
+    from datalakejson_spark.functions.index_maintenance import needs_vacuum
+
+    return needs_vacuum(index_dir)
+
+
+def vacuum_lsh_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """Physically remove tombstoned vectors from every tb partition that
+    holds them (a vector lives in ``n_tables`` partitions) — see
+    index_maintenance.vacuum_deleted."""
+    from datalakejson_spark.functions.index_maintenance import vacuum_deleted
+
+    return vacuum_deleted(spark, index_dir, _BUCKETS, "tb", _LSH_META)
 
 
 def lsh_needs_compaction(index_dir: str, max_runs_per_bucket: int = 8) -> bool:
@@ -283,15 +311,17 @@ def lsh_index_topk(
             [],
             "query_id bigint, neighbor_id bigint, cosine double, rn int",
         )
-    cands = (
+    from datalakejson_spark.functions.index_maintenance import drop_tombstoned
+
+    cands = drop_tombstoned(
         spark.read.option("basePath", buckets_root)
         .parquet(*paths)
-        .filter(F.col("tb").isin(wanted))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_emb"),
-            "tb",
-        )
+        .filter(F.col("tb").isin(wanted)),
+        index_dir,
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "tb",
     )
     pairs = (
         F.broadcast(probe)

@@ -1,0 +1,279 @@
+"""Delete/upsert lifecycle for the persisted ANN indexes (round 14): a
+delete is LOGICAL first (immutable tombstone file + probe-side anti-filter,
+immediate), physical removal is the staged vacuum admin verb behind a
+measured trigger, and re-appending a tombstoned id fails loudly with the
+upsert recipe (the probe filter is by id — a revived row would be
+invisible)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalakejson_spark.functions.index_maintenance import (
+    load_tombstones,
+    needs_vacuum,
+)
+from datalakejson_spark.functions.ivf import (
+    N_CELLS,
+    N_PROBE,
+    _ivf_live_files,
+    build_ivf_index,
+    compact_ivf_cells,
+    ivf_index_append,
+    ivf_index_delete,
+    ivf_index_topk,
+    ivf_index_upsert,
+    ivf_needs_retrain,
+    ivf_recall_probe,
+    load_ivf_meta,
+    vacuum_ivf_deletes,
+)
+from datalakejson_spark.plans import killpoints
+from datalakejson_spark.plans.killpoints import InjectedKill
+
+SF = "/root/testdata/sf0.01"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _twin(spark, emb, vec_id, new_id, eps=1e-4):
+    base = emb.filter(F.col("vec_id") == vec_id).first()
+    return spark.createDataFrame(
+        [(new_id, [float(v) + eps for v in base.embedding])],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def test_delete_hides_immediately_and_vacuum_removes_physically(
+    spark, tmp_path
+):
+    """Tombstone → the deleted twin vanishes from top-k in the SAME
+    session with no rewrite; vacuum → it is physically gone, ONLY its cell
+    was rewritten (file identity for every other cell), the tombstone
+    files retire, the advisory count decrements, and the probe result is
+    row-for-row identical before and after the vacuum."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    n = emb.count()
+
+    # plant a twin so vec 7's top neighbor is known, then delete it
+    ivf_index_append(spark, _twin(spark, emb, 7, 100000), idx)
+    queries = emb.filter(F.col("vec_id") == 7)
+    top = ivf_index_topk(spark, queries, idx).filter("rn = 1").first()
+    assert top.neighbor_id == 100000
+
+    assert ivf_index_delete(idx, [100000]) == 1
+    rows_logical = sorted(
+        (r.query_id, r.neighbor_id, r.rn)
+        for r in ivf_index_topk(spark, queries, idx, nprobe=N_PROBE).collect()
+    )
+    assert all(nb != 100000 for _q, nb, _r in rows_logical)
+    assert len(rows_logical) == 5  # still a full top-k from live rows
+    # the row is still physically present (logical delete only)
+    cells = os.path.join(idx, "cells")
+    assert spark.read.parquet(cells).filter("vec_id = 100000").count() == 1
+
+    layout_before = _ivf_live_files(idx)
+    rep = vacuum_ivf_deletes(spark, idx)
+    assert rep["vectors_removed"] == 1 and rep["rows_removed"] == 1
+    assert rep["partitions_rewritten"] == 1
+    assert rep["tombstone_files_cleared"] == 1
+    assert spark.read.parquet(cells).filter("vec_id = 100000").count() == 0
+    assert spark.read.parquet(cells).count() == n
+    assert load_tombstones(idx) == (set(), [])
+    assert load_ivf_meta(idx)["n_vectors"] == n
+    # locality: every untouched cell's files survive by name
+    after = _ivf_live_files(idx)
+    changed = [c for c in layout_before if layout_before[c] != after.get(c)]
+    assert len(changed) == 1, changed
+    # probe parity across the physical removal
+    rows_physical = sorted(
+        (r.query_id, r.neighbor_id, r.rn)
+        for r in ivf_index_topk(spark, queries, idx, nprobe=N_PROBE).collect()
+    )
+    assert rows_physical == rows_logical
+    # idempotent: nothing left to vacuum
+    assert vacuum_ivf_deletes(spark, idx)["rows_removed"] == 0
+
+
+def test_append_of_tombstoned_id_fails_loudly_and_upsert_works(
+    spark, tmp_path
+):
+    """A tombstoned id cannot be silently re-appended (the probe filter
+    would hide the new row); the upsert verb (delete → vacuum → append)
+    replaces the vector and the probe sees the NEW embedding."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    ivf_index_append(spark, _twin(spark, emb, 3, 200000), idx)
+    ivf_index_delete(idx, [200000])
+
+    with pytest.raises(ValueError, match="upsert"):
+        ivf_index_append(spark, _twin(spark, emb, 3, 200000), idx)
+
+    # upsert re-homes the id NEXT TO A DIFFERENT VECTOR: the probe must
+    # see the new embedding, not the old one
+    assert ivf_index_upsert(spark, _twin(spark, emb, 5, 200000), idx) == 1
+    top5 = (
+        ivf_index_topk(spark, emb.filter("vec_id = 5"), idx)
+        .filter("rn = 1")
+        .first()
+    )
+    assert top5.neighbor_id == 200000
+    rows3 = ivf_index_topk(spark, emb.filter("vec_id = 3"), idx).collect()
+    assert all(r.neighbor_id != 200000 or r.rn > 1 for r in rows3)
+    # exactly one physical copy survived the upsert
+    assert (
+        spark.read.parquet(os.path.join(idx, "cells"))
+        .filter("vec_id = 200000")
+        .count()
+        == 1
+    )
+
+
+def test_vacuum_trigger_is_measured(spark, tmp_path):
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    n = emb.count()
+    assert not needs_vacuum(idx)[0]
+    # cross the relative bound: > 1% of the advisory count
+    ivf_index_delete(idx, range(int(n * 0.02)))
+    fired, stats = needs_vacuum(idx)
+    assert fired, stats
+    assert stats["tombstoned"] == int(n * 0.02)
+    vacuum_ivf_deletes(spark, idx)
+    assert not needs_vacuum(idx)[0]
+
+
+def test_vacuum_kill_windows(spark, tmp_path):
+    """Kill after staging, before _COMMITTED: old layout wins, tombstones
+    stay, probes stay filtered. Kill after _COMMITTED: the next entry
+    publish rolls the rewrite forward; the tombstones retire on the next
+    vacuum (which finds zero matches)."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    n = emb.count()
+    ivf_index_delete(idx, [1, 2, 3])
+
+    killpoints.kill_once("ivf:vacuum_staged")
+    try:
+        with pytest.raises(InjectedKill):
+            vacuum_ivf_deletes(spark, idx)
+    finally:
+        killpoints.disarm()
+    cells = os.path.join(idx, "cells")
+    assert spark.read.parquet(cells).count() == n  # old layout intact
+    assert len(load_tombstones(idx)[0]) == 3
+
+    killpoints.kill_once("ivf:vacuum_committed")
+    try:
+        with pytest.raises(InjectedKill):
+            vacuum_ivf_deletes(spark, idx)
+    finally:
+        killpoints.disarm()
+    # committed: a probe's entry publish completes the rewrite
+    queries = emb.filter(F.col("vec_id") == 7)
+    rows = ivf_index_topk(spark, queries, idx).collect()
+    assert rows and all(r.neighbor_id not in (1, 2, 3) for r in rows)
+    assert spark.read.parquet(cells).count() == n - 3
+    # tombstones survive the crash (retirement is strictly post-publish) —
+    # harmless no-op filters until the next vacuum retires them
+    rep = vacuum_ivf_deletes(spark, idx)
+    assert rep["rows_removed"] == 0 and rep["tombstone_files_cleared"] >= 1
+    assert load_tombstones(idx) == (set(), [])
+
+
+def test_compaction_folds_out_tombstoned_rows(spark, tmp_path):
+    """Rows a tiered fold rewrites anyway drop out when logically deleted
+    — free partial cleanup; the tombstones stay (kept runs may still hold
+    the ids) and the next vacuum retires them once nothing does."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    n = emb.count()
+    for g in range(3):
+        ivf_index_append(
+            spark, _twin(spark, emb, g, 300000 + g), idx, batch_id=f"g{g}"
+        )
+    ivf_index_delete(idx, [300000, 300001])
+    folded = compact_ivf_cells(spark, idx, max_runs_per_cell=1)
+    assert folded
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    assert cells.filter(F.col("vec_id").isin([300000, 300001])).count() == 0
+    assert cells.count() == n + 1  # 300002 survived the fold
+    # tombstones retire via vacuum, which now finds nothing to rewrite
+    rep = vacuum_ivf_deletes(spark, idx)
+    assert rep["rows_removed"] == 0 and rep["tombstone_files_cleared"] == 1
+
+
+def test_recall_probe_and_retrain_ignore_deleted_vectors(spark, tmp_path):
+    """Deletes must not read as drift: the recall probe excludes
+    tombstoned vectors from BOTH sides (a deleted near-neighbor is not a
+    miss), and a rebuild clears tombstones as part of the new identity."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS, measure_recall=True)
+    base = load_ivf_meta(idx)["baseline_recall"]
+    # plant twins next to several vectors, then delete the twins: with the
+    # exact side UNfiltered these would all read as probe misses
+    for i in range(8):
+        ivf_index_append(spark, _twin(spark, emb, i, 400000 + i), idx)
+    ivf_index_delete(idx, range(400000, 400008))
+    cur = ivf_recall_probe(spark, idx)
+    # floor=0: isolate the DRIFT comparison (this unclustered fixture sits
+    # near the absolute floor at nprobe=4 regardless of deletes — the
+    # floor is about index quality, not delete hygiene)
+    needs, _ = ivf_needs_retrain(spark, idx, drift_tolerance=0.1, floor=0.0)
+    assert cur >= base - 0.05, (cur, base)
+    assert not needs
+    # rebuild = new identity: tombstones cleared
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    assert load_tombstones(idx) == (set(), [])
+
+
+def test_lsh_delete_vacuum_and_probe_filter(spark, tmp_path):
+    """The LSH twin end-to-end: logical delete hides the neighbor in every
+    table's bucket, vacuum removes all n_tables copies and only rewrites
+    the buckets that held them, append-of-tombstoned fails loudly."""
+    from datalakejson_spark.functions.lsh_index import (
+        build_lsh_index,
+        lsh_index_append,
+        lsh_index_delete,
+        lsh_index_topk,
+        vacuum_lsh_deletes,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(emb, idx, n_planes=4, n_tables=4)
+    ivf_like_n = spark.read.parquet(os.path.join(idx, "buckets")).count()
+
+    lsh_index_append(spark, _twin(spark, emb, 7, 500000), idx)
+    queries = emb.filter(F.col("vec_id") == 7)
+    assert (
+        lsh_index_topk(spark, queries, idx).filter("rn = 1").first().neighbor_id
+        == 500000
+    )
+    lsh_index_delete(idx, [500000])
+    rows = lsh_index_topk(spark, queries, idx).collect()
+    assert rows and all(r.neighbor_id != 500000 for r in rows)
+
+    with pytest.raises(ValueError, match="upsert"):
+        lsh_index_append(spark, _twin(spark, emb, 7, 500000), idx)
+
+    rep = vacuum_lsh_deletes(spark, idx)
+    assert rep["vectors_removed"] == 1
+    assert rep["rows_removed"] == 4  # one copy per table
+    assert 1 <= rep["partitions_rewritten"] <= 4
+    live = spark.read.parquet(os.path.join(idx, "buckets"))
+    assert live.filter("vec_id = 500000").count() == 0
+    assert live.count() == ivf_like_n
+    assert load_tombstones(idx) == (set(), [])
