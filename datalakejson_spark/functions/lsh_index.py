@@ -405,6 +405,43 @@ def l3f_ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_check(ann, emb, queries)
 
 
+def lsh_maintenance_tick(
+    spark: SparkSession,
+    index_dir: str,
+    max_runs_per_bucket: int = 8,
+    retune_check: bool = True,
+    target_bucket_rows: int = 2000,
+) -> dict:
+    """One pass of the persisted-LSH ops loop — the LSH twin of
+    ivf_maintenance_tick, with the verbs this plane has: roll committed
+    stages forward, vacuum on the measured tombstone trigger, tiered fold
+    on the run-count trigger, and (footer-only, so on by default) the
+    candidate-volume retune reading. A needed re-plane is REPORTED
+    (``recommend_replanes``) and never run — a rebuild with autotuned
+    planes is an explicit admin decision."""
+    actions: list[dict] = []
+    report: dict = {"actions": actions, "recommend_replanes": None}
+    publish_staged(index_dir, _BUCKETS, _LSH_META)
+    from datalakejson_spark.functions.index_maintenance import needs_vacuum
+
+    if needs_vacuum(index_dir)[0]:
+        vac = vacuum_lsh_deletes(spark, index_dir)
+        actions.append({"verb": "vacuum", **vac})
+    if lsh_needs_compaction(index_dir, max_runs_per_bucket):
+        folded = compact_lsh_buckets(
+            spark, index_dir, max_runs_per_bucket=max(1, max_runs_per_bucket // 2)
+        )
+        actions.append({"verb": "compact", "buckets": len(folded)})
+    if retune_check:
+        needs, stats = lsh_needs_retune(
+            index_dir, target_bucket_rows=target_bucket_rows
+        )
+        report["mean_bucket_rows"] = stats["mean_rows"]
+        if needs:
+            report["recommend_replanes"] = stats["recommended_planes"]
+    return report
+
+
 def lsh_bucket_stats(index_dir: str) -> dict:
     """MEASURED per-bucket row statistics from the live parquet footers —
     driver-side, no Spark job (partition count is bounded by

@@ -277,3 +277,50 @@ def test_lsh_delete_vacuum_and_probe_filter(spark, tmp_path):
     assert live.filter("vec_id = 500000").count() == 0
     assert live.count() == ivf_like_n
     assert load_tombstones(idx) == (set(), [])
+
+
+def test_lsh_maintenance_tick(spark, tmp_path):
+    """The LSH ops loop in one verb: a fragmented index with pending
+    deletes vacuums and folds from measured triggers, reports (never runs)
+    a needed re-plane, and converges to a no-op tick."""
+    from datalakejson_spark.functions.lsh_index import (
+        build_lsh_index,
+        lsh_index_append,
+        lsh_index_delete,
+        lsh_maintenance_tick,
+        lsh_needs_compaction,
+        load_lsh_meta,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(emb, idx, n_planes=3, n_tables=2)
+    # three appends of near-twins of the SAME vector: they hash into the
+    # same buckets every time, so those buckets accumulate base + 3 runs
+    for g in range(3):
+        lsh_index_append(spark, _twin(spark, emb, 7, 600000 + g), idx)
+    lsh_index_delete(idx, range(600000, 600003))
+    lsh_index_delete(idx, range(0, 12))  # 15 ids > 1% of ~503: trigger
+
+    assert lsh_needs_compaction(idx, max_runs_per_bucket=2)
+    report = lsh_maintenance_tick(
+        spark, idx, max_runs_per_bucket=2, target_bucket_rows=15
+    )
+    verbs = [a["verb"] for a in report["actions"]]
+    # vacuum runs first and IS a rewrite of the affected buckets — here
+    # those are exactly the fragmented ones, so it clears the fold trigger
+    # as a side effect; a fold still runs when OTHER buckets are over-run
+    assert verbs[0] == "vacuum"
+    # ~500 vectors x 2 tables over 16 tb partitions ≈ 62 mean rows, past
+    # 4 x the 15-row target: the retune reading reports the autotuned
+    # plane count, runs nothing
+    assert report["recommend_replanes"] is not None
+    assert load_lsh_meta(idx)["n_planes"] == 3  # never re-planed in-tick
+    live = spark.read.parquet(os.path.join(idx, "buckets"))
+    assert live.filter(F.col("vec_id") < 12).count() == 0  # vacuumed
+    assert not lsh_needs_compaction(idx, max_runs_per_bucket=2)
+
+    report2 = lsh_maintenance_tick(
+        spark, idx, max_runs_per_bucket=2, target_bucket_rows=15
+    )
+    assert report2["actions"] == []
