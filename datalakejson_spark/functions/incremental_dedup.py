@@ -464,68 +464,202 @@ PRUNE_MIN_SKIP_FRACTION = 0.5
 #: the parsed dict is shared READ-ONLY — every consumer that mutates takes
 #: a copy.
 _SIDECAR_PARSE_CACHE: dict[str, tuple[int, int, dict]] = {}
+#: merged view across sidecar shards, keyed per live_dir by the full
+#: sidecar STATE tuple (every shard's (name, mtime_ns, size)) — when one
+#: shard changes, its entries re-parse and the merge re-runs; nothing else
+#: re-parses (round 14, the decade-6 fix).
+_SIDECAR_MERGED_CACHE: dict[str, tuple[tuple, dict]] = {}
 #: fully-materialized _file_stats results, keyed per live_dir by
-#: (sidecar mtime_ns, sidecar size, hash(listing)) — see _file_stats.
+#: (sidecar state, hash(listing)) — see _file_stats.
 _STATS_RESULT_CACHE: dict[str, tuple[tuple, dict]] = {}
 
 
-def _load_sidecar_shared(live_dir: str) -> dict:
-    """The parsed stats sidecar, mtime/size-cached in-process. READ-ONLY:
-    callers must not mutate the returned dict (take a copy to edit). Any
-    unreadable/odd content degrades to an empty cache (advisory
-    everywhere)."""
+#: number of sidecar SHARDS (round 14 — the decade-6 fix designed in
+#: SCALE.md, implemented): the stats sidecar is split into
+#: ``_RANGES.<x>.json`` by the first hex char of md5(filename), so a
+#: publish rewrites (and therefore re-parses) ONLY the shards holding
+#: touched files — at the measured decade-6 point (10^7 entries) that
+#: turns the 53 s / 1.2 GB whole-file reparse after every publish into a
+#: ~1/16 reparse, while the merged READ view stays cached per sidecar
+#: STATE (re-merged, not re-parsed, when any shard changes). The legacy
+#: single-file ``_RANGES.json`` form stays readable (fabricated decade
+#: fixtures, pre-shard indexes) and migrates to shards on the first
+#: write. Pure cache throughout: losing or corrupting any shard only
+#: degrades that shard's files to footer reads.
+_RANGES_SHARD_CHARS = "0123456789abcdef"
+
+
+def _shard_of(fname: str) -> str:
+    import hashlib
+
+    return hashlib.md5(fname.encode()).hexdigest()[0]
+
+
+def _shard_file(ch: str) -> str:
+    return f"_RANGES.{ch}.json"
+
+
+def _sidecar_state(live_dir: str) -> tuple | None:
+    """((name, mtime_ns, size), ...) for every sidecar file present
+    (legacy first, shards after — merge order matters: shard entries are
+    newer and override legacy ones), or None when no sidecar exists. One
+    listdir-free stat pass: the candidate names are fixed."""
+    state = []
+    for name in [_RANGES] + [_shard_file(c) for c in _RANGES_SHARD_CHARS]:
+        try:
+            st = os.stat(os.path.join(live_dir, name))
+        except OSError:
+            continue
+        state.append((name, st.st_mtime_ns, st.st_size))
+    return tuple(state) if state else None
+
+
+def _sidecar_paths(live_dir: str) -> list[str]:
+    """Full paths of every sidecar file present (legacy + shards) — the
+    shard-agnostic spelling tests and tools use to poke at the cache."""
+    return [
+        os.path.join(live_dir, name)
+        for name, _m, _s in (_sidecar_state(live_dir) or ())
+    ]
+
+
+def _load_one_sidecar(path: str, mtime_ns: int, size: int) -> dict:
+    """One sidecar FILE, parse-cached by the (mtime, size) the caller just
+    stat'ed. Unreadable/odd content degrades to empty (advisory)."""
     import json
 
-    sidecar = os.path.join(live_dir, _RANGES)
-    try:
-        st = os.stat(sidecar)
-    except OSError:
-        return {}
-    hit = _SIDECAR_PARSE_CACHE.get(sidecar)
-    if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
+    hit = _SIDECAR_PARSE_CACHE.get(path)
+    if hit is not None and hit[0] == mtime_ns and hit[1] == size:
         return hit[2]
     try:
-        with open(sidecar) as fh:
+        with open(path) as fh:
             raw = json.load(fh)
         parsed = raw if isinstance(raw, dict) else {}
     except (OSError, ValueError):
         parsed = {}
-    _SIDECAR_PARSE_CACHE[sidecar] = (st.st_mtime_ns, st.st_size, parsed)
+    _SIDECAR_PARSE_CACHE[path] = (mtime_ns, size, parsed)
     return parsed
 
 
+def _load_sidecar_shared(live_dir: str) -> dict:
+    """The MERGED stats-sidecar view across shards (+ legacy), cached per
+    sidecar state. READ-ONLY: callers must not mutate the returned dict
+    (take a copy to edit). When one shard changes, only that shard
+    re-parses; the merge itself (a dict-update pass over already-parsed
+    shards) re-runs — O(files) of pointer copies, not of JSON decode."""
+    state = _sidecar_state(live_dir)
+    if state is None:
+        return {}
+    hit = _SIDECAR_MERGED_CACHE.get(live_dir)
+    if hit is not None and hit[0] == state:
+        return hit[1]
+    merged: dict = {}
+    for name, mtime_ns, size in state:
+        merged.update(
+            _load_one_sidecar(os.path.join(live_dir, name), mtime_ns, size)
+        )
+    _SIDECAR_MERGED_CACHE[live_dir] = (state, merged)
+    return merged
+
+
 def _load_sidecar(live_dir: str) -> dict:
-    """A MUTABLE copy of the stats sidecar (see _load_sidecar_shared)."""
+    """A MUTABLE copy of the merged stats sidecar."""
     return dict(_load_sidecar_shared(live_dir))
 
 
-def _merge_sidecar_cache(live_dir: str, add: dict, remove: list[str]) -> None:
-    """Best-effort advisory update of the stats sidecar at PUBLISH time:
-    entries for just-moved files merge in (computed from their staged
-    footers), entries for just-subsumed files drop out. Failure is
-    harmless — _file_stats self-heals lazily from footers."""
+def _write_sidecar_file(live_dir: str, name: str, data: dict) -> None:
+    """Atomic advisory write of one sidecar file (runner-unique tmp: two
+    concurrent writers sharing one tmp name could replace a half-written
+    file into place; last-writer-wins on the file itself is fine —
+    advisory cache). An EMPTY shard is removed rather than written."""
     import json
 
-    sidecar = os.path.join(live_dir, _RANGES)
-    # runner-unique tmp: two concurrent writers sharing one tmp name could
-    # replace a half-written file into place; last-writer-wins on the
-    # sidecar itself is fine (advisory cache). Unique names mean a crashed
-    # writer's tmp is never overwritten later, so failures must unlink
-    # their own tmp and survivors are swept once clearly abandoned.
-    tmp = f"{sidecar}.{uuid.uuid4().hex[:8]}.tmp"
+    path = os.path.join(live_dir, name)
+    if not data:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
     try:
-        cache = _load_sidecar(live_dir)
-        for n in remove:
-            cache.pop(n, None)
-        cache.update(add)
         with open(tmp, "w") as fh:
-            json.dump(cache, fh)
-        os.replace(tmp, sidecar)
+            json.dump(data, fh)
+        os.replace(tmp, path)
     except OSError:
         try:
             os.remove(tmp)
         except OSError:
             pass
+
+
+def _persist_sidecar_sharded(live_dir: str, desired: dict) -> None:
+    """Make the persisted sidecar equal ``desired``, touching ONLY the
+    shards whose content differs (the publish-granular invalidation the
+    sharding exists for), then retire the legacy single file — its entries
+    are all represented in the shards afterwards, and merge order means it
+    could only have served stale data."""
+    by_shard: dict[str, dict] = {c: {} for c in _RANGES_SHARD_CHARS}
+    for f, v in desired.items():
+        by_shard[_shard_of(f)][f] = v
+    state = {name: (m, s) for name, m, s in (_sidecar_state(live_dir) or ())}
+    for ch in _RANGES_SHARD_CHARS:
+        name = _shard_file(ch)
+        if name in state:
+            cur = _load_one_sidecar(
+                os.path.join(live_dir, name), *state[name]
+            )
+        else:
+            cur = {}
+        if by_shard[ch] != cur:
+            _write_sidecar_file(live_dir, name, by_shard[ch])
+    if _RANGES in state:  # legacy retired only AFTER the shards hold it all
+        try:
+            os.remove(os.path.join(live_dir, _RANGES))
+        except OSError:
+            pass
+
+
+def _merge_sidecar_cache(live_dir: str, add: dict, remove: list[str]) -> None:
+    """Best-effort advisory update of the stats sidecar at PUBLISH time:
+    entries for just-moved files merge in (computed from their staged
+    footers), entries for just-subsumed files drop out — rewriting ONLY
+    the affected shards. Failure is harmless — _file_stats self-heals
+    lazily from footers. A legacy single-file sidecar migrates to shards
+    here (one full split on the first post-upgrade publish)."""
+    try:
+        if os.path.exists(os.path.join(live_dir, _RANGES)):
+            # legacy form: fold everything into shards once
+            cache = _load_sidecar(live_dir)
+            for n in remove:
+                cache.pop(n, None)
+            cache.update(add)
+            _persist_sidecar_sharded(live_dir, cache)
+        else:
+            touched: dict[str, tuple[dict, set]] = {}
+            for n in remove:
+                touched.setdefault(_shard_of(n), ({}, set()))[1].add(n)
+            for n, v in add.items():
+                touched.setdefault(_shard_of(n), ({}, set()))[0][n] = v
+            state = {
+                name: (m, s)
+                for name, m, s in (_sidecar_state(live_dir) or ())
+            }
+            for ch, (adds, removes) in touched.items():
+                name = _shard_file(ch)
+                cur = dict(
+                    _load_one_sidecar(
+                        os.path.join(live_dir, name), *state[name]
+                    )
+                    if name in state
+                    else {}
+                )
+                for n in removes:
+                    cur.pop(n, None)
+                cur.update(adds)
+                _write_sidecar_file(live_dir, name, cur)
+    except OSError:
+        pass
     try:  # sweep tmps orphaned by hard crashes (age-guarded like stages)
         import time
 
@@ -628,20 +762,18 @@ def _file_stats(
     import json
 
     cache = _load_sidecar_shared(live_dir)  # read-only; never mutated here
-    sidecar = os.path.join(live_dir, _RANGES)
     files = _live_files(live_dir)
     # Result cache (decade-5, tools/dedup_probe_decade5_r13.jsonl): at 10^6
     # live files even the cache-hit rebuild of this dict is a multi-second
     # pure-python loop, and the steady loop calls _file_stats several times
     # per batch (pruned read x2 subdirs, compaction trigger, compaction
     # planning) against an IDENTICAL (sidecar, listing) state. Keyed by the
-    # sidecar's (mtime, size) + the listing tuple's hash, so any publish
-    # (new files or rewritten sidecar) misses and recomputes.
-    try:
-        st = os.stat(sidecar)
-        state_key = (st.st_mtime_ns, st.st_size, hash(tuple(files)))
-    except OSError:
-        state_key = None
+    # full sidecar STATE (every shard) + the listing tuple's hash, so any
+    # publish (new files or rewritten shard) misses and recomputes.
+    sc_state = _sidecar_state(live_dir)
+    state_key = (
+        (sc_state, hash(tuple(files))) if sc_state is not None else None
+    )
     if state_key is not None:
         hit = _STATS_RESULT_CACHE.get(live_dir)
         if hit is not None and hit[0] == state_key:
@@ -686,25 +818,17 @@ def _file_stats(
     if persist != {f: v for f, v in cache.items() if f in persist} or set(
         cache
     ) - set(persist):
-        tmp = f"{sidecar}.{uuid.uuid4().hex[:8]}.tmp"
-        try:
-            with open(tmp, "w") as fh:
-                json.dump(persist, fh)
-            os.replace(tmp, sidecar)
-        except OSError:
-            try:
-                os.remove(tmp)
-            except OSError:
-                pass
+        # per-shard diffed write: only the shards whose files changed are
+        # rewritten (and will re-parse) — a fresh append touches one shard,
+        # not the whole cache (the decade-6 fix)
+        _persist_sidecar_sharded(live_dir, persist)
     if not transient:
-        try:
-            st = os.stat(sidecar)
+        fresh_state = _sidecar_state(live_dir)
+        if fresh_state is not None:
             _STATS_RESULT_CACHE[live_dir] = (
-                (st.st_mtime_ns, st.st_size, hash(tuple(files))),
+                (fresh_state, hash(tuple(files))),
                 out,
             )
-        except OSError:
-            pass
     return out
 
 

@@ -560,8 +560,8 @@ def test_pruning_sidecar_self_heals_and_tolerates_corruption(spark, tmp_path):
     import os
 
     from datalakejson_spark.functions.incremental_dedup import (
-        _RANGES,
         _file_ranges,
+        _sidecar_paths,
         compact_index,
     )
 
@@ -576,23 +576,25 @@ def test_pruning_sidecar_self_heals_and_tolerates_corruption(spark, tmp_path):
     compact_index(spark, idx, target_rows_per_file=20)
     live = os.path.join(idx, "hashes")
     ranges = _file_ranges(live, "text_hash")
-    assert os.path.exists(os.path.join(live, _RANGES))
+    assert _sidecar_paths(live)  # persisted (sharded since round 14)
     assert all(r is not None and r[0] <= r[1] for r in ranges.values())
     # Ranges of compacted files are disjoint (range-sorted layout).
     spans = sorted(r for r in ranges.values() if r)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (hi1, lo2)
 
-    # Corrupt the sidecar: next read self-heals from footers.
-    with open(os.path.join(live, _RANGES), "w") as fh:
+    # Corrupt one shard: next read self-heals its files from footers.
+    victim = _sidecar_paths(live)[0]
+    with open(victim, "w") as fh:
         fh.write("[not a dict")
     healed = _file_ranges(live, "text_hash")
     assert healed == ranges
-    with open(os.path.join(live, _RANGES)) as fh:
+    with open(victim) as fh:
         assert json.load(fh)  # rewritten as valid JSON
 
-    # Delete it entirely: same answer again.
-    os.remove(os.path.join(live, _RANGES))
+    # Delete every sidecar file: same answer again.
+    for p in _sidecar_paths(live):
+        os.remove(p)
     assert _file_ranges(live, "text_hash") == ranges
 
 
@@ -846,7 +848,8 @@ def test_transient_footer_failure_not_cached(spark, tmp_path, monkeypatch):
         )
     inc.compact_index(spark, idx, target_rows_per_file=6)
     live = os.path.join(idx, "hashes")
-    os.remove(os.path.join(live, inc._RANGES))  # force recompute of all
+    for p_ in inc._sidecar_paths(live):  # force recompute of all
+        os.remove(p_)
 
     files = inc._live_files(live)
     victim = files[0]
@@ -860,14 +863,12 @@ def test_transient_footer_failure_not_cached(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(inc, "_footer_stats", flaky)
     ranges = inc._file_ranges(live, "text_hash")
     assert ranges[victim] is None  # scanned conservatively this time
-    with open(os.path.join(live, inc._RANGES)) as fh:
-        assert victim not in json.load(fh)  # …but NOT cached as null
+    assert victim not in inc._load_sidecar_shared(live)  # NOT cached as null
 
     monkeypatch.setattr(inc, "_footer_stats", real)
     healed = inc._file_ranges(live, "text_hash")
     assert healed[victim] is not None  # next probe re-reads and persists
-    with open(os.path.join(live, inc._RANGES)) as fh:
-        entry = json.load(fh)[victim]  # [lo, hi, rows] since the run cache
+    entry = inc._load_sidecar_shared(live)[victim]  # [lo, hi, rows]
     assert entry[:2] == list(healed[victim]) and isinstance(entry[2], int)
 
 
@@ -980,7 +981,8 @@ def test_transient_footer_failure_never_dirties_the_base(spark, tmp_path, monkey
     assert len(base) > 3
     # lose the sidecar, make ONE base file's footer read flaky
     live = os.path.join(idx, "bands")
-    os.remove(os.path.join(live, inc._RANGES))
+    for p_ in inc._sidecar_paths(live):
+        os.remove(p_)
     victim = sorted(base)[0]
     real = inc._footer_stats
 
@@ -1105,7 +1107,7 @@ def test_undecodable_stats_survive_the_sidecar_and_never_dirty(tmp_path):
     assert first[0] is inc.UNDECODABLE and first[1] == 2
     import json
 
-    cached = json.load(open(live / inc._RANGES))[name]
+    cached = inc._load_sidecar_shared(str(live))[name]
     assert cached == {"rows": 2, "undecodable": True}
     second = inc._file_stats(str(live), "text_hash")[name]
     assert second[0] is inc.UNDECODABLE
