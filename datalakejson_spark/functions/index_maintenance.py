@@ -126,12 +126,16 @@ def read_index_count(index_dir: str, default: int = 0) -> int:
         return int(default)
 
 
-def bump_index_count(index_dir: str, delta: int) -> None:
+def bump_index_count(index_dir: str, delta: int, default: int = 0) -> None:
     """Advisory read-modify-write of the count sidecar ONLY. Two racing
     appends can lose one increment — acceptable for an observability
     counter; what matters is that this path can never clobber the quantizer
-    meta (ADVICE r13)."""
-    write_index_count(index_dir, read_index_count(index_dir) + delta)
+    meta (ADVICE r13). ``default`` seeds the count when the sidecar is
+    absent (ADVICE r14): callers pass the meta-injected ``n_vectors`` so an
+    index whose count is baked only in a pre-sidecar meta doesn't collapse
+    its advisory count to the first append's batch size (needs_vacuum's
+    relative trigger reads this)."""
+    write_index_count(index_dir, read_index_count(index_dir, default) + delta)
 
 
 # ---------------------------------------------------------------------------
@@ -878,7 +882,13 @@ def vacuum_deleted(
     # whose next vacuum finds zero matches and clears them
     clear_tombstone_files(index_dir, names)
     rows_removed = int(sum(per_part.values()))
-    bump_index_count(index_dir, -vectors_removed)
+    bump_index_count(
+        index_dir,
+        -vectors_removed,
+        default=load_index_meta(index_dir, meta_name, "build").get(
+            "n_vectors", 0
+        ),
+    )
     return {
         "rows_removed": rows_removed,
         "vectors_removed": int(vectors_removed),

@@ -76,35 +76,66 @@ def stream_identity(checkpoint_dir: str) -> str:
         ).hexdigest()[:8]
 
 
-def adopt_stream(index_dir: str, stream_id: str) -> None:
+def adopt_stream(
+    index_dir: str, stream_id: str, _legacy_markers_ok: bool = False
+) -> None:
     """Explicitly re-home an index under a new stream/checkpoint identity —
     the operator verb for 'I reset the checkpoint on purpose'. After this,
     the new stream's batches append from its batch 0 (files already
     ingested by the OLD stream will re-ingest if they are still in the new
-    stream's landing source — point the new checkpoint at new data)."""
+    stream's landing source — point the new checkpoint at new data).
+
+    ``_legacy_markers_ok`` (internal, set only by the first-contact
+    auto-adopt) records whether pre-namespacing ``b{N}`` markers may still
+    be honored: True on first contact with an index that predates the
+    stream sidecar (those markers came from THIS continuing checkpoint's
+    pre-upgrade batches — ADVICE r14), False on an explicit operator
+    adoption (a deliberate checkpoint reset restarts batch ids at 0, so a
+    stale ``b{N}`` marker from the old stream must never suppress the new
+    stream's batch N)."""
     import json
     import os
 
     os.makedirs(index_dir, exist_ok=True)
     tmp = os.path.join(index_dir, _STREAM_SIDECAR + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump({"stream_id": stream_id}, fh)
+        json.dump(
+            {"stream_id": stream_id, "legacy_markers_ok": _legacy_markers_ok},
+            fh,
+        )
     os.replace(tmp, os.path.join(index_dir, _STREAM_SIDECAR))
 
 
-def _guard_stream_identity(index_dir: str, stream_id: str) -> None:
+def _guard_stream_identity(index_dir: str, stream_id: str) -> bool:
     """Raise loudly when a DIFFERENT stream (new checkpoint) drives an index
-    another stream owns; adopt the index on first contact."""
+    another stream owns; adopt the index on first contact — and ONLY when
+    the sidecar is genuinely absent (FileNotFoundError). Any other read
+    failure (permissions, transient IO, corrupt JSON) raises instead of
+    silently overwriting the owner: failing open would re-home the index
+    exactly when its ownership state is unreadable (ADVICE r14).
+
+    Returns whether legacy un-namespaced ``b{N}`` markers may be honored
+    for this index (see :func:`adopt_stream`)."""
     import json
     import os
 
     path = os.path.join(index_dir, _STREAM_SIDECAR)
     try:
         with open(path) as fh:
-            owner = json.load(fh).get("stream_id")
-    except (OSError, ValueError):
-        adopt_stream(index_dir, stream_id)
-        return
+            sidecar = json.load(fh)
+        owner = sidecar.get("stream_id")
+    except FileNotFoundError:
+        # First contact: an index that predates the stream sidecar may hold
+        # pre-upgrade b{N} markers from this same continuing checkpoint.
+        adopt_stream(index_dir, stream_id, _legacy_markers_ok=True)
+        return True
+    except (OSError, ValueError) as exc:
+        raise ValueError(
+            f"stream sidecar {path} exists but is unreadable ({exc!r}) — "
+            "refusing to re-adopt the index while its ownership state is "
+            "unknown. Restore the sidecar or, if the reset is intentional, "
+            f"call adopt_stream({index_dir!r}, {stream_id!r})."
+        ) from exc
     if owner != stream_id:
         raise ValueError(
             f"index {index_dir} is owned by stream {owner!r} but this "
@@ -115,6 +146,9 @@ def _guard_stream_identity(index_dir: str, stream_id: str) -> None:
             f"{stream_id!r}) first (new batches will append from this "
             "stream's batch 0)."
         )
+    # Pre-r15 sidecars lack the key; they were written by the same
+    # first-contact auto-adopt path, so default to honoring legacy markers.
+    return bool(sidecar.get("legacy_markers_ok", True))
 
 
 def streaming_ann_ingest(
@@ -212,9 +246,16 @@ def process_ann_batch(
     from datalakejson_spark.functions.ivf import _IVF_META, load_ivf_meta
 
     batch = batch_df.select("vec_id", "embedding")
+    legacy_bid: str | None = None
     if stream_id is not None:
-        _guard_stream_identity(index_dir, stream_id)
+        legacy_ok = _guard_stream_identity(index_dir, stream_id)
         bid = f"{stream_id}-b{batch_id}"
+        if legacy_ok:
+            # Read-only fallback for indexes predating the stream-id
+            # sidecar (ADVICE r14): their bootstrap/_applied markers use
+            # the un-namespaced spelling, and a crash-window replay
+            # straddling the upgrade must still recognize them.
+            legacy_bid = f"b{batch_id}"
     else:
         bid = f"b{batch_id}"
     if not os.path.exists(os.path.join(index_dir, _IVF_META)):
@@ -232,9 +273,12 @@ def process_ann_batch(
             extra_meta={"bootstrap_batch": bid},
         )
         return
-    if load_ivf_meta(index_dir).get("bootstrap_batch") == bid:
+    bootstrap = load_ivf_meta(index_dir).get("bootstrap_batch")
+    if bootstrap is not None and bootstrap in (bid, legacy_bid):
         return  # replayed bootstrap batch: already the index itself
-    ivf_index_append(spark, batch, index_dir, batch_id=bid)
+    ivf_index_append(
+        spark, batch, index_dir, batch_id=bid, legacy_batch_id=legacy_bid
+    )
     if compact_max_runs_per_cell is not None and ivf_needs_compaction(
         index_dir, compact_max_runs_per_cell
     ):
@@ -382,9 +426,12 @@ def process_lsh_batch(
     )
 
     batch = batch_df.select("vec_id", "embedding")
+    legacy_bid: str | None = None
     if stream_id is not None:
-        _guard_stream_identity(index_dir, stream_id)
+        legacy_ok = _guard_stream_identity(index_dir, stream_id)
         bid = f"{stream_id}-b{batch_id}"
+        if legacy_ok:
+            legacy_bid = f"b{batch_id}"  # pre-sidecar marker spelling
     else:
         bid = f"b{batch_id}"
     if not os.path.exists(os.path.join(index_dir, _LSH_META)):
@@ -395,9 +442,12 @@ def process_lsh_batch(
             batch, index_dir, extra_meta={"bootstrap_batch": bid}, **kwargs
         )
         return
-    if load_lsh_meta(index_dir).get("bootstrap_batch") == bid:
+    bootstrap = load_lsh_meta(index_dir).get("bootstrap_batch")
+    if bootstrap is not None and bootstrap in (bid, legacy_bid):
         return  # replayed bootstrap batch: already the index itself
-    lsh_index_append(spark, batch, index_dir, batch_id=bid)
+    lsh_index_append(
+        spark, batch, index_dir, batch_id=bid, legacy_batch_id=legacy_bid
+    )
     if compact_max_runs_per_bucket is not None and lsh_needs_compaction(
         index_dir, compact_max_runs_per_bucket
     ):
