@@ -712,17 +712,23 @@ VACUUM_MAX_IDS = 65_536
 VACUUM_MAX_FRACTION = 0.01
 
 
-def add_tombstones(index_dir: str, ids) -> int:
+def add_tombstones(index_dir: str, ids, name: str | None = None) -> int:
     """Record ids as deleted (logical, immediate for every later probe).
     One immutable file per call — idempotent by content (re-deleting an id
     is harmless), race-free by construction (no shared file is rewritten).
-    Returns how many NEW ids this call tombstoned (advisory)."""
+    ``name`` (optional, must end in ``.json``) makes the file DETERMINISTIC
+    for exactly-once callers (the delete stream names it by batch id, so a
+    crash-window replay re-writes the same file instead of accumulating a
+    duplicate). Returns how many NEW ids this call tombstoned (advisory)."""
     ids = sorted({int(i) for i in ids})
     if not ids:
         return 0
     tdir = os.path.join(index_dir, TOMBSTONES)
     os.makedirs(tdir, exist_ok=True)
-    name = f"{_uuid.uuid4().hex}.json"
+    if name is None:
+        name = f"{_uuid.uuid4().hex}.json"
+    elif not name.endswith(".json"):
+        raise ValueError(f"tombstone file name must end in .json: {name!r}")
     tmp = os.path.join(tdir, name + ".tmp")
     with open(tmp, "w") as fh:
         json.dump({"ids": ids}, fh)

@@ -76,8 +76,18 @@ def stream_identity(checkpoint_dir: str) -> str:
         ).hexdigest()[:8]
 
 
+#: the DELETE stream's own identity sidecar: the append plane and the
+#: delete plane are different streams with different checkpoints, so each
+#: owns its own sidecar — one index can be driven by one append stream AND
+#: one delete stream concurrently, each exactly-once under its own markers.
+_DELETE_STREAM_SIDECAR = "_STREAM_DELETES.json"
+
+
 def adopt_stream(
-    index_dir: str, stream_id: str, _legacy_markers_ok: bool = False
+    index_dir: str,
+    stream_id: str,
+    _legacy_markers_ok: bool = False,
+    sidecar: str = _STREAM_SIDECAR,
 ) -> None:
     """Explicitly re-home an index under a new stream/checkpoint identity —
     the operator verb for 'I reset the checkpoint on purpose'. After this,
@@ -97,16 +107,18 @@ def adopt_stream(
     import os
 
     os.makedirs(index_dir, exist_ok=True)
-    tmp = os.path.join(index_dir, _STREAM_SIDECAR + ".tmp")
+    tmp = os.path.join(index_dir, sidecar + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(
             {"stream_id": stream_id, "legacy_markers_ok": _legacy_markers_ok},
             fh,
         )
-    os.replace(tmp, os.path.join(index_dir, _STREAM_SIDECAR))
+    os.replace(tmp, os.path.join(index_dir, sidecar))
 
 
-def _guard_stream_identity(index_dir: str, stream_id: str) -> bool:
+def _guard_stream_identity(
+    index_dir: str, stream_id: str, sidecar_name: str = _STREAM_SIDECAR
+) -> bool:
     """Raise loudly when a DIFFERENT stream (new checkpoint) drives an index
     another stream owns; adopt the index on first contact — and ONLY when
     the sidecar is genuinely absent (FileNotFoundError). Any other read
@@ -119,7 +131,7 @@ def _guard_stream_identity(index_dir: str, stream_id: str) -> bool:
     import json
     import os
 
-    path = os.path.join(index_dir, _STREAM_SIDECAR)
+    path = os.path.join(index_dir, sidecar_name)
     try:
         with open(path) as fh:
             sidecar = json.load(fh)
@@ -127,7 +139,9 @@ def _guard_stream_identity(index_dir: str, stream_id: str) -> bool:
     except FileNotFoundError:
         # First contact: an index that predates the stream sidecar may hold
         # pre-upgrade b{N} markers from this same continuing checkpoint.
-        adopt_stream(index_dir, stream_id, _legacy_markers_ok=True)
+        adopt_stream(
+            index_dir, stream_id, _legacy_markers_ok=True, sidecar=sidecar_name
+        )
         return True
     except (OSError, ValueError) as exc:
         raise ValueError(
@@ -163,6 +177,8 @@ def streaming_ann_ingest(
     compact_max_runs_per_cell: int | None = ANN_COMPACT_MAX_RUNS,
     retrain_check_every: int | None = None,
     retrain_drift_tolerance: float | None = None,
+    tick_every: int | None = None,
+    tick_kwargs: dict | None = None,
 ):
     """Drain landing JSON-lines embeddings once (AvailableNow); the FIRST
     micro-batch bootstraps the index (trains the quantizer on that batch —
@@ -190,6 +206,19 @@ def streaming_ann_ingest(
       compaction started, so the replay skips it via the marker and only
       the maintenance work repeats.
 
+    ``tick_every=N`` (round 15, VERDICT r14 #2) runs
+    :func:`~datalakejson_spark.functions.ivf.ivf_maintenance_tick` as the
+    between-batch policy every N batches: roll-forward, measured-trigger
+    vacuum, tiered fold, and capped splits fire IN-STREAM from their own
+    triggers (each staged and idempotent — a crash inside the tick replays
+    with the batch's append skipped via its marker and only the
+    maintenance work repeating). The drift check stays opt-in-cadenced:
+    on a tick batch that is also a ``retrain_check_every`` batch the tick
+    runs with ``drift_check=True`` (measured recall + localized delta
+    retrain on its trigger, full rebuilds only ever RECOMMENDED);
+    ``tick_kwargs`` passes the tick's trigger knobs through. Tick reports
+    append to ``{index}/_TICKS.jsonl``.
+
     Returns the StreamingQuery; call ``.awaitTermination()``.
     """
     configure_runtime(spark)
@@ -213,6 +242,8 @@ def streaming_ann_ingest(
             compact_max_runs_per_cell=compact_max_runs_per_cell,
             retrain_check_every=retrain_check_every,
             retrain_drift_tolerance=retrain_drift_tolerance,
+            tick_every=tick_every,
+            tick_kwargs=tick_kwargs,
             stream_id=sid[0],
         )
 
@@ -234,6 +265,8 @@ def process_ann_batch(
     compact_max_runs_per_cell: int | None = ANN_COMPACT_MAX_RUNS,
     retrain_check_every: int | None = None,
     retrain_drift_tolerance: float | None = None,
+    tick_every: int | None = None,
+    tick_kwargs: dict | None = None,
     stream_id: str | None = None,
 ) -> None:
     """One micro-batch of the ANN ingest loop (module-level so the replay
@@ -287,10 +320,46 @@ def process_ann_batch(
             index_dir,
             max_runs_per_cell=max(1, compact_max_runs_per_cell // 2),
         )
-    if retrain_check_every and batch_id % retrain_check_every == 0:
+    on_drift_cadence = bool(
+        retrain_check_every and batch_id % retrain_check_every == 0
+    )
+    ticked_drift = False
+    if tick_every and batch_id > 0 and batch_id % tick_every == 0:
+        # the batch's append is already published and marker-recorded, so
+        # a crash anywhere inside the tick replays exactly-once: the
+        # append skips via its marker and only the (staged, idempotent)
+        # maintenance verbs repeat
+        from datalakejson_spark.functions.ivf import ivf_maintenance_tick
+
+        kw = dict(tick_kwargs or {})
+        if retrain_drift_tolerance is not None:
+            kw.setdefault("drift_tolerance", retrain_drift_tolerance)
+        rep = ivf_maintenance_tick(
+            spark, index_dir, drift_check=on_drift_cadence, **kw
+        )
+        _append_tick_log(index_dir, bid, rep)
+        ticked_drift = on_drift_cadence
+    if on_drift_cadence and not ticked_drift:
         monitor_ivf_drift(
             spark, index_dir, bid, drift_tolerance=retrain_drift_tolerance
         )
+
+
+def _append_tick_log(index_dir: str, bid: str, report: dict) -> None:
+    """Advisory observability for in-stream maintenance ticks: one JSON
+    line per tick under ``{index}/_TICKS.jsonl`` (what ran, what it
+    measured, what it recommends) — the same contract as _RECALL.jsonl /
+    _RETUNE.jsonl; a write failure never fails the batch."""
+    import json
+    import os
+    import time
+
+    rec = {"ts": time.time(), "batch": bid, **report}
+    try:
+        with open(os.path.join(index_dir, "_TICKS.jsonl"), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+    except (OSError, TypeError):  # advisory observability
+        pass
 
 
 def monitor_ivf_drift(
@@ -356,6 +425,8 @@ def streaming_lsh_ingest(
     compact_max_runs_per_bucket: int | None = ANN_COMPACT_MAX_RUNS,
     retune_check_every: int | None = None,
     retune_target_bucket_rows: int = 2000,
+    tick_every: int | None = None,
+    tick_kwargs: dict | None = None,
 ):
     """The LSH twin of :func:`streaming_ann_ingest`: drain landing
     JSON-lines embeddings into a persisted bucket-partitioned LSH index
@@ -365,7 +436,13 @@ def streaming_lsh_ingest(
     partitions, and — with ``retune_check_every`` set — the same in-stream
     drift MONITOR shape as the IVF plane, on the quantity that actually
     degrades for LSH: candidate volume (:func:`monitor_lsh_retune`).
-    Returns the StreamingQuery."""
+    ``tick_every=N`` runs
+    :func:`~datalakejson_spark.functions.lsh_index.lsh_maintenance_tick`
+    as the between-batch policy every N batches (roll-forward +
+    measured-trigger vacuum + tiered fold; the retune reading stays the
+    monitor's job — the tick runs with ``retune_check=False`` in-stream so
+    the _RETUNE.jsonl history has exactly one writer). Returns the
+    StreamingQuery."""
     configure_runtime(spark)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -387,6 +464,8 @@ def streaming_lsh_ingest(
             compact_max_runs_per_bucket=compact_max_runs_per_bucket,
             retune_check_every=retune_check_every,
             retune_target_bucket_rows=retune_target_bucket_rows,
+            tick_every=tick_every,
+            tick_kwargs=tick_kwargs,
             stream_id=sid[0],
         )
 
@@ -408,6 +487,8 @@ def process_lsh_batch(
     compact_max_runs_per_bucket: int | None = ANN_COMPACT_MAX_RUNS,
     retune_check_every: int | None = None,
     retune_target_bucket_rows: int = 2000,
+    tick_every: int | None = None,
+    tick_kwargs: dict | None = None,
     stream_id: str | None = None,
 ) -> None:
     """One micro-batch of the LSH ingest loop (module-level so the replay
@@ -456,6 +537,15 @@ def process_lsh_batch(
             index_dir,
             max_runs_per_bucket=max(1, compact_max_runs_per_bucket // 2),
         )
+    if tick_every and batch_id > 0 and batch_id % tick_every == 0:
+        from datalakejson_spark.functions.lsh_index import lsh_maintenance_tick
+
+        # retune_check=False: the cadenced monitor below owns the
+        # _RETUNE.jsonl history (one writer)
+        rep = lsh_maintenance_tick(
+            spark, index_dir, retune_check=False, **(tick_kwargs or {})
+        )
+        _append_tick_log(index_dir, bid, rep)
     if retune_check_every and batch_id % retune_check_every == 0:
         monitor_lsh_retune(
             index_dir, bid, target_bucket_rows=retune_target_bucket_rows
@@ -516,3 +606,132 @@ def monitor_lsh_retune(
             stats["recommended_planes"],
         )
     return rec
+
+
+# ---------------------------------------------------------------------------
+# Persisted-ANN delete stream (round 15, VERDICT r14 #3)
+# ---------------------------------------------------------------------------
+def streaming_index_deletes(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+    vacuum: str | None = None,
+    vacuum_every: int = 1,
+):
+    """Drain a landing TOMBSTONE feed (JSON-lines ``{"vec_id": N}``) into
+    logical deletes against a persisted ANN index — the delete-plane twin
+    of :func:`streaming_ann_ingest`, completing the lifecycle symmetry
+    (appends streamed since round 13; deletes were batch-only verbs).
+
+    Contract per micro-batch:
+
+    - **logical-immediate**: the batch's ids land as ONE deterministic
+      tombstone file named by the batch id — every probe that starts after
+      the write anti-filters them, before any vacuum;
+    - **exactly-once**: markers ride the same stream-identity namespace
+      machinery as the append plane, under the delete plane's OWN sidecar
+      (``_STREAM_DELETES.json``) so one index can be driven by one append
+      stream and one delete stream concurrently. A replayed delete batch
+      is a strict no-op (marker hit); a crash-window replay before the
+      marker re-writes the SAME tombstone file (atomic replace), never a
+      duplicate;
+    - **bounded**: the tombstone set is probe-side bounded by the vacuum
+      trigger (65,536 absolute + 1% relative) — with ``vacuum="ivf"`` or
+      ``"lsh"`` the measured trigger is checked every ``vacuum_every``
+      batches and the plane's staged vacuum verb runs IN-STREAM when it
+      fires, so a hot delete feed can never grow the tombstone set past
+      what a broadcast anti-join carries.
+
+    Returns the StreamingQuery; call ``.awaitTermination()``.
+    """
+    configure_runtime(spark)
+    if schema is None:
+        schema = T.StructType([T.StructField("vec_id", T.LongType())])
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(landing_dir)
+
+    sid: list[str] = []  # resolved lazily: metadata exists once the query runs
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not sid:
+            sid.append(stream_identity(checkpoint_dir))
+        process_delete_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            index_dir,
+            stream_id=sid[0],
+            vacuum=vacuum,
+            vacuum_every=vacuum_every,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def process_delete_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    stream_id: str | None = None,
+    vacuum: str | None = None,
+    vacuum_every: int = 1,
+) -> int:
+    """One micro-batch of the delete stream (module-level so the replay
+    semantics are directly testable). Returns the number of ids tombstoned
+    this call (0 for a marker-recognized replay)."""
+    from datalakejson_spark.functions.index_maintenance import (
+        add_tombstones,
+        batch_applied,
+        mark_batch_applied,
+        needs_vacuum,
+    )
+
+    if vacuum not in (None, "ivf", "lsh"):
+        raise ValueError(f"vacuum must be None, 'ivf' or 'lsh': {vacuum!r}")
+    if stream_id is not None:
+        _guard_stream_identity(
+            index_dir, stream_id, sidecar_name=_DELETE_STREAM_SIDECAR
+        )
+        bid = f"del-{stream_id}-b{batch_id}"
+    else:
+        bid = f"del-b{batch_id}"
+    if batch_applied(index_dir, bid):
+        return 0
+    # the collect is bounded by the delete-batch size, which the vacuum
+    # trigger bounds in turn (a feed hotter than the 65,536-id cap must
+    # vacuum in-stream, not batch bigger) — same driver-side posture as
+    # the batch delete verb, which takes a Python iterable
+    ids = [int(r[0]) for r in batch_df.select("vec_id").distinct().collect()]
+    n = 0
+    if ids:
+        # deterministic name: a crash-window replay (tombstones written,
+        # marker not yet) atomically re-writes the same file
+        n = add_tombstones(index_dir, ids, name=f"{bid}.json")
+    mark_batch_applied(index_dir, bid)
+    if vacuum and vacuum_every and batch_id % vacuum_every == 0:
+        if needs_vacuum(index_dir)[0]:
+            if vacuum == "ivf":
+                from datalakejson_spark.functions.ivf import vacuum_ivf_deletes
+
+                rep = vacuum_ivf_deletes(spark, index_dir)
+            else:
+                from datalakejson_spark.functions.lsh_index import (
+                    vacuum_lsh_deletes,
+                )
+
+                rep = vacuum_lsh_deletes(spark, index_dir)
+            _append_tick_log(index_dir, bid, {"actions": [
+                {"verb": "vacuum", **rep}
+            ]})
+    return n

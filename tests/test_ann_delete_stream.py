@@ -1,0 +1,220 @@
+"""Persisted-ANN delete STREAM (round 15, VERDICT r14 #3): a landing
+tombstone feed drains into logical deletes under the delete plane's own
+stream-identity exactly-once markers — mirroring test_ann_deletes for the
+streaming path: deletes are visible to the next batch's probes
+(logical-immediate), a replayed delete batch is a no-op, and the vacuum
+trigger fires from the accumulated stream deletes."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from datalakejson_spark.functions.index_maintenance import load_tombstones
+from datalakejson_spark.functions.ivf import (
+    N_CELLS,
+    N_PROBE,
+    build_ivf_index,
+    ivf_index_append,
+    ivf_index_topk,
+)
+from datalakejson_spark.streaming.ann_stream import (
+    process_delete_batch,
+    streaming_index_deletes,
+)
+
+SF = "/root/testdata/sf0.01"
+_IDS_DDL = "vec_id bigint"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _twin(spark, emb, vec_id, new_id, eps=1e-4):
+    base = emb.filter(F.col("vec_id") == vec_id).first()
+    return spark.createDataFrame(
+        [(new_id, [float(v) + eps for v in base.embedding])],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def _write_feed(landing, name, ids):
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, name), "w") as fh:
+        for i in ids:
+            fh.write(json.dumps({"vec_id": int(i)}) + "\n")
+
+
+def test_streamed_delete_hides_immediately_and_replay_is_noop(
+    spark, tmp_path
+):
+    """The twin planted as vec 7's top neighbor vanishes from top-k the
+    moment its delete batch lands (logical-immediate, before any vacuum);
+    replaying the same batch (marker hit) and the crash-window replay
+    (tombstones written, marker not yet) are both no-ops — one tombstone
+    file, never two."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    ivf_index_append(spark, _twin(spark, emb, 7, 100000), idx)
+    queries = emb.filter(F.col("vec_id") == 7)
+    assert (
+        ivf_index_topk(spark, queries, idx).filter("rn = 1").first().neighbor_id
+        == 100000
+    )
+
+    feed = spark.createDataFrame([(100000,)], _IDS_DDL)
+    n = process_delete_batch(spark, feed, 0, idx, stream_id="delstream")
+    assert n == 1
+    rows = ivf_index_topk(spark, queries, idx, nprobe=N_PROBE).collect()
+    assert all(r.neighbor_id != 100000 for r in rows)
+    assert len(rows) == 5  # still a full top-k from live rows
+    # physically still present: logical-immediate, not a rewrite
+    cells = os.path.join(idx, "cells")
+    assert spark.read.parquet(cells).filter("vec_id = 100000").count() == 1
+
+    tdir = os.path.join(idx, "_tombstones")
+    files_before = sorted(os.listdir(tdir))
+    # marker-recognized replay: strict no-op
+    assert process_delete_batch(spark, feed, 0, idx, stream_id="delstream") == 0
+    assert sorted(os.listdir(tdir)) == files_before
+    # crash-window replay: marker removed (as if the crash hit between the
+    # tombstone write and the marker) — the deterministic file name makes
+    # the re-write an atomic replace, not a second file
+    os.remove(os.path.join(idx, "_applied", "del-delstream-b0"))
+    assert process_delete_batch(spark, feed, 0, idx, stream_id="delstream") == 1
+    assert sorted(os.listdir(tdir)) == files_before
+    assert load_tombstones(idx)[0] == {100000}
+
+
+def test_delete_stream_guard_is_independent_of_append_plane(spark, tmp_path):
+    """The delete plane owns its own identity sidecar: an append stream
+    and a delete stream can drive the same index concurrently, but a
+    SECOND delete stream (new checkpoint) fails loudly — same contract as
+    the append guard, separately enforced."""
+    import pytest
+
+    from datalakejson_spark.streaming.ann_stream import process_ann_batch
+
+    idx = str(tmp_path / "ivf")
+    rows = [(i, [float(i % 7), float(i % 11)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    process_ann_batch(spark, df, 0, idx, n_cells=4, stream_id="appendA")
+
+    feed = spark.createDataFrame([(5,), (6,)], _IDS_DDL)
+    process_delete_batch(spark, feed, 0, idx, stream_id="delA")
+    assert load_tombstones(idx)[0] == {5, 6}
+    # both sidecars exist, owned by their own planes
+    assert (
+        json.load(open(os.path.join(idx, "_STREAM.json")))["stream_id"]
+        == "appendA"
+    )
+    assert (
+        json.load(open(os.path.join(idx, "_STREAM_DELETES.json")))["stream_id"]
+        == "delA"
+    )
+    with pytest.raises(ValueError, match="adopt_stream"):
+        process_delete_batch(spark, feed, 0, idx, stream_id="delB")
+    # and the append plane still accepts its own stream
+    d2 = spark.createDataFrame(
+        [(1000 + i, [1.0, 2.0]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    process_ann_batch(spark, d2, 1, idx, stream_id="appendA")
+
+
+def test_streamed_deletes_fire_vacuum_trigger_in_stream(spark, tmp_path):
+    """The end-to-end feed: accumulated stream deletes cross the measured
+    relative trigger and the in-stream vacuum physically removes them,
+    retires the tombstones, and later drains of the same checkpoint stay
+    exactly-once."""
+    emb = _emb(spark)
+    n = emb.count()
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    landing = str(tmp_path / "feed")
+    args = dict(
+        landing_dir=landing,
+        index_dir=idx,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        vacuum="ivf",
+    )
+    # two delete files; together > 1% of the corpus so the trigger fires
+    # on the second batch's check
+    doomed = [r.vec_id for r in emb.select("vec_id").limit(int(n * 0.02)).collect()]
+    half = len(doomed) // 2
+    _write_feed(landing, "d0.json", doomed[:half])
+    _write_feed(landing, "d1.json", doomed[half:])
+    streaming_index_deletes(spark, **args).awaitTermination()
+
+    cells = os.path.join(idx, "cells")
+    live = spark.read.parquet(cells).select("vec_id")
+    assert live.filter(F.col("vec_id").isin(doomed)).count() == 0
+    assert live.count() == n - len(doomed)
+    assert load_tombstones(idx) == (set(), [])
+    ticks = [
+        json.loads(line) for line in open(os.path.join(idx, "_TICKS.jsonl"))
+    ]
+    assert any(
+        a["verb"] == "vacuum" and a["vectors_removed"] > 0
+        for t in ticks
+        for a in t["actions"]
+    )
+    # a replayed drain (same checkpoint, no new files) is a no-op
+    streaming_index_deletes(spark, **args).awaitTermination()
+    assert spark.read.parquet(cells).count() == n - len(doomed)
+    # and a fresh feed file keeps flowing
+    more = [
+        r.vec_id
+        for r in emb.select("vec_id")
+        .filter(~F.col("vec_id").isin(doomed))
+        .limit(3)
+        .collect()
+    ]
+    _write_feed(landing, "d2.json", more)
+    streaming_index_deletes(spark, **args).awaitTermination()
+    assert load_tombstones(idx)[0] == set(more)  # under trigger: logical
+    probe = ivf_index_topk(
+        spark, _emb(spark).limit(2), idx, nprobe=N_PROBE
+    ).collect()
+    assert all(r.neighbor_id not in set(more) for r in probe)
+
+
+def test_delete_batch_vacuums_lsh_plane(spark, tmp_path):
+    """The vacuum='lsh' branch: stream deletes against a persisted LSH
+    index physically remove every tb-partition copy once the trigger
+    fires, through the same exactly-once delete-batch path."""
+    from datalakejson_spark.functions.lsh_index import build_lsh_index
+
+    idx = str(tmp_path / "lsh")
+    rows = [
+        (i, [float((i * 7) % 13), float((i * 5) % 11), float(i % 3)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    build_lsh_index(df, idx, n_planes=6, n_tables=2)
+
+    doomed = list(range(20))  # 5% of 400: past the relative trigger
+    feed = spark.createDataFrame([(i,) for i in doomed], _IDS_DDL)
+    assert (
+        process_delete_batch(
+            spark, feed, 0, idx, stream_id="lshdel", vacuum="lsh"
+        )
+        == 20
+    )
+    buckets = spark.read.parquet(os.path.join(idx, "buckets"))
+    assert buckets.filter(F.col("vec_id").isin(doomed)).count() == 0
+    assert load_tombstones(idx) == (set(), [])
+    # replay: strict no-op (marker), nothing resurrects
+    assert (
+        process_delete_batch(
+            spark, feed, 0, idx, stream_id="lshdel", vacuum="lsh"
+        )
+        == 0
+    )
+    assert load_tombstones(idx) == (set(), [])
