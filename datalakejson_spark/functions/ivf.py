@@ -747,6 +747,95 @@ def l3e_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_check(ann, emb, queries)
 
 
+def _l3g_plan(spark: SparkSession, sf_dir: str) -> str:
+    """PRE-checkpoint physical plan of the l3g lifecycle probe (same plan
+    guard contract as _l3e_plan — the scratch index is deleted before the
+    query returns, so the returned plan is a checkpointed-RDD scan)."""
+    import shutil
+    import tempfile
+
+    from datalakejson_spark.functions.similarity import ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    idx = tempfile.mkdtemp(prefix="l3g_plan_")
+    try:
+        build_ivf_index(emb, idx, n_cells=N_CELLS)
+        ann = ivf_index_topk(spark, queries, idx, nprobe=N_PROBE)
+        live = emb.filter(~(F.col("vec_id") % 97 == 9))
+        full = ann_recall_check(ann, live, queries)
+        return full._jdf.queryExecution().executedPlan().toString()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+@register(
+    "l3g_ann_ivf_lifecycle",
+    survey="L3,S6,X1",
+    plan_fn=_l3g_plan,
+    # driver tier since r15 (seat rotation, VERDICT r14 #7): the persisted
+    # index's DELETE lifecycle — logical tombstone, measured-trigger-style
+    # physical vacuum, probe over the survivors — had no driver-visible leg
+    sql="""
+    -- The lifecycle contract, oracle-checkable as two booleans per query:
+    -- after deleting the vec_id % 97 == 9 slice and physically vacuuming
+    -- it, the probe must still recover a true nearest neighbor from the
+    -- exact brute-force top-k over the LIVE corpus (found_true_neighbor),
+    -- and must never surface a deleted id (no_deleted_neighbor). The
+    -- deleted slice avoids the query ids (vec_id < 8).
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           true AS found_true_neighbor,
+           true AS no_deleted_neighbor
+    FROM embeddings
+    WHERE vec_id < 8
+    """,
+)
+def l3g_ann_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-IVF DELETE lifecycle end-to-end (round 15): build the
+    cell-partitioned index, logically delete a deterministic ~1% slice
+    (``vec_id % 97 == 9``), physically vacuum it (only the affected cells
+    rewrite — index_maintenance.vacuum_deleted), then probe and verify BOTH
+    halves of the delete contract against the exact baseline: every query
+    still recovers a true live nearest neighbor, and no deleted vector
+    surfaces. Same scratch-dir + eager-checkpoint shape as l3e (the index
+    is removed before returning; _l3g_plan exposes the real plan to the
+    plan guard)."""
+    import shutil
+    import tempfile
+
+    from datalakejson_spark.functions.similarity import ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    doomed_pred = F.col("vec_id") % 97 == 9
+    idx = tempfile.mkdtemp(prefix="l3g_ivf_")
+    try:
+        build_ivf_index(emb, idx, n_cells=N_CELLS)
+        doomed = [
+            int(r[0])
+            for r in emb.filter(doomed_pred).select("vec_id").collect()
+        ]
+        ivf_index_delete(idx, doomed)
+        vacuum_ivf_deletes(spark, idx)
+        ann = ivf_index_topk(spark, queries, idx, nprobe=N_PROBE).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    live = emb.filter(~doomed_pred)
+    base = ann_recall_check(ann, live, queries)
+    deleted_hits = (
+        ann.filter(F.col("neighbor_id") % 97 == 9)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_deleted"))
+    )
+    return base.join(deleted_hits, "query_id", "left").select(
+        "query_id",
+        "found_true_neighbor",
+        F.col("n_deleted").isNull().alias("no_deleted_neighbor"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Persisted-index MAINTENANCE plane (round 13). Round 12 shipped the index
 # and named its own disease (each append job adds one file per touched cell;

@@ -53,6 +53,9 @@ def l4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l4_language_profile",
     survey="L4,G3",
+    # demoted r15 (seat rotation, VERDICT r14 #7: an over-represented G3
+    # carrier; L4 keeps driver seats via l22_quality_gate + l8_token_shards)
+    extended=True,
     sql="""
     SELECT lang,
            count(*) AS n_docs,

@@ -394,8 +394,10 @@ def salted_join(
 @register(
     "j11_salted_hot_key_join",
     survey="J3,G3",
-    # promoted to the driver tier in r12 (seat rotation: the salted-join
-    # family had never had a driver-green row)
+    # driver tier r12-r14; demoted r15 (seat rotation, VERDICT r14 #7:
+    # J3+G3 both redundantly covered by j3_star_join_revenue; still
+    # oracle-exact locally every sweep)
+    extended=True,
     sql=f"""
     SELECT e.event_type,
            count(*) AS n_events,

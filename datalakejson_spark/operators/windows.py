@@ -142,7 +142,8 @@ def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w4_time_range_frame",
     survey="W4",
-    extended=True,  # W4 covered in the driver tier by w3 (30-day range frame)
+    # promoted to the driver tier in r15 (seat rotation, VERDICT r14 #7):
+    # the dedicated time-RANGE-frame carrier; W4 previously rode only w3
     sql=f"""
     SELECT event_id, user_id,
            {dwin_sum_sql('value', '''(

@@ -105,6 +105,7 @@ _ARROW_PYTHON_OK = {
     "l3d_exact_topk_vectorized",
     "l3e_ann_ivf_persisted",
     "l3f_ann_lsh_persisted",
+    "l3g_ann_ivf_lifecycle",  # same Arrow/BLAS probe as l3e (r15 rotation)
 }
 
 #: registered queries whose RETURNED plan legitimately contains a
