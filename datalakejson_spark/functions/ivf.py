@@ -1447,10 +1447,29 @@ def ivf_index_upsert(
     """Replace-by-id: tombstone the incoming ids, vacuum them physically
     (only the cells holding them rewrite), then append the new rows
     against the existing quantizer. An admin-verb composition — the
-    streaming path stays append-only by design."""
-    ids = [r[0] for r in rows.select("vec_id").distinct().collect()]
+    streaming path stays append-only by design.
+
+    The vacuum RERUNS until this call's ids are physically gone (round 15
+    — found by the 10^6 delete soak): vacuum_deleted is a clean RACE LOSER
+    against a concurrent compaction/split publish (tombstones kept, caller
+    reruns — its own contract), so a single vacuum pass under a racing
+    compactor can leave the ids tombstoned and the closing append would
+    reject them loudly. Bounded retries; still-tombstoned after that is a
+    real error, not a swallowed one."""
+    from datalakejson_spark.functions.index_maintenance import load_tombstones
+
+    ids = {int(r[0]) for r in rows.select("vec_id").distinct().collect()}
     ivf_index_delete(index_dir, ids)
-    vacuum_ivf_deletes(spark, index_dir)
+    for _ in range(8):
+        vacuum_ivf_deletes(spark, index_dir)
+        if not (load_tombstones(index_dir)[0] & ids):
+            break
+    else:
+        raise RuntimeError(
+            f"ivf_index_upsert: {len(ids)} ids still tombstoned after 8 "
+            f"vacuum attempts at {index_dir} — a maintenance publisher is "
+            "winning every race; retry when the index quiesces"
+        )
     return ivf_index_append(spark, rows, index_dir)
 
 

@@ -324,3 +324,46 @@ def test_lsh_maintenance_tick(spark, tmp_path):
         spark, idx, max_runs_per_bucket=2, target_bucket_rows=15
     )
     assert report2["actions"] == []
+
+
+def test_upsert_reruns_vacuum_after_a_race_loss(spark, tmp_path, monkeypatch):
+    """ivf_index_upsert must survive its vacuum losing a publish race
+    (round 15 — found by the 10^6 delete soak: vacuum_deleted returns as a
+    clean race loser with tombstones KEPT when a concurrent compaction
+    publish wins, and a single-pass upsert then fed still-tombstoned ids
+    to the append, which rejects them loudly). The verb now reruns the
+    vacuum until its ids are physically gone."""
+    import datalakejson_spark.functions.ivf as ivf_mod
+    from datalakejson_spark.functions.ivf import ivf_index_upsert
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+
+    real_vacuum = ivf_mod.vacuum_ivf_deletes
+    calls = {"n": 0}
+
+    def racing_vacuum(spark_, index_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulated race loser: the real verb's loser path returns the
+            # zero report with tombstones kept (index untouched)
+            return {
+                "rows_removed": 0,
+                "vectors_removed": 0,
+                "partitions_rewritten": 0,
+                "tombstone_files_cleared": 0,
+            }
+        return real_vacuum(spark_, index_dir)
+
+    monkeypatch.setattr(ivf_mod, "vacuum_ivf_deletes", racing_vacuum)
+    base = emb.filter(F.col("vec_id") == 3).first()
+    replacement = spark.createDataFrame(
+        [(3, [float(v) + 0.5 for v in base.embedding])],
+        "vec_id bigint, embedding array<double>",
+    )
+    n = ivf_index_upsert(spark, replacement, idx)
+    assert n == 1 and calls["n"] >= 2  # the loser pass was retried
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    assert cells.filter("vec_id = 3").count() == 1  # replaced, not doubled
+    assert load_tombstones(idx) == (set(), [])

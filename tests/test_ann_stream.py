@@ -582,3 +582,49 @@ def test_explicit_adoption_disables_legacy_markers(spark, tmp_path):
     assert _index_rows(spark, idx) == sorted(
         i for i, _ in boot + delta + _vectors(3, 30, 9000)
     )
+
+
+def test_lsh_legacy_markers_honored_across_namespacing_upgrade(
+    spark, tmp_path
+):
+    """The LSH twin of the legacy-marker bridge: pre-sidecar 'b{N}'
+    bootstrap/applied markers are recognized by a replay straddling the
+    namespacing upgrade — no bucket-row duplicates."""
+    from datalakejson_spark.functions.lsh_index import load_lsh_meta
+    from datalakejson_spark.streaming.ann_stream import process_lsh_batch
+
+    idx = str(tmp_path / "idx")
+    schema = "vec_id bigint, embedding array<double>"
+    boot = _vectors(21, 120, 0)
+    delta = _vectors(22, 30, 5000)
+    process_lsh_batch(
+        spark, spark.createDataFrame(boot, schema), 0, idx,
+        n_planes=6, n_tables=2,
+    )
+    process_lsh_batch(spark, spark.createDataFrame(delta, schema), 1, idx)
+    assert load_lsh_meta(idx).get("bootstrap_batch") == "b0"
+
+    # the same checkpoint replays both batches under namespaced ids
+    process_lsh_batch(
+        spark, spark.createDataFrame(boot, schema), 0, idx, stream_id="sidL"
+    )
+    process_lsh_batch(
+        spark, spark.createDataFrame(delta, schema), 1, idx, stream_id="sidL"
+    )
+    rows = (
+        spark.read.parquet(os.path.join(idx, "buckets"))
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    assert rows == len(boot) + len(delta)
+    # per-table copies are exact (no duplicate bucket rows): every
+    # (vec_id, tb) pair appears exactly once per table the family hashes to
+    dup = (
+        spark.read.parquet(os.path.join(idx, "buckets"))
+        .groupBy("vec_id", "tb")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0

@@ -230,3 +230,69 @@ def test_streaming_tick_end_to_end_across_restart(spark, tmp_path):
     # a third drain with nothing new is a no-op (markers intact)
     streaming_ann_ingest(spark, **args).awaitTermination()
     assert _rows(spark, idx) == expect
+
+
+def test_ivf_tick_runs_delta_retrain_on_drift_cadence(spark, tmp_path):
+    """The opt-in drift leg: on a tick batch that is also a
+    retrain-cadence batch, the tick measures recall and — when the trigger
+    fires — runs the LOCALIZED delta retrain in-stream, re-records the
+    honest baseline, and the trigger clears. Off-cadence tick batches
+    never pay the recall probe."""
+    from datalakejson_spark.functions.ivf import (
+        build_ivf_index,
+        ivf_needs_retrain,
+    )
+
+    rng = np.random.RandomState(0)  # the test_ivf_retrain_delta fixture
+    # geometry: this seed's blob measurably drops recall (1.0 -> 0.9875)
+    cents = rng.standard_normal((64, 8)) * 5.0
+    idx = str(tmp_path / "idx")
+
+    def clustered(n, start):
+        lab = rng.randint(0, len(cents), n)
+        x = cents[lab] + rng.standard_normal((n, 8)) * 0.2
+        return [(start + i, [float(v) for v in x[i]]) for i in range(n)]
+
+    def blob(n, start):  # localized OOD drift (one orthant sub-box)
+        x = rng.uniform(0.0, 16.0, (n, 8))
+        return [(start + i, [float(v) for v in x[i]]) for i in range(n)]
+
+    base = spark.createDataFrame(clustered(6000, 0), _DDL)
+    build_ivf_index(base, idx, n_cells=64, measure_recall=True)
+    kwargs = dict(
+        tick_every=2,
+        retrain_check_every=2,
+        retrain_drift_tolerance=0.01,
+        stream_id="driftstream",
+    )
+    process_ann_batch(
+        spark, spark.createDataFrame(clustered(10, 50_000), _DDL), 0, idx,
+        **kwargs,
+    )
+    process_ann_batch(
+        spark, spark.createDataFrame(blob(6000, 100_000), _DDL), 1, idx,
+        **kwargs,
+    )
+    assert ivf_needs_retrain(spark, idx, drift_tolerance=0.01)[0]
+
+    process_ann_batch(
+        spark, spark.createDataFrame(clustered(200, 60_000), _DDL), 2, idx,
+        **kwargs,
+    )  # tick + drift cadence aligned
+    ticks = [
+        json.loads(line) for line in open(os.path.join(idx, "_TICKS.jsonl"))
+    ]
+    retrains = [
+        a
+        for t in ticks
+        for a in t["actions"]
+        if a["verb"] == "delta_retrain"
+    ]
+    assert retrains and retrains[-1]["outcome"] == "published", ticks
+    assert 0 < retrains[-1]["moved_cells"] < 32  # localized, not a rebuild
+    # baseline re-recorded in-stream; the trigger clears against it
+    assert not ivf_needs_retrain(spark, idx, drift_tolerance=0.01)[0]
+    # conservation through the in-stream retrain
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    assert cells.count() == 6000 + 10 + 6000 + 200
+    assert cells.groupBy("vec_id").count().filter("count > 1").count() == 0
