@@ -223,6 +223,33 @@ def vacuum_lsh_deletes(spark: SparkSession, index_dir: str) -> dict:
     return vacuum_deleted(spark, index_dir, _BUCKETS, "tb", _LSH_META)
 
 
+def lsh_index_upsert(
+    spark: SparkSession, rows: DataFrame, index_dir: str
+) -> int:
+    """Replace-by-id — the LSH twin of ivf_index_upsert (round 15, closing
+    the one verb asymmetry between the persisted indexes): tombstone the
+    incoming ids, vacuum them physically from every tb partition, then
+    append the new rows under the persisted family definition. The vacuum
+    RERUNS until this call's ids are physically gone (vacuum_deleted is a
+    clean race loser against a concurrent fold's publish — same soak-found
+    hazard as the IVF verb, same bounded-retry remedy)."""
+    from datalakejson_spark.functions.index_maintenance import load_tombstones
+
+    ids = {int(r[0]) for r in rows.select("vec_id").distinct().collect()}
+    lsh_index_delete(index_dir, ids)
+    for _ in range(8):
+        vacuum_lsh_deletes(spark, index_dir)
+        if not (load_tombstones(index_dir)[0] & ids):
+            break
+    else:
+        raise RuntimeError(
+            f"lsh_index_upsert: {len(ids)} ids still tombstoned after 8 "
+            f"vacuum attempts at {index_dir} — a maintenance publisher is "
+            "winning every race; retry when the index quiesces"
+        )
+    return lsh_index_append(spark, rows, index_dir)
+
+
 def lsh_needs_compaction(index_dir: str, max_runs_per_bucket: int = 8) -> bool:
     return needs_compaction(index_dir, max_runs_per_bucket, _BUCKETS)
 

@@ -367,3 +367,62 @@ def test_upsert_reruns_vacuum_after_a_race_loss(spark, tmp_path, monkeypatch):
     cells = spark.read.parquet(os.path.join(idx, "cells"))
     assert cells.filter("vec_id = 3").count() == 1  # replaced, not doubled
     assert load_tombstones(idx) == (set(), [])
+
+
+def test_lsh_upsert_replaces_in_every_table(spark, tmp_path, monkeypatch):
+    """lsh_index_upsert (round 15 — the LSH twin): replace-by-id removes
+    every tb-partition copy of the old vector and appends the new one
+    under the persisted family; the re-append of a tombstoned id would
+    fail loudly, so the verb's vacuum retry (same soak-found race-loser
+    hazard as the IVF twin) is load-bearing."""
+    import datalakejson_spark.functions.lsh_index as lsh_mod
+    from datalakejson_spark.functions.lsh_index import (
+        build_lsh_index,
+        lsh_index_topk,
+        lsh_index_upsert,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(emb, idx, n_planes=4, n_tables=4)
+
+    real_vacuum = lsh_mod.vacuum_lsh_deletes
+    calls = {"n": 0}
+
+    def racing_vacuum(spark_, index_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:  # simulated race loser: tombstones kept
+            return {
+                "rows_removed": 0,
+                "vectors_removed": 0,
+                "partitions_rewritten": 0,
+                "tombstone_files_cleared": 0,
+            }
+        return real_vacuum(spark_, index_dir)
+
+    monkeypatch.setattr(lsh_mod, "vacuum_lsh_deletes", racing_vacuum)
+    base = emb.filter(F.col("vec_id") == 5).first()
+    replacement = spark.createDataFrame(
+        [(5, [float(v) + 0.5 for v in base.embedding])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert lsh_index_upsert(spark, replacement, idx) == 1
+    assert calls["n"] >= 2  # the loser pass was retried
+    buckets = spark.read.parquet(os.path.join(idx, "buckets"))
+    # exactly one copy per table the family hashes vec 5 into — never the
+    # old and new rows side by side
+    dups = (
+        buckets.filter("vec_id = 5")
+        .groupBy("tb")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dups == 0
+    assert load_tombstones(idx) == (set(), [])
+    # the replacement embedding is what probes now score
+    got = buckets.filter("vec_id = 5").select("embedding").first()[0]
+    assert abs(got[0] - (float(base.embedding[0]) + 0.5)) < 1e-6  # float32 index dtype
+    # and the index still answers
+    q = emb.filter(F.col("vec_id") == 3)
+    assert lsh_index_topk(spark, q, idx).count() > 0

@@ -62,5 +62,11 @@ def test_extended_queries_stay_registered():
     # demotion must never mean deletion: the full registry keeps every
     # query locally verified (tools/verify_oracle.py runs all of them)
     specs = all_specs()
-    for name in ("l2_minhash_lsh_pairs", "sq2_not_in_anti"):
+    for name in (
+        "l2_minhash_lsh_pairs",
+        "sq2_not_in_anti",
+        # r15 rotation
+        "j11_salted_hot_key_join",
+        "l4_language_profile",
+    ):
         assert name in specs and specs[name].extended, name
