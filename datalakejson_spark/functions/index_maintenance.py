@@ -948,3 +948,105 @@ def probe_retrying(make_df, attempts: int = 3):
         except Exception as exc:  # noqa: BLE001 — retried narrowly
             if attempt == attempts - 1 or not _is_missing_file_error(exc):
                 raise
+
+
+# ---------------------------------------------------------------------------
+# Operator-facing index report (round 15)
+# ---------------------------------------------------------------------------
+def index_report(index_dir: str) -> dict:
+    """One driver-side read of everything an operator needs before touching
+    a persisted ANN index — the observability twin of the maintenance
+    ticks (which ACT on these signals; this verb only reads them). No
+    Spark job, no parquet data read: meta + sidecars + directory listings.
+
+    Returns a dict with: ``plane`` ("ivf"/"lsh"), the family summary
+    (cells or planes/tables, generation, bootstrap batch, baseline
+    recall), the advisory ``n_vectors``, partition/file/run stats (count,
+    max files and max write-generation runs per partition — the compaction
+    trigger's own quantity), the tombstone state with the vacuum trigger's
+    verdict, committed-but-unpublished stages (crash evidence the next
+    verb rolls forward), the owning append/delete stream identities, and
+    the LAST reading from each advisory history (_RECALL/_RETUNE/_TICKS
+    jsonls)."""
+    report: dict = {"index_dir": index_dir}
+    plane = None
+    for meta_name, p, subdir in (
+        ("_IVF.json", "ivf", "cells"),
+        ("_LSH.json", "lsh", "buckets"),
+    ):
+        if os.path.exists(os.path.join(index_dir, meta_name)):
+            plane, report["plane"], report["subdir"] = p, p, subdir
+            meta = load_index_meta(index_dir, meta_name, "build")
+            break
+    if plane is None:
+        return {**report, "plane": None, "error": "no index meta found"}
+    family_keys = (
+        ("n_cells", "gen", "seed", "dim")
+        if plane == "ivf"
+        else ("n_planes", "n_tables", "seed", "dim")
+    )
+    report["family"] = {k: meta.get(k) for k in family_keys}
+    for k in ("bootstrap_batch", "baseline_recall", "retrain_token"):
+        if k in meta:
+            report["family"][k] = meta[k]
+    report["n_vectors"] = meta.get("n_vectors", 0)
+
+    live = live_partition_files(index_dir, report["subdir"])
+    files_per = [len(v) for v in live.values()]
+    report["layout"] = {
+        "partitions": len(live),
+        "files": sum(files_per),
+        "max_files_per_partition": max(files_per, default=0),
+        "max_runs_per_partition": max(
+            (len(_derive_runs(v)) for v in live.values()), default=0
+        ),
+    }
+
+    ids, names = load_tombstones(index_dir)
+    vac_needed, vac_stats = needs_vacuum(index_dir)
+    report["tombstones"] = {
+        "ids": len(ids),
+        "files": len(names),
+        "needs_vacuum": bool(vac_needed),
+        "fraction": vac_stats["fraction"],
+    }
+
+    staging = os.path.join(index_dir, STAGING)
+    report["committed_stages_pending"] = sorted(
+        t
+        for t in (os.listdir(staging) if os.path.isdir(staging) else [])
+        if os.path.exists(os.path.join(staging, t, "_COMMITTED"))
+    )
+
+    streams = {}
+    for key, sidecar in (
+        ("append", "_STREAM.json"),
+        ("delete", "_STREAM_DELETES.json"),
+    ):
+        try:
+            with open(os.path.join(index_dir, sidecar)) as fh:
+                streams[key] = json.load(fh).get("stream_id")
+        except (OSError, ValueError):
+            streams[key] = None
+    report["streams"] = streams
+
+    histories = {}
+    for key, name in (
+        ("recall", "_RECALL.jsonl"),
+        ("retune", "_RETUNE.jsonl"),
+        ("ticks", "_TICKS.jsonl"),
+    ):
+        last = None
+        try:
+            with open(os.path.join(index_dir, name)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        last = line
+            if last is not None:
+                last = json.loads(last)
+        except (OSError, ValueError):
+            last = None
+        histories[key] = last
+    report["last_readings"] = histories
+    return report

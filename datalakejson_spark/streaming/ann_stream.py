@@ -148,17 +148,19 @@ def _guard_stream_identity(
             f"stream sidecar {path} exists but is unreadable ({exc!r}) — "
             "refusing to re-adopt the index while its ownership state is "
             "unknown. Restore the sidecar or, if the reset is intentional, "
-            f"call adopt_stream({index_dir!r}, {stream_id!r})."
+            f"call adopt_stream({index_dir!r}, {stream_id!r}, "
+            f"sidecar={sidecar_name!r})."
         ) from exc
     if owner != stream_id:
         raise ValueError(
-            f"index {index_dir} is owned by stream {owner!r} but this "
-            f"query's checkpoint identifies as {stream_id!r} — a NEW "
-            "checkpoint pointed at an existing index would replay batch "
-            "ids and corrupt the exactly-once markers. If the checkpoint "
-            "reset is intentional, call adopt_stream(index_dir, "
-            f"{stream_id!r}) first (new batches will append from this "
-            "stream's batch 0)."
+            f"index {index_dir} is owned by stream {owner!r} (sidecar "
+            f"{sidecar_name}) but this query's checkpoint identifies as "
+            f"{stream_id!r} — a NEW checkpoint pointed at an existing index "
+            "would replay batch ids and corrupt the exactly-once markers. "
+            "If the checkpoint reset is intentional, call "
+            f"adopt_stream(index_dir, {stream_id!r}, "
+            f"sidecar={sidecar_name!r}) first (new batches will apply from "
+            "this stream's batch 0)."
         )
     # Pre-r15 sidecars lack the key; they were written by the same
     # first-contact auto-adopt path, so default to honoring legacy markers.

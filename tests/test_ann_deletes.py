@@ -426,3 +426,48 @@ def test_lsh_upsert_replaces_in_every_table(spark, tmp_path, monkeypatch):
     # and the index still answers
     q = emb.filter(F.col("vec_id") == 3)
     assert lsh_index_topk(spark, q, idx).count() > 0
+
+
+def test_index_report_reads_everything_driver_side(spark, tmp_path):
+    """index_report (round 15): one no-Spark-job read of the operator's
+    whole picture — family, advisory count, layout/run stats, tombstone
+    state with the vacuum verdict, pending committed stages, owning
+    streams, and the last advisory readings."""
+    from datalakejson_spark.functions.index_maintenance import index_report
+    from datalakejson_spark.streaming.ann_stream import (
+        process_ann_batch,
+        process_delete_batch,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+    n = emb.count()
+    process_ann_batch(
+        spark, _twin(spark, emb, 7, 700000), 0, idx, stream_id="appendR"
+    )
+    feed = spark.createDataFrame([(700000,)], "vec_id bigint")
+    process_delete_batch(spark, feed, 0, idx, stream_id="deleteR")
+
+    rep = index_report(idx)
+    assert rep["plane"] == "ivf" and rep["subdir"] == "cells"
+    assert rep["family"]["n_cells"] == N_CELLS
+    assert rep["n_vectors"] == n + 1
+    assert rep["layout"]["partitions"] > 0
+    assert rep["layout"]["files"] >= rep["layout"]["partitions"]
+    assert rep["layout"]["max_runs_per_partition"] >= 1
+    assert rep["tombstones"]["ids"] == 1
+    assert rep["tombstones"]["needs_vacuum"] is False  # 1 of n: under trigger
+    assert rep["committed_stages_pending"] == []
+    assert rep["streams"] == {"append": "appendR", "delete": "deleteR"}
+    assert rep["last_readings"]["recall"] is None  # no monitor ran
+
+    # the LSH plane reports through the same verb
+    from datalakejson_spark.functions.lsh_index import build_lsh_index
+
+    lidx = str(tmp_path / "lsh")
+    build_lsh_index(emb, lidx, n_planes=4, n_tables=2)
+    lrep = index_report(lidx)
+    assert lrep["plane"] == "lsh" and lrep["subdir"] == "buckets"
+    assert lrep["family"]["n_planes"] == 4
+    assert lrep["n_vectors"] == n
