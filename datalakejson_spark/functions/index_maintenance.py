@@ -765,6 +765,38 @@ def clear_tombstone_files(index_dir: str, names: list[str]) -> None:
             pass
 
 
+#: fold the tombstone directory once it holds more than this many files.
+#: The vacuum trigger bounds tombstone IDS (65,536 + 1%), not FILES — a
+#: hot one-id-per-batch delete feed accumulates one file per batch, and
+#: every probe's load_tombstones pays one open+parse per file (round-15
+#: self-review: ~10k tiny reads per probe at a 10^6-corpus 1% trigger).
+TOMBSTONE_FOLD_MAX_FILES = 64
+
+
+def compact_tombstones(
+    index_dir: str, max_files: int = TOMBSTONE_FOLD_MAX_FILES
+) -> int:
+    """Fold the tombstone files into one merged file when their COUNT
+    crosses ``max_files`` — the probe-side cost is O(files), and the
+    vacuum trigger only bounds ids (see TOMBSTONE_FOLD_MAX_FILES). Returns
+    the number of input files folded (0 when under the threshold).
+
+    Race-safe by the tombstones' own idempotence, in both directions:
+    the merged file is written BEFORE the inputs are removed (a crash
+    between leaves duplicate ids — set-masked by load_tombstones); a
+    delete landing mid-fold writes its own new file, which is not in the
+    fold's input snapshot and survives; a vacuum racing the fold clears
+    exactly ITS input snapshot, and the merged file re-asserting
+    already-vacuumed ids is a probe-side no-op the next vacuum finds zero
+    matches for and retires."""
+    ids, names = load_tombstones(index_dir)
+    if len(names) <= max_files or not ids:
+        return 0
+    add_tombstones(index_dir, ids, name=f"folded-{_uuid.uuid4().hex}.json")
+    clear_tombstone_files(index_dir, names)
+    return len(names)
+
+
 def needs_vacuum(
     index_dir: str,
     max_fraction: float = VACUUM_MAX_FRACTION,

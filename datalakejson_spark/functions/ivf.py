@@ -1507,9 +1507,16 @@ def ivf_maintenance_tick(
     Returns a report dict listing what ran, what it measured, and what it
     recommends; {"actions": []} means a healthy index cost one directory
     scan."""
+    from datalakejson_spark.functions.index_maintenance import (
+        compact_tombstones,
+    )
+
     actions: list[dict] = []
     report: dict = {"actions": actions, "recommend_rebuild": False}
     _publish_ivf_staged(index_dir)
+    folded = compact_tombstones(index_dir)
+    if folded:
+        actions.append({"verb": "fold_tombstones", "files": folded})
     vac_needed, _vac_stats = ivf_needs_vacuum(index_dir)
     if vac_needed:
         vac = vacuum_ivf_deletes(spark, index_dir)

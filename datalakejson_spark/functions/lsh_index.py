@@ -458,8 +458,14 @@ def lsh_maintenance_tick(
     actions: list[dict] = []
     report: dict = {"actions": actions, "recommend_replanes": None}
     publish_staged(index_dir, _BUCKETS, _LSH_META)
-    from datalakejson_spark.functions.index_maintenance import needs_vacuum
+    from datalakejson_spark.functions.index_maintenance import (
+        compact_tombstones,
+        needs_vacuum,
+    )
 
+    folded = compact_tombstones(index_dir)
+    if folded:
+        actions.append({"verb": "fold_tombstones", "files": folded})
     if needs_vacuum(index_dir)[0]:
         vac = vacuum_lsh_deletes(spark, index_dir)
         actions.append({"verb": "vacuum", **vac})

@@ -695,6 +695,7 @@ def process_delete_batch(
     from datalakejson_spark.functions.index_maintenance import (
         add_tombstones,
         batch_applied,
+        compact_tombstones,
         mark_batch_applied,
         needs_vacuum,
     )
@@ -721,6 +722,12 @@ def process_delete_batch(
         # marker not yet) atomically re-writes the same file
         n = add_tombstones(index_dir, ids, name=f"{bid}.json")
     mark_batch_applied(index_dir, bid)
+    # probe-side file bound: a hot small-batch feed folds its tombstone
+    # files once they outnumber TOMBSTONE_FOLD_MAX_FILES (the vacuum
+    # trigger bounds ids, not files — round-15 self-review). After the
+    # marker: a fold never re-runs on replay, and folding this batch's
+    # deterministic file away is safe (the replay is marker-skipped).
+    compact_tombstones(index_dir)
     if vacuum and vacuum_every and batch_id % vacuum_every == 0:
         if needs_vacuum(index_dir)[0]:
             if vacuum == "ivf":

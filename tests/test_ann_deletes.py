@@ -471,3 +471,52 @@ def test_index_report_reads_everything_driver_side(spark, tmp_path):
     assert lrep["plane"] == "lsh" and lrep["subdir"] == "buckets"
     assert lrep["family"]["n_planes"] == 4
     assert lrep["n_vectors"] == n
+
+
+def test_tombstone_files_fold_past_the_file_bound(spark, tmp_path):
+    """compact_tombstones (round 15 self-review): the vacuum trigger
+    bounds tombstone IDS, not FILES — a hot one-id-per-batch delete feed
+    accumulates one tiny file per batch and every probe pays one
+    open+parse per file. Past TOMBSTONE_FOLD_MAX_FILES the set folds into
+    one merged file with the id set EXACTLY preserved; under the bound the
+    fold is a no-op; the delete-stream path folds automatically."""
+    from datalakejson_spark.functions.index_maintenance import (
+        compact_tombstones,
+    )
+    from datalakejson_spark.streaming.ann_stream import process_delete_batch
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=N_CELLS)
+
+    # 70 single-id deletes through the batch verb: files pile up
+    for i in range(70):
+        ivf_index_delete(idx, [10_000 + i])
+    ids_before, names_before = load_tombstones(idx)
+    assert len(names_before) == 70
+    folded = compact_tombstones(idx)
+    assert folded == 70
+    ids_after, names_after = load_tombstones(idx)
+    assert ids_after == ids_before  # exactly preserved
+    assert len(names_after) == 1
+    assert compact_tombstones(idx) == 0  # under the bound: no-op
+
+    # a delete racing the fold window survives (it was not in the input
+    # snapshot) and the probes still filter everything
+    ivf_index_delete(idx, [99_999])
+    assert load_tombstones(idx)[0] == ids_before | {99_999}
+
+    # the delete stream folds automatically once its batches cross the
+    # bound (65 more single-id batches on top of the 2 files present)
+    for b in range(65):
+        feed = spark.createDataFrame([(20_000 + b,)], "vec_id bigint")
+        process_delete_batch(spark, feed, b, idx, stream_id="foldstream")
+    assert len(load_tombstones(idx)[1]) <= 65  # folded at least once
+    want = ids_before | {99_999} | {20_000 + b for b in range(65)}
+    assert load_tombstones(idx)[0] == want
+    # vacuum clears the folded set exactly like loose files
+    rep = vacuum_ivf_deletes(spark, idx)
+    assert rep["tombstone_files_cleared"] == len(load_tombstones(idx)[1]) or (
+        load_tombstones(idx) == (set(), [])
+    )
+    assert load_tombstones(idx) == (set(), [])
