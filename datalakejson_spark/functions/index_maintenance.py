@@ -789,6 +789,15 @@ def compact_tombstones(
     exactly ITS input snapshot, and the merged file re-asserting
     already-vacuumed ids is a probe-side no-op the next vacuum finds zero
     matches for and retires."""
+    # under-bound fast path: one listdir, no file parses (this runs every
+    # delete-stream batch and every tick)
+    tdir = os.path.join(index_dir, TOMBSTONES)
+    try:
+        n_files = sum(1 for x in os.listdir(tdir) if x.endswith(".json"))
+    except OSError:
+        return 0
+    if n_files <= max_files:
+        return 0
     ids, names = load_tombstones(index_dir)
     if len(names) <= max_files or not ids:
         return 0

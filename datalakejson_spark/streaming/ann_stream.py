@@ -347,21 +347,47 @@ def process_ann_batch(
         )
 
 
+#: advisory histories (_TICKS/_RECALL/_RETUNE.jsonl) rotate past this many
+#: bytes: keep the newest half, drop the oldest (round 15 — a long-running
+#: stream must not grow an unbounded log under the index; the same
+#: unbounded-small-thing disease as the r13 applied-marker sweep, on the
+#: byte axis). Rotation is advisory like the writes themselves: two racing
+#: writers can lose lines, never corrupt results.
+ADVISORY_LOG_MAX_BYTES = 4 << 20
+
+
+def _append_advisory(index_dir: str, name: str, rec: dict) -> None:
+    """Append one JSON line to an advisory history, rotating it down to
+    the newest half once it crosses ADVISORY_LOG_MAX_BYTES. A write
+    failure never fails the batch."""
+    import json
+    import os
+
+    path = os.path.join(index_dir, name)
+    try:
+        with open(path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        if os.path.getsize(path) > ADVISORY_LOG_MAX_BYTES:
+            with open(path) as fh:
+                lines = fh.readlines()
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.writelines(lines[len(lines) // 2:])
+            os.replace(tmp, path)
+    except (OSError, TypeError, ValueError):  # advisory observability
+        pass
+
+
 def _append_tick_log(index_dir: str, bid: str, report: dict) -> None:
     """Advisory observability for in-stream maintenance ticks: one JSON
     line per tick under ``{index}/_TICKS.jsonl`` (what ran, what it
     measured, what it recommends) — the same contract as _RECALL.jsonl /
-    _RETUNE.jsonl; a write failure never fails the batch."""
-    import json
-    import os
+    _RETUNE.jsonl."""
     import time
 
-    rec = {"ts": time.time(), "batch": bid, **report}
-    try:
-        with open(os.path.join(index_dir, "_TICKS.jsonl"), "a") as fh:
-            fh.write(json.dumps(rec) + "\n")
-    except (OSError, TypeError):  # advisory observability
-        pass
+    _append_advisory(
+        index_dir, "_TICKS.jsonl", {"ts": time.time(), "batch": bid, **report}
+    )
 
 
 def monitor_ivf_drift(
@@ -379,9 +405,7 @@ def monitor_ivf_drift(
     fastest. The probe is an exact Arrow/BLAS pass over the index, so the
     caller gates it on a cadence (``retrain_check_every``), not every
     batch."""
-    import json
     import logging
-    import os
     import time
 
     from datalakejson_spark.functions.ivf import (
@@ -400,11 +424,7 @@ def monitor_ivf_drift(
     )
     rec = {"ts": time.time(), "batch": bid, "recall": recall,
            "needs_retrain": bool(needs)}
-    try:
-        with open(os.path.join(index_dir, "_RECALL.jsonl"), "a") as fh:
-            fh.write(json.dumps(rec) + "\n")
-    except OSError:  # advisory observability
-        pass
+    _append_advisory(index_dir, "_RECALL.jsonl", rec)
     if needs:
         logging.getLogger(__name__).warning(
             "IVF index %s: measured recall %.3f fell past the retrain "
@@ -590,11 +610,7 @@ def monitor_lsh_retune(
         "target_bucket_rows": target_bucket_rows,
         "needs_retune": bool(needs),
     }
-    try:
-        with open(os.path.join(index_dir, "_RETUNE.jsonl"), "a") as fh:
-            fh.write(json.dumps(rec) + "\n")
-    except OSError:  # advisory observability
-        pass
+    _append_advisory(index_dir, "_RETUNE.jsonl", rec)
     if needs:
         logging.getLogger(__name__).warning(
             "LSH index %s: measured mean bucket rows %.0f exceeded %dx the "
