@@ -441,6 +441,86 @@ def l3f_ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_check(ann, emb, queries)
 
 
+def _l3h_plan(spark: SparkSession, sf_dir: str) -> str:
+    """PRE-checkpoint physical plan of the l3h lifecycle probe (same plan
+    guard contract as _l3f_plan)."""
+    import shutil
+    import tempfile
+
+    from datalakejson_spark.functions.similarity import ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    idx = tempfile.mkdtemp(prefix="l3h_plan_")
+    try:
+        build_lsh_index(emb, idx)
+        ann = lsh_index_topk(spark, queries, idx)
+        live = emb.filter(~(F.col("vec_id") % 97 == 9))
+        full = ann_recall_check(ann, live, queries)
+        return full._jdf.queryExecution().executedPlan().toString()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+@register(
+    "l3h_ann_lsh_lifecycle",
+    survey="L3,S6,X1",
+    extended=True,  # the driver tier carries the lifecycle via l3g (IVF);
+    # this keeps the LSH delete lifecycle oracle-verified locally
+    plan_fn=_l3h_plan,
+    sql="""
+    -- The LSH twin of l3g's lifecycle contract: after deleting the
+    -- vec_id % 97 == 9 slice and physically vacuuming it from every tb
+    -- partition, the probe must still recover a true nearest neighbor
+    -- from the exact brute-force top-k over the LIVE corpus, and must
+    -- never surface a deleted id. The deleted slice avoids the query ids.
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           true AS found_true_neighbor,
+           true AS no_deleted_neighbor
+    FROM embeddings
+    WHERE vec_id < 8
+    """,
+)
+def l3h_ann_lsh_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-LSH DELETE lifecycle end-to-end (round 15, the l3g
+    twin): build the bucket-partitioned index, logically delete the
+    deterministic ~1% slice, physically vacuum every tb-partition copy,
+    probe, and verify both halves of the delete contract against the
+    exact baseline over the live corpus."""
+    import shutil
+    import tempfile
+
+    from datalakejson_spark.functions.similarity import ann_recall_check
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    doomed_pred = F.col("vec_id") % 97 == 9
+    idx = tempfile.mkdtemp(prefix="l3h_lsh_")
+    try:
+        build_lsh_index(emb, idx)
+        doomed = [
+            int(r[0])
+            for r in emb.filter(doomed_pred).select("vec_id").collect()
+        ]
+        lsh_index_delete(idx, doomed)
+        vacuum_lsh_deletes(spark, idx)
+        ann = lsh_index_topk(spark, queries, idx).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    live = emb.filter(~doomed_pred)
+    base = ann_recall_check(ann, live, queries)
+    deleted_hits = (
+        ann.filter(F.col("neighbor_id") % 97 == 9)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_deleted"))
+    )
+    return base.join(deleted_hits, "query_id", "left").select(
+        "query_id",
+        "found_true_neighbor",
+        F.col("n_deleted").isNull().alias("no_deleted_neighbor"),
+    )
+
+
 def lsh_maintenance_tick(
     spark: SparkSession,
     index_dir: str,

@@ -520,3 +520,52 @@ def test_tombstone_files_fold_past_the_file_bound(spark, tmp_path):
         load_tombstones(idx) == (set(), [])
     )
     assert load_tombstones(idx) == (set(), [])
+
+
+def test_concurrent_folds_and_deletes_preserve_the_id_set(spark, tmp_path):
+    """Two runners folding the same tombstone directory while deletes keep
+    landing (the multi-runner ops-loop shape): folds may duplicate ids
+    across merged files transiently — set-masked by load_tombstones — but
+    the UNION of tombstoned ids is never wrong and no delete is lost."""
+    import threading
+
+    from datalakejson_spark.functions.index_maintenance import (
+        add_tombstones,
+        compact_tombstones,
+        load_tombstones,
+    )
+
+    idx = str(tmp_path / "ivf")
+    os.makedirs(idx, exist_ok=True)
+    expected: set[int] = set()
+    lock = threading.Lock()
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def folder():
+        while not stop.is_set():
+            try:
+                compact_tombstones(idx, max_files=8)
+            except BaseException as exc:  # noqa: BLE001 — the audit line
+                errors.append(exc)
+                return
+
+    threads = [threading.Thread(target=folder) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(300):
+            add_tombstones(idx, [i])
+            with lock:
+                expected.add(i)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+    assert not errors, errors
+    ids, names = load_tombstones(idx)
+    assert ids == expected  # no delete lost, none invented
+    # a closing fold converges the file count under the bound
+    compact_tombstones(idx, max_files=8)
+    assert len(load_tombstones(idx)[1]) <= 9
+    assert load_tombstones(idx)[0] == expected

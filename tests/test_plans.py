@@ -106,6 +106,7 @@ _ARROW_PYTHON_OK = {
     "l3e_ann_ivf_persisted",
     "l3f_ann_lsh_persisted",
     "l3g_ann_ivf_lifecycle",  # same Arrow/BLAS probe as l3e (r15 rotation)
+    "l3h_ann_lsh_lifecycle",  # same Arrow/BLAS probe as l3f (r15, extended)
 }
 
 #: registered queries whose RETURNED plan legitimately contains a
