@@ -161,6 +161,108 @@ def live_partition_files(index_dir: str, subdir: str) -> dict[str, list[str]]:
 
 
 # ---------------------------------------------------------------------------
+# Copier stage visibility (round 15 — the cross-process soak's catch)
+# ---------------------------------------------------------------------------
+#: marker file a COPIER stage (fold / split / retrain-move / vacuum — any
+#: verb whose staged output is copies of rows already in the live layout)
+#: writes into its stage dir AT CREATION, before pinning its source file
+#: list. Tombstone retirement refuses to run while a foreign copier stage
+#: exists: a copier that pinned files before a vacuum's rewrite can hold
+#: copies of tombstoned rows and publish them after — retiring the
+#: tombstones in that window RESURRECTS the rows (caught live by
+#: tools/multiproc_ann_race_r15.py: a split's halves re-surfaced 82
+#: vacuumed ids). mkdir-before-pin makes the happens-before airtight: a
+#: copier invisible to the retire check must have pinned after the
+#: vacuum's publish, so its copies are clean.
+COPIER_MARKER = "_COPIER"
+
+
+def begin_copier_stage(index_dir: str) -> str:
+    """Create (and mark) a copier stage dir — MUST be called before the
+    copier pins its source file list (see COPIER_MARKER)."""
+    stage = os.path.join(index_dir, STAGING, _uuid.uuid4().hex)
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, COPIER_MARKER), "w") as fh:
+        fh.write("ok")
+    return stage
+
+
+def _foreign_copier_stage_present(index_dir: str, own: str | None) -> bool:
+    """Any copier stage dir other than ``own`` (marked, or committed with a
+    ``_SUBSUMED`` manifest — pre-marker verbs) currently in staging?"""
+    staging = os.path.join(index_dir, STAGING)
+    if not os.path.isdir(staging):
+        return False
+    own_token = os.path.basename(own) if own else None
+    for token in os.listdir(staging):
+        if token == own_token or token.startswith("_SLOT_"):
+            continue
+        stage = os.path.join(staging, token)
+        if not os.path.isdir(stage):
+            continue
+        if os.path.exists(os.path.join(stage, COPIER_MARKER)) or os.path.exists(
+            os.path.join(stage, "_SUBSUMED.json")
+        ):
+            return True
+    return False
+
+
+def _retire_tombstones_verified(
+    spark: SparkSession,
+    index_dir: str,
+    subdir: str,
+    ids,
+    names: list[str],
+) -> int:
+    """Retire tombstone files ONLY after verifying no physical copy of any
+    covered id remains anywhere in the CURRENT live layout, and no foreign
+    copier stage is in flight that could still publish one. Returns the
+    number of files cleared (0 = kept; the ids stay probe-filtered and the
+    next vacuum retries — self-healing under any racing publish).
+
+    Order is load-bearing: verify-scan first, staging check second, clear
+    third. A copier that pinned stale rows either published before the
+    verify scan (scan sees its copies → kept), or its stage dir existed at
+    the staging check (mkdir-before-pin → kept), or it pinned after the
+    check — which is after this vacuum's publish, so it read the rewritten
+    layout and carries no tombstoned rows."""
+    import pyspark.sql.functions as F
+
+    from datalakejson_spark.session import local_df
+
+    if ids:
+        live = live_partition_files(index_dir, subdir)
+        root = os.path.join(index_dir, subdir)
+        paths = [
+            os.path.join(root, part, f)
+            for part, files in live.items()
+            for f in files
+        ]
+        if paths:
+            ids_df = local_df(
+                spark, [(int(i),) for i in sorted(ids)], "vec_id bigint"
+            )
+            try:
+                remaining = (
+                    spark.read.option("basePath", root)
+                    .parquet(*paths)
+                    .select("vec_id")
+                    .join(F.broadcast(ids_df), "vec_id", "leftsemi")
+                    .count()
+                )
+            except Exception as exc:  # noqa: BLE001 — narrowed to the race
+                if not _is_missing_file_error(exc):
+                    raise
+                return 0  # racing publish mid-verify: kept, retry next run
+            if remaining:
+                return 0  # raced-in stale copies: kept, next vacuum removes
+    if _foreign_copier_stage_present(index_dir, own=None):
+        return 0  # an in-flight copier may still publish pinned stale rows
+    clear_tombstone_files(index_dir, names)
+    return len(names)
+
+
+# ---------------------------------------------------------------------------
 # Staged publish
 # ---------------------------------------------------------------------------
 def publish_staged(index_dir: str, subdir: str, meta_name: str) -> dict[str, str]:
@@ -205,6 +307,32 @@ def _publish_one_stage(
         if age >= stale_stage_s:
             shutil.rmtree(stage, ignore_errors=True)
         return "pending"
+    # publish roll-forwards SERIALIZE on one slot (round 15, cross-process
+    # soak): the subsumed-existence loser check below is check-then-act —
+    # two processes' publishes of stages subsuming the SAME files could
+    # both pass it before either ran its deletes, and both move their
+    # copies in (duplicate rows; combined with tombstone retirement, a
+    # resurrection vector). The claim is the atomic-mkdir slot machinery:
+    # a crash mid-publish leaves the claim owned by this stage's token,
+    # and the next publish pass of the SAME stage (any process) re-enters
+    # it (own-token rule) and releases on completion.
+    own_token = os.path.basename(stage)
+    if not claim_slot(index_dir, "PUBLISH", own_token):
+        return "pending"
+    try:
+        return _publish_one_stage_locked(
+            index_dir, stage, subdir, meta_name
+        )
+    finally:
+        _release_slot(index_dir, "PUBLISH", own_token)
+
+
+def _publish_one_stage_locked(
+    index_dir: str,
+    stage: str,
+    subdir: str,
+    meta_name: str,
+) -> str:
     subsumed: list[str] = []
     manifest = os.path.join(stage, "_SUBSUMED.json")
     if os.path.exists(manifest):
@@ -568,8 +696,13 @@ def compact_partitions(
     race LOSER ({} returned), and a racing publish that subsumed this
     stage's snapshot discards the stage itself."""
     publish_staged(index_dir, subdir, meta_name)  # complete any predecessor
+    # copier marker BEFORE the pin (round 15): a vacuum retiring tombstones
+    # must be able to see this fold's stage from the instant its source
+    # listing could contain rows the vacuum is about to rewrite
+    stage = begin_copier_stage(index_dir)
     tombstoned, _tnames = load_tombstones(index_dir)
     live = live_partition_files(index_dir, subdir)
+    fire("ivf:copier_pinned")
     root = os.path.join(index_dir, subdir)
     dirty: dict[str, list[str]] = {}  # partition -> FOLD set (tail runs)
     before: dict[str, int] = {}
@@ -594,8 +727,8 @@ def compact_partitions(
             dirty[part] = sorted(fold)
             before[part] = len(files)
     if not dirty:
+        shutil.rmtree(stage, ignore_errors=True)
         return {}
-    stage = os.path.join(index_dir, STAGING, _uuid.uuid4().hex)
     paths = [
         os.path.join(root, part, f)
         for part, files in sorted(dirty.items())
@@ -861,18 +994,23 @@ def vacuum_deleted(
     }
     if not ids:
         return report
+    # copier marker BEFORE the pin: this vacuum's staged rewrite is itself
+    # copies of live rows — another vacuum's retire check must see it
+    stage = begin_copier_stage(index_dir)
     root = os.path.join(index_dir, subdir)
     live = live_partition_files(index_dir, subdir)
     all_paths = [
         os.path.join(root, part, f) for part, files in live.items() for f in files
     ]
     if not all_paths:
-        clear_tombstone_files(index_dir, names)
-        return {**report, "tombstone_files_cleared": len(names)}
+        shutil.rmtree(stage, ignore_errors=True)
+        cleared = _retire_tombstones_verified(
+            spark, index_dir, subdir, ids, names
+        )
+        return {**report, "tombstone_files_cleared": cleared}
     ids_df = local_df(
         spark, [(int(i),) for i in sorted(ids)], "vec_id bigint"
     )
-    stage = os.path.join(index_dir, STAGING, _uuid.uuid4().hex)
     try:
         scan = spark.read.option("basePath", root).parquet(*all_paths)
         matches = scan.select("vec_id", part_col).join(
@@ -885,9 +1023,14 @@ def vacuum_deleted(
         vectors_removed = matches.select("vec_id").distinct().count()
         if not per_part:
             # every tombstoned id is already physically gone (folded out by
-            # compaction, or never present): retire the tombstones
-            clear_tombstone_files(index_dir, names)
-            return {**report, "tombstone_files_cleared": len(names)}
+            # compaction, or never present): retire the tombstones —
+            # re-verified, since a copier pinned before the fold can still
+            # publish copies of them
+            shutil.rmtree(stage, ignore_errors=True)
+            cleared = _retire_tombstones_verified(
+                spark, index_dir, subdir, ids, names
+            )
+            return {**report, "tombstone_files_cleared": cleared}
         affected = sorted(per_part)
         paths = [
             os.path.join(root, f"{part_col}={p}", f)
@@ -924,10 +1067,14 @@ def vacuum_deleted(
     )
     if outcome != "published":
         return report  # snapshot fence: a concurrent publish won, rerun
-    # tombstone retirement strictly AFTER the publish: a crash in between
-    # leaves retired-in-fact tombstones whose probe filter is a no-op and
-    # whose next vacuum finds zero matches and clears them
-    clear_tombstone_files(index_dir, names)
+    # tombstone retirement strictly AFTER the publish (a crash in between
+    # leaves retired-in-fact tombstones whose probe filter is a no-op) and
+    # VERIFIED against the current layout (round 15): a copier that pinned
+    # its sources before this rewrite can publish stale copies of these
+    # ids at any point — the retire re-scan catches published copies and
+    # the copier-stage check catches in-flight ones; kept tombstones stay
+    # probe-filtered and the next vacuum removes the copies and retires.
+    cleared = _retire_tombstones_verified(spark, index_dir, subdir, ids, names)
     rows_removed = int(sum(per_part.values()))
     bump_index_count(
         index_dir,
@@ -940,7 +1087,7 @@ def vacuum_deleted(
         "rows_removed": rows_removed,
         "vectors_removed": int(vectors_removed),
         "partitions_rewritten": len(affected),
-        "tombstone_files_cleared": len(names),
+        "tombstone_files_cleared": cleared,
     }
 
 

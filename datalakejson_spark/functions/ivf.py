@@ -1087,23 +1087,33 @@ def split_ivf_cell(
     was too small/uniform to split or the publish lost a race (rerun)."""
     import json
     import os
-    import uuid as _uuid
+    import shutil
 
     from datalakejson_spark.functions.incremental_dedup import (
         _is_missing_file_error,
+    )
+    from datalakejson_spark.functions.index_maintenance import (
+        begin_copier_stage,
     )
     from datalakejson_spark.plans.killpoints import fire
 
     _publish_ivf_staged(index_dir)
     meta = load_ivf_meta(index_dir)
     cells_root = os.path.join(index_dir, _IVF_CELLS)
+    # copier marker BEFORE the pin (round 15): this split's halves are
+    # copies of the cell's rows — including any tombstoned ones, since the
+    # split deliberately does not filter (the probe filter covers them) —
+    # so a concurrent vacuum's tombstone retirement must see this stage
+    # from the instant the source listing below could go stale
+    stage = begin_copier_stage(index_dir)
     live = _ivf_live_files(index_dir)
+    fire("ivf:copier_pinned")
     cell_dir = f"cell={cell}"
     names = live.get(cell_dir) or []
     if not names:
+        shutil.rmtree(stage, ignore_errors=True)
         return None
     paths = [os.path.join(cells_root, cell_dir, n) for n in names]
-    stage = os.path.join(index_dir, _IVF_STAGING, _uuid.uuid4().hex)
     try:
         rows_df = (
             spark.read.option("basePath", cells_root)
@@ -1112,6 +1122,7 @@ def split_ivf_cell(
         )
         sub_centroids = train_quantizer(rows_df, k=2, seed=seed)
         if len(sub_centroids) < 2 or sub_centroids[0] == sub_centroids[1]:
+            shutil.rmtree(stage, ignore_errors=True)
             return None  # too small or degenerate: nothing to split
         new_cell = len(meta["centroids"])
         assigned = assign_cells(rows_df, sub_centroids).withColumn(
@@ -1130,8 +1141,6 @@ def split_ivf_cell(
         # a concurrent maintenance publish deleted a listed file between
         # this split's listing and its reads: clean race loser, same
         # contract as compact_ivf_cells (review catch, round 13)
-        import shutil
-
         shutil.rmtree(stage, ignore_errors=True)
         return None
     fire("ivf:split_staged")  # no marker yet: crash = old layout+meta win
@@ -1259,7 +1268,6 @@ def retrain_ivf_delta(
     import json
     import os
     import shutil
-    import uuid as _uuid
 
     from datalakejson_spark.functions.incremental_dedup import (
         _is_missing_file_error,
@@ -1319,19 +1327,28 @@ def retrain_ivf_delta(
     final = old.copy()
     final[moved] = new[moved]
     final_list = [[float(v) for v in c] for c in final]
+    from datalakejson_spark.functions.index_maintenance import (
+        begin_copier_stage,
+    )
+
+    # copier marker BEFORE the pin (round 15): the moved-cell rewrite
+    # copies live rows — a concurrent vacuum's tombstone retirement must
+    # see this stage from the instant the listing below could go stale
+    stage = begin_copier_stage(index_dir)
+    token = os.path.basename(stage)
     live = live_partition_files(index_dir, _IVF_CELLS)
+    fire("ivf:copier_pinned")
     names = {
         c: live.get(f"cell={c}", []) for c in moved if live.get(f"cell={c}")
     }
     if not names:
+        shutil.rmtree(stage, ignore_errors=True)
         return {**summary, "outcome": "noop"}  # moved cells hold no rows
     paths = [
         os.path.join(cells_root, f"cell={c}", n)
         for c, files in sorted(names.items())
         for n in files
     ]
-    stage = os.path.join(index_dir, _IVF_STAGING, _uuid.uuid4().hex)
-    token = os.path.basename(stage)
     try:
         from datalakejson_spark.functions.index_maintenance import (
             drop_tombstoned,

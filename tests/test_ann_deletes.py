@@ -185,8 +185,19 @@ def test_vacuum_kill_windows(spark, tmp_path):
     assert rows and all(r.neighbor_id not in (1, 2, 3) for r in rows)
     assert spark.read.parquet(cells).count() == n - 3
     # tombstones survive the crash (retirement is strictly post-publish) —
-    # harmless no-op filters until the next vacuum retires them
+    # harmless no-op filters until the next vacuum retires them. Round 15:
+    # the FIRST kill's uncommitted copier stage still lingers in staging,
+    # and retirement refuses while any copier stage exists (it could hold
+    # stale pinned copies — the multiproc soak's resurrection), so the
+    # retire waits for the stale-stage sweep.
     rep = vacuum_ivf_deletes(spark, idx)
+    assert rep["rows_removed"] == 0 and rep["tombstone_files_cleared"] == 0
+    assert load_tombstones(idx)[0] == {1, 2, 3}
+    staging = os.path.join(idx, "_staging")
+    for t in os.listdir(staging):  # age the crashed stage past the grace
+        if not t.startswith("_SLOT_"):
+            os.utime(os.path.join(staging, t), (1, 1))
+    rep = vacuum_ivf_deletes(spark, idx)  # entry publish sweeps it; retire
     assert rep["rows_removed"] == 0 and rep["tombstone_files_cleared"] >= 1
     assert load_tombstones(idx) == (set(), [])
 

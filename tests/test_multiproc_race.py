@@ -1,0 +1,51 @@
+"""Cross-PROCESS racing publishers (round 15): the maintenance plane's
+coordination — atomic mkdir slot claims, token fencing, staged publishes,
+the flip mutex — is process-agnostic by design, and every other
+concurrency pin races threads inside one JVM. This test runs the real
+multi-job deployment shape at tiny scale: three independent `python`
+processes (appender with maintenance ticks, deleter with measured-trigger
+vacuums and an upsert, prober asserting confirmed deletes never surface),
+each with its own SparkSession, sharing only the index directory. The
+full-scale artifact is tools/multiproc_ann_race_r15.jsonl; this pins the
+orchestration (exit codes + exact conservation audit) in CI."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+TOOL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "multiproc_ann_race_r15.py",
+)
+
+
+def test_three_process_race_conserves_exactly(tmp_path):
+    out = str(tmp_path / "race.jsonl")
+    env = dict(os.environ, MULTIPROC_RACE_OUT=out)
+    # base 6k, 2 appends x 1k, 2 delete events x 500 (trigger fraction
+    # ~8% >> 1%, so the deleter's vacuum fires both events)
+    proc = subprocess.run(
+        [sys.executable, TOOL, "6000", "2", "1000", "2", "500"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    recs = [json.loads(line) for line in open(out)]
+    by_phase = {r["phase"]: r for r in recs if "phase" in r}
+    assert by_phase["race_done"]["exit_codes"] == {
+        "appender": 0,
+        "deleter": 0,
+        "prober": 0,
+    }
+    audit = by_phase["audit"]
+    assert audit["live_rows"] == audit["expected_live"] == 6000 + 2000 - 1000
+    assert audit["duplicates"] == 0
+    assert audit["stranded_committed_stages"] == []
+    # the prober actually probed while the writers ran
+    assert any(r.get("role") == "prober" for r in recs)
