@@ -1,5 +1,6 @@
 """Round-15 measurement: CROSS-PROCESS racing publishers on one shared
-persisted IVF index — three independent Spark JVMs, no shared memory.
+persisted ANN index (IVF or LSH) — three independent Spark JVMs, no
+shared memory.
 
 Every prior concurrency artifact (the 1e6 soaks, the dual-stream soak,
 the two-runner fold tests) races THREADS inside one driver JVM. The
@@ -32,8 +33,9 @@ their jsonl logs, and audits with a fresh session: live rows ==
 base + appended − deleted exactly, 0 duplicates, 0 stranded committed
 stages, every child exit code 0.
 
-Writes tools/multiproc_ann_race_r15.jsonl. Run on a QUIET box:
-python tools/multiproc_ann_race_r15.py [base_n] [gens] [gen_n] [events] [del_n]
+Writes tools/multiproc_ann_race_r15.jsonl (IVF) or
+tools/multiproc_ann_race_lsh_r15.jsonl (LSH). Run on a QUIET box:
+python tools/multiproc_ann_race_r15.py [ivf|lsh] [base_n] [gens] [gen_n] [events] [del_n]
 """
 
 from __future__ import annotations
@@ -52,13 +54,56 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DIM = 32
 KD = 512
+_argv = [a for a in sys.argv[1:]]
+ROLES = ("appender", "deleter", "prober")
+# plane selector may appear before the role (children) or the numbers
+PLANE = "ivf"
+for i, a in enumerate(_argv):
+    if a in ("ivf", "lsh"):
+        PLANE = a
+        _argv.pop(i)
+        break
+SUBDIR = "cells" if PLANE == "ivf" else "buckets"
 OUT = os.environ.get(
     "MULTIPROC_RACE_OUT",
     os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "multiproc_ann_race_r15.jsonl",
+        "multiproc_ann_race_r15.jsonl"
+        if PLANE == "ivf"
+        else "multiproc_ann_race_lsh_r15.jsonl",
     ),
 )
+
+
+def verbs():
+    """The plane's verb set (import-light: children import only theirs)."""
+    if PLANE == "ivf":
+        from datalakejson_spark.functions import ivf as m
+
+        return dict(
+            build=m.build_ivf_index,
+            append=m.ivf_index_append,
+            tick=m.ivf_maintenance_tick,
+            delete=m.ivf_index_delete,
+            needs_vacuum=m.ivf_needs_vacuum,
+            vacuum=m.vacuum_ivf_deletes,
+            upsert=m.ivf_index_upsert,
+            topk=m.ivf_index_topk,
+        )
+    from datalakejson_spark.functions import lsh_index as m
+
+    return dict(
+        build=m.build_lsh_index,
+        append=m.lsh_index_append,
+        tick=lambda spark, idx: m.lsh_maintenance_tick(
+            spark, idx, retune_check=False
+        ),
+        delete=m.lsh_index_delete,
+        needs_vacuum=m.lsh_needs_vacuum,
+        vacuum=m.vacuum_lsh_deletes,
+        upsert=m.lsh_index_upsert,
+        topk=m.lsh_index_topk,
+    )
 
 _rng = np.random.RandomState(11)
 CENTS = _rng.standard_normal((KD, DIM)) * 5.0
@@ -103,15 +148,11 @@ def _publish_confirmed(path: str, ids) -> None:
 
 
 def run_appender(idx: str, log: str, gens: int, gen_n: int) -> None:
-    from datalakejson_spark.functions.ivf import (
-        ivf_index_append,
-        ivf_maintenance_tick,
-    )
-
+    v = verbs()
     spark = _session("appender")
     for g in range(gens):
         t0 = time.time()
-        ivf_index_append(
+        v["append"](
             spark,
             synth(spark, gen_n, 1_000_000 + g * gen_n, seed=g + 1),
             idx,
@@ -120,7 +161,7 @@ def run_appender(idx: str, log: str, gens: int, gen_n: int) -> None:
         rec = {"role": "appender", "gen": g, "append_s": round(time.time() - t0, 2)}
         if g % 3 == 2:
             t0 = time.time()
-            rep = ivf_maintenance_tick(spark, idx)
+            rep = v["tick"](spark, idx)
             rec["tick_actions"] = [a.get("verb") for a in rep.get("actions", [])]
             rec["tick_s"] = round(time.time() - t0, 2)
         _log_line(log, rec)
@@ -130,13 +171,11 @@ def run_appender(idx: str, log: str, gens: int, gen_n: int) -> None:
 def run_deleter(
     idx: str, log: str, events: int, del_n: int, confirmed_path: str
 ) -> None:
-    from datalakejson_spark.functions.ivf import (
-        ivf_index_delete,
-        ivf_index_upsert,
-        ivf_needs_vacuum,
-        vacuum_ivf_deletes,
-    )
-
+    v = verbs()
+    ivf_index_delete = v["delete"]
+    ivf_index_upsert = v["upsert"]
+    ivf_needs_vacuum = v["needs_vacuum"]
+    vacuum_ivf_deletes = v["vacuum"]
     spark = _session("deleter")
     confirmed: set[int] = set()
     for e in range(events):
@@ -180,8 +219,8 @@ def run_deleter(
 
 def run_prober(idx: str, log: str, confirmed_path: str, stop_path: str) -> None:
     from datalakejson_spark.functions.index_maintenance import probe_retrying
-    from datalakejson_spark.functions.ivf import ivf_index_topk
 
+    ivf_index_topk = verbs()["topk"]
     spark = _session("prober")
     queries = synth(spark, 8, 50_000_000, seed=99).localCheckpoint(eager=True)
     probes = 0
@@ -215,11 +254,11 @@ def run_prober(idx: str, log: str, confirmed_path: str, stop_path: str) -> None:
 
 
 def main() -> None:
-    base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
-    gens = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    gen_n = int(sys.argv[3]) if len(sys.argv) > 3 else 5_000
-    events = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    del_n = int(sys.argv[5]) if len(sys.argv) > 5 else 3_000
+    base_n = int(_argv[0]) if len(_argv) > 0 else 300_000
+    gens = int(_argv[1]) if len(_argv) > 1 else 12
+    gen_n = int(_argv[2]) if len(_argv) > 2 else 5_000
+    events = int(_argv[3]) if len(_argv) > 3 else 8
+    del_n = int(_argv[4]) if len(_argv) > 4 else 3_000
     # the deleter's upsert slice must be REAL base ids (replace-in-place
     # keeps the conservation audit exact); a range past the base corpus
     # would silently turn the upsert into an insert
@@ -231,8 +270,8 @@ def main() -> None:
         index_report,
         load_tombstones,
     )
-    from datalakejson_spark.functions.ivf import build_ivf_index
 
+    build = verbs()["build"]
     root = tempfile.mkdtemp(prefix="multiproc_race_")
     idx = os.path.join(root, "idx")
     confirmed_path = os.path.join(root, "confirmed_deletes.json")
@@ -250,6 +289,7 @@ def main() -> None:
         emit(
             {
                 "phase": "meta",
+                "plane": PLANE,
                 "base_n": base_n,
                 "gens": gens,
                 "gen_n": gen_n,
@@ -260,14 +300,13 @@ def main() -> None:
         )
         spark = _session("parent")
         t0 = time.time()
-        meta = build_ivf_index(synth(spark, base_n, 0), idx)
-        emit(
-            {
-                "phase": "build",
-                "n_cells": meta["n_cells"],
-                "build_s": round(time.time() - t0, 2),
-            }
+        meta = build(synth(spark, base_n, 0), idx)
+        fam = (
+            {"n_cells": meta["n_cells"]}
+            if PLANE == "ivf"
+            else {"n_planes": meta["n_planes"], "n_tables": meta["n_tables"]}
         )
+        emit({"phase": "build", **fam, "build_s": round(time.time() - t0, 2)})
         spark.stop()  # the parent's JVM must not outlive into the race:
         # the three children are the ONLY sessions touching the index
 
@@ -275,17 +314,17 @@ def main() -> None:
         env = dict(os.environ)
         procs = {
             "appender": subprocess.Popen(
-                [sys.executable, here, "appender", idx, logs["appender"],
+                [sys.executable, here, PLANE, "appender", idx, logs["appender"],
                  str(gens), str(gen_n)],
                 env=env,
             ),
             "deleter": subprocess.Popen(
-                [sys.executable, here, "deleter", idx, logs["deleter"],
+                [sys.executable, here, PLANE, "deleter", idx, logs["deleter"],
                  str(events), str(del_n), confirmed_path],
                 env=env,
             ),
             "prober": subprocess.Popen(
-                [sys.executable, here, "prober", idx, logs["prober"],
+                [sys.executable, here, PLANE, "prober", idx, logs["prober"],
                  confirmed_path, stop_path],
                 env=env,
             ),
@@ -306,20 +345,20 @@ def main() -> None:
         emit({"phase": "race_done", "exit_codes": rc, "race_s": round(race_s, 2)})
         assert all(v == 0 for v in rc.values()), rc
 
-        # parent audit with a fresh session
+        # parent audit with a fresh session. IVF: one copy per vector.
+        # LSH: the plane's exactly-once shape is PER TABLE — every live
+        # vector in exactly n_tables partitions, none twice in any.
         spark = _session("audit")
         import pyspark.sql.functions as F
 
-        cells = spark.read.parquet(os.path.join(idx, "cells"))
+        data = spark.read.parquet(os.path.join(idx, SUBDIR))
         still_ids, names = load_tombstones(idx)
-        live_df = cells
+        live_df = data
         if still_ids:
-            live_df = cells.filter(
+            live_df = data.filter(
                 ~F.col("vec_id").isin([int(i) for i in still_ids])
             )
-        live_rows = live_df.count()
         expected = base_n + gens * gen_n - events * del_n
-        dup = live_df.groupBy("vec_id").count().filter("count > 1").count()
         staging = os.path.join(idx, "_staging")
         stranded = [
             t
@@ -327,38 +366,60 @@ def main() -> None:
             if os.path.exists(os.path.join(staging, t, "_COMMITTED"))
         ]
         report = index_report(idx)
-        emit(
-            {
-                "phase": "audit",
+        audit = {
+            "phase": "audit",
+            "expected_live": expected,
+            "physical_rows": data.count(),
+            "still_tombstoned": len(still_ids),
+            "tombstone_files": len(names),
+            "stranded_committed_stages": stranded,
+            "report_n_vectors": report.get("n_vectors"),
+        }
+        if PLANE == "ivf":
+            live_rows = live_df.count()
+            dup = (
+                live_df.groupBy("vec_id").count().filter("count > 1").count()
+            )
+            audit |= {
                 "live_rows": live_rows,
-                "expected_live": expected,
-                "physical_rows": cells.count(),
-                "still_tombstoned": len(still_ids),
-                "tombstone_files": len(names),
                 "duplicates": dup,
-                "stranded_committed_stages": stranded,
-                "report_n_vectors": report.get("n_vectors"),
                 "report_n_cells": report.get("family", {}).get("n_cells"),
             }
-        )
-        assert dup == 0 and live_rows == expected and not stranded
+            emit(audit)
+            assert dup == 0 and live_rows == expected
+        else:
+            n_tables = fam["n_tables"]
+            per_vec = live_df.groupBy("vec_id").count()
+            wrong = per_vec.filter(F.col("count") != n_tables).count()
+            distinct_live = per_vec.count()
+            dup_tb = (
+                live_df.groupBy("vec_id", "tb")
+                .count()
+                .filter("count > 1")
+                .count()
+            )
+            audit |= {
+                "distinct_live": distinct_live,
+                "wrong_copy_count_vectors": wrong,
+                "dup_within_table": dup_tb,
+            }
+            emit(audit)
+            assert dup_tb == 0 and wrong == 0 and distinct_live == expected
+        assert not stranded
         spark.stop()
     shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] in ("appender", "deleter", "prober"):
-        role = sys.argv[1]
+    if _argv and _argv[0] in ROLES:
+        role = _argv[0]
         if role == "appender":
-            run_appender(
-                sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5])
-            )
+            run_appender(_argv[1], _argv[2], int(_argv[3]), int(_argv[4]))
         elif role == "deleter":
             run_deleter(
-                sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5]),
-                sys.argv[6],
+                _argv[1], _argv[2], int(_argv[3]), int(_argv[4]), _argv[5]
             )
         else:
-            run_prober(sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])
+            run_prober(_argv[1], _argv[2], _argv[3], _argv[4])
     else:
         main()
