@@ -160,6 +160,41 @@ def live_partition_files(index_dir: str, subdir: str) -> dict[str, list[str]]:
     return out
 
 
+def settle_committed_replay(
+    index_dir: str,
+    stage: str,
+    subdir: str,
+    meta_name: str,
+    attempts: int = 100,
+    sleep_s: float = 0.1,
+) -> bool:
+    """A replayed batch found its own deterministic stage dir already on
+    disk. UNCOMMITTED: a half-written previous attempt — clear it and
+    return False (the caller re-stages clean). COMMITTED: it is
+    roll-forward work that may be MID-PUBLISH in another process right
+    now (visible as "pending" under the PUBLISH slot serialization,
+    round 15) — it must never be rmtree'd: a racing publisher mid-move
+    plus a fresh re-stage would duplicate the already-moved subset.
+    Drive the publish to a terminal outcome instead and return True (the
+    batch is applied; additive stages cannot lose)."""
+    if not os.path.isdir(stage):
+        return False
+    if not os.path.exists(os.path.join(stage, "_COMMITTED")):
+        shutil.rmtree(stage, ignore_errors=True)
+        return False
+    token = os.path.basename(stage)
+    for _ in range(attempts):
+        out = publish_staged(index_dir, subdir, meta_name).get(token)
+        if out != "pending":
+            return True
+        time.sleep(sleep_s)
+    raise RuntimeError(
+        f"replayed batch stage {token} in {index_dir} stayed pending past "
+        f"{attempts} publish passes — a wedged publisher holds the slot; "
+        "retry when it clears"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Copier stage visibility (round 15 — the cross-process soak's catch)
 # ---------------------------------------------------------------------------

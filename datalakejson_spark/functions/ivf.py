@@ -516,10 +516,14 @@ def ivf_index_append(
     n_new = new_emb.count()
     token = f"batch-{batch_id}" if batch_id is not None else _uuid.uuid4().hex
     stage = os.path.join(index_dir, _IVF_STAGING, token)
-    if os.path.isdir(stage):
-        # a replay of an UNCOMMITTED attempt (committed ones were rolled
-        # forward above): clear the half-written stage and re-stage clean
-        shutil.rmtree(stage, ignore_errors=True)
+    from datalakejson_spark.functions.index_maintenance import (
+        settle_committed_replay,
+    )
+
+    if settle_committed_replay(index_dir, stage, _IVF_CELLS, _IVF_META):
+        # a COMMITTED previous attempt: published (possibly by another
+        # process we just waited out) — never rmtree'd and re-staged
+        return 0
     assigner = (
         assign_cells_np
         if meta["n_cells"] > _VECTORIZE_CELLS_ABOVE

@@ -166,8 +166,12 @@ def lsh_index_append(
     n_new = new_emb.count()
     token = f"batch-{batch_id}" if batch_id is not None else _uuid.uuid4().hex
     stage = os.path.join(index_dir, "_staging", token)
-    if os.path.isdir(stage):
-        shutil.rmtree(stage, ignore_errors=True)
+    from datalakejson_spark.functions.index_maintenance import (
+        settle_committed_replay,
+    )
+
+    if settle_committed_replay(index_dir, stage, _BUCKETS, _LSH_META):
+        return 0  # committed previous attempt published, never re-staged
     (
         _with_tb(
             lsh_bucket_np(

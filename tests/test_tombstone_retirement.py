@@ -250,3 +250,133 @@ def test_publish_rollforwards_serialize_on_the_publish_slot(
         spark.read.parquet(cells).filter(F.col("vec_id") >= 9000).count()
     )
     assert planted == 3
+
+
+def test_committed_append_replay_is_never_cleared(spark, tmp_path):
+    """A replayed append that finds its own COMMITTED stage (left pending
+    by a contended PUBLISH slot) must NOT rmtree + re-stage it — a racing
+    publisher could be mid-move, and re-staging would duplicate the
+    already-moved subset. It drives the publish to terminal and returns 0
+    (applied), with the rows landing exactly once."""
+    import threading
+    import time as _time
+
+    from datalakejson_spark.functions.ivf import (
+        ivf_index_append,
+        load_ivf_meta,
+    )
+
+    idx = _build(spark, tmp_path, n=100, n_cells=2)
+    rows = spark.createDataFrame(_rows(20, start=5000), _SCHEMA)
+
+    # stage the batch and COMMIT it by hand (a crashed previous attempt)
+    staging = os.path.join(idx, "_staging")
+    stage = os.path.join(staging, "batch-replay1")
+    from datalakejson_spark.functions.ivf import assign_cells
+
+    meta = load_ivf_meta(idx)
+    assign_cells(rows, meta["centroids"]).repartition("cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(os.path.join(stage, "cells"))
+    with open(os.path.join(stage, "_BATCH.json"), "w") as fh:
+        json.dump({"batch_id": "replay1"}, fh)
+    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
+        fh.write("ok")
+
+    # wedge the PUBLISH slot with a foreign claim whose "stage" dir exists
+    # (claim_slot reads that as a live owner), released after ~1s
+    fake = os.path.join(staging, "fakeowner")
+    os.makedirs(fake, exist_ok=True)
+    claim = os.path.join(staging, "_SLOT_PUBLISH")
+    os.makedirs(claim, exist_ok=True)
+    with open(os.path.join(claim, "token"), "w") as fh:
+        fh.write("fakeowner")
+
+    def release():
+        _time.sleep(1.0)
+        shutil.rmtree(fake, ignore_errors=True)
+        shutil.rmtree(claim, ignore_errors=True)
+
+    th = threading.Thread(target=release, daemon=True)
+    th.start()
+    n = ivf_index_append(spark, rows, idx, batch_id="replay1")
+    th.join()
+    assert n == 0  # applied via the committed stage, never re-staged
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    planted = cells.filter(F.col("vec_id") >= 5000)
+    assert planted.count() == 20
+    assert (
+        planted.groupBy("vec_id").count().filter("count > 1").count() == 0
+    )
+    # marker present: a second replay is the plain marker-skip path
+    assert ivf_index_append(spark, rows, idx, batch_id="replay1") == 0
+
+
+def test_committed_lsh_append_replay_is_never_cleared(spark, tmp_path):
+    """LSH twin of the committed-replay settle: a replayed
+    lsh_index_append finding its own COMMITTED stage drives the publish
+    to terminal instead of rmtree + re-staging (which would duplicate
+    rows a racing publisher already moved)."""
+    import threading
+    import time as _time
+
+    from datalakejson_spark.functions.lsh_index import (
+        _with_tb,
+        build_lsh_index,
+        load_lsh_meta,
+        lsh_bucket_np,
+        lsh_index_append,
+    )
+
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(
+        spark.createDataFrame(_rows(100), _SCHEMA), idx, n_planes=2, n_tables=2
+    )
+    meta = load_lsh_meta(idx)
+    rows = spark.createDataFrame(_rows(20, start=5000), _SCHEMA)
+
+    staging = os.path.join(idx, "_staging")
+    stage = os.path.join(staging, "batch-replay1")
+    (
+        _with_tb(
+            lsh_bucket_np(
+                rows, meta["n_planes"], meta["n_tables"], meta["seed"]
+            ),
+            meta["n_planes"],
+        )
+        .repartition("tb")
+        .write.partitionBy("tb")
+        .mode("overwrite")
+        .parquet(os.path.join(stage, "buckets"))
+    )
+    with open(os.path.join(stage, "_BATCH.json"), "w") as fh:
+        json.dump({"batch_id": "replay1"}, fh)
+    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
+        fh.write("ok")
+
+    fake = os.path.join(staging, "fakeowner")
+    os.makedirs(fake, exist_ok=True)
+    claim = os.path.join(staging, "_SLOT_PUBLISH")
+    os.makedirs(claim, exist_ok=True)
+    with open(os.path.join(claim, "token"), "w") as fh:
+        fh.write("fakeowner")
+
+    def release():
+        _time.sleep(1.0)
+        shutil.rmtree(fake, ignore_errors=True)
+        shutil.rmtree(claim, ignore_errors=True)
+
+    th = threading.Thread(target=release, daemon=True)
+    th.start()
+    n = lsh_index_append(spark, rows, idx, batch_id="replay1")
+    th.join()
+    assert n == 0
+    live = spark.read.parquet(os.path.join(idx, "buckets"))
+    planted = live.filter(F.col("vec_id") >= 5000)
+    # each vector appears exactly once per (vec_id, tb) — no duplicates
+    assert planted.select("vec_id").distinct().count() == 20
+    assert (
+        planted.groupBy("vec_id", "tb").count().filter("count > 1").count()
+        == 0
+    )
+    assert lsh_index_append(spark, rows, idx, batch_id="replay1") == 0
