@@ -210,6 +210,77 @@ def _read_index_pair_pruned(
     return out["hashes"], out["bands"], stats
 
 
+def stage_newest_mtime(stage: str) -> float:
+    """Newest mtime anywhere in the stage TREE — the garbage sweep's age
+    basis. A live stager writing a long batch keeps updating deep files
+    (parquet parts under ``cells/cell=N/``) while the top dir's mtime
+    stays at creation time; aging on the top mtime alone would let a
+    concurrent publish pass sweep an ACTIVE write mid-flight — real at
+    the multi-hour batch sizes a 100 TB deployment appends (the
+    STALE_STAGE_S grace is one hour). O(files-in-one-stage) per pass."""
+    try:
+        newest = os.path.getmtime(stage)
+    except OSError:
+        return time.time()  # vanishing under us: fresh, never sweep
+    for root, _dirs, files in os.walk(stage):
+        for name in files:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(root, name))
+                )
+            except OSError:
+                continue
+    return newest
+
+
+_SWEEP_PREFIX = "_SWEEP-"
+
+
+def _sweep_stale_stage(stage: str) -> None:
+    """Reclaim an aged-out uncommitted stage ATOMICALLY: rename it to a
+    ``_SWEEP-`` claim first, re-check for a commit that raced in, and
+    only then delete. A plain rmtree could interleave with the stager's
+    own ``_COMMITTED`` write (check-then-act): the marker lands while the
+    tree is half-deleted and the next publish would roll a PARTIAL batch
+    forward — silent row loss. After the rename the stager's marker write
+    fails ENOENT (loud, it re-stages); a marker that landed BEFORE the
+    rename travels with the dir, the re-check sees it, and the stage is
+    renamed back intact (the commit won)."""
+    trash = os.path.join(
+        os.path.dirname(stage), _SWEEP_PREFIX + os.path.basename(stage)
+    )
+    try:
+        os.rename(stage, trash)
+    except OSError:
+        return  # vanished or another runner's claim: not ours to sweep
+    if os.path.exists(os.path.join(trash, "_COMMITTED")):
+        try:
+            os.rename(trash, stage)  # commit won the race: restore whole
+        except OSError:
+            pass  # original name re-taken: leave the claim for rescue
+        return
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _settle_sweep_claim(staging: str, token: str) -> None:
+    """Rescue or clear a ``_SWEEP-`` claim left by a sweeper that died
+    between its rename and its re-check: a claim holding a ``_COMMITTED``
+    marker is a committed stage in trash-limbo — rename it back under its
+    original token (roll-forward work); anything else is the garbage the
+    dead sweeper already judged it to be."""
+    trash = os.path.join(staging, token)
+    orig = os.path.join(staging, token[len(_SWEEP_PREFIX):])
+    if os.path.exists(os.path.join(trash, "_COMMITTED")) and not os.path.exists(
+        orig
+    ):
+        try:
+            os.rename(trash, orig)
+        except OSError:
+            pass  # raced with another rescuer: either terminal is fine
+        return
+    shutil.rmtree(trash, ignore_errors=True)
+
+
 def _publish_staged(
     index_dir: str, stale_stage_s: float = STALE_STAGE_S
 ) -> dict[str, str]:
@@ -251,6 +322,9 @@ def _publish_staged(
     for token in sorted(os.listdir(staging_root)):
         stage = os.path.join(staging_root, token)
         if not os.path.isdir(stage):
+            continue
+        if token.startswith(_SWEEP_PREFIX):
+            _settle_sweep_claim(staging_root, token)  # dead sweeper's limbo
             continue
         try:
             outcomes[token] = _publish_one_stage(index_dir, stage, stale_stage_s)
@@ -309,12 +383,12 @@ def _publish_one_stage(index_dir: str, stage: str, stale_stage_s: float) -> str:
                 # never reclaim it — only the owning admin verb adopts or
                 # resets this stage.
                 return "pending"
-            try:
-                age = time.time() - os.path.getmtime(stage)
-            except OSError:  # vanished: its owner just published/removed it
-                return "pending"
-            if age >= stale_stage_s:
-                shutil.rmtree(stage, ignore_errors=True)
+            # age on the NEWEST mtime in the tree (a live stager's deep
+            # writes keep it fresh) and reclaim by atomic rename-then-
+            # recheck — a commit racing the sweep is either restored whole
+            # or fails loudly ENOENT, never half-swept (round 15)
+            if time.time() - stage_newest_mtime(stage) >= stale_stage_s:
+                _sweep_stale_stage(stage)
             return "pending"
         manifest = os.path.join(stage, "_SUBSUMED.json")
         subsumed: dict[str, list[str]] = {}

@@ -48,8 +48,12 @@ from pyspark.sql import SparkSession
 
 from datalakejson_spark.functions.incremental_dedup import (
     STALE_STAGE_S,
+    _SWEEP_PREFIX,
     _derive_runs,
     _is_missing_file_error,
+    _settle_sweep_claim,
+    _sweep_stale_stage,
+    stage_newest_mtime,
 )
 from datalakejson_spark.plans.killpoints import fire
 
@@ -160,6 +164,62 @@ def live_partition_files(index_dir: str, subdir: str) -> dict[str, list[str]]:
     return out
 
 
+def commit_stage(stage: str, subdir: str) -> None:
+    """Commit a stage with a file MANIFEST: ``_COMMITTED`` holds the
+    staged parquet relpaths, written atomically (tmp + rename so a torn
+    marker can never exist). The publisher cross-checks the manifest and
+    refuses — loud ``"corrupt"`` outcome, never a partial publish — if
+    any listed file is gone from both the stage and its publish
+    destination. With the sweep-by-rename fence this is a TRIPWIRE
+    (committed stages can no longer be half-deleted by a raced sweep),
+    kept as defense in depth. Legacy ``ok`` markers (stages committed by
+    pre-manifest code) publish unverified, preserving mid-upgrade
+    roll-forward."""
+    src_root = os.path.join(stage, subdir)
+    files: list[str] = []
+    if os.path.isdir(src_root):
+        for part in sorted(os.listdir(src_root)):
+            part_dir = os.path.join(src_root, part)
+            if "=" not in part or not os.path.isdir(part_dir):
+                continue
+            for name in sorted(os.listdir(part_dir)):
+                if name.endswith(".parquet"):
+                    files.append(f"{part}/{name}")
+    tmp = os.path.join(stage, "._COMMITTED.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"files": files}, fh)
+    os.replace(tmp, os.path.join(stage, "_COMMITTED"))
+
+
+def _destroyed_manifest_files(
+    index_dir: str, stage: str, subdir: str
+) -> list[str]:
+    """Manifest entries present at NEITHER the stage NOR the publish
+    destination. A replayed half-moved stage passes (its moved files
+    exist at the destination); only genuinely destroyed data — a raced
+    sweep's half-rmtree — reports. Empty list for legacy ``ok``
+    markers."""
+    try:
+        with open(os.path.join(stage, "_COMMITTED")) as fh:
+            raw = fh.read()
+    except OSError:
+        return []
+    try:
+        doc = json.loads(raw)
+    except ValueError:
+        return []  # legacy marker: no manifest to verify
+    files = doc.get("files") if isinstance(doc, dict) else None
+    if not isinstance(files, list):
+        return []
+    src_root = os.path.join(stage, subdir)
+    return [
+        rel
+        for rel in files
+        if not os.path.exists(os.path.join(src_root, rel))
+        and not os.path.exists(os.path.join(index_dir, subdir, rel))
+    ]
+
+
 def settle_committed_replay(
     index_dir: str,
     stage: str,
@@ -185,6 +245,13 @@ def settle_committed_replay(
     token = os.path.basename(stage)
     for _ in range(attempts):
         out = publish_staged(index_dir, subdir, meta_name).get(token)
+        if out == "corrupt":
+            raise RuntimeError(
+                f"replayed batch stage {token} in {index_dir} was committed "
+                "but its manifest names staged files that no longer exist — "
+                "a raced sweep destroyed data the sweep fences should have "
+                "protected; refusing to publish or re-stage a partial batch"
+            )
         if out != "pending":
             return True
         time.sleep(sleep_s)
@@ -316,6 +383,9 @@ def publish_staged(index_dir: str, subdir: str, meta_name: str) -> dict[str, str
         stage = os.path.join(staging, token)
         if not os.path.isdir(stage) or token.startswith("_SLOT_"):
             continue  # slot-claim dirs are fence state, not stages
+        if token.startswith(_SWEEP_PREFIX):
+            _settle_sweep_claim(staging, token)  # dead sweeper's limbo
+            continue
         try:
             outcomes[token] = _publish_one_stage(
                 index_dir, stage, STALE_STAGE_S, subdir, meta_name
@@ -335,13 +405,17 @@ def _publish_one_stage(
     meta_name: str,
 ) -> str:
     if not os.path.exists(os.path.join(stage, "_COMMITTED")):
-        try:
-            age = time.time() - os.path.getmtime(stage)
-        except OSError:  # vanished: its owner just published/removed it
-            return "pending"
-        if age >= stale_stage_s:
-            shutil.rmtree(stage, ignore_errors=True)
+        # age on the NEWEST mtime in the tree (a live stager's deep parquet
+        # writes keep it fresh) and reclaim by atomic rename-then-recheck
+        # (a commit racing the sweep either travels with the rename and is
+        # restored, or fails loudly ENOENT — never a half-swept publish)
+        if time.time() - stage_newest_mtime(stage) >= stale_stage_s:
+            _sweep_stale_stage(stage)
         return "pending"
+    destroyed = _destroyed_manifest_files(index_dir, stage, subdir)
+    if destroyed:
+        shutil.rmtree(stage, ignore_errors=True)
+        return "corrupt"
     # publish roll-forwards SERIALIZE on one slot (round 15, cross-process
     # soak): the subsumed-existence loser check below is check-then-act —
     # two processes' publishes of stages subsuming the SAME files could
@@ -794,8 +868,7 @@ def compact_partitions(
     )
     with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
         json.dump(subsumed, fh)
-    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
-        fh.write("ok")
+    commit_stage(stage, subdir)  # manifest-carrying marker
     fire("ivf:compact_committed")  # committed, not yet published
     publish_staged(index_dir, subdir, meta_name)
     after = live_partition_files(index_dir, subdir)
@@ -1094,8 +1167,7 @@ def vacuum_deleted(
     )
     with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
         json.dump(subsumed, fh)
-    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
-        fh.write("ok")
+    commit_stage(stage, subdir)  # manifest-carrying marker
     fire("ivf:vacuum_committed")  # committed, not yet published
     outcome = publish_staged(index_dir, subdir, meta_name).get(
         os.path.basename(stage)

@@ -540,10 +540,15 @@ def ivf_index_append(
         with open(os.path.join(stage, "_BATCH.json"), "w") as fh:
             json.dump({"batch_id": str(batch_id)}, fh)
     fire("ivf:append_staged")  # no marker yet: crash = no append happened
-    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
-        fh.write("ok")
+    commit_stage(stage, _IVF_CELLS)  # manifest-carrying marker
     fire("ivf:append_committed")  # committed, not yet published
-    _publish_ivf_staged(index_dir)
+    out = _publish_ivf_staged(index_dir).get(os.path.basename(stage))
+    if out == "corrupt":
+        raise RuntimeError(
+            f"append batch stage {stage} was committed but lost staged "
+            "files before publish (manifest tripwire) — no rows landed; "
+            "retry the batch"
+        )
     from datalakejson_spark.functions.index_maintenance import bump_index_count
 
     # seed from the entry-time meta-injected count so a pre-sidecar index
@@ -1023,6 +1028,7 @@ def ivf_needs_retrain(
 
 from datalakejson_spark.functions.index_maintenance import (  # noqa: E402
     APPLIED_RETENTION_S as _APPLIED_RETENTION_S,
+    commit_stage,
     probe_retrying,
 )
 
@@ -1155,8 +1161,7 @@ def split_ivf_cell(
         )
     with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
         json.dump([f"{cell_dir}/{n}" for n in names], fh)
-    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
-        fh.write("ok")
+    commit_stage(stage, _IVF_CELLS)  # manifest-carrying marker
     fire("ivf:split_committed")  # committed, not yet published
     outcome = _await_publish(index_dir, os.path.basename(stage))
     if outcome != "published":
@@ -1399,8 +1404,7 @@ def retrain_ivf_delta(
             sorted(f"cell={c}/{n}" for c, files in names.items() for n in files),
             fh,
         )
-    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
-        fh.write("ok")
+    commit_stage(stage, _IVF_CELLS)  # manifest-carrying marker
     fire("ivf:retrain_committed")  # committed, not yet published
     outcome = _await_publish(index_dir, token)
     if outcome != "published":

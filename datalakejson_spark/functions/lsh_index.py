@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from datalakejson_spark.functions.index_maintenance import (
     batch_applied,
     bump_index_count,
+    commit_stage,
     compact_partitions,
     live_partition_files,
     load_index_meta,
@@ -188,10 +189,17 @@ def lsh_index_append(
         with open(os.path.join(stage, "_BATCH.json"), "w") as fh:
             json.dump({"batch_id": str(batch_id)}, fh)
     fire("lsh:append_staged")
-    with open(os.path.join(stage, "_COMMITTED"), "w") as fh:
-        fh.write("ok")
+    commit_stage(stage, _BUCKETS)  # manifest-carrying marker
     fire("lsh:append_committed")
-    publish_staged(index_dir, _BUCKETS, _LSH_META)
+    out = publish_staged(index_dir, _BUCKETS, _LSH_META).get(
+        os.path.basename(stage)
+    )
+    if out == "corrupt":
+        raise RuntimeError(
+            f"append batch stage {stage} was committed but lost staged "
+            "files before publish (manifest tripwire) — no rows landed; "
+            "retry the batch"
+        )
     # advisory counter bump in the sidecar ONLY (ADVICE r13: writing back
     # the meta dict loaded at entry could clobber a concurrent rebuild's
     # fresh family definition, silently zeroing recall — the append path

@@ -195,8 +195,15 @@ def test_vacuum_kill_windows(spark, tmp_path):
     assert load_tombstones(idx)[0] == {1, 2, 3}
     staging = os.path.join(idx, "_staging")
     for t in os.listdir(staging):  # age the crashed stage past the grace
-        if not t.startswith("_SLOT_"):
-            os.utime(os.path.join(staging, t), (1, 1))
+        if t.startswith("_SLOT_"):
+            continue
+        # the sweep ages on the NEWEST mtime in the tree (round 15: a live
+        # stager's deep writes keep it alive) — backdate every entry
+        top = os.path.join(staging, t)
+        for root, dirs, files in os.walk(top):
+            for name in dirs + files:
+                os.utime(os.path.join(root, name), (1, 1))
+        os.utime(top, (1, 1))
     rep = vacuum_ivf_deletes(spark, idx)  # entry publish sweeps it; retire
     assert rep["rows_removed"] == 0 and rep["tombstone_files_cleared"] >= 1
     assert load_tombstones(idx) == (set(), [])

@@ -275,8 +275,13 @@ def test_uncommitted_stage_is_discarded(spark, tmp_path):
     # ... but it never publishes, fresh or stale
     live = spark.read.parquet(os.path.join(idx, "hashes"))
     assert live.filter(F.col("text_hash") == "feedface" * 4).count() == 0
-    # age it past the grace period → swept by the next batch
+    # age it past the grace period → swept by the next batch. The sweep
+    # ages on the NEWEST mtime in the tree (round 15: a live stager's
+    # deep writes keep it alive) — backdate every entry
     old = time.time() - 7200
+    for root, dirs, files in os.walk(stage):
+        for name in dirs + files:
+            os.utime(os.path.join(root, name), (old, old))
     os.utime(stage, (old, old))
     ingest_batch_dedup(spark, _docs(spark, [(3, NEAR)]), idx)
     assert not os.path.exists(stage)

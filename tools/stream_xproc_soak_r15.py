@@ -1,5 +1,6 @@
 """Round-15 measurement: the dual-stream ANN lifecycle with each stream in
-its OWN Spark application — the true multi-JOB deployment shape.
+its OWN Spark application — the true multi-JOB deployment shape — on
+EITHER plane (IVF or LSH).
 
 tools/stream_lifecycle_soak_r15.py runs the append stream and the delete
 stream concurrently inside one JVM; this tool moves each drain into a
@@ -14,19 +15,22 @@ Per round (8 rounds at the 10^6 decade):
 
 - the parent writes two 10k append files and (rounds 2+) one 5k
   tombstone file;
-- child A (`streaming_ann_ingest`, tick_every=2) and child B
-  (`streaming_index_deletes(vacuum="ivf")`) spawn TOGETHER and drain
-  concurrently — appends race tombstone writes, the tick plane's
-  maintenance races the delete plane's vacuum, across JVMs;
+- child A (`streaming_ann_ingest`/`streaming_lsh_ingest`, tick_every=2)
+  and child B (`streaming_index_deletes(vacuum=<plane>)`) spawn TOGETHER
+  and drain concurrently — appends race tombstone writes, the tick
+  plane's maintenance races the delete plane's vacuum, across JVMs;
 - the parent probes DURING the race from its own session and asserts no
   id it has ever observed tombstoned surfaces (tombstoning is monotonic
   here: observed-once means deleted forever, vacuumed or not);
 - both children must exit 0 every round.
 
-Closing audit: live rows == base + appended − deleted exactly-once
-through all the racing and restarts, 0 duplicates, 0 stranded committed
-stages. Writes tools/stream_xproc_soak_r15.jsonl. Run on a QUIET box:
-python tools/stream_xproc_soak_r15.py [base_n] [gen_n] [rounds]
+Closing audit — IVF: live rows == base + appended − deleted exactly-once
+through all the racing and restarts, 0 duplicates; LSH: every live
+vector in exactly n_tables partitions, none twice in any; both: 0
+stranded committed stages. Writes tools/stream_xproc_soak_r15.jsonl
+(IVF) or tools/stream_xproc_soak_lsh_r15.jsonl (LSH). Run on a QUIET
+box: python tools/stream_xproc_soak_r15.py [ivf|lsh] [base_n] [gen_n]
+[rounds]
 """
 
 from __future__ import annotations
@@ -46,13 +50,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DIM = 32
 KD = 512
-OUT = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "stream_xproc_soak_r15.jsonl"
-)
 _rng = np.random.RandomState(11)
 CENTS = _rng.standard_normal((KD, DIM)) * 5.0
 
 _SCHEMA_DDL = "vec_id long, embedding array<double>"
+
+
+def _out_path(plane: str) -> str:
+    name = (
+        "stream_xproc_soak_r15.jsonl"
+        if plane == "ivf"
+        else "stream_xproc_soak_lsh_r15.jsonl"
+    )
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
 
 
 def synth(spark, n: int, start: int, seed: int = 0):
@@ -90,24 +100,31 @@ def _schema():
     )
 
 
-def run_append_drain(landing: str, idx: str, ckpt: str, cap: str) -> None:
-    from datalakejson_spark.streaming.ann_stream import streaming_ann_ingest
-
+def run_append_drain(
+    plane: str, landing: str, idx: str, ckpt: str, cap: str
+) -> None:
     spark = _session("appends")
-    streaming_ann_ingest(
-        spark,
+    common = dict(
         landing_dir=landing,
         index_dir=idx,
         checkpoint_dir=ckpt,
         schema=_schema(),
         max_files_per_trigger=int(cap) or None,
         tick_every=2,
-        compact_max_runs_per_cell=8,
-    ).awaitTermination()
+    )
+    if plane == "ivf":
+        from datalakejson_spark.streaming.ann_stream import streaming_ann_ingest
+
+        q = streaming_ann_ingest(spark, compact_max_runs_per_cell=8, **common)
+    else:
+        from datalakejson_spark.streaming.ann_stream import streaming_lsh_ingest
+
+        q = streaming_lsh_ingest(spark, compact_max_runs_per_bucket=8, **common)
+    q.awaitTermination()
     spark.stop()
 
 
-def run_delete_drain(landing: str, idx: str, ckpt: str) -> None:
+def run_delete_drain(plane: str, landing: str, idx: str, ckpt: str) -> None:
     from datalakejson_spark.streaming.ann_stream import streaming_index_deletes
 
     spark = _session("deletes")
@@ -116,7 +133,7 @@ def run_delete_drain(landing: str, idx: str, ckpt: str) -> None:
         landing_dir=landing,
         index_dir=idx,
         checkpoint_dir=ckpt,
-        vacuum="ivf",
+        vacuum=plane,
         vacuum_every=1,
     ).awaitTermination()
     spark.stop()
@@ -148,10 +165,15 @@ def write_delete_file(landing: str, name: str, ids) -> None:
 
 
 def main() -> None:
-    base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    gen_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
-    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    del_n = 5_000
+    args = list(sys.argv[1:])
+    plane = args.pop(0) if args and args[0] in ("ivf", "lsh") else "ivf"
+    base_n = int(args[0]) if len(args) > 0 else 1_000_000
+    gen_n = int(args[1]) if len(args) > 1 else 10_000
+    rounds = int(args[2]) if len(args) > 2 else 8
+    # delete ranges must stay inside the base corpus (rounds 2+ delete
+    # [(r-2)*del_n, (r-1)*del_n)) or the conservation audit is meaningless
+    del_n = min(5_000, base_n // max(1, rounds))
+    subdir = "cells" if plane == "ivf" else "buckets"
 
     from datalakejson_spark.functions.index_maintenance import (
         load_tombstones,
@@ -160,9 +182,15 @@ def main() -> None:
     from datalakejson_spark.functions.incremental_dedup import (
         _is_missing_file_error,
     )
-    from datalakejson_spark.functions.ivf import ivf_index_topk
 
-    root = tempfile.mkdtemp(prefix="stream_xproc_")
+    if plane == "ivf":
+        from datalakejson_spark.functions.ivf import ivf_index_topk as topk_fn
+    else:
+        from datalakejson_spark.functions.lsh_index import (
+            lsh_index_topk as topk_fn,
+        )
+
+    root = tempfile.mkdtemp(prefix=f"stream_xproc_{plane}_")
     idx = os.path.join(root, "idx")
     landing_a = os.path.join(root, "landing_appends")
     landing_d = os.path.join(root, "landing_deletes")
@@ -172,9 +200,11 @@ def main() -> None:
     here = os.path.abspath(__file__)
 
     def spawn(role, *args):
-        return subprocess.Popen([sys.executable, here, role, *map(str, args)])
+        return subprocess.Popen(
+            [sys.executable, here, role, plane, *map(str, args)]
+        )
 
-    with open(OUT, "w") as fh:
+    with open(_out_path(plane), "w") as fh:
 
         def emit(rec: dict) -> None:
             fh.write(json.dumps(rec) + "\n")
@@ -184,6 +214,7 @@ def main() -> None:
         emit(
             {
                 "phase": "meta",
+                "plane": plane,
                 "base_n": base_n,
                 "gen_n": gen_n,
                 "rounds": rounds,
@@ -225,7 +256,7 @@ def main() -> None:
                 frozen = set(observed_tombstoned)
                 try:
                     rows = probe_retrying(
-                        lambda: ivf_index_topk(spark, queries, idx)
+                        lambda: topk_fn(spark, queries, idx)
                     )
                 except Exception as exc:  # noqa: BLE001 — audit below
                     if _is_missing_file_error(exc):
@@ -290,36 +321,63 @@ def main() -> None:
             assert rca == 0 and rcd == 0 and not probe_errors
             probes_done[0] = 0
 
-        # audit: conservation across 9 spawns of each stream JVM
+        # audit: conservation across 9 spawns of each stream JVM.
+        # IVF: one copy per live vector. LSH: exactly n_tables copies of
+        # every live vector, none twice in any tb partition.
         import pyspark.sql.functions as F
 
-        cells = spark.read.parquet(os.path.join(idx, "cells"))
+        data = spark.read.parquet(os.path.join(idx, subdir))
         still_ids, _ = load_tombstones(idx)
-        live_df = cells
+        live_df = data
         if still_ids:
-            live_df = cells.filter(
+            live_df = data.filter(
                 ~F.col("vec_id").isin([int(i) for i in still_ids])
             )
-        live_rows = live_df.count()
-        dup = live_df.groupBy("vec_id").count().filter("count > 1").count()
+        expected_live = appended_total - len(deleted)
         staging = os.path.join(idx, "_staging")
         stranded = [
             t
             for t in (os.listdir(staging) if os.path.isdir(staging) else [])
             if os.path.exists(os.path.join(staging, t, "_COMMITTED"))
         ]
-        emit(
-            {
-                "phase": "audit",
-                "live_rows": live_rows,
-                "expected_live": appended_total - len(deleted),
-                "physical_rows": cells.count(),
-                "still_tombstoned": len(still_ids),
-                "duplicates": dup,
-                "stranded_committed_stages": stranded,
+        audit = {
+            "phase": "audit",
+            "expected_live": expected_live,
+            "physical_rows": data.count(),
+            "still_tombstoned": len(still_ids),
+            "stranded_committed_stages": stranded,
+        }
+        if plane == "ivf":
+            live_rows = live_df.count()
+            dup = live_df.groupBy("vec_id").count().filter("count > 1").count()
+            audit |= {"live_rows": live_rows, "duplicates": dup}
+            emit(audit)
+            assert dup == 0 and live_rows == expected_live
+        else:
+            from datalakejson_spark.functions.lsh_index import load_lsh_meta
+
+            n_tables = load_lsh_meta(idx)["n_tables"]
+            per_vec = live_df.groupBy("vec_id").count()
+            wrong_copies = per_vec.filter(F.col("count") != n_tables).count()
+            distinct_live = per_vec.count()
+            dup_in_table = (
+                live_df.groupBy("vec_id", "tb")
+                .count()
+                .filter("count > 1")
+                .count()
+            )
+            audit |= {
+                "n_tables": n_tables,
+                "distinct_live": distinct_live,
+                "wrong_copy_count_vectors": wrong_copies,
+                "dup_within_table": dup_in_table,
             }
-        )
-        assert dup == 0 and live_rows == appended_total - len(deleted)
+            emit(audit)
+            assert (
+                dup_in_table == 0
+                and wrong_copies == 0
+                and distinct_live == expected_live
+            )
         assert not stranded
         spark.stop()
     shutil.rmtree(root, ignore_errors=True)
@@ -327,8 +385,10 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "append-drain":
-        run_append_drain(sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])
+        run_append_drain(
+            sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5], sys.argv[6]
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "delete-drain":
-        run_delete_drain(sys.argv[2], sys.argv[3], sys.argv[4])
+        run_delete_drain(sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])
     else:
         main()
