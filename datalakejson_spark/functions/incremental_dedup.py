@@ -35,6 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datalakejson_spark.functions.dedup import band_table, minhash_signatures
+from datalakejson_spark.fsutil import atomic_write_json
 from datalakejson_spark.plans.killpoints import fire
 from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table
@@ -1549,10 +1550,7 @@ def write_lane_meta(index_dir: str, force: bool = False) -> None:
                 "force=True only if the files are KNOWN to match the "
                 "current definition."
             )
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(current, fh)
-    os.replace(tmp, meta_path)
+    atomic_write_json(meta_path, current)
 
 
 def _check_lane_meta(index_dir: str) -> None:
@@ -1711,10 +1709,7 @@ def rebuild_index(
     _publish_staged(index_dir)  # complete any predecessor first
     os.makedirs(stage, exist_ok=True)
     if not os.path.exists(meta_path):
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(ckpt_meta, fh)
-        os.replace(tmp, meta_path)
+        atomic_write_json(meta_path, ckpt_meta)
     frames = {
         "hashes": lambda: exact_hash_index(docs, text_col),
         "bands": lambda: band_table(
@@ -1745,10 +1740,7 @@ def rebuild_index(
             )
         except Exception:  # noqa: BLE001 — informational only
             written[sub] = rows[sub]
-        tmp = done_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"rows": written[sub]}, fh)
-        os.replace(tmp, done_path)
+        atomic_write_json(done_path, {"rows": written[sub]})
         fire("dedup:rebuild_subdir_done")  # checkpoint: resume skips this sub
     subsumed = {
         sub: _live_files(os.path.join(index_dir, sub)) for sub in _INDEX_SUBDIRS
@@ -2440,10 +2432,7 @@ def major_compact_index(
             shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
     if not os.path.exists(meta_path):
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(ckpt_meta, fh)
-        os.replace(tmp, meta_path)
+        atomic_write_json(meta_path, ckpt_meta)
     written: dict[str, int] = {}
     for sub in _INDEX_SUBDIRS:
         key = _PRUNE_KEY[sub]
@@ -2456,9 +2445,7 @@ def major_compact_index(
         names = snapshot.get(sub) or []
         if not names:
             written[sub] = 0
-            with open(done_path + ".tmp", "w") as fh:
-                json.dump({"rows": 0}, fh)
-            os.replace(done_path + ".tmp", done_path)
+            atomic_write_json(done_path, {"rows": 0})
             continue
         stats = _file_stats(live, key)
         n_rows = sum(
@@ -2472,10 +2459,7 @@ def major_compact_index(
             "overwrite"
         ).parquet(os.path.join(stage, sub))
         written[sub] = n_rows
-        tmp = done_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"rows": n_rows}, fh)
-        os.replace(tmp, done_path)
+        atomic_write_json(done_path, {"rows": n_rows})
         fire("dedup:major_subdir_done")  # checkpoint: resume skips this sub
     with open(os.path.join(stage, "_SUBSUMED.json"), "w") as fh:
         json.dump(snapshot, fh)

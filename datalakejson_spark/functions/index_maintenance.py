@@ -55,6 +55,7 @@ from datalakejson_spark.functions.incremental_dedup import (
     _sweep_stale_stage,
     stage_newest_mtime,
 )
+from datalakejson_spark.fsutil import atomic_write_json
 from datalakejson_spark.plans.killpoints import fire
 
 STAGING = "_staging"
@@ -89,10 +90,7 @@ def write_index_meta(index_dir: str, meta: dict, meta_name: str) -> None:
     would otherwise bake the merged count in and double it on reload."""
     os.makedirs(index_dir, exist_ok=True)
     meta = {k: v for k, v in meta.items() if k != "n_vectors"}
-    tmp = os.path.join(index_dir, meta_name + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(index_dir, meta_name))
+    atomic_write_json(os.path.join(index_dir, meta_name), meta)
 
 
 def load_index_meta(index_dir: str, meta_name: str, build_hint: str) -> dict:
@@ -116,10 +114,7 @@ def write_index_count(index_dir: str, n: int) -> None:
     (a crash between the two leaves a stale count next to the OLD meta:
     advisory-wrong, never results-wrong)."""
     os.makedirs(index_dir, exist_ok=True)
-    tmp = os.path.join(index_dir, COUNT_SIDECAR + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"n": int(n)}, fh)
-    os.replace(tmp, os.path.join(index_dir, COUNT_SIDECAR))
+    atomic_write_json(os.path.join(index_dir, COUNT_SIDECAR), {"n": int(n)})
 
 
 def read_index_count(index_dir: str, default: int = 0) -> int:
@@ -185,10 +180,7 @@ def commit_stage(stage: str, subdir: str) -> None:
             for name in sorted(os.listdir(part_dir)):
                 if name.endswith(".parquet"):
                     files.append(f"{part}/{name}")
-    tmp = os.path.join(stage, "._COMMITTED.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"files": files}, fh)
-    os.replace(tmp, os.path.join(stage, "_COMMITTED"))
+    atomic_write_json(os.path.join(stage, "_COMMITTED"), {"files": files})
 
 
 def _destroyed_manifest_files(
@@ -600,10 +592,7 @@ def _record_planned_moves(stage: str, src_root: str) -> None:
         for name in os.listdir(os.path.join(src_root, part))
         if name.endswith(".parquet")
     )
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(planned, fh)
-    os.replace(tmp, manifest)
+    atomic_write_json(manifest, planned)
 
 
 def _rollback_stage_moves(index_dir: str, stage: str, subdir: str) -> None:
@@ -970,10 +959,7 @@ def add_tombstones(index_dir: str, ids, name: str | None = None) -> int:
         name = f"{_uuid.uuid4().hex}.json"
     elif not name.endswith(".json"):
         raise ValueError(f"tombstone file name must end in .json: {name!r}")
-    tmp = os.path.join(tdir, name + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"ids": ids}, fh)
-    os.replace(tmp, os.path.join(tdir, name))
+    atomic_write_json(os.path.join(tdir, name), {"ids": ids})
     return len(ids)
 
 

@@ -338,12 +338,15 @@ class Ledger:
     def _write_seg_range(self, seg: str, kmin: str | None, kmax: str | None) -> None:
         if kmin is None or kmax is None:
             return  # empty segment (never published in practice) — no sidecar
-        tmp = self.root / seg / "_RANGE.json.tmp"
+        from datalakejson_spark.fsutil import atomic_write_json
+
         try:
-            tmp.write_text(json.dumps({"min": kmin, "max": kmax}))
-            os.replace(tmp, self.root / seg / "_RANGE.json")
+            atomic_write_json(
+                str(self.root / seg / "_RANGE.json"),
+                {"min": kmin, "max": kmax},
+            )
         except OSError:
-            tmp.unlink(missing_ok=True)  # advisory — probe stays conservative
+            pass  # advisory — probe stays conservative
 
     def _seg_range(self, seg: str) -> tuple[str, str] | None:
         try:
@@ -515,7 +518,9 @@ class Ledger:
         # never wall-clock-derived names (see _prune).
         meta = self._pointer_meta() or {}
         seq = int(meta.get("publish_seq", 0)) + 1
-        tmp = self.root / "_LATEST.tmp"
+        from datalakejson_spark.fsutil import unique_tmp
+
+        tmp = self.root / unique_tmp("_LATEST")
         tmp.write_text(
             json.dumps(
                 {
@@ -613,9 +618,9 @@ class Ledger:
                 retired.pop(name)
                 changed = True
         if changed:
-            tmp = self.root / "_RETIRED.tmp"
-            tmp.write_text(json.dumps(retired))
-            os.replace(tmp, retired_path)
+            from datalakejson_spark.fsutil import atomic_write_json
+
+            atomic_write_json(str(retired_path), retired)
 
     # -- reference operations ----------------------------------------------
     def register(self, discovered: DataFrame) -> int:

@@ -234,6 +234,6 @@ class RawSchemaRegistry:
         # the dir normally exists (snapshot ledger home), but with a JDBC
         # ledger nothing else creates it
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = self.path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(schema.jsonValue()))
-        os.replace(tmp, self.path)
+        from datalakejson_spark.fsutil import atomic_write_json
+
+        atomic_write_json(str(self.path), schema.jsonValue())

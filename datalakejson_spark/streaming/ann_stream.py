@@ -107,13 +107,12 @@ def adopt_stream(
     import os
 
     os.makedirs(index_dir, exist_ok=True)
-    tmp = os.path.join(index_dir, sidecar + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"stream_id": stream_id, "legacy_markers_ok": _legacy_markers_ok},
-            fh,
-        )
-    os.replace(tmp, os.path.join(index_dir, sidecar))
+    from datalakejson_spark.fsutil import atomic_write_json
+
+    atomic_write_json(
+        os.path.join(index_dir, sidecar),
+        {"stream_id": stream_id, "legacy_markers_ok": _legacy_markers_ok},
+    )
 
 
 def _guard_stream_identity(
@@ -370,10 +369,9 @@ def _append_advisory(index_dir: str, name: str, rec: dict) -> None:
         if os.path.getsize(path) > ADVISORY_LOG_MAX_BYTES:
             with open(path) as fh:
                 lines = fh.readlines()
-            tmp = path + ".tmp"
-            with open(tmp, "w") as fh:
-                fh.writelines(lines[len(lines) // 2:])
-            os.replace(tmp, path)
+            from datalakejson_spark.fsutil import atomic_write_text
+
+            atomic_write_text(path, "".join(lines[len(lines) // 2:]))
     except (OSError, TypeError, ValueError):  # advisory observability
         pass
 

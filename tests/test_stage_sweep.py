@@ -221,3 +221,58 @@ def test_dedup_plane_sweep_uses_tree_mtime(spark, tmp_path):
     _publish_staged(root)
     assert os.path.isdir(live)
     assert not any("dead-stage" in t for t in os.listdir(staging))
+
+
+def test_concurrent_meta_writers_never_tear_the_meta(tmp_path):
+    """Two publishers may legitimately roll the SAME stage forward (the
+    own-token re-entry rule), so concurrent write_index_meta calls are a
+    designed state. With a fixed tmp name, one writer's os.replace could
+    publish the other's half-written tmp — the cross-JVM soak crashed on
+    a torn 188 KB _IVF.json exactly this way. Unique per-write tmps keep
+    every published inode a complete document: readers must never see
+    invalid JSON, no matter the interleaving."""
+    import threading
+
+    from datalakejson_spark.functions.index_maintenance import (
+        load_index_meta,
+        write_index_meta,
+    )
+
+    idx = str(tmp_path / "idx")
+    # a soak-sized meta (~200 KB): big enough that a torn write is
+    # overwhelmingly likely to be caught by the reader loop
+    meta = {"centroids": [[float(i)] * 32 for i in range(900)], "gen": 0}
+    write_index_meta(idx, meta, "_META.json")
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def writer(seed: int) -> None:
+        g = 0
+        while not stop.is_set():
+            g += 1
+            write_index_meta(
+                idx, {**meta, "gen": g, "writer": seed}, "_META.json"
+            )
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                m = load_index_meta(idx, "_META.json", "test")
+            except ValueError as exc:  # JSONDecodeError is a ValueError
+                errors.append(f"torn meta: {exc}")
+                return
+            if len(m["centroids"]) != 900:
+                errors.append(f"short meta: {len(m['centroids'])}")
+                return
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    threads += [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    import time as _t
+
+    _t.sleep(4.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert errors == [], errors
