@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from datalakejson_spark.registry import register
-from datalakejson_spark.sources.tables import load_table
+from datalakejson_spark.sources.tables import load_table, spread_scan
 
 N_QUERIES = 8
 TOP_K = 5
@@ -104,22 +104,59 @@ _L3_SQL = f"""
 """
 
 
+def _norm_expr(col: str):
+    """|x| — the identical expression tree cosine_expr uses, exposed so the
+    norms can be projected ONCE per row instead of once per (query, candidate)
+    pair (same IEEE op sequence → bit-identical values)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(col), lambda p: p.cast("double") * p.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
 def brute_force_topk(
     queries: DataFrame, candidates: DataFrame, k: int = TOP_K
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, score every candidate.
-    Output: (query_id, neighbor_id, cosine, rn)."""
+    Output: (query_id, neighbor_id, cosine, rn).
+
+    r15: the vector norms are projected per ROW before the pair join — the
+    interpreted higher-order norm lambdas used to re-run per PAIR (q× the
+    work on the candidate side). Same expression tree, same fold order, so
+    every cosine is bit-identical; only the dot product remains per-pair."""
     q = F.broadcast(
         queries.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm_expr("embedding").alias("q_norm"),
         )
     )
     c = candidates.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm_expr("embedding").alias("c_norm"),
     )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, qq: p.cast("double") * qq.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
     scored = (
         q.join(c, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb"), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -258,9 +295,14 @@ def l3d_exact_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("l3_cosine_topk", survey="L3,J8,W5,F5", sql=_L3_SQL)
 def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for the first 8 vectors — the
-    oracle-checked baseline for similarity search."""
+    oracle-checked baseline for similarity search. The candidate side gets
+    the adaptive unsplittable-input repartition (guide §2.5): the fixture is
+    one row group, so every per-pair dot product would otherwise run on one
+    task; a real-scale scan makes it a no-op."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+    return brute_force_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), spread_scan(emb, "vec_id")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -28,15 +28,25 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def configure_runtime(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to a session we did not create (e.g. the driver's)."""
-    for key, value in RUNTIME_CONFS.items():
+    """Apply runtime confs to a session we did not create (e.g. the driver's).
+
+    Idempotent and memoized per session object: every conf.set is a py4j
+    round-trip, and load_table calls this on EVERY table read, so an
+    un-memoized pass costs ~10 driver round-trips per scan (measured as pure
+    per-query build time in the bench; guide §5: the driver should do almost
+    no per-query work). A second Python wrapper of the same JVM session just
+    re-applies the idempotent confs once — harmless."""
+    if getattr(spark, "_dlj_runtime_configured", False):
+        return spark
+    for conf_key, value in RUNTIME_CONFS.items():
         try:
-            spark.conf.set(key, value)
+            spark.conf.set(conf_key, value)
         except Exception:
             # Non-settable on this session build; keep going — each conf is
             # an optimization or compat shim, not a correctness requirement
             # for sessions that already read the data fine.
             pass
+    spark._dlj_runtime_configured = True
     return spark
 
 

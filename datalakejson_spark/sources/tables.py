@@ -15,6 +15,8 @@ with ``date_trunc('microseconds', ts)``.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,18 +35,72 @@ TABLES = (
     "embeddings",
 )
 
+#: (session id, path, mtime) -> analyzed DataFrame. ``spark.read.parquet``
+#: re-reads the footer for schema inference and re-lists the path on every
+#: call — driver-side metadata work a catalog/metastore would cache. This is
+#: METADATA caching only (the scan DataFrame is an immutable lazy plan):
+#: every action on it still reads the parquet files; no rows or results are
+#: memoized. Keyed on the path's mtime so a regenerated /tmp scaled fixture
+#: invalidates its entry; keyed on the session object id so a restarted
+#: session never sees plans bound to a dead JVM.
+_SCAN_CACHE: dict[tuple[int, str, float], DataFrame] = {}
+
+
+def _path_mtime(path: str) -> float:
+    try:
+        return os.stat(path).st_mtime
+    except OSError:
+        return -1.0
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Lazy — no action is triggered."""
     configure_runtime(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path, _path_mtime(path))
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos long -> microsecond TIMESTAMP_NTZ (session tz is pinned UTC,
         # so the tz-strip cast is exact).
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    _SCAN_CACHE[key] = df
     return df
+
+
+def spread_scan(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a scan-rooted frame across the cluster when (and only
+    when) its scan cannot feed every core — the guide §2.5 mitigation for
+    unsplittable input (one gzip file / a parquet file with one row group,
+    which is the shape of the small fixtures: a single row group makes the
+    whole scan ONE task no matter how many cores exist, so every per-row
+    expression downstream runs single-threaded).
+
+    Scale-adaptive by construction: when the scan already has at least half
+    as many input splits as cores (any real-scale table), this is a no-op and
+    no exchange is added — so the 100 TB plan shape is unchanged, while the
+    starved local scan gains an exchange that costs one pass of the (small,
+    by definition: it fit in so few splits) input. Partitioning is HASH on a
+    caller-chosen deterministic column — never round-robin, which both pays a
+    local sort of the input (sortBeforeRepartition) and is unsafe under task
+    retry with non-deterministic upstreams (SPARK-38388).
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    # Physical scan split count; computed driver-side, no job is triggered.
+    # Memoized on the frame — the .rdd conversion plans the query once, and
+    # load_table hands out one shared frame per (session, path).
+    n_parts = getattr(df, "_dlj_scan_parts", None)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        df._dlj_scan_parts = n_parts
+    if n_parts * 2 > cores:
+        return df
+    return df.repartition(cores, F.col(key))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

@@ -544,11 +544,14 @@ def _summary_at_sf01(spark, name: str):
 
 
 def test_j3_star_join_shuffle_envelope(spark):
-    """4 dimension broadcasts, only the 35 aggregated rows cross the one
-    post-agg exchange (measured 2.3 KiB / 4 broadcasts at sf0.1)."""
+    """4 dimension broadcasts; the only non-trivial exchange carries the
+    ORDER-grain pre-aggregate (r15, guide §2.3: lineitem is reduced to one
+    (orderkey, scaled-revenue, n_lines) row per order BEFORE any join), so
+    shuffled bytes stay a fraction of the raw fact bytes (~11 MiB at
+    sf0.1)."""
     s = _summary_at_sf01(spark, "j3_star_join_revenue")
     assert s["n_broadcasts"] >= 4, s
-    assert s["shuffle_bytes"] < 10 * 1024, s
+    assert s["shuffle_bytes"] < 6 * 1024 * 1024, s
     assert s["spill_bytes"] == 0, s
 
 
@@ -571,9 +574,13 @@ def test_l2_minhash_shuffle_envelope(spark):
 
 
 def test_l3_cosine_topk_shuffle_envelope(spark):
-    """Query side broadcasts; only the top-k survivors cross the exchange
-    (measured 1 broadcast / 999 B at sf0.1)."""
+    """Query side broadcasts; the candidate side crosses one adaptive
+    spread_scan exchange (r15, guide §2.5: the single-row-group fixture scan
+    would otherwise run every dot product on ONE task; no-op on real-scale
+    scans) and only the per-partition top-k survivors cross the window
+    exchange — never the q× pair table."""
     s = _summary_at_sf01(spark, "l3_cosine_topk")
     assert s["n_broadcasts"] >= 1, s
-    assert s["shuffle_bytes"] < 8 * 1024, s
+    # one pass of the (small by construction) embeddings table + survivors
+    assert s["shuffle_bytes"] < 1536 * 1024, s
     assert s["spill_bytes"] == 0, s
