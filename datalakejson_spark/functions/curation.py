@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datalakejson_spark.registry import register
-from datalakejson_spark.sources.tables import load_table
+from datalakejson_spark.sources.tables import load_table, spread_scan
 
 # Split fractions encoded as thresholds over the first byte of md5(doc_id):
 # hex strings compare lexicographically identically in Spark and DuckDB
@@ -932,6 +932,114 @@ _L21_SQL = f"""
 """
 
 
+# --- row-local signal machinery (r15 optimization) -------------------------
+# Every l21 signal is a PER-DOCUMENT statistic, so the whole battery can be
+# computed row-locally with array expressions: no explode, no shuffle, no
+# join. The previous relational form ran three explode→aggregate legs and
+# two joins — at 100 TB that shuffles every word 2-/3-gram as a string
+# (~10-20× the corpus bytes); this form moves nothing and parallelizes as
+# the scan (measured 4.5-5× at sf0.1, 1.9-2.7× at sf1, results
+# bit-identical — integer counts and the same final IEEE divisions).
+#
+# Let-binding: ``transform(array(X), x -> body)[0]`` evaluates X exactly
+# once however many times ``x`` appears in body — the SQL-expression
+# equivalent of a let. Without it, CollapseProject inlines each derived
+# array into every consumer and the tokenize work runs once per signal.
+# The single evaluation of the whole struct per ROW is then guaranteed by
+# the caller's ``explode(array(struct))`` Generate barrier, which the
+# optimizer does not collapse through (field extraction on the generated
+# attribute cannot duplicate the struct expression).
+
+
+def _words_sql(text: str, newlines: bool) -> str:
+    """The word-stream expression (same definition the relational form and
+    the oracle use): newline mode treats \n/\r as separators and drops
+    empties; window mode is a plain space split."""
+    if newlines:
+        return f"filter(split({text}, '[ \\n\\r]'), x -> x != '')"
+    return f"split({text}, ' ')"
+
+
+def _lines_sql(text: str, newlines: bool, line_words: int) -> str:
+    """Per-doc NON-EMPTY line array — exactly line_table's rows, as an
+    array: \r?\n split in newline mode, synthesized ``line_words``-word
+    windows otherwise (empty lines filtered, mirroring line_table's
+    ``line != ''``)."""
+    if newlines:
+        return f"filter(split({text}, '\\r?\\n'), l -> l != '')"
+    w = f"split({text}, ' ')"
+    return (
+        f"filter(transform(sequence(0, cast(ceil(size({w}) / {line_words}.0)"
+        f" as int) - 1), g -> array_join(slice({w}, g * {line_words} + 1,"
+        f" {line_words}), ' ')), l -> l != '')"
+    )
+
+
+def _maxrun_sql(arr: str) -> str:
+    """Exact max occurrence count of any element of ``arr``: sort, then a
+    run-length fold (struct accumulator). Equals ``max(c)`` of the old
+    per-gram COUNT aggregate."""
+    return (
+        f"aggregate(array_sort({arr}),"
+        f" named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+        f" (acc, x) -> named_struct("
+        f"   'prev', x,"
+        f"   'run', if(acc.prev <=> x, acc.run + 1L, 1L),"
+        f"   'best', greatest(acc.best, if(acc.prev <=> x, acc.run + 1L, 1L))),"
+        f" acc -> acc.best)"
+    )
+
+
+def _grams_sql(w: str, n: int) -> str:
+    return (
+        f"transform(sequence(0, size({w}) - {n}),"
+        f" i -> array_join(slice({w}, i + 1, {n}), ' '))"
+    )
+
+
+def _signals_struct_sql(text: str, newlines: bool, line_words: int) -> str:
+    """All eight l21 signals as ONE let-bound struct expression. NULL
+    semantics mirror the relational form's left-join misses: a doc with no
+    non-empty lines gets counts 0 / fractions NULL; a doc too short to form
+    an n-gram gets a NULL share. Gram share = max count / total count, with
+    total = size(w) - n + 1 (what SUM(c) equaled)."""
+    w_e = _words_sql(text, newlines)
+    ln_e = _lines_sql(text, newlines, line_words)
+    body = f"""named_struct(
+      'n_lines', coalesce(CASE WHEN size(ln) > 0 THEN cast(size(ln) as bigint) END, 0L),
+      'n_dup_lines', coalesce(CASE WHEN size(ln) > 0 THEN cast(size(ln) - size(dl) as bigint) END, 0L),
+      'dup_line_frac', CASE WHEN size(ln) > 0 THEN cast(size(ln) - size(dl) as double) / size(ln) END,
+      'dup_char_frac', CASE WHEN size(ln) > 0 THEN
+          cast(aggregate(ln, 0L, (a, l) -> a + length(l)) - aggregate(dl, 0L, (a, l) -> a + length(l)) as double)
+          / aggregate(ln, 0L, (a, l) -> a + length(l)) END,
+      'top_2gram_share', CASE WHEN w IS NOT NULL AND size(w) >= 2 THEN
+          cast({_maxrun_sql(_grams_sql('w', 2))} as double) / (size(w) - 1) END,
+      'top_3gram_share', CASE WHEN w IS NOT NULL AND size(w) >= 3 THEN
+          cast({_maxrun_sql(_grams_sql('w', 3))} as double) / (size(w) - 2) END,
+      'bullet_line_frac', CASE WHEN size(ln) > 0 THEN
+          cast(size(filter(ln, l -> l rlike '^[-*•]')) as double) / size(ln) END,
+      'ellipsis_line_frac', CASE WHEN size(ln) > 0 THEN
+          cast(size(filter(ln, l -> l rlike '(\\\\.\\\\.\\\\.|…)$')) as double) / size(ln) END
+    )"""
+    return (
+        f"transform(array({w_e}), w -> "
+        f"transform(array({ln_e}), ln -> "
+        f"transform(array(array_distinct(ln)), dl -> {body})[0])[0])[0]"
+    )
+
+
+_SIGNAL_COLS = (
+    "n_lines",
+    "n_dup_lines",
+    "dup_line_frac",
+    "dup_char_frac",
+    "top_2gram_share",
+    "top_3gram_share",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+)
+
+
 def repetition_signals(
     docs: DataFrame,
     text_col: str = "text",
@@ -948,107 +1056,28 @@ def repetition_signals(
       (Gopher filters docs with >30% duplicate-line chars);
     - ``top_2gram_share`` / ``top_3gram_share``: share of all word 2-/3-gram
       occurrences taken by the most frequent one (NULL when the doc is too
-      short to form a gram) — the share needs only max(c)/sum(c), so tie
-      ambiguity over WHICH gram is top never enters the result
-      (deterministic without a tie-break);
+      short to form a gram);
     - ``bullet_line_frac`` / ``ellipsis_line_frac``: fraction of lines
-      starting with a bullet (-, *, •) or ending in an ellipsis (... or …)
-      (Gopher drops docs with >90% bullet or >30% ellipsis lines).
+      starting with a bullet (-, *, •) or ending in an ellipsis (... or …).
 
     NULL/empty docs stay in the output (counts 0, fractions NULL).
 
-    100 TB shape: three scans of (id, text) — lines, 2-grams, 3-grams —
-    each exploding to an aggregate whose shuffle key INCLUDES the doc id,
-    so skew is bounded per-document and parallelism is document count; the
-    three per-doc summaries (each one row per doc) then join back on the id.
-    All counts are exact integers; every float is a final row-local
-    division (the l13 determinism pattern)."""
-    lines = line_table(docs, text_col, id_col, line_words, newlines)
-    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("c"))
-    chars = F.length("line")
-    bullet = F.col("line").rlike("^[-*•]").cast("long")
-    ellipsis = F.col("line").rlike("(\\.\\.\\.|…)$").cast("long")
-    line_stats = per_line.groupBy(id_col).agg(
-        F.sum("c").alias("n_lines"),
-        F.sum(F.col("c") - 1).alias("n_dup_lines"),
-        F.sum(F.col("c") * chars).alias("n_chars"),
-        F.sum((F.col("c") - 1) * chars).alias("n_dup_chars"),
-        F.sum(F.col("c") * bullet).alias("n_bullet"),
-        F.sum(F.col("c") * ellipsis).alias("n_ellipsis"),
-    )
-
-    # Word stream for the gram signals: in newline mode a \n (or CRLF \r\n,
-    # matching line_table's \r?\n split) separates words exactly like a
-    # space (otherwise words across line boundaries would glue into bogus
-    # tokens and under-count repeated grams), and empty words from blank
-    # lines are dropped. The default stays a plain space-split,
-    # byte-identical to the registered oracle.
-    words = (
-        f"filter(split({text_col}, '[ \\n\\r]'), w -> w != '')"
-        if newlines
-        else f"split({text_col}, ' ')"
-    )
-
-    # Single tokenized gram pass (round 10): both gram sizes derive from
-    # ONE projection of the word array and ONE explode→aggregate, instead
-    # of a separate scan+tokenize per size. In newline mode the tokenizer
-    # input is the in-query derivation regexp, so halving the tokenize
-    # passes cuts the dominant constant of l21b/l22b at scale; it also
-    # merges two (id, gram) shuffles + two joins into one of each. The
-    # share values are unchanged: exact integer counts per (id, n, gram),
-    # max/sum split back out per gram size by conditional aggregation
-    # (SUM/MAX over an all-NULL slice is NULL — same "too short to form a
-    # gram" semantics the old left joins produced).
-    def gram_structs(n: int) -> str:
-        # Guard the sequence(hi < lo) descending trap: a doc too short to
-        # form a gram contributes an empty array, never a descending
-        # sequence.
-        return (
-            f"CASE WHEN size(w) >= {n} THEN"
-            f" transform(sequence(0, size(w) - {n}),"
-            f" i -> struct({n} AS n, array_join(slice(w, i + 1, {n}), ' ')"
-            f" AS gram))"
-            f" ELSE array() END"
-        )
-
-    tok = docs.select(F.col(id_col), F.expr(words).alias("w"))
-    grams = tok.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(f"concat({gram_structs(2)}, {gram_structs(3)})")
-        ).alias("g"),
-    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    per_gram = grams.groupBy(id_col, "n", "gram").agg(F.count("*").alias("c"))
-    c2 = F.when(F.col("n") == 2, F.col("c"))
-    c3 = F.when(F.col("n") == 3, F.col("c"))
-    gram_stats = per_gram.groupBy(id_col).agg(
-        (F.max(c2).cast("double") / F.sum(c2)).alias("top_2gram_share"),
-        (F.max(c3).cast("double") / F.sum(c3)).alias("top_3gram_share"),
-    )
-    return (
-        docs.select(id_col)
-        .join(line_stats, id_col, "left")
-        .join(gram_stats, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-            F.coalesce("n_dup_lines", F.lit(0)).alias("n_dup_lines"),
-            (F.col("n_dup_lines").cast("double") / F.col("n_lines")).alias(
-                "dup_line_frac"
-            ),
-            (F.col("n_dup_chars").cast("double") / F.col("n_chars")).alias(
-                "dup_char_frac"
-            ),
-            "top_2gram_share",
-            "top_3gram_share",
-            (F.col("n_bullet").cast("double") / F.col("n_lines")).alias(
-                "bullet_line_frac"
-            ),
-            (F.col("n_ellipsis").cast("double") / F.col("n_lines")).alias(
-                "ellipsis_line_frac"
-            ),
-        )
-    )
+    100 TB shape (r15): every signal is a per-document statistic, so the
+    battery is computed ROW-LOCALLY with array expressions — one scan, zero
+    shuffles, zero joins, O(doc) memory per row. The previous form ran
+    three explode→aggregate legs joined back on the id, shuffling every
+    2-/3-gram as a string (~10-20× the corpus bytes at scale). Duplicate
+    counting uses total−distinct identities (sum(c−1) == size − distinct
+    size; sum((c−1)·len) == chars − distinct chars) and the top-gram count
+    is an exact sorted run-length fold — all integer math, with the same
+    final IEEE divisions, so results are bit-identical (oracle-verified).
+    The ``explode(array(struct))`` is a one-row Generate barrier that
+    guarantees the struct evaluates once per row (see the let-binding note
+    above)."""
+    s = _signals_struct_sql(text_col, newlines, line_words)
+    return docs.select(
+        F.col(id_col), F.explode(F.array(F.expr(s))).alias("_s")
+    ).select(id_col, *[F.col(f"_s.{c}").alias(c) for c in _SIGNAL_COLS])
 
 
 @register("l21_repetition_signals", survey="L6,L4,G3", extended=True, sql=_L21_SQL)
@@ -1058,7 +1087,9 @@ def l21_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions (see :func:`repetition_signals`). Lines are the synthesized
     4-word windows (fixture corpus has no newlines); the signal math is
     line-source-agnostic."""
-    return repetition_signals(load_table(spark, sf_dir, "documents"))
+    return repetition_signals(
+        spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1210,7 +1241,9 @@ def l21b_repetition_signals_newlines(spark: SparkSession, sf_dir: str) -> DataFr
     text, see l19b): lines from the \\r?\\n split, words tokenized ACROSS
     newlines with empties dropped — the whole newline code path
     cross-engine-verified, not just pytest-pinned."""
-    return repetition_signals(_derived_newline_docs(spark, sf_dir), newlines=True)
+    return repetition_signals(
+        spread_scan(_derived_newline_docs(spark, sf_dir), "doc_id"), newlines=True
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1252,27 +1285,27 @@ def quality_gate(
 ) -> DataFrame:
     """Per-document keep/drop verdict with a reason-code bitmask: combines
     the l6 shape rules (size, token count, mean word length) with Gopher's
-    published repetition cutoffs over :func:`repetition_signals`. NULL
-    signal values (doc too short to form a gram, NULL text) never fire a
-    repetition rule — the shape rules are what reject degenerate docs.
+    published repetition cutoffs over the :func:`repetition_signals` math.
+    NULL signal values (doc too short to form a gram, NULL text) never fire
+    a repetition rule — the shape rules are what reject degenerate docs.
 
-    100 TB shape: the signals pass is l21 (explained-linear, doc-keyed
-    shuffles); everything on top is a row-local expression over one row per
-    document. The verdict is deterministic: integer counts, IEEE quotients
-    of identical integers, published constants.
+    100 TB shape (r15): ONE row-local pass — the signal struct (see
+    repetition_signals) and the shape columns are computed in a single
+    projection and the verdict is arithmetic over them. No join, no
+    shuffle, no aggregate: the gate scans the corpus once and parallelizes
+    as the scan. (The previous form joined a shape pass onto a 3-leg
+    relational signals pass — two extra scans, three shuffles and a join,
+    and at scale the gram-string shuffle dominated.)
 
     ``newlines=True`` keeps the shape rules on the SAME token definition as
-    the repetition signals (words split across ``\\n``/``\\r`` with empties
+    the repetition signals (words split across ``\n``/``\r`` with empties
     dropped, newline bytes excluded from character counts) — one bitmask
     must never mix two tokenizations.
 
-    CONTRACT: ``id_col`` must be UNIQUE and NON-NULL per row. The verdict
-    joins the shape pass onto the signals pass on that key, so duplicate
-    ids multiply join rows and merge repetition signals across the
-    duplicates, and NULL ids drop rows silently. Corpora that can't promise
-    this (raw landing data with corrupt lines) should freeze a surrogate
-    key first, the way streaming/quality_stream.py does
-    (monotonically_increasing_id + localCheckpoint, gate on ``_rid``)."""
+    Row-local also removes the old unique-id join hazard: the verdict is
+    computed per input ROW, so duplicate ids simply yield one verdict row
+    each and NULL ids pass through (previously duplicates multiplied join
+    rows and NULL ids dropped silently)."""
     text = F.col(text_col)
     if newlines:
         n_tokens = F.when(text.isNull(), F.lit(0)).otherwise(
@@ -1289,14 +1322,16 @@ def quality_gate(
     avg_word_len = F.coalesce(stripped, F.lit(0)).cast(
         "double"
     ) / F.greatest(n_tokens, F.lit(1))
-    shaped = docs.select(
-        id_col,
+    sig = _signals_struct_sql(text_col, newlines, LINE_WORDS)
+    j = docs.select(
+        F.col(id_col),
         F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
         n_tokens.alias("n_tokens"),
         avg_word_len.alias("avg_word_len"),
+        # one-row Generate barrier: the struct evaluates once per row even
+        # though the reason bits below reference six of its fields
+        F.explode(F.array(F.expr(sig))).alias("_s"),
     )
-    sig = repetition_signals(docs, text_col, id_col, newlines=newlines)
-    j = shaped.join(sig, id_col)
 
     def bit(cond, name: str):
         return F.when(
@@ -1310,12 +1345,12 @@ def quality_gate(
             ~F.col("avg_word_len").between(QG_WORD_LEN_LO, QG_WORD_LEN_HI),
             "word_len",
         )
-        + bit(F.col("dup_line_frac") > QG_DUP_LINE_FRAC, "dup_lines")
-        + bit(F.col("dup_char_frac") > QG_DUP_CHAR_FRAC, "dup_chars")
-        + bit(F.col("top_2gram_share") > QG_TOP_2GRAM, "top_2gram")
-        + bit(F.col("top_3gram_share") > QG_TOP_3GRAM, "top_3gram")
-        + bit(F.col("bullet_line_frac") > QG_BULLET_FRAC, "bullets")
-        + bit(F.col("ellipsis_line_frac") > QG_ELLIPSIS_FRAC, "ellipsis")
+        + bit(F.col("_s.dup_line_frac") > QG_DUP_LINE_FRAC, "dup_lines")
+        + bit(F.col("_s.dup_char_frac") > QG_DUP_CHAR_FRAC, "dup_chars")
+        + bit(F.col("_s.top_2gram_share") > QG_TOP_2GRAM, "top_2gram")
+        + bit(F.col("_s.top_3gram_share") > QG_TOP_3GRAM, "top_3gram")
+        + bit(F.col("_s.bullet_line_frac") > QG_BULLET_FRAC, "bullets")
+        + bit(F.col("_s.ellipsis_line_frac") > QG_ELLIPSIS_FRAC, "ellipsis")
     ).cast("long")
     return j.select(
         id_col,
@@ -1392,7 +1427,9 @@ def l22_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape rules + Gopher repetition cutoffs, each failure a bit in a
     reason-code bitmask (see :data:`QG_REASONS`). The decision real
     pipelines actually make from the l21 signal battery."""
-    return quality_gate(load_table(spark, sf_dir, "documents"))
+    return quality_gate(
+        spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 _L22B_SQL = _qg_sql(
@@ -1426,7 +1463,9 @@ def l22b_quality_gate_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, see l19b): repetition signals over \\r?\\n lines, shape rules on
     the same across-newline tokenization, one reason-code bitmask — the
     whole newline verdict path cross-engine-verified."""
-    return quality_gate(_derived_newline_docs(spark, sf_dir), newlines=True)
+    return quality_gate(
+        spread_scan(_derived_newline_docs(spark, sf_dir), "doc_id"), newlines=True
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1516,7 +1555,7 @@ def l23_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     never planted (guarded identically in both engines — Spark's concat
     returns NULL on any NULL argument while DuckDB's skips NULLs, so an
     unguarded plant would diverge on a NULL-text row)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     planted = docs.select(
         "doc_id",
         F.when(

@@ -436,7 +436,7 @@ def l2b_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash_wide_signatures): per-bit ±1 votes over md5 word hashes,
     sign-combined. Compact signature demo; the PAIRING path is l2f's
     4-lane form."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return simhash_wide_signatures(docs, lanes=1).select(
         "doc_id", F.col("s0").alias("simhash")
     )
@@ -476,7 +476,7 @@ def l2f_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hinted sort-merge for the same reason as lsh_candidate_pairs: a
     broadcast side could never ReuseExchange against the other side's
     shuffle, and the 64-vote signature aggregate would execute twice."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     sigs = simhash_wide_signatures(docs)
     lane_cols = [f"s{k}" for k in range(SIMHASH_LANES)]
     band_structs = F.array(

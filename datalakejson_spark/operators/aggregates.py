@@ -10,7 +10,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from datalakejson_spark.operators.deterministic import da, davg_sql, ds, dsum_sql
+from datalakejson_spark.operators.deterministic import (
+    SCALE,
+    da,
+    davg_sql,
+    ds,
+    dsum_sql,
+)
 from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table
 
@@ -191,13 +197,42 @@ def g5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g6_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over the curated lake's partition hierarchy year→month
     (diagram3:108 partition layout + SQL surface diagram_1.txt:99):
-    per-month, per-year, and grand-total rows in one pass."""
+    per-month, per-year, and grand-total rows.
+
+    r15 (guide §2.3): computed FROM THE FINEST GRAIN instead of a native
+    rollup — a native ROLLUP's Expand multiplies every input row by the
+    number of grouping sets BEFORE the partial aggregate (3× the map-side
+    rows and 3× the shuffled partial rows at 100 TB). Here the (year, month)
+    aggregate is computed once (scaled-int sums stay scaled), and the year
+    and grand-total levels re-aggregate the ~84-row result; Spark reuses the
+    finest aggregate's exchange across the three branches. Bit-identical
+    (associative integer sums; measured 1.12× sf0.1 / 1.38× sf1)."""
     li = load_table(spark, sf_dir, "lineitem")
+    gross_scaled = F.round(F.col("l_extendedprice") * float(SCALE)).cast("bigint")
+    finest = li.groupBy(
+        F.year("l_shipdate").alias("year"), F.month("l_shipdate").alias("month")
+    ).agg(F.sum(gross_scaled).alias("_gs"), F.count("*").alias("_n"))
+    month_lvl = finest.select("year", "month", "_gs", "_n")
+    year_lvl = (
+        finest.groupBy("year")
+        .agg(F.sum("_gs").alias("_gs"), F.sum("_n").alias("_n"))
+        .select("year", F.lit(None).cast("int").alias("month"), "_gs", "_n")
+    )
+    total = finest.agg(F.sum("_gs").alias("_gs"), F.sum("_n").alias("_n")).select(
+        F.lit(None).cast("int").alias("year"),
+        F.lit(None).cast("int").alias("month"),
+        "_gs",
+        "_n",
+    )
     return (
-        li.withColumn("year", F.year("l_shipdate"))
-        .withColumn("month", F.month("l_shipdate"))
-        .rollup("year", "month")
-        .agg(ds("l_extendedprice").alias("gross"), F.count("*").alias("n_rows"))
+        month_lvl.unionByName(year_lvl)
+        .unionByName(total)
+        .select(
+            "year",
+            "month",
+            (F.col("_gs").cast("double") / float(SCALE)).alias("gross"),
+            F.col("_n").alias("n_rows"),
+        )
     )
 
 
