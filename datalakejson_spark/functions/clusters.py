@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datalakejson_spark.functions.dedup import _L2G_SQL
 from datalakejson_spark.registry import register
-from datalakejson_spark.sources.tables import load_table
+from datalakejson_spark.sources.tables import load_table, spread_scan
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
@@ -157,7 +157,7 @@ def l2h_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the duplicate subset is small relative to the corpus (the usual case).
     Oracle: DuckDB computes identical labels via a recursive min-label
     transitive-closure CTE over the same pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     from datalakejson_spark.functions.dedup import l2g_verified_neardup_pairs
 
     pairs = l2g_verified_neardup_pairs(spark, sf_dir)

@@ -778,7 +778,9 @@ def l19_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. The fixture corpus has no newlines, so lines are synthesized as
     fixed 4-word windows — the counting/removal pipeline is identical to
     the real-newline case (line_table's docstring)."""
-    return remove_boilerplate_lines(load_table(spark, sf_dir, "documents"))
+    return remove_boilerplate_lines(
+        spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 def dedup_lines_within_doc(
@@ -860,7 +862,9 @@ def l20_within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document duplicate-line removal (Gopher rule) over the
     documents table: keep each line's first occurrence, report dup counts.
     Document-local window — no global state, parallelism = documents."""
-    return dedup_lines_within_doc(load_table(spark, sf_dir, "documents"))
+    return dedup_lines_within_doc(
+        spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1159,7 +1163,7 @@ def l19b_line_boilerplate_newlines(spark: SparkSession, sf_dir: str) -> DataFram
     the ``newlines=True`` path — split on \\r?\\n, blank lines excluded,
     survivors rejoined with \\n."""
     return remove_boilerplate_lines(
-        _derived_newline_docs(spark, sf_dir), newlines=True
+        spread_scan(_derived_newline_docs(spark, sf_dir), "doc_id"), newlines=True
     )
 
 

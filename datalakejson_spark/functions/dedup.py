@@ -574,7 +574,7 @@ def l2g_verified_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the projected column would double-evaluate the shingle pipeline at the
     scan (InferFiltersFromGenerate, see signatures_from_shingle_sets); the
     lane math is shared either way."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     sets = shingle_sets(docs)
     candidates = lsh_candidate_pairs(minhash_signatures(docs))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))

@@ -331,8 +331,9 @@ def l3c_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline inside the query: emits (query_id, found_true_neighbor) so the
     index's recall contract is oracle-checkable."""
     from datalakejson_spark.functions.similarity import ann_recall_check
+    from datalakejson_spark.sources.tables import spread_scan
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.filter(F.col("vec_id") < 8)
     return ann_recall_check(ivf_topk(emb, queries), emb, queries)
 

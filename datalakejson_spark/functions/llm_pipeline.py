@@ -178,7 +178,9 @@ def l2e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``is_representative`` marks the one row per cluster a dedup pass keeps.
     The oracle recomputes the identical fixpoint via a recursive CTE, so the
     iterative Spark loop is exact-value-checked cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
+    from datalakejson_spark.sources.tables import spread_scan
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     cc = connected_components(docs.select("doc_id"), pairs)
     return cc.select(
@@ -224,7 +226,9 @@ def l7_decontamination(
 
     ``bench_docs``: the real evaluation suite as a (text, ...) DataFrame;
     default None keeps the deterministic pseudo-slice the oracle checks."""
-    docs = load_table(spark, sf_dir, "documents")
+    from datalakejson_spark.sources.tables import spread_scan
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select("doc_id", F.split("text", " ").alias("w"))
     sh = tok.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle")

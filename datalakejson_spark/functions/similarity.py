@@ -398,7 +398,7 @@ def l3b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least one LSH table), verified against the exact baseline inside the
     query: emits (query_id, found_true_neighbor) so the index's recall
     contract is oracle-checkable."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     queries_raw = emb.filter(F.col("vec_id") < N_QUERIES)
     return ann_recall_check(_lsh_ann_topk(emb), emb, queries_raw)
 

@@ -148,3 +148,41 @@ def test_too_few_shared_queries_yields_no_verdict():
     c = calibration_check(1.2, few)
     assert "box_anomalous" not in c and "divisor_sec" not in c
     assert c["kernel_deviation"] == 1.0
+
+
+def test_epoch_fence_blocks_cross_epoch_adjudication():
+    """r15 (first optimization round) opens a new epoch: a post-r15 round
+    must never be adjudicated against a pre-r15 reference — the ~2x drop of
+    every optimized query would otherwise read as 'anomalous-fast box' and
+    the drift divisor would erase the real speedup from the calibrated
+    series. Within each epoch the gate works as before."""
+    from bench_history import apply_calibration_checks, epoch_of
+
+    assert epoch_of(14) == 1 and epoch_of(15) == 15 and epoch_of(16) == 15
+
+    def rnd(sf1, mt=1.2):
+        return {
+            "queries": dict(sf1),
+            "total": sum(sf1.values()),
+            "calibration": {"numpy_mt_sec": mt},
+            "sf1_queries": dict(sf1),
+            "reconstructed": False,
+            "calibrated": True,
+            "check": None,
+        }
+
+    slow = dict(SF1_NOMINAL_REF)
+    fast = {k: 0.5 * v for k, v in slow.items()}  # the optimization
+    rounds = {13: rnd(slow), 14: rnd(slow), 15: rnd(fast), 16: rnd(fast)}
+    apply_calibration_checks(rounds)
+    # pre-r15 epoch: adjudicated against each other, clean
+    assert rounds[14]["check"]["ref_round"] == 13
+    assert rounds[14]["check"]["box_anomalous"] is False
+    # r15 anchors its epoch; once r16 exists it is adjudicated against it
+    # (same epoch) — never against the pre-r15 rounds
+    assert rounds[15]["check"]["ref_round"] == 16
+    assert rounds[15]["check"]["box_anomalous"] is False
+    # r16 is adjudicated against r15 (same epoch), NOT r13/r14 — and the
+    # 2x code speedup therefore does not read as box anomaly
+    assert rounds[16]["check"]["ref_round"] == 15
+    assert rounds[16]["check"]["box_anomalous"] is False

@@ -56,6 +56,19 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))  # for `from bench import calibration_check`
 
+# Optimization-round epochs: an optimization round changes the COST of every
+# headline query BY DESIGN, so "drift of unchanged queries" measured across
+# that boundary is code, not box. Each round is therefore adjudicated only
+# against reference rounds in its OWN epoch; the first round of a new epoch
+# anchors it (no verdict until a second same-epoch round exists). r15 is the
+# first optimization round (declared in OPTIMIZATION_r15.md).
+EPOCH_STARTS = (1, 15)
+
+
+def epoch_of(n: int) -> int:
+    return max(e for e in EPOCH_STARTS if e <= n)
+
+
 # Round-over-round annotations established by prior verdicts (kept in the
 # generator so regeneration never loses them).
 NOTES = [
@@ -68,6 +81,13 @@ NOTES = [
     "artifact tail (the pre-fix emission truncated the sf0.1 block); "
     "calibrated cells divide by the ~=1.2 s numpy_mt constant recorded in "
     "STATUS.md r7, not a same-run measurement.",
+    "r15 is the first OPTIMIZATION round: every headline query's cost "
+    "changed by design (see OPTIMIZATION_r15.md), so r15 opens a new "
+    "adjudication epoch - its drift is never measured against pre-r15 "
+    "rounds (that drift is the optimization, not the box), and bench.py's "
+    "nominal reference snapshots were re-based from the optimized code "
+    "(per-query min over four same-day frozen-methodology runs; pre-r15 "
+    "snapshots preserved in bench.py as *_PRE_R15).",
     "Calibrated units = sec / numpy_mt_sec measured in the SAME session "
     "right after the query block (bench.py kernel, frozen definition); "
     "they are box-independent and are the series to trend. Box-anomalous "
@@ -170,7 +190,9 @@ def apply_calibration_checks(rounds: dict[int, dict]) -> None:
     ]
 
     def check_against(n: int, candidates: list[int]) -> dict | None:
-        refs = [m for m in candidates if m != n]
+        # epoch fence: a reference from another epoch measures code change,
+        # not box state — never adjudicate across the boundary
+        refs = [m for m in candidates if m != n and epoch_of(m) == epoch_of(n)]
         if mt(n) is None:
             return None
         ref_n = min(refs, key=lambda m: abs(m - n)) if refs else None
@@ -191,8 +213,9 @@ def apply_calibration_checks(rounds: dict[int, dict]) -> None:
     # EACH OTHER (r9 vs r10 disagree 1.68x from both sides) and evict both.
     clean_pool: list[int] = []
     for n in sorted(pool):
-        if not clean_pool:
-            clean_pool.append(n)  # anchor: nothing earlier to judge against
+        if not any(epoch_of(m) == epoch_of(n) for m in clean_pool):
+            # epoch anchor: nothing earlier IN THIS EPOCH to judge against
+            clean_pool.append(n)
             continue
         if not (check_against(n, clean_pool) or {}).get("box_anomalous"):
             clean_pool.append(n)

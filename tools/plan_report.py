@@ -20,7 +20,10 @@ SHOWN = [
      "two-phase hash aggregate (partial_sum before the Exchange)"),
     ("j3_star_join_revenue",
      "customer→nation→region dimension chain collapsed into one broadcast; "
-     "the fact side shuffles once"),
+     "lineitem pre-aggregated to the ORDER grain (r15, scaled-int sums are "
+     "associative) so the orders join carries ~4× fewer, narrower fact "
+     "rows — its one exchange moves the order-grain aggregate, never raw "
+     "lines"),
     ("w5_topn_per_group",
      "rank filter pushed into the window sort (WindowGroupLimit): each "
      "partition retains only N rows"),
@@ -55,6 +58,16 @@ SHOWN = [
      "shuffle carries only (vec_id, cos) scalars — max() is duplicate-"
      "invariant, so multi-table collisions need no pair dedupe (A/B'd 30% "
      "faster than the dedupe-first form at sf1)"),
+    ("l21_repetition_signals",
+     "r15 row-local form: ONE documents scan, the only Exchange is the "
+     "adaptive spread_scan (a no-op on real-scale inputs), and the whole "
+     "signal battery evaluates inside a one-row Generate barrier — the "
+     "3-leg explode→aggregate→join shape (3 scans, 3 shuffles of gram "
+     "strings) is gone"),
+    ("l22_quality_gate",
+     "signals struct + shape rules composed in one projection over the "
+     "same single scan: no join, no aggregate — the gate is a pure map "
+     "over the corpus"),
     ("l7_decontamination",
      "the benchmark shingle set is distinct'd then BROADCAST "
      "(BroadcastExchange under the join's build side): the corpus scan is "
