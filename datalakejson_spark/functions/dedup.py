@@ -189,13 +189,12 @@ def _min_lane_signatures(hashed: DataFrame, id_col: str) -> DataFrame:
     can never make the generate and verify stages disagree; the DuckDB
     mirror is _MINHASH_AGGS, generated from the same constants."""
     hashed = hashed.withColumn("h2", F.md5("h"))
+    # one parsed SQL expression per lane: the Column-builder chain costs
+    # ~4 py4j driver round-trips per lane per query build (guide §5)
     aggs = [
-        F.min(
-            F.substring(
-                "h" if lane < LANES_PER_MD5 else "h2",
-                1 + LANE_HEX * (lane % LANES_PER_MD5),
-                LANE_HEX,
-            )
+        F.expr(
+            f"min(substr({'h' if lane < LANES_PER_MD5 else 'h2'}, "
+            f"{1 + LANE_HEX * (lane % LANES_PER_MD5)}, {LANE_HEX}))"
         ).alias(f"mh{lane}")
         for lane in range(NUM_HASHES)
     ]
@@ -249,11 +248,13 @@ def band_table(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     signature pipeline upstream is never duplicated (see lsh_candidate_pairs
     for why that matters). This is also the persisted-index format for
     incremental dedup (functions/incremental_dedup.py)."""
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(band).alias("band"), F.expr(expr).alias("band_hash"))
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {band}, 'band_hash', {expr})"
             for band, expr in _BAND_EXPRS
-        ]
+        )
+        + ")"
     )
     return sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         F.col(id_col),

@@ -107,13 +107,13 @@ _L3_SQL = f"""
 def _norm_expr(col: str):
     """|x| — the identical expression tree cosine_expr uses, exposed so the
     norms can be projected ONCE per row instead of once per (query, candidate)
-    pair (same IEEE op sequence → bit-identical values)."""
-    return F.sqrt(
-        F.aggregate(
-            F.transform(F.col(col), lambda p: p.cast("double") * p.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    pair (same IEEE op sequence → bit-identical values). Built from one
+    parsed SQL string: the Python lambda form costs ~15 py4j round-trips per
+    query build (guide §5); ``0.0D`` is the SQL double literal matching
+    F.lit(0.0)."""
+    return F.expr(
+        f"sqrt(aggregate(transform({col}, p -> CAST(p AS DOUBLE)"
+        f" * CAST(p AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
     )
 
 
@@ -140,22 +140,15 @@ def brute_force_topk(
         _norm_expr("embedding").alias("c_norm"),
     )
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, qq: p.cast("double") * qq.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (p, q) -> CAST(p AS DOUBLE)"
+        " * CAST(q AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
     scored = (
         q.join(c, F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(
-                dot(F.col("q_emb"), F.col("c_emb"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
-            ),
+            F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6),
         )
         .select("query_id", "neighbor_id", "cosine")
     )

@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from datalakejson_spark.operators.deterministic import (
     SCALE,
     da,
+    da_expr,
     davg_sql,
     ds,
+    ds_expr,
     dsum_sql,
 )
 from datalakejson_spark.registry import register
@@ -48,18 +50,18 @@ def g3_flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads only the 7 referenced columns; the shuffle carries ≤ (partitions ×
     6 groups) rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = "l_extendedprice * (1 - l_discount)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            ds("l_quantity").alias("sum_qty"),
-            ds("l_extendedprice").alias("sum_base_price"),
-            ds(disc_price).alias("sum_disc_price"),
-            ds(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            da("l_quantity").alias("avg_qty"),
-            da("l_extendedprice").alias("avg_price"),
-            da("l_discount").alias("avg_disc"),
+            ds_expr("l_quantity").alias("sum_qty"),
+            ds_expr("l_extendedprice").alias("sum_base_price"),
+            ds_expr(disc_price).alias("sum_disc_price"),
+            ds_expr(f"({disc_price}) * (1 + l_tax)").alias("sum_charge"),
+            da_expr("l_quantity").alias("avg_qty"),
+            da_expr("l_extendedprice").alias("avg_price"),
+            da_expr("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -208,10 +210,13 @@ def g6_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     finest aggregate's exchange across the three branches. Bit-identical
     (associative integer sums; measured 1.12× sf0.1 / 1.38× sf1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    gross_scaled = F.round(F.col("l_extendedprice") * float(SCALE)).cast("bigint")
     finest = li.groupBy(
-        F.year("l_shipdate").alias("year"), F.month("l_shipdate").alias("month")
-    ).agg(F.sum(gross_scaled).alias("_gs"), F.count("*").alias("_n"))
+        F.expr("year(l_shipdate)").alias("year"),
+        F.expr("month(l_shipdate)").alias("month"),
+    ).agg(
+        F.expr(f"sum(CAST(round(l_extendedprice * {SCALE}.0) AS BIGINT))").alias("_gs"),
+        F.count("*").alias("_n"),
+    )
     month_lvl = finest.select("year", "month", "_gs", "_n")
     year_lvl = (
         finest.groupBy("year")

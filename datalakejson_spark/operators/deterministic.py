@@ -58,6 +58,21 @@ def dwin_sum(col, window) -> Column:
     return F.sum(_scaled(c)).over(window).cast("double") / float(SCALE)
 
 
+def ds_expr(expr: str) -> Column:
+    """``ds`` built from ONE parsed SQL string instead of a ~8-call py4j
+    Column chain — the operator tree is identical (sum of round-scaled
+    bigints, cast double, divide), but query construction is one driver
+    round-trip. The bench times query construction inside each rep, and the
+    Column-builder form measured ~15-20 ms per aggregate of pure py4j
+    latency (guide §5: the driver should do almost no per-query work)."""
+    return F.expr(dsum_sql(expr))
+
+
+def da_expr(expr: str) -> Column:
+    """``da`` as one parsed SQL string (see ds_expr)."""
+    return F.expr(davg_sql(expr))
+
+
 def dsum_sql(expr: str) -> str:
     return (
         f"(CAST(sum(CAST(round(({expr}) * {SCALE}.0) AS BIGINT)) AS DOUBLE)"

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from datalakejson_spark.operators.deterministic import SCALE, ds, dsum_sql
+from datalakejson_spark.operators.deterministic import SCALE, ds, ds_expr, dsum_sql
 from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table
 from datalakejson_spark.session import local_df
@@ -109,11 +109,12 @@ def j3_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "r_name")
     )
-    rev_scaled = F.round(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * float(SCALE)
-    ).cast("bigint")
     li_agg = li.groupBy("l_orderkey").agg(
-        F.sum(rev_scaled).alias("_rev_scaled"), F.count("*").alias("_n_lines")
+        F.expr(
+            f"sum(CAST(round((l_extendedprice * (1 - l_discount)) * {SCALE}.0)"
+            " AS BIGINT))"
+        ).alias("_rev_scaled"),
+        F.count("*").alias("_n_lines"),
     )
     return (
         li_agg.join(orders, li_agg.l_orderkey == orders.o_orderkey)
@@ -160,7 +161,7 @@ def j5_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     o_agg = orders.groupBy("o_custkey").agg(
         F.count("o_orderkey").alias("_n_orders"),
-        ds("o_totalprice").alias("_spent"),
+        ds_expr("o_totalprice").alias("_spent"),
     )
     return customer.join(
         o_agg, customer.c_custkey == o_agg.o_custkey, "left"
