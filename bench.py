@@ -139,35 +139,37 @@ NOMINAL_NUMPY_MT = 1.2
 #: (measured −35-40% total). Against the pre-r15 (r9) snapshot the optimized
 #: code reads as "anomalous-fast box" and the drift divisor would divide the
 #: real speedup out of the recorded calibrated cells. The snapshots below
-#: are therefore re-based from the OPTIMIZED code: per-query MIN over four
-#: same-day frozen-methodology runs (kernels read 0.90/0.99/1.41/1.02 — the
-#: box oscillated; min-pooling approximates its quiet state the same way
-#: the old r9 snapshot was that era's fastest nominal run). Pre-r15 rounds
+#: are therefore re-based from the OPTIMIZED code: per-query MIN over six
+#: same-day frozen-methodology runs spanning the round's optimization
+#: commits, final-code runs included (kernels read
+#: 0.90/0.99/1.41/1.02/0.87/1.31 — the box oscillated; min-pooling
+#: approximates its quiet state the same way the old r9 snapshot was that
+#: era's fastest nominal run). Pre-r15 rounds
 #: are adjudicated against the preserved *_PRE_R15 snapshots by
 #: tools/bench_history.py's epoch fence. Update the active refs ONLY from a
 #: nominal-kernel run, and ONLY together with a new epoch entry there.
 SF1_NOMINAL_REF = {
-    "g3_flagship_pricing_summary": 0.799,
+    "g3_flagship_pricing_summary": 0.731,
     "j3_star_join_revenue": 1.594,
-    "j5_left_outer_join": 0.388,
-    "g4_count_distinct_users": 0.311,
-    "g6_rollup_time_hierarchy": 0.753,
-    "w1_ranking": 1.205,
-    "w3_running_sum": 0.795,
+    "j5_left_outer_join": 0.332,
+    "g4_count_distinct_users": 0.235,
+    "g6_rollup_time_hierarchy": 0.63,
+    "w1_ranking": 1.188,
+    "w3_running_sum": 0.645,
     "f3_json_extraction": 0.818,
-    "t4_tumbling_window": 0.3,
-    "l1_exact_dedup": 0.232,
-    "l2_minhash_lsh_pairs": 2.054,
-    "l3_cosine_topk": 0.612,
+    "t4_tumbling_window": 0.292,
+    "l1_exact_dedup": 0.211,
+    "l2_minhash_lsh_pairs": 1.954,
+    "l3_cosine_topk": 0.488,
 }
 #: sf0.1 tier-matched reference (same re-base; sf1 drift and sf0.1 drift
 #: differ on the same box — r10 measured 1.657x at sf1 but only ~1.35x at
 #: sf0.1 — so a divisor must come from the tier it divides).
 SF01_NOMINAL_REF = {
-    "g3_flagship_pricing_summary": 0.71,
+    "g3_flagship_pricing_summary": 0.642,
     "j3_star_join_revenue": 0.797,
-    "j5_left_outer_join": 0.32,
-    "g4_count_distinct_users": 0.169,
+    "j5_left_outer_join": 0.285,
+    "g4_count_distinct_users": 0.168,
     "g6_rollup_time_hierarchy": 0.445,
     "w1_ranking": 0.314,
     "w3_running_sum": 0.339,
