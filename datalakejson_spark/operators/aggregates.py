@@ -201,14 +201,22 @@ def g6_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (diagram3:108 partition layout + SQL surface diagram_1.txt:99):
     per-month, per-year, and grand-total rows.
 
-    r15 (guide §2.3): computed FROM THE FINEST GRAIN instead of a native
-    rollup — a native ROLLUP's Expand multiplies every input row by the
-    number of grouping sets BEFORE the partial aggregate (3× the map-side
-    rows and 3× the shuffled partial rows at 100 TB). Here the (year, month)
-    aggregate is computed once (scaled-int sums stay scaled), and the year
-    and grand-total levels re-aggregate the ~84-row result; Spark reuses the
-    finest aggregate's exchange across the three branches. Bit-identical
-    (associative integer sums; measured 1.12× sf0.1 / 1.38× sf1)."""
+    r16 (guide §2.3, settling the r15 open item): aggregate to the finest
+    (year, month) grain FIRST — scaled-int sums stay scaled — then run the
+    native ROLLUP over the ~84-row finest result. A native rollup over the
+    raw rows Expands every input row ×3 BEFORE the partial aggregate (3×
+    the map-side rows at 100 TB); the r15 three-way union computed the
+    levels from the finest grain but left THREE lineage branches whose
+    single-scan shape depended on runtime exchange reuse that the committed
+    plan never proved (driver measured it 0.91×). This form is single-scan
+    STRUCTURALLY (one lineage: scan → finest agg → Expand(3×84 rows) →
+    rollup agg; executed-plan pin in tests/test_plans.py), and the Expand
+    multiplies 84 rows, not the fact table. Bit-identical: integer sums are
+    associative, and a rollup-of-sums over a grain equal to its finest
+    grouping set reproduces ROLLUP over the raw rows exactly (NULL-shipdate
+    rows form their own finest group and flow into every level the same
+    way). Interleaved A/B (tools/ab_r16.py g6): 1.29× sf0.1 / 1.42× sf1 vs
+    the r15 union, 1.42× / 1.57× vs the native rollup."""
     li = load_table(spark, sf_dir, "lineitem")
     finest = li.groupBy(
         F.expr("year(l_shipdate)").alias("year"),
@@ -217,27 +225,9 @@ def g6_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sum(CAST(round(l_extendedprice * {SCALE}.0) AS BIGINT))").alias("_gs"),
         F.count("*").alias("_n"),
     )
-    month_lvl = finest.select("year", "month", "_gs", "_n")
-    year_lvl = (
-        finest.groupBy("year")
-        .agg(F.sum("_gs").alias("_gs"), F.sum("_n").alias("_n"))
-        .select("year", F.lit(None).cast("int").alias("month"), "_gs", "_n")
-    )
-    total = finest.agg(F.sum("_gs").alias("_gs"), F.sum("_n").alias("_n")).select(
-        F.lit(None).cast("int").alias("year"),
-        F.lit(None).cast("int").alias("month"),
-        "_gs",
-        "_n",
-    )
-    return (
-        month_lvl.unionByName(year_lvl)
-        .unionByName(total)
-        .select(
-            "year",
-            "month",
-            (F.col("_gs").cast("double") / float(SCALE)).alias("gross"),
-            F.col("_n").alias("n_rows"),
-        )
+    return finest.rollup("year", "month").agg(
+        (F.sum("_gs").cast("double") / float(SCALE)).alias("gross"),
+        F.sum("_n").alias("n_rows"),
     )
 
 

@@ -584,3 +584,18 @@ def test_l3_cosine_topk_shuffle_envelope(spark):
     # one pass of the (small by construction) embeddings table + survivors
     assert s["shuffle_bytes"] < 1536 * 1024, s
     assert s["spill_bytes"] == 0, s
+
+
+def test_g6_rollup_single_scan_envelope(spark):
+    """r16 (settling the r15 VERDICT open item): g6 aggregates to the finest
+    (year, month) grain FIRST, then rolls up the ~84-row result — so the
+    executed plan must read lineitem EXACTLY ONCE (the r15 union form left
+    three lineage branches: 3 scans whenever runtime exchange reuse failed
+    to fire, which is what the driver measured), Expand only the finest
+    rows (shuffle stays a few KiB), and never touch Python or spill."""
+    s = _summary_at_sf01(spark, "g6_rollup_time_hierarchy")
+    n_lineitem = 600_000  # sf0.1 fixture row count
+    assert s["scan_rows"] <= n_lineitem, s  # ONE fact pass, not three
+    assert s["n_exchanges"] == 2, s  # finest agg + rollup agg
+    assert s["shuffle_bytes"] < 64 * 1024, s  # grain rows only, never facts
+    assert s["spill_bytes"] == 0, s
