@@ -13,9 +13,10 @@ same key (node id) — Catalyst reuses the exchange — and the edge set
 shrinks monotonically toward a star forest, converging in O(log²ⁿ) rounds
 (2-4 in practice for near-dup graphs, whose components are shallow). Label
 propagation by contrast needs O(diameter) rounds, and a 100 TB duplicate
-CHAIN (a→b→c→...) has unbounded diameter. Each round ends in an eager
-``localCheckpoint`` — the iterated plan would otherwise grow a lineage of
-2ᵏ self-joins (same trap as incremental_dedup's self-referencing append).
+CHAIN (a→b→c→...) has unbounded diameter. Each round ends in one lazy
+``localCheckpoint`` (materialized by the round's convergence job) — the
+iterated plan would otherwise grow a lineage of 2ᵏ self-joins (same trap
+as incremental_dedup's self-referencing append).
 
 The component label is the component's MINIMUM node id — deterministic,
 and directly usable as the dedup keeper (min doc_id wins, matching
@@ -37,16 +38,23 @@ from datalakejson_spark.registry import register
 from datalakejson_spark.sources.tables import load_table, spread_scan
 
 
-def _symmetric(edges: DataFrame) -> DataFrame:
-    """Both orientations of each edge, self-loops dropped, deduped —
-    the adjacency representation every star round consumes."""
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Each undirected edge exactly once, oriented large→small (u > v),
+    self-loops dropped, deduped — the loop-state representation. The
+    symmetric view both star rounds consume is derived per round by a
+    plain union of the two orientations, which needs NO distinct: the
+    orientations are disjoint by construction (r16, guide §2.4)."""
     e = edges.filter(F.col("u") != F.col("v"))
-    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    return e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
 
 
-def _large_star(adj: DataFrame) -> DataFrame:
-    """Large-star round: every node u links each STRICTLY LARGER neighbor v
-    to m(u) = min(Γ(u) ∪ {u}). Output is an undirected edge list."""
+def _large_star(adj_c: DataFrame) -> DataFrame:
+    """Large-star round over the CANONICAL edge set: every node u links each
+    STRICTLY LARGER neighbor v to m(u) = min(Γ(u) ∪ {u}). Output is again
+    canonical — the emitted edge is (v, m) with m ≤ u < v."""
+    adj = adj_c.union(adj_c.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = adj.groupBy("u").agg(F.min("v").alias("mv"))
     m = F.least(F.col("u"), F.col("mv"))
     return (
@@ -58,12 +66,11 @@ def _large_star(adj: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(adj: DataFrame) -> DataFrame:
-    """Small-star round: orient each edge large→small (filter v < u gives
-    each undirected edge exactly once, keyed by its larger endpoint), then
-    every node u links its smaller neighbors — and itself — to
-    m(u) = min(N≤(u) ∪ {u})."""
-    oriented = adj.filter(F.col("v") < F.col("u"))
+def _small_star(oriented: DataFrame) -> DataFrame:
+    """Small-star round: the canonical (large→small) orientation is exactly
+    the view this round keys by — every node u links its smaller neighbors
+    — and itself — to m(u) = min(N≤(u) ∪ {u}). Output is canonical: both
+    legs emit (x, m) with m strictly below x after the self-loop filter."""
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     joined = oriented.join(mins, "u")
     to_min = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -84,26 +91,46 @@ def connected_components(
     Alternates large-star/small-star until the edge set reaches its
     fixpoint (a star forest: every node points at its component min).
     ``max_iter`` is a diverged-input guard, not a tuning knob — the
-    algorithm provably converges in O(log² n) rounds."""
-    adj = _symmetric(
+    algorithm provably converges in O(log² n) rounds.
+
+    r16 loop shape (guide §2.4/§1.2, VERDICT r15 item 3): the loop state is
+    the CANONICAL (u > v) edge set — both star outputs are canonically
+    oriented already, so the old per-round ``_symmetric().distinct()``
+    passes (2 extra shuffles/round) were re-deduplicating sets that were
+    disjoint by construction. One LAZY ``localCheckpoint`` per round (was:
+    two eager ones = two extra jobs) materializes inside the convergence
+    job, and convergence itself is ONE tagged-union aggregation — two
+    distinct sets are equal iff no (u, v) row's +1/−1 tags fail to cancel —
+    replacing the count job + exceptAll job (exceptAll alone shuffled both
+    sides). Same fixpoint condition, exactly (set equality either way).
+    Measured on the l2g pair graph: CC stage 1.57× sf0.1 / see
+    OPTIMIZATION_r16.md for tiers (tools/ab_r16.py cc)."""
+    adj = _canonical(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint()
     for _ in range(max_iter):
-        after_large = _large_star(adj)
-        stars = _small_star(_symmetric(after_large)).localCheckpoint()
-        new_adj = _symmetric(stars).localCheckpoint()
-        # fixpoint: the symmetric edge sets are equal (both are distinct-
-        # deduped, so equality = same count + empty one-sided difference)
-        if new_adj.count() == adj.count() and new_adj.exceptAll(adj).isEmpty():
-            adj = new_adj
-            break
+        new_adj = _small_star(_large_star(adj)).localCheckpoint(eager=False)
+        # fixpoint: set equality of the canonical edge sets, decided in ONE
+        # aggregation (both inputs are distinct-deduped, so equal ⟺ every
+        # (u,v) appears in both ⟺ the +1/−1 tags cancel everywhere); the
+        # lazy checkpoint above materializes inside this same job.
+        diff = (
+            new_adj.select("u", "v", F.lit(1).alias("t"))
+            .unionAll(adj.select("u", "v", F.lit(-1).alias("t")))
+            .groupBy("u", "v")
+            .agg(F.sum("t").alias("s"))
+            .filter(F.col("s") != 0)
+        )
+        converged = diff.isEmpty()
         adj = new_adj
+        if converged:
+            break
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     # converged star forest: every non-root points directly at the root
+    # (canonical set: u is the member, v the smaller root)
     members = (
-        adj.filter(F.col("v") < F.col("u"))
-        .groupBy("u")
+        adj.groupBy("u")
         .agg(F.min("v").alias("component"))
         .select(F.col("u").alias("node"), "component")
     )

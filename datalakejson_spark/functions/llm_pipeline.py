@@ -88,51 +88,46 @@ def connected_components(
     # Materialize the edge list ONCE: without this, the (expensive) candidate
     # generation upstream re-executes inside every propagation round.
     sym = sym.localCheckpoint()
-    # ADVICE r03: the loop's cost floor is fixed per-round JOB overhead, not
-    # data. Two cuts: (a) lazy checkpoints materialize inside the SAME job
-    # as the convergence aggregate (no separate checkpoint job); (b) AQE is
-    # off inside the loop — AQE submits every query stage as its own job
-    # (~8 jobs/round for the join+agg), while the loop's frames are bare
-    # (node,label) pairs whose skew is bounded by near-dup cluster degree,
-    # so runtime re-planning buys nothing here. Restored before the final
-    # join, which DOES benefit (it touches the full corpus node list).
-    sess = nodes.sparkSession
-    prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    # ADVICE r03 kept: lazy checkpoints materialize inside the SAME job as
+    # the convergence aggregate (no separate checkpoint job). ADVICE r03
+    # REVERSED in r16: the loop used to turn AQE off on the theory that
+    # AQE's per-stage jobs are pure overhead for bare (node,label) frames —
+    # re-measured on Spark 4.1 the opposite holds: with AQE off every loop
+    # stage launches shuffle-partition-many tasks over a few hundred rows,
+    # while AQE coalesces them to ~1 task; measured 1.4-1.5× faster with
+    # AQE left on (tools/ab_r16.py / OPTIMIZATION_r16.md), same plan shape
+    # at scale where partitions are genuinely full.
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iters):
+        neighbor_min = (
+            labels.join(sym, labels["node"] == sym["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
         labels = (
-            sym.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("lbl", F.col("node"))
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
             .localCheckpoint(eager=False)
         )
-        prev_sum = labels.agg(F.sum("lbl")).first()[0]
-        for _ in range(max_iters):
-            neighbor_min = (
-                labels.join(sym, labels["node"] == sym["src"])
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("lbl").alias("nlbl"))
-            )
-            labels = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
-                    ).alias("lbl"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            cur_sum = labels.agg(F.sum("lbl")).first()[0]
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-        else:
-            raise RuntimeError(
-                f"connected components did not converge in {max_iters} rounds"
-            )
-    finally:
-        sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} rounds"
+        )
     # Singletons (no candidate pair) never entered the loop: label = self.
     return (
         nodes.select(F.col(id_col).alias("node"))

@@ -110,3 +110,33 @@ def test_cc_agrees_with_transitive_closure_bruteforce(spark):
             expected[n] = find(n)
     got = _components(spark, edges)
     assert got == expected
+
+
+def test_star_cc_one_action_per_round(spark):
+    """r16 loop-shape pin (VERDICT r15 item 3): each large/small-star round
+    must cost ONE Spark action — the lazy localCheckpoint materializes
+    inside the single tagged-union convergence aggregation — replacing the
+    r15 shape of two eager checkpoints + count + exceptAll (~4 jobs/round).
+    Audited with AQE OFF so job ids reflect the loop's action structure,
+    not AQE's per-stage job accounting."""
+    from datalakejson_spark.functions.clusters import connected_components
+
+    n = 9  # chain: worst case for round count too (star converges in O(log²))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    sc = spark.sparkContext
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("star-cc-job-count", "star CC job audit")
+    try:
+        out = connected_components(edges).collect()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert {r.node: r.component for r in out} == {i: 0 for i in range(n)}
+    jobs = sc.statusTracker().getJobIdsForGroup("star-cc-job-count")
+    # budget: 1 init checkpoint + ≤5 convergence rounds (chain of 9 closes
+    # in ~3 star rounds) + 1 final collect; the r15 shape cost ~4 jobs per
+    # round and blows past this bound.
+    assert len(jobs) <= 8, len(jobs)

@@ -116,7 +116,99 @@ def case_g6(spark, sf_dir, reps):
        _g6_rollup_over_finest, sf_dir, reps)
 
 
-CASES = {"g6": case_g6}
+# --- connected components (l2h star loop) ----------------------------------
+
+
+def _cc_star_r15(edges, src="src", dst="dst", max_iter=20):
+    """The PRE-r16 clusters.connected_components, inlined as the A/B base:
+    symmetric loop state (per-round _symmetric().distinct() passes), two
+    eager localCheckpoints per round, convergence via count + exceptAll."""
+
+    def symmetric(e):
+        e = e.filter(F.col("u") != F.col("v"))
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def large_star(adj):
+        mins = adj.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv"))
+        return (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(adj):
+        oriented = adj.filter(F.col("v") < F.col("u"))
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(mins, "u")
+        to_min = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_link = mins.select("u", F.col("m").alias("v"))
+        return to_min.union(self_link).filter(F.col("u") != F.col("v")).distinct()
+
+    adj = symmetric(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        stars = small_star(symmetric(large_star(adj))).localCheckpoint()
+        new_adj = symmetric(stars).localCheckpoint()
+        if new_adj.count() == adj.count() and new_adj.exceptAll(adj).isEmpty():
+            adj = new_adj
+            break
+        adj = new_adj
+    else:
+        raise RuntimeError("no convergence")
+    members = (
+        adj.filter(F.col("v") < F.col("u"))
+        .groupBy("u")
+        .agg(F.min("v").alias("component"))
+        .select(F.col("u").alias("node"), "component")
+    )
+    roots = (
+        members.select(F.col("component").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return members.union(roots)
+
+
+def _l2h_r15_base(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from datalakejson_spark.functions.dedup import l2g_verified_neardup_pairs
+    from datalakejson_spark.sources.tables import spread_scan
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = l2g_verified_neardup_pairs(spark, sf_dir)
+    comp = _cc_star_r15(pairs, src="doc_a", dst="doc_b")
+    assigned = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_id"))
+    )
+    size_w = Window.partitionBy("cluster_id")
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(size_w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def case_cc(spark, sf_dir, reps):
+    specs = all_specs()
+    # floor: the pair stage alone (shared by base and candidate)
+    pair_fn = specs["l2g_verified_neardup_pairs"].fn
+    t = timed(spark, "l2g floor", pair_fn, sf_dir, 3)
+    print(f"l2g pair stage alone: min={min(t):.3f} all={[round(x,3) for x in t]}")
+    ab(spark, "l2h r15-CC(base) vs r16 canonical+fused", _l2h_r15_base,
+       specs["l2h_neardup_clusters"].fn, sf_dir, reps)
+
+
+CASES = {"g6": case_g6, "cc": case_cc}
 
 
 def main():
