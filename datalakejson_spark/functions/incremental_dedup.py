@@ -2061,29 +2061,82 @@ def ingest_batch_dedup(
     """
     _publish_staged(index_dir)  # roll forward a crashed predecessor first
     _check_lane_meta(index_dir)
-    # One materialization of the within-batch survivor set: it feeds the
-    # audit (twice), the kept join, and — in the pruned path — the key
-    # collection; micro-batch-sized by contract.
-    batch_uniq = dedup_within_batch(delta, id_col, text_col).localCheckpoint(
-        eager=True
-    )
     delta_bands = None
     if broadcast_delta:
-        # Micro-batch posture: the probe keys are bounded by the delta, so
-        # collecting them for driver-side file pruning costs the same order
-        # as the broadcast that ships them to every executor anyway. The
-        # band table is checkpointed once and reused by the audit plan AND
-        # the survivors' index append below.
-        delta_bands = band_table(
-            minhash_signatures(batch_uniq, text_col, id_col), id_col
+        # Micro-batch posture (r16, guide §1.2): the shingle→md5→minhash
+        # pipeline is the batch's dominant compute, and the r15 shape ran it
+        # TWICE — once inside dedup_within_batch (the within-batch LSH
+        # self-join) and again to build the survivors' band table. It now
+        # runs ONCE: the full batch's band table is materialized first and
+        # reused for (a) the within-batch candidate pairs (the identical
+        # self-join lsh_candidate_pairs performs, over the checkpointed
+        # table), (b) the corpus near-dup probe, (c) the survivors' index
+        # append, and (d) the driver-side probe keys. Band rows are
+        # per-document and deterministic, so filtering the batch table to
+        # within-batch survivors yields exactly band_table(minhash_signatures
+        # (survivors)) — the same argument the survivors' append already
+        # relied on. Probe keys are collected in ONE job (tagged union of
+        # the two checkpointed key sets) instead of two; collecting them is
+        # bounded by the delta, the same order as the broadcast that ships
+        # them to every executor anyway.
+        from datalakejson_spark.functions.dedup import keep_first_distinct
+
+        uniq = keep_first_distinct(delta, text_col, id_col).localCheckpoint(
+            eager=False
+        )
+        # Spread the micro-batch across the cluster before the per-row
+        # pipeline (guide §2.5): the checkpointed uniq frame is typically
+        # 1-2 post-AQE partitions (a micro-batch), which would run the
+        # whole shingle pipeline on one core; a micro-batch stays micro at
+        # any corpus scale, so the exchange is O(batch) by contract
+        # (measured 1.5× on the pipeline job; bit-identical — min/band
+        # aggregates are per-document).
+        spread = uniq.repartition(
+            delta.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        batch_bands = band_table(
+            minhash_signatures(spread, text_col, id_col), id_col
         ).localCheckpoint(eager=True)
-        hash_keys = [
-            r[0]
-            for r in batch_uniq.select(F.md5(text_col)).distinct().collect()
-        ]
-        band_keys = [
-            r[0] for r in delta_bands.select("band_hash").distinct().collect()
-        ]
+        band_a, band_b = batch_bands.alias("a"), batch_bands.alias("b")
+        losers = (
+            band_a.join(
+                band_b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"b.{id_col}").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # One materialization of the within-batch survivor set: it feeds the
+        # audit (twice), the kept join, and the key collection — lazy, so it
+        # materializes inside the key-collect job below (no separate job).
+        batch_uniq = uniq.join(losers, id_col, "left_anti").localCheckpoint(
+            eager=False
+        )
+        delta_bands = batch_bands.join(losers, id_col, "left_anti").localCheckpoint(
+            eager=False
+        )
+        keys = (
+            batch_uniq.select(F.md5(text_col).alias("k"), F.lit(0).alias("t"))
+            .distinct()
+            .unionAll(
+                delta_bands.select(F.col("band_hash").alias("k"), F.lit(1).alias("t"))
+                .distinct()
+            )
+            .collect()
+        )
+        hash_keys = [r.k for r in keys if r.t == 0]
+        band_keys = [r.k for r in keys if r.t == 1]
+    else:
+        # Bulk posture: a corpus-proportional delta's band table is too big
+        # to pin with localCheckpoint; keep the single-plan within-batch
+        # dedup (the pipeline recompute is amortized by the backfill's own
+        # scale, and the audit skips pruning anyway).
+        batch_uniq = dedup_within_batch(delta, id_col, text_col).localCheckpoint(
+            eager=True
+        )
     # The audit reads a SNAPSHOT of the live index files; a CONCURRENT
     # maintenance publish (compaction/rebuild on another runner) may delete
     # a subsumed file mid-job, failing the read with a missing-file error.
@@ -2126,7 +2179,13 @@ def ingest_batch_dedup(
     if on_kept is not None:
         on_kept(kept)
     stage = os.path.join(index_dir, _STAGING, uuid.uuid4().hex)
-    exact_hash_index(kept, text_col).write.mode("overwrite").parquet(
+    # Micro-posture appends coalesce to ONE file per lane per batch (guide
+    # §6 small files): the batch is driver-bounded by contract, and the r16
+    # spread of the batch pipeline would otherwise fan each tiny append out
+    # to defaultParallelism files — 32× the footers every future pruned
+    # audit has to consider. Bulk backfills keep the planner's layout.
+    fan_in = (lambda df: df.coalesce(1)) if broadcast_delta else (lambda df: df)
+    fan_in(exact_hash_index(kept, text_col)).write.mode("overwrite").parquet(
         os.path.join(stage, "hashes")
     )
     fire("dedup:after_hash_stage")  # half-staged pair: must never publish
@@ -2138,7 +2197,7 @@ def ingest_batch_dedup(
         if delta_bands is not None
         else band_table(minhash_signatures(kept, text_col, id_col), id_col)
     )
-    kept_bands.write.mode("overwrite").parquet(os.path.join(stage, "bands"))
+    fan_in(kept_bands).write.mode("overwrite").parquet(os.path.join(stage, "bands"))
     fire("dedup:before_commit_marker")  # both staged, marker missing
     with open(os.path.join(stage, "_COMMITTED"), "w") as marker:
         marker.write("ok")
