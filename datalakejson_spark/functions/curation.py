@@ -1116,7 +1116,12 @@ _NEWLINE_DERIVE_SQL = (
 
 
 def _derived_newline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").withColumn(
+    # spread BEFORE deriving (ADVICE r15): spread_scan sizes the frame via
+    # df.rdd, and a derived frame pays a fresh analyze+physical-plan pass
+    # per call (the memo only helps the shared load_table frames) — spread
+    # the scan-rooted frame, then derive above the exchange, which also
+    # parallelizes the regexp itself on a starved local scan.
+    return spread_scan(load_table(spark, sf_dir, "documents"), "doc_id").withColumn(
         "text", F.regexp_replace("text", _NEWLINE_DERIVE_RE, "$1\n")
     )
 
@@ -1163,7 +1168,7 @@ def l19b_line_boilerplate_newlines(spark: SparkSession, sf_dir: str) -> DataFram
     the ``newlines=True`` path — split on \\r?\\n, blank lines excluded,
     survivors rejoined with \\n."""
     return remove_boilerplate_lines(
-        spread_scan(_derived_newline_docs(spark, sf_dir), "doc_id"), newlines=True
+        _derived_newline_docs(spark, sf_dir), newlines=True
     )
 
 
@@ -1246,7 +1251,7 @@ def l21b_repetition_signals_newlines(spark: SparkSession, sf_dir: str) -> DataFr
     newlines with empties dropped — the whole newline code path
     cross-engine-verified, not just pytest-pinned."""
     return repetition_signals(
-        spread_scan(_derived_newline_docs(spark, sf_dir), "doc_id"), newlines=True
+        _derived_newline_docs(spark, sf_dir), newlines=True
     )
 
 
@@ -1306,10 +1311,13 @@ def quality_gate(
     dropped, newline bytes excluded from character counts) — one bitmask
     must never mix two tokenizations.
 
-    Row-local also removes the old unique-id join hazard: the verdict is
-    computed per input ROW, so duplicate ids simply yield one verdict row
-    each and NULL ids pass through (previously duplicates multiplied join
-    rows and NULL ids dropped silently)."""
+    Id contract (ADVICE r15): ids must be UNIQUE and NON-NULL. The Spark
+    side is row-local (a duplicate id would yield one verdict row per input
+    row, a NULL id would pass through), but the REGISTERED DuckDB oracle
+    (_qg_sql) still joins its signals and shape CTEs on doc_id — on a
+    corpus with duplicate or NULL ids the two engines would diverge, so the
+    join-era id contract stays documented and binding until the oracle is
+    rewritten row-locally too."""
     text = F.col(text_col)
     if newlines:
         n_tokens = F.when(text.isNull(), F.lit(0)).otherwise(
@@ -1468,7 +1476,7 @@ def l22b_quality_gate_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same across-newline tokenization, one reason-code bitmask — the
     whole newline verdict path cross-engine-verified."""
     return quality_gate(
-        spread_scan(_derived_newline_docs(spark, sf_dir), "doc_id"), newlines=True
+        _derived_newline_docs(spark, sf_dir), newlines=True
     )
 
 

@@ -35,15 +35,18 @@ TABLES = (
     "embeddings",
 )
 
-#: (session id, path, mtime) -> analyzed DataFrame. ``spark.read.parquet``
+#: Per-session (path, mtime) -> analyzed DataFrame. ``spark.read.parquet``
 #: re-reads the footer for schema inference and re-lists the path on every
 #: call — driver-side metadata work a catalog/metastore would cache. This is
 #: METADATA caching only (the scan DataFrame is an immutable lazy plan):
 #: every action on it still reads the parquet files; no rows or results are
 #: memoized. Keyed on the path's mtime so a regenerated /tmp scaled fixture
-#: invalidates its entry; keyed on the session object id so a restarted
-#: session never sees plans bound to a dead JVM.
-_SCAN_CACHE: dict[tuple[int, str, float], DataFrame] = {}
+#: invalidates its entry; stored as an ATTRIBUTE ON THE SESSION OBJECT
+#: (ADVICE r15: a module-level dict keyed on id(spark) can hand a plan bound
+#: to a dead JVM to a new session whose wrapper recycled the old object's
+#: id, and it grows without bound across sessions) — the cache's lifetime is
+#: exactly the session wrapper's lifetime.
+_SCAN_CACHE_ATTR = "_dlj_scan_cache"
 
 
 def _path_mtime(path: str) -> float:
@@ -57,8 +60,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Lazy — no action is triggered."""
     configure_runtime(spark)
     path = f"{sf_dir}/{name}.parquet"
-    key = (id(spark), path, _path_mtime(path))
-    cached = _SCAN_CACHE.get(key)
+    cache: dict[tuple[str, float], DataFrame] = getattr(spark, _SCAN_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _SCAN_CACHE_ATTR, cache)
+    key = (path, _path_mtime(path))
+    cached = cache.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(path)
@@ -68,7 +75,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
-    _SCAN_CACHE[key] = df
+    cache[key] = df
     return df
 
 
@@ -88,6 +95,13 @@ def spread_scan(df: DataFrame, key: str) -> DataFrame:
     caller-chosen deterministic column — never round-robin, which both pays a
     local sort of the input (sortBeforeRepartition) and is unsafe under task
     retry with non-deterministic upstreams (SPARK-38388).
+
+    Contract (ADVICE r15): pass SCAN-ROOTED frames — a load_table output or
+    a pure projection/filter over one. The split count is read via
+    ``df.rdd``, which (a) costs an analyze+physical-plan pass that is only
+    amortized by the memo when callers share the load_table frame, and
+    (b) reflects pre-AQE partitioning, which misreads post-shuffle frames.
+    Derive columns ABOVE the spread (spread-then-derive), not below it.
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
