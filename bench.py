@@ -148,6 +148,14 @@ NOMINAL_NUMPY_MT = 1.2
 #: are adjudicated against the preserved *_PRE_R15 snapshots by
 #: tools/bench_history.py's epoch fence. Update the active refs ONLY from a
 #: nominal-kernel run, and ONLY together with a new epoch entry there.
+#: PROVENANCE CAVEAT (ADVICE r15, adjudicated r16): min-pooling across runs
+#: whose kernels spanned 0.87-1.41 approximates the box's FASTEST state
+#: (~0.87× nominal), so these refs read ~10-15% fast and bias drift ratios
+#: toward "slow" — the symmetric gate still needs BOTH a >1.3× kernel/drift
+#: disagreement to flag, so the bias costs margin, not verdicts. NOT
+#: re-based in r16: only g6 of the 12 headliners changed cost (median
+#: drift is robust to one query), and the r15 epoch must keep its anchor
+#: so same-epoch adjudication (the w1 watch item) can happen at all.
 SF1_NOMINAL_REF = {
     "g3_flagship_pricing_summary": 0.731,
     "j3_star_join_revenue": 1.594,

@@ -28,9 +28,15 @@ TARGET_FILE_BYTES = 128 * 1024 * 1024  # parquet sweet spot
 
 
 def list_partition_dirs(curated_dir: str) -> list[str]:
-    """All leaf hive-partition directories under the curated root."""
+    """All leaf hive-partition directories under the curated root.
+
+    Hidden subtrees (``_``/``.`` prefix — e.g. a concurrent runner's
+    ``_ingest_staging/<run_id>`` curated stage, r16) are pruned the same
+    way Spark's file index hides them: compacting a file while its writer
+    is about to publish it would race the move."""
     leaves = []
     for base, dirs, files in os.walk(curated_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         if any(f.endswith(".parquet") for f in files) and "=" in os.path.basename(base):
             leaves.append(base)
     return sorted(leaves)

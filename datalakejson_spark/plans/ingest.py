@@ -362,6 +362,29 @@ def _archive_parallel(paths: list[str], conf: IngestConfig) -> None:
             f.result()  # surface the first failure (crash-recovery path)
 
 
+def _publish_curated_stage(stage_dir: str, curated_dir: str) -> None:
+    """Move one run's staged curated write into the live partitioned layout
+    by same-filesystem file moves (see the call site for why staging exists:
+    concurrent direct appends share one committer ``_temporary/0``).
+    Committer markers (``_SUCCESS`` etc.) are dropped; partition
+    subdirectories are preserved relative to the stage root. Idempotent per
+    file (``os.replace``); the staging subtree is removed afterwards and is
+    invisible to readers/compaction while it exists (``_`` prefix)."""
+    for root, _dirs, files in os.walk(stage_dir):
+        rel = os.path.relpath(root, stage_dir)
+        for fname in files:
+            if fname.startswith(("_", ".")):
+                continue
+            dst_dir = curated_dir if rel == "." else os.path.join(curated_dir, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            os.replace(os.path.join(root, fname), os.path.join(dst_dir, fname))
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    try:  # prune the shared _ingest_staging root once it empties
+        os.rmdir(os.path.dirname(stage_dir))
+    except OSError:
+        pass
+
+
 def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
     """One claim→process→commit cycle. Graceful no-work exit when nothing is
     claimable (sudo_code.txt:136-139)."""
@@ -464,9 +487,29 @@ def ingest_batch(spark: SparkSession, conf: IngestConfig) -> IngestResult:
                 # source rows under a NEW run id — deduplicate_replays()
                 # resolves such replays downstream (T2 idempotency).
                 curated = curated.withColumn("ingest_run_id", F.lit(run_id))
-                curated.write.mode("append").partitionBy(*PARTITION_COLS).parquet(
-                    conf.curated_dir
+                # Stage-then-move (r16, inherited-race fix): a direct
+                # ``mode("append")`` from CONCURRENT runners shares one
+                # Hadoop committer scratch dir (``_temporary/0`` — the app
+                # attempt id, not the job id), and the first job's commit
+                # cleanup deletes the second job's in-flight task files
+                # (reproduced: FileNotFoundException under
+                # FileOutputCommitter.mergePaths, 2-3/3 runs of the
+                # two-runner soak on a loaded box, present at r15 HEAD).
+                # Each run stages under its own hidden per-run dir and
+                # publishes by same-filesystem file moves into the live
+                # layout — task filenames carry the writing job's UUID, so
+                # moves never collide. A crash mid-publish leaves a partial
+                # append with NO ledger commit, which is exactly today's
+                # crash-between-append-and-commit window: the re-claimed
+                # batch re-appends under a new run id and
+                # deduplicate_replays() resolves it (T2 idempotency).
+                stage_dir = os.path.join(
+                    conf.curated_dir, "_ingest_staging", run_id
                 )
+                curated.write.mode("overwrite").partitionBy(
+                    *PARTITION_COLS
+                ).parquet(stage_dir)
+                _publish_curated_stage(stage_dir, conf.curated_dir)
                 good_paths = {
                     _norm(r[0])
                     for r in good.select("source_s3_path").distinct().collect()

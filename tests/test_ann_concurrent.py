@@ -26,6 +26,12 @@ from datalakejson_spark.functions.ivf import (
     ivf_index_topk,
     probe_retrying,
 )
+import pytest
+
+# Multi-minute soak/race/kill/lifecycle suite: excluded from the default
+# pytest run (pyproject addopts -m 'not soak') so the driver's verify
+# window holds; run per round with `python -m pytest tests/ -m soak`.
+pytestmark = pytest.mark.soak
 
 
 def _vecs(spark, seed: int, n: int, start: int, dim: int = 16):

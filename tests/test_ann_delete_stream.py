@@ -25,6 +25,12 @@ from datalakejson_spark.streaming.ann_stream import (
     process_delete_batch,
     streaming_index_deletes,
 )
+import pytest
+
+# Multi-minute soak/race/kill/lifecycle suite: excluded from the default
+# pytest run (pyproject addopts -m 'not soak') so the driver's verify
+# window holds; run per round with `python -m pytest tests/ -m soak`.
+pytestmark = pytest.mark.soak
 
 SF = "/root/testdata/sf0.01"
 _IDS_DDL = "vec_id bigint"

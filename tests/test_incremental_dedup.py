@@ -11,6 +11,7 @@ from datalakejson_spark.functions.incremental_dedup import (
     ingest_batch_dedup,
 )
 from datalakejson_spark.functions.dedup import band_table, minhash_signatures
+import pytest
 
 
 def _docs(spark, rows):
@@ -325,6 +326,7 @@ def _audit_snapshot(spark, idx: str, delta) -> list:
     )
 
 
+@pytest.mark.soak
 def test_compact_index_shrinks_files_and_preserves_audit(spark, tmp_path):
     from datalakejson_spark.functions.incremental_dedup import compact_index
 
@@ -360,6 +362,7 @@ def test_compact_index_shrinks_files_and_preserves_audit(spark, tmp_path):
         assert noop[sub][0] == noop[sub][1]
 
 
+@pytest.mark.soak
 def test_compact_kill_before_marker_leaves_old_layout(spark, tmp_path):
     from datalakejson_spark.plans.killpoints import InjectedKill, arm, disarm
     from datalakejson_spark.functions.incremental_dedup import compact_index
@@ -387,6 +390,7 @@ def test_compact_kill_before_marker_leaves_old_layout(spark, tmp_path):
     assert ingest_batch_dedup(spark, _docs(spark, [(300, BASE)]), idx).count() == 0
 
 
+@pytest.mark.soak
 def test_compact_kill_after_marker_rolls_forward(spark, tmp_path):
     from datalakejson_spark.plans.killpoints import InjectedKill, arm, disarm
     from datalakejson_spark.functions.incremental_dedup import compact_index
@@ -483,6 +487,7 @@ def _distinct_text(i: int) -> str:
     )
 
 
+@pytest.mark.soak
 def test_range_pruned_probe_is_sound_and_selective(spark, tmp_path):
     """Round-11 index-scan pruning: after compaction range-sorts the index
     by the probe key, a micro-batch audit reads only the files whose
@@ -557,6 +562,7 @@ def test_range_pruned_probe_is_sound_and_selective(spark, tmp_path):
     assert [r.doc_id for r in kept.collect()] == [601]
 
 
+@pytest.mark.soak
 def test_pruning_sidecar_self_heals_and_tolerates_corruption(spark, tmp_path):
     """_RANGES.json is a pure cache: deleting or corrupting it only makes
     the next probe re-derive ranges from footers (and rewrite the sidecar);
@@ -603,6 +609,7 @@ def test_pruning_sidecar_self_heals_and_tolerates_corruption(spark, tmp_path):
     assert _file_ranges(live, "text_hash") == ranges
 
 
+@pytest.mark.soak
 def test_compaction_is_loop_policy(spark, tmp_path):
     """Round 11: ingest_batch_dedup triggers a tiered compact_index itself
     when a live subdir's RUN count (write generations — one per append)
@@ -759,6 +766,7 @@ def test_null_text_does_not_poison_pruned_planning(spark, tmp_path):
     assert 100 in got  # null text: no hash, no bands — audited as novel
 
 
+@pytest.mark.soak
 def test_tiered_compaction_merges_tail_not_base(spark, tmp_path):
     """LSM posture (round 11): a big corpus's compacted BASE run must not
     be rewritten when the loop folds its append tail — the triggered merge
@@ -1002,6 +1010,7 @@ def test_transient_footer_failure_never_dirties_the_base(spark, tmp_path, monkey
     assert base <= _parquet_files(idx, "bands")
 
 
+@pytest.mark.soak
 def test_all_empty_tiered_merge_publishes(spark, tmp_path):
     """A tiered (max_runs>1) merge whose entire merge set is 0-row replay
     appends takes the subsume-without-write path for EVERY subdir — no
@@ -1141,6 +1150,7 @@ def test_ranges_disjoint_strict_at_boundary():
     assert not _ranges_disjoint({"a": ("00", "7f"), "b": None})
 
 
+@pytest.mark.soak
 def test_rebuild_resumes_from_subdir_checkpoint(spark, tmp_path):
     """A rebuild killed after the hashes subdir checkpoint RESUMES: the
     re-invocation adopts the stage, skips the finished subdir (its staged
@@ -1297,6 +1307,7 @@ def _doc_schema():
     )
 
 
+@pytest.mark.soak
 def test_streaming_inline_compaction_across_restart(spark, tmp_path):
     """VERDICT r11 #7: the inline tiered-compaction trigger runs INSIDE
     streaming micro-batches, across a checkpoint restart, and the result is
@@ -1373,6 +1384,7 @@ def test_streaming_inline_compaction_across_restart(spark, tmp_path):
     assert resolve_replays(spark.read.parquet(args["curated_dir"])).count() == before
 
 
+@pytest.mark.soak
 def test_streaming_compaction_kill_then_restart_converges(spark, tmp_path):
     """A failure INSIDE the inline compaction of a streaming micro-batch
     (stage written, no commit marker) fails the query; a plain restart on
@@ -1477,6 +1489,7 @@ def test_publish_outcomes_reported(spark, tmp_path):
     assert not os.path.isdir(stage)
 
 
+@pytest.mark.soak
 def test_compact_aborts_cleanly_when_live_file_vanishes(spark, tmp_path):
     """A concurrent maintenance publish deleting a live file between
     compact_index's listing and its scan must make THIS compaction a clean

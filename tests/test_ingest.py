@@ -222,6 +222,7 @@ def test_stale_processing_reclaimed(spark, ingest_conf):
     assert all(r.retry_count == 2 and r.run_id == "run-b" for r in rows.values())
 
 
+@pytest.mark.soak
 def test_concurrent_runners_no_double_processing(spark, tmp_path):
     """Two concurrent batch runners over one landing zone + ledger
     (psuedo_code.txt:170-181 FOR UPDATE SKIP LOCKED): every file is processed
@@ -652,6 +653,7 @@ def test_legacy_single_snapshot_pointer_migrates(spark, tmp_path):
     }
 
 
+@pytest.mark.soak
 def test_retired_segments_get_grace_window(spark, tmp_path, monkeypatch):
     """Segments dropped from the pointer by a fold are NOT deleted in that
     same publish (a lock-free reader holding the previous pointer still
@@ -816,6 +818,7 @@ def test_segment_range_sidecars(spark, tmp_path, monkeypatch):
     assert led.counts()[LedgerStatus.SUCCEEDED] == 44
 
 
+@pytest.mark.soak
 def test_two_runner_soak_through_defer_and_drain(spark, tmp_path):
     """Concurrency soak across the round-9 deferral state machine: two
     runners drain a 400-file backlog in 5-file batches. Early commits sit

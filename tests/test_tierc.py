@@ -13,6 +13,7 @@ from datalakejson_spark.functions.dedup import (
 )
 from datalakejson_spark.functions.similarity import brute_force_topk, lsh_bucket
 from datalakejson_spark.functions.text import predict_lang
+import pytest
 
 SF = "/root/testdata/sf0.01"
 
@@ -320,6 +321,7 @@ def test_shard_partitions_derived_from_input_size(spark):
     assert derived == min(1 << 16, est // SHARD_TARGET_PARTITION_BYTES + 1)
 
 
+@pytest.mark.soak
 def test_ann_recall_floor_at_1e5(spark):
     """VERDICT r11 #3: pin recall@5 at the largest locally-feasible pytest
     decade (10^5 clustered vectors; the 10^6 point lives in

@@ -36,6 +36,7 @@ from datalakejson_spark.functions.ivf import (
     vacuum_ivf_deletes,
 )
 from datalakejson_spark.plans.killpoints import arm, disarm
+import pytest
 
 _SCHEMA = "vec_id bigint, embedding array<double>"
 
@@ -61,6 +62,7 @@ def _live_ids(spark, idx):
     return {r[0] for r in cells.select("vec_id").collect()}
 
 
+@pytest.mark.soak
 def test_raced_in_stale_copy_blocks_retirement_and_self_heals(
     spark, tmp_path
 ):

@@ -86,8 +86,16 @@ NOTES = [
     "adjudication epoch - its drift is never measured against pre-r15 "
     "rounds (that drift is the optimization, not the box), and bench.py's "
     "nominal reference snapshots were re-based from the optimized code "
-    "(per-query min over four same-day frozen-methodology runs; pre-r15 "
-    "snapshots preserved in bench.py as *_PRE_R15).",
+    "(per-query MIN over SIX same-day frozen-methodology runs - the count "
+    "here previously said four, reconciled r16 per ADVICE; pre-r15 "
+    "snapshots preserved in bench.py as *_PRE_R15). Caveat (ADVICE r15): "
+    "the six runs' kernels spanned 0.87-1.41, so min-pooling approximates "
+    "the box's FASTEST state (~0.87x nominal) - the refs read ~10-15% "
+    "fast, biasing drift ratios toward 'slow'. Known, documented, and NOT "
+    "re-based in r16: r16 keeps the r15 epoch (only g6 of 12 headliners "
+    "changed cost, and the drift statistic is a median, robust to one "
+    "changed query) so the epoch can render its first same-epoch verdicts; "
+    "re-basing again would orphan both rounds as anchor-only.",
     "Calibrated units = sec / numpy_mt_sec measured in the SAME session "
     "right after the query block (bench.py kernel, frozen definition); "
     "they are box-independent and are the series to trend. Box-anomalous "
