@@ -180,6 +180,22 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+#: all NUM_HASHES lane mins as ONE parsed struct expression (r16, guide §5):
+#: the per-lane F.expr(...).alias(...) list cost ~2 py4j round-trips per
+#: lane per query build; a single struct parses in one trip and the
+#: aggregate planner extracts the min()s exactly as before (partial
+#: aggregation unchanged, values identical — verified plan-pinned).
+_MINHASH_STRUCT_AGG = (
+    "struct("
+    + ", ".join(
+        f"min(substr({'h' if lane < LANES_PER_MD5 else 'h2'}, "
+        f"{1 + LANE_HEX * (lane % LANES_PER_MD5)}, {LANE_HEX})) AS mh{lane}"
+        for lane in range(NUM_HASHES)
+    )
+    + ")"
+)
+
+
 def _min_lane_signatures(hashed: DataFrame, id_col: str) -> DataFrame:
     """(id, mh0..mhK) from an (id, h) md5-per-shingle frame: NUM_HASHES
     min-aggregates over disjoint LANE_HEX-char lanes — lanes 0..3 of ``h``,
@@ -188,17 +204,12 @@ def _min_lane_signatures(hashed: DataFrame, id_col: str) -> DataFrame:
     signature producer funnels through here, so a lane-width or hash change
     can never make the generate and verify stages disagree; the DuckDB
     mirror is _MINHASH_AGGS, generated from the same constants."""
-    hashed = hashed.withColumn("h2", F.md5("h"))
-    # one parsed SQL expression per lane: the Column-builder chain costs
-    # ~4 py4j driver round-trips per lane per query build (guide §5)
-    aggs = [
-        F.expr(
-            f"min(substr({'h' if lane < LANES_PER_MD5 else 'h2'}, "
-            f"{1 + LANE_HEX * (lane % LANES_PER_MD5)}, {LANE_HEX}))"
-        ).alias(f"mh{lane}")
-        for lane in range(NUM_HASHES)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    hashed = hashed.selectExpr(id_col, "h", "md5(h) AS h2")
+    return (
+        hashed.groupBy(id_col)
+        .agg(F.expr(_MINHASH_STRUCT_AGG).alias("_s"))
+        .select(id_col, "_s.*")
+    )
 
 
 def signatures_from_shingle_sets(sets_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -234,11 +245,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     (see lsh_candidate_pairs: a per-band union would let column pruning
     specialize each branch's aggregate and defeat the reuse, which is
     exactly the 8×-recompute bug round 1 shipped)."""
-    tok = df.select(F.col(id_col), F.split(text_col, " ").alias("w"))
-    hashed = tok.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("shingle"),
-    ).select(F.col(id_col), F.md5("shingle").alias("h"))
+    hashed = (
+        df.selectExpr(id_col, f"split({text_col}, ' ') AS w")
+        .selectExpr(
+            id_col, f"explode(array_distinct({_SPARK_SHINGLES})) AS shingle"
+        )
+        .selectExpr(id_col, "md5(shingle) AS h")
+    )
     return _min_lane_signatures(hashed, id_col)
 
 
@@ -248,7 +261,7 @@ def band_table(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     signature pipeline upstream is never duplicated (see lsh_candidate_pairs
     for why that matters). This is also the persisted-index format for
     incremental dedup (functions/incremental_dedup.py)."""
-    band_structs = F.expr(
+    band_array = (
         "array("
         + ", ".join(
             f"named_struct('band', {band}, 'band_hash', {expr})"
@@ -256,10 +269,8 @@ def band_table(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         + ")"
     )
-    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        F.col(id_col),
-        F.col("bb.band").alias("band"),
-        F.col("bb.band_hash").alias("band_hash"),
+    return sigs.selectExpr(id_col, f"explode({band_array}) AS bb").selectExpr(
+        id_col, "bb.band AS band", "bb.band_hash AS band_hash"
     )
 
 

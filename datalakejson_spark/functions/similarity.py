@@ -104,17 +104,21 @@ _L3_SQL = f"""
 """
 
 
-def _norm_expr(col: str):
-    """|x| — the identical expression tree cosine_expr uses, exposed so the
-    norms can be projected ONCE per row instead of once per (query, candidate)
-    pair (same IEEE op sequence → bit-identical values). Built from one
-    parsed SQL string: the Python lambda form costs ~15 py4j round-trips per
-    query build (guide §5); ``0.0D`` is the SQL double literal matching
-    F.lit(0.0)."""
-    return F.expr(
+def _norm_sql(col: str) -> str:
+    """|x| as a SQL string — the identical expression tree cosine_expr uses,
+    exposed so the norms can be projected ONCE per row instead of once per
+    (query, candidate) pair (same IEEE op sequence → bit-identical values).
+    ``0.0D`` is the SQL double literal matching F.lit(0.0)."""
+    return (
         f"sqrt(aggregate(transform({col}, p -> CAST(p AS DOUBLE)"
         f" * CAST(p AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
     )
+
+
+def _norm_expr(col: str):
+    """Column form of :func:`_norm_sql` (one parsed SQL string: the Python
+    lambda form costs ~15 py4j round-trips per query build, guide §5)."""
+    return F.expr(_norm_sql(col))
 
 
 def brute_force_topk(
@@ -126,36 +130,41 @@ def brute_force_topk(
     r15: the vector norms are projected per ROW before the pair join — the
     interpreted higher-order norm lambdas used to re-run per PAIR (q× the
     work on the candidate side). Same expression tree, same fold order, so
-    every cosine is bit-identical; only the dot product remains per-pair."""
+    every cosine is bit-identical; only the dot product remains per-pair.
+
+    r16 (guide §5): the whole chain is built from selectExpr SQL strings —
+    the Column-builder form cost ~100 ms of py4j round-trips per query
+    build (micro-profiled: the join+cosine+window block alone was 61 ms,
+    29.7 ms as SQL). Identical operators, identical values; the
+    WindowGroupLimit/TopK plan shape is pinned in tests/test_plans.py."""
     q = F.broadcast(
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            _norm_expr("embedding").alias("q_norm"),
+        queries.selectExpr(
+            "vec_id AS query_id",
+            "embedding AS q_emb",
+            f"{_norm_sql('embedding')} AS q_norm",
         )
     )
-    c = candidates.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        _norm_expr("embedding").alias("c_norm"),
+    c = candidates.selectExpr(
+        "vec_id AS neighbor_id",
+        "embedding AS c_emb",
+        f"{_norm_sql('embedding')} AS c_norm",
     )
-
-    dot = F.expr(
+    dot = (
         "aggregate(zip_with(q_emb, c_emb, (p, q) -> CAST(p AS DOUBLE)"
         " * CAST(q AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
     )
-    scored = (
-        q.join(c, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6),
-        )
-        .select("query_id", "neighbor_id", "cosine")
+    scored = q.join(c, F.expr("neighbor_id != query_id")).selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"round(({dot}) / (q_norm * c_norm), 6) AS cosine",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return scored.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, neighbor_id) AS rn",
+    ).filter(f"rn <= {k}")
 
 
 # --------------------------------------------------------------------------

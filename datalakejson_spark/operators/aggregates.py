@@ -51,19 +51,26 @@ def g3_flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 groups) rows."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = "l_extendedprice * (1 - l_discount)"
+    # r16 (guide §5): the 8 aggregates parse as ONE struct expression (the
+    # per-aggregate ds_expr/da_expr list still cost ~16 py4j round-trips per
+    # build); the aggregate planner extracts the agg functions exactly as
+    # before — operators, partial aggregation, and values identical.
+    aggs = (
+        "struct("
+        f"{dsum_sql('l_quantity')} AS sum_qty, "
+        f"{dsum_sql('l_extendedprice')} AS sum_base_price, "
+        f"{dsum_sql(disc_price)} AS sum_disc_price, "
+        f"{dsum_sql(f'({disc_price}) * (1 + l_tax)')} AS sum_charge, "
+        f"{davg_sql('l_quantity')} AS avg_qty, "
+        f"{davg_sql('l_extendedprice')} AS avg_price, "
+        f"{davg_sql('l_discount')} AS avg_disc, "
+        "count(*) AS count_order)"
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        li.filter("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP_NTZ)")
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            ds_expr("l_quantity").alias("sum_qty"),
-            ds_expr("l_extendedprice").alias("sum_base_price"),
-            ds_expr(disc_price).alias("sum_disc_price"),
-            ds_expr(f"({disc_price}) * (1 + l_tax)").alias("sum_charge"),
-            da_expr("l_quantity").alias("avg_qty"),
-            da_expr("l_extendedprice").alias("avg_price"),
-            da_expr("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+        .agg(F.expr(aggs).alias("_s"))
+        .select("l_returnflag", "l_linestatus", "_s.*")
     )
 
 

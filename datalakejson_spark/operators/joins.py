@@ -104,29 +104,35 @@ def j3_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    # r16 (guide §5): join conditions and aggregates parse as single SQL
+    # strings (each dataframe.col / Column-operator access is a py4j
+    # round-trip in the per-rep build) — operators and values identical.
     dim = F.broadcast(
-        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
+        customer.join(nation, F.expr("c_nationkey = n_nationkey"))
+        .join(region, F.expr("n_regionkey = r_regionkey"))
         .select("c_custkey", "r_name")
     )
     li_agg = li.groupBy("l_orderkey").agg(
         F.expr(
-            f"sum(CAST(round((l_extendedprice * (1 - l_discount)) * {SCALE}.0)"
-            " AS BIGINT))"
-        ).alias("_rev_scaled"),
-        F.count("*").alias("_n_lines"),
-    )
+            f"struct(sum(CAST(round((l_extendedprice * (1 - l_discount))"
+            f" * {SCALE}.0) AS BIGINT)) AS _rev_scaled,"
+            " count(*) AS _n_lines)"
+        ).alias("_s")
+    ).select("l_orderkey", "_s.*")
     return (
-        li_agg.join(orders, li_agg.l_orderkey == orders.o_orderkey)
-        .join(dim, orders.o_custkey == dim.c_custkey)
+        li_agg.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(dim, F.expr("o_custkey = c_custkey"))
         .groupBy(
-            F.col("r_name").alias("region"),
-            F.year("o_orderdate").alias("order_year"),
+            F.expr("r_name").alias("region"),
+            F.expr("year(o_orderdate)").alias("order_year"),
         )
         .agg(
-            (F.sum("_rev_scaled").cast("double") / float(SCALE)).alias("revenue"),
-            F.sum("_n_lines").alias("n_lines"),
+            F.expr(
+                f"struct(CAST(sum(_rev_scaled) AS DOUBLE) / {SCALE}.0"
+                " AS revenue, sum(_n_lines) AS n_lines)"
+            ).alias("_s")
         )
+        .select("region", "order_year", "_s.*")
     )
 
 

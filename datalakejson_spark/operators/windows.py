@@ -117,22 +117,28 @@ def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     trees) and would drift in the last ULP otherwise. Both windows partition
     by o_custkey, so Spark reuses one exchange for the two sorts."""
     orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r16 (guide §5): both windows parse inside ONE selectExpr (the
+    # Window-builder + .over() chains cost ~40 ms of py4j round-trips per
+    # build). Same frames, same expressions: the ROWS frame pair shares one
+    # exchange+sort exactly as before, and the RANGE frame's epoch-day key
+    # (CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) = epoch seconds,
+    # double-divided then floored) is the identical expression tree.
+    rows_over = (
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    day = F.floor(F.col("o_orderdate").cast("timestamp").cast("long") / 86400)
-    w_range = (
-        Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, Window.currentRow)
+    range_over = (
+        "(PARTITION BY o_custkey"
+        " ORDER BY floor(CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) / 86400)"
+        " RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)"
     )
-    return orders.select(
+    return orders.selectExpr(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        dwin_sum("o_totalprice", w).alias("lifetime_spend"),
-        F.count("*").over(w).alias("order_seq"),
-        F.count("*").over(w_range).alias("n_orders_30d"),
+        f"{dwin_sum_sql('o_totalprice', rows_over)} AS lifetime_spend",
+        f"count(*) OVER {rows_over} AS order_seq",
+        f"count(*) OVER {range_over} AS n_orders_30d",
     )
 
 
