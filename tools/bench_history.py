@@ -96,6 +96,19 @@ NOTES = [
     "changed cost, and the drift statistic is a median, robust to one "
     "changed query) so the epoch can render its first same-epoch verdicts; "
     "re-basing again would orphan both rounds as anchor-only.",
+    "w1_ranking r15 'regression' (0.386 -> 0.458, 0.84x) adjudicated BOX "
+    "NOISE in r16: w1's code is untouched since r14 (committed before/after "
+    "plans identical in shape - one exchange + one sort + WindowGroupLimit), "
+    "and two r16-session quiet-box runs of the SAME epoch measured 0.423 s "
+    "(kernel deviation 1.08) and 0.294 s (kernel 0.80) at sf0.1, bracketing "
+    "the r15 driver's 0.458 well inside w1's historical band (0.336-0.528 "
+    "across r1-r14). No action.",
+    "g6_rollup_time_hierarchy r15 'regression' (0.580 -> 0.639, 0.91x) "
+    "settled in r16 by rewrite: the three-way union depended on runtime "
+    "exchange reuse that the committed plan never proved; the r16 "
+    "rollup-over-finest form is structurally single-scan (executed plan + "
+    "test pin), measured 1.29x sf0.1 / 1.42x sf1 vs the union and 1.42x / "
+    "1.57x vs a native rollup (tools/ab_r16.py g6).",
     "Calibrated units = sec / numpy_mt_sec measured in the SAME session "
     "right after the query block (bench.py kernel, frozen definition); "
     "they are box-independent and are the series to trend. Box-anomalous "
