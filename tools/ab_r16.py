@@ -208,7 +208,57 @@ def case_cc(spark, sf_dir, reps):
        specs["l2h_neardup_clusters"].fn, sf_dir, reps)
 
 
-CASES = {"g6": case_g6, "cc": case_cc}
+# --- l2g verify-stage pruning ----------------------------------------------
+
+
+def _l2g_pruned(spark, sf_dir):
+    """Candidate: compute the verify-stage shingle sets ONLY for documents
+    that actually appear in a candidate pair. The base shape evaluates
+    shingle_sets over the WHOLE corpus twice (sa and sb are separate
+    lineages under broadcast joins — no exchange, so no ReuseExchange);
+    at 100 TB that is two full corpus shingle passes to verify ~0.1% of
+    docs. The candidate set is lazily checkpointed so its LSH pipeline
+    executes once even though three consumers reference it."""
+    import pyspark.sql.functions as F
+
+    from datalakejson_spark.functions.dedup import (
+        JACCARD_DUP_THRESHOLD,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from datalakejson_spark.sources.tables import spread_scan
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    candidates = lsh_candidate_pairs(minhash_signatures(docs)).localCheckpoint(
+        eager=False
+    )
+    cand_ids = (
+        candidates.selectExpr("doc_a AS doc_id")
+        .union(candidates.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
+    sets = shingle_sets(docs.join(cand_ids, "doc_id", "leftsemi"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)).cast("double")
+    jac = inter / union
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_DUP_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def case_l2g(spark, sf_dir, reps):
+    specs = all_specs()
+    ab(spark, "l2g verify pruned to candidate ids",
+       specs["l2g_verified_neardup_pairs"].fn, _l2g_pruned, sf_dir, reps)
+
+
+CASES = {"g6": case_g6, "cc": case_cc, "l2g": case_l2g}
 
 
 def main():
